@@ -1,0 +1,659 @@
+"""Relational operator library over the driver star schema (SURVEY.md §7 M2).
+
+Each query is one registry key exercising one operator family: scans with
+pushdown, broadcast/shuffle/semi/anti/multiway joins, group-by / rollup /
+cube / distinct aggregates, window frames, top-k, set ops, scalar functions.
+
+Scale notes (100 TB posture) are inline per query. Two cross-engine rules
+applied throughout:
+
+- Every computed column is aliased identically in Spark and the DuckDB
+  oracle (the driver hash sorts columns by name).
+- Double-typed aggregates are rounded (2-6 decimals) in BOTH engines:
+  Spark's parallel partial aggregation sums doubles in a different order
+  than DuckDB's sequential scan, so the last ulp can differ; rounding far
+  above the accumulated error makes the hash comparison stable without
+  weakening the check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.schema import load_table
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (scan → filter → groupBy → agg).
+# Shuffle-minimal: partial aggregation map-side, one shuffle on the 6-value
+# grouping key; the shipdate filter and 7-column projection push to the scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2)                                  AS sum_qty,
+           round(sum(l_extendedprice), 2)                             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                                      AS sum_charge,
+           round(avg(l_quantity), 4)                                  AS avg_qty,
+           round(avg(l_extendedprice), 4)                             AS avg_price,
+           round(avg(l_discount), 4)                                  AS avg_disc,
+           count(*)                                                   AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan-side pushdown: predicate + column pruning must reach the parquet
+# reader (PushedFilters / 4-column ReadSchema in .explain). Narrow, no
+# shuffle — at 100 TB this is the pattern whose cost is pure I/O.
+# ---------------------------------------------------------------------------
+@query(
+    "filter_pushdown_project",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           l_quantity,
+           round(l_extendedprice * (1 - l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+      AND l_quantity > 45
+    """,
+)
+def filter_pushdown_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01 00:00:00").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B1 glob filter, reference semantics (wax glob on the name column,
+# /root/reference/src/builder.rs:180-183) re-expressed as an rlike the
+# optimizer can push. Oracle uses DuckDB's native GLOB operator.
+# ---------------------------------------------------------------------------
+@query(
+    "glob_filter_names",
+    oracle="""
+    SELECT doc_id, source FROM documents WHERE source GLOB 'src1*'
+    """,
+)
+def glob_filter_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zip_to_parquet_spark.functions.globs import glob_to_regex
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("source").rlike(glob_to_regex("src1*"))).select(
+        "doc_id", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins. Broadcast for the small dim (hint pinned — at 100 TB `part` may
+# exceed the auto threshold estimate but a true dimension stays broadcastable
+# by contract); shuffle hash/sort-merge for fact-fact where both sides are
+# huge and AQE picks the physical strategy at runtime.
+# ---------------------------------------------------------------------------
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 15
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_shuffle_facts",
+    oracle="""
+    SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_shuffle_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join: both sides shuffle on the join key. At 100 TB this
+    is the sort-merge/shuffled-hash path; AQE handles skewed orderkeys. The
+    status filter reduces the shuffled side before the exchange."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: no payload columns from the right side cross the shuffle —
+    strictly cheaper than join+distinct at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_multiway_q5",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders   o ON c.c_custkey   = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey  = l.l_orderkey
+    JOIN supplier s ON l.l_suppkey   = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation   n ON s.s_nationkey = n.n_nationkey
+    JOIN region   r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n.n_name
+    """,
+)
+def join_multiway_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join. Dims (supplier/nation/region at real scale:
+    nation/region always, supplier usually) broadcast; the customer⋈orders⋈
+    lineitem chain shuffles on its keys and Catalyst/AQE reorders. Declared
+    declaratively — no hand scheduling."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("AMERICA", "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation variants beyond plain groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           round(sum(c.c_acctbal), 2) AS total_acctbal,
+           count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct: Spark expands to a single pass (Expand node) —
+    still one shuffle, no N-pass penalty at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# Approximate distinct: HLL sketches differ between engines by construction,
+# so no value oracle — the driver records a rows-only check. At 100 TB this
+# is the *only* sane distinct-cardinality operator (constant memory/key).
+@query("agg_approx_count_distinct")
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: rank / lag / moving frame. Deterministic tie-breaks
+# (orderkey / event_id) so both engines produce identical rows.
+# ---------------------------------------------------------------------------
+@query(
+    "window_rank_topn",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-N via row_number — the scalable idiom (single shuffle on
+    the partition key; no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT user_id, event_id, value,
+           round(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 4) AS delta
+    FROM events
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@query(
+    "window_moving_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_total
+    FROM orders
+    """,
+)
+def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("moving_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits: global top-k. Spark's orderBy+limit compiles to TakeOrdered
+# (per-partition heap + driver merge of k rows) — no full sort at scale.
+# ---------------------------------------------------------------------------
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (the reference's only multi-input semantic is UNION ALL of
+# archives, SURVEY §2 C; the rest are the stock extension surface).
+# ---------------------------------------------------------------------------
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT n_nationkey AS nationkey, 'customer' AS side FROM (
+        SELECT DISTINCT c_nationkey AS n_nationkey FROM customer)
+    UNION ALL
+    SELECT n_nationkey AS nationkey, 'supplier' AS side FROM (
+        SELECT DISTINCT s_nationkey AS n_nationkey FROM supplier)
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+        .withColumn("side", F.lit("customer"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+        .withColumn("side", F.lit("supplier"))
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == SQL EXCEPT (distinct semantics); exceptAll would keep
+    # multiplicity differences and diverge from the oracle.
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface the fixtures exercise: string / date / math /
+# conditional / JSON. All built-in Catalyst expressions (whole-stage codegen).
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_string_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                          AS order_year,
+           month(o_orderdate)                         AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           substr(o_orderpriority, 1, 1)              AS prio_code,
+           upper(o_orderstatus)                       AS status_uc,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END                      AS size_class,
+           round(o_totalprice * 1.1, 2)               AS price_with_tax
+    FROM orders
+    WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+    """,
+)
+def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%")
+    ).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("price_with_tax"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+# F1 sha256_hex (SURVEY §2 F): standard 64-char lowercase hex via the JVM
+# built-in — the deliberate divergence from the reference's encoding quirks
+# (/root/reference/src/builder.rs:196-209) documented in SURVEY §2 F1.
+@query(
+    "sha256_documents",
+    oracle="""
+    SELECT doc_id, sha256(text) AS text_sha256 FROM documents
+    """,
+)
+def sha256_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha256"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series over events: tumbling-window aggregate (batch form; the
+# streaming variant lives in streaming/). Sessionization is SQL-expressible
+# via the lag/gap/cumsum idiom, so it gets a full value oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): the lag → gap-flag → running-sum
+    idiom. One shuffle on user_id shared by both window steps (same
+    partitioning), then a partial-aggregated groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond precision: cast("long") would truncate to seconds and
+    # disagree with the oracle's exact INTERVAL comparison on sub-second gaps.
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
