@@ -1,0 +1,211 @@
+"""Round-trip property tests for the zip pipeline (FIXTURES.md §B).
+
+Build zip → run engine → read back → assert SURVEY §1 invariants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import random
+import zipfile
+
+import pytest
+
+from zip_to_parquet_spark.sources.zipsource import (
+    ZipFormatError,
+    count_members,
+    read_zip_members,
+)
+
+FIXED_DATE = (2020, 1, 1, 0, 0, 0)  # byte-stable archives across runs
+
+
+def make_zip(path, members, compression=zipfile.ZIP_DEFLATED):
+    with zipfile.ZipFile(path, "w", compression) as zf:
+        for name, data in members:
+            zi = zipfile.ZipInfo(name, date_time=FIXED_DATE)
+            zi.compress_type = compression
+            zf.writestr(zi, data)
+    return str(path)
+
+
+BASIC = [
+    ("a.txt", b"alpha"),
+    ("sub/b.png", b"\x89PNG fake"),
+    ("sub/deep/c.csv", b"x,y\n1,2\n"),
+]
+
+
+def test_basic_roundtrip(spark, tmp_path):
+    zp = make_zip(tmp_path / "basic.zip", BASIC)
+    rows = {r["name"]: r for r in read_zip_members(spark, zp).collect()}
+    assert set(rows) == {"a.txt", "sub/b.png", "sub/deep/c.csv"}
+    for name, data in BASIC:
+        r = rows[name]
+        assert bytes(r["body"]) == data
+        assert r["hash"] == hashlib.sha256(data).hexdigest()
+        assert r["source"] == zp
+
+
+def test_schema_is_fixed_4_columns(spark, tmp_path):
+    zp = make_zip(tmp_path / "basic.zip", BASIC)
+    df = read_zip_members(spark, zp, body=False, source=False, sha=False)
+    # Flags null values, never drop columns (SURVEY §1.1).
+    assert df.columns == ["name", "source", "body", "hash"]
+
+
+def test_glob_filter_and_intended_noglob(spark, tmp_path):
+    members = [("x.png", b"1"), ("y.txt", b"2"), ("d/z.png", b"3")]
+    zp = make_zip(tmp_path / "glob.zip", members)
+    got = {r["name"] for r in read_zip_members(spark, zp, member_glob="**/*.png").collect()}
+    assert got == {"x.png", "d/z.png"}
+    # No glob ⇒ ALL members — intended semantics; the reference emits zero
+    # rows here (bug documented at SURVEY §2.B, builder.rs:180-226).
+    assert read_zip_members(spark, zp).count() == 3
+
+
+def test_union_all_bag_semantics(spark, tmp_path):
+    members = [("same.txt", b"identical")]
+    z1 = make_zip(tmp_path / "dupes.zip", members + [("same.txt", b"identical")])
+    z2 = make_zip(tmp_path / "dupes2.zip", members)
+    df = read_zip_members(spark, [str(tmp_path / "dupes*.zip")])
+    rows = df.collect()
+    assert len(rows) == 3  # duplicates kept, within and across archives
+    assert {r["source"] for r in rows} == {z1, z2}
+
+
+def test_null_projection_flags(spark, tmp_path):
+    zp = make_zip(tmp_path / "flags.zip", BASIC)
+    for flag, col in [("body", "body"), ("source", "source"), ("sha", "hash")]:
+        df = read_zip_members(spark, zp, **{flag: False})
+        vals = [r[col] for r in df.collect()]
+        assert vals == [None] * 3, f"{col} should be all-null with {flag}=False"
+        others = [c for c in ("name", "source", "body", "hash") if c != col]
+        for r in df.collect():
+            assert r["name"] is not None
+            _ = others
+
+
+def test_skip_decompression_pushdown(spark, tmp_path):
+    """body=False, sha=False must never decompress: a corrupt deflate stream
+    would raise if read (reference fast path builder.rs:185-186)."""
+    zp = make_zip(tmp_path / "corrupt.zip", [("ok.txt", b"fine")])
+    # Corrupt the compressed bytes of the member, leaving the central
+    # directory intact: flip bytes in the middle of the file.
+    raw = bytearray(open(zp, "rb").read())
+    start = raw.find(b"fine") if b"fine" in raw else 40
+    for i in range(30, 34):
+        raw[i] ^= 0xFF
+    open(zp, "wb").write(bytes(raw))
+
+    df = read_zip_members(spark, zp, body=False, sha=False)
+    rows = df.collect()  # must not raise: central directory only
+    assert rows[0]["name"] == "ok.txt"
+    assert rows[0]["body"] is None and rows[0]["hash"] is None
+
+
+def test_empty_zip(spark, tmp_path):
+    zp = make_zip(tmp_path / "empty.zip", [])
+    df = read_zip_members(spark, zp)
+    assert df.count() == 0
+    assert df.columns == ["name", "source", "body", "hash"]
+
+
+def test_big_member(spark, tmp_path):
+    data = random.Random(42).randbytes(8 * 1024 * 1024)
+    zp = make_zip(tmp_path / "big.zip", [("big.bin", data)])
+    r = read_zip_members(spark, zp).collect()[0]
+    assert bytes(r["body"]) == data
+    assert r["hash"] == hashlib.sha256(data).hexdigest()
+
+
+def test_compression_methods(spark, tmp_path):
+    zp = str(tmp_path / "methods.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        for name, method in [
+            ("stored.txt", zipfile.ZIP_STORED),
+            ("deflate.txt", zipfile.ZIP_DEFLATED),
+            ("bzip2.txt", zipfile.ZIP_BZIP2),
+            ("lzma.txt", zipfile.ZIP_LZMA),
+        ]:
+            zi = zipfile.ZipInfo(name, date_time=FIXED_DATE)
+            zi.compress_type = method
+            zf.writestr(zi, b"payload-" + name.encode())
+    rows = {r["name"]: bytes(r["body"]) for r in read_zip_members(spark, zp).collect()}
+    assert rows == {n: b"payload-" + n.encode() for n in rows}
+    assert len(rows) == 4
+
+
+def test_zstd_member_clear_error(spark, tmp_path):
+    """zstd members (method 93) → typed error naming the member (SURVEY §1.2)."""
+    zp = str(tmp_path / "zstd.zip")
+    with zipfile.ZipFile(zp, "w", zipfile.ZIP_STORED) as zf:
+        zi = zipfile.ZipInfo("z.txt", date_time=FIXED_DATE)
+        zf.writestr(zi, b"data")
+    # Patch the method field to 93 (zstd) in the local header (offset 8 from
+    # PK\x03\x04) and the central directory record (offset 10 from PK\x01\x02).
+    raw = bytearray(open(zp, "rb").read())
+    lh = raw.find(b"PK\x03\x04")
+    raw[lh + 8 : lh + 10] = (93).to_bytes(2, "little")
+    cd = raw.find(b"PK\x01\x02")
+    raw[cd + 10 : cd + 12] = (93).to_bytes(2, "little")
+    open(zp, "wb").write(bytes(raw))
+
+    df = read_zip_members(spark, zp)
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "zstd" in str(ei.value)
+
+
+def test_unicode_names(spark, tmp_path):
+    name = "données/π.txt"
+    zp = make_zip(tmp_path / "unicode.zip", [(name, b"bytes")])
+    rows = read_zip_members(spark, zp).collect()
+    assert rows[0]["name"] == name
+
+
+def test_row_group_size_single_file(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from zip_to_parquet_spark.sinks import write_single_parquet_file
+
+    members = [(f"m{i:04d}.txt", f"data-{i}".encode()) for i in range(250)]
+    zp = make_zip(tmp_path / "many.zip", members)
+    out = str(tmp_path / "out.parquet")
+    n = write_single_parquet_file(
+        read_zip_members(spark, zp), out, row_group_rows=100
+    )
+    assert n == 250
+    pf = pq.ParquetFile(out)
+    assert pf.metadata.num_rows == 250
+    sizes = [pf.metadata.row_group(i).num_rows for i in range(pf.metadata.num_row_groups)]
+    assert max(sizes) <= 100  # reference --row-group-size contract (A4)
+    assert sum(sizes) == 250
+
+
+def test_empty_input_glob_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no input archives"):
+        read_zip_members(spark, str(tmp_path / "nothing-*.zip"))
+
+
+def test_invalid_member_glob_raises_at_plan_time(spark, tmp_path):
+    zp = make_zip(tmp_path / "basic.zip", BASIC)
+    with pytest.raises(ValueError, match="unterminated"):
+        read_zip_members(spark, zp, member_glob="foo[")
+
+
+def test_count_members(spark, tmp_path):
+    zp = make_zip(tmp_path / "basic.zip", BASIC)
+    assert count_members(spark, zp) == 3
+    assert count_members(spark, zp, member_glob="sub/**") == 2
+
+
+def test_on_error_skip(spark, tmp_path):
+    good = make_zip(tmp_path / "good.zip", BASIC)
+    bad = str(tmp_path / "bad.zip")
+    open(bad, "wb").write(b"this is not a zip file")
+    df = read_zip_members(spark, [str(tmp_path / "*.zip")], on_error="skip")
+    assert df.count() == 3  # bad archive skipped, good one intact
+    with pytest.raises(Exception):
+        read_zip_members(spark, [str(tmp_path / "*.zip")]).count()  # default: fail

@@ -1,0 +1,115 @@
+"""CLI mirroring the reference's flag surface (/root/reference/src/main.rs:16-44).
+
+    python -m zip_to_parquet_spark.cli -i 'archives/**/*.zip' -o out.parquet \
+        -g '**/*.png' --no-body --row-group-size 100
+
+Behavioral contract vs the reference, with deliberate divergences documented
+in SURVEY.md §2:
+
+- ``-o`` XOR ``--stdout`` required (builder.rs:244-249);
+- no ``-g`` ⇒ ALL members are converted (intended semantics; the reference's
+  work pass emits zero rows without -g — SURVEY §2.B);
+- ``--no-*`` null the column values, never drop columns;
+- empty input glob / invalid member glob error out at plan time instead of
+  silently writing an empty file / panicking (SURVEY §2 H);
+- hash is standard sha256 hex (SURVEY §2 F1);
+- ``-o`` writes ONE parquet file with exact ``--row-group-size`` row groups
+  (reference default 100); ``--distributed -o DIR`` writes a parquet
+  directory through Spark's commit protocol — the 100 TB path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="zip-to-parquet-spark",
+        description="Convert zip archive members to parquet rows (Spark).",
+    )
+    p.add_argument(
+        "-i",
+        "--input",
+        action="append",
+        required=True,
+        help="input zip glob (repeatable), e.g. 'data/**/*.zip'",
+    )
+    p.add_argument("-o", "--output", help="output parquet path")
+    p.add_argument(
+        "--stdout", action="store_true", help="stream parquet bytes to stdout"
+    )
+    p.add_argument("-g", "--glob", help="member-name glob filter, e.g. '**/*.png'")
+    p.add_argument("--no-body", action="store_true", help="null the body column")
+    p.add_argument("--no-source", action="store_true", help="null the source column")
+    p.add_argument("--no-hash", action="store_true", help="null the hash column")
+    p.add_argument(
+        "--row-group-size",
+        type=int,
+        default=100,
+        help="rows per parquet row group in single-file mode (default 100)",
+    )
+    p.add_argument(
+        "--distributed",
+        action="store_true",
+        help="write a parquet directory via Spark's committer instead of one file",
+    )
+    p.add_argument(
+        "--on-error",
+        choices=["fail", "skip"],
+        default="fail",
+        help="fail the job on an unreadable archive (default) or skip it",
+    )
+    p.add_argument("--simple", action="store_true", help="plain progress lines")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if bool(args.output) == bool(args.stdout):
+        print("error: exactly one of -o/--output or --stdout is required", file=sys.stderr)
+        return 2
+
+    from zip_to_parquet_spark.session import get_spark
+    from zip_to_parquet_spark.sinks import (
+        write_parquet,
+        write_parquet_stdout,
+        write_single_parquet_file,
+    )
+    from zip_to_parquet_spark.sources.zipsource import read_zip_members
+
+    spark = get_spark("zip-to-parquet-cli")
+    try:
+        df = read_zip_members(
+            spark,
+            args.input,
+            member_glob=args.glob,
+            body=not args.no_body,
+            source=not args.no_source,
+            sha=not args.no_hash,
+            on_error=args.on_error,
+        )
+        if args.stdout:
+            n = write_parquet_stdout(df, row_group_rows=args.row_group_size)
+        elif args.distributed:
+            write_parquet(df, args.output, mode="overwrite")
+            n = -1
+        else:
+            n = write_single_parquet_file(df, args.output, row_group_rows=args.row_group_size)
+        if not args.stdout:
+            where = args.output
+            print(
+                f"wrote {n if n >= 0 else 'all'} member rows to {where}",
+                file=sys.stderr,
+            )
+        return 0
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

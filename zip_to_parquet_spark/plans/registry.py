@@ -28,7 +28,19 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
             raise ValueError(f"duplicate query key: {name}")
-        _QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # The driver hands us a session whose Python workers don't have
+            # this package on their path; ship it (idempotent) so pickled
+            # data sources / pandas UDFs can be unpickled worker-side.
+            from zip_to_parquet_spark.runtime import ensure_shipped
+
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn

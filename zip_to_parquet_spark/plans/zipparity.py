@@ -1,6 +1,141 @@
-"""Reference-parity zip pipeline queries (SURVEY.md §2 A-F).
+"""Oracle-checkable queries for the reference-parity zip pipeline.
 
-Filled in milestone M1.
+The driver's DuckDB oracle only sees the ten fixture tables, so these
+queries make the zip path itself checkable: each builds deterministic zip
+archives *from the documents table* (member ``doc_%06d.txt`` = UTF-8 text,
+8 archives by ``doc_id % 8``, fixed mtimes), runs the zipmembers source
+over them, and returns columns whose ground truth DuckDB can recompute
+directly from ``documents`` — e.g. ``hash`` vs ``sha256(text)``.
+
+This closes the loop on SURVEY §2 A1/A2/A3/B1/B2/C/D1/F1 with full value
+oracles rather than rows-only checks.
 """
 
 from __future__ import annotations
+
+import hashlib
+import os
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.sources.zipsource import read_zip_members
+
+_N_ARCHIVES = 8
+_FIXED_DATE = (2020, 1, 1, 0, 0, 0)
+
+
+def _zip_fixture_dir(sf_dir: str) -> str:
+    """Build (once per sf_dir per machine) the deterministic zip mirror of
+    the documents table. Cached under /tmp keyed by the sf path."""
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+    out_dir = f"/tmp/z2ps_zipfix_{key}"
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    writers = [
+        zipfile.ZipFile(
+            os.path.join(out_dir, f"part{i}.zip"), "w", zipfile.ZIP_DEFLATED
+        )
+        for i in range(_N_ARCHIVES)
+    ]
+    try:
+        for doc_id, text in docs:
+            zi = zipfile.ZipInfo(f"doc_{doc_id:06d}.txt", date_time=_FIXED_DATE)
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            writers[doc_id % _N_ARCHIVES].writestr(zi, text.encode("utf-8"))
+    finally:
+        for w in writers:
+            w.close()
+    open(marker, "w").close()
+    return out_dir
+
+
+def _members(spark: SparkSession, sf_dir: str, **kwargs) -> DataFrame:
+    d = _zip_fixture_dir(sf_dir)
+    return read_zip_members(spark, f"{d}/part*.zip", **kwargs)
+
+
+# A2 + F1: explode every member, hash parity against sha256(text).
+@query(
+    "zip_explode_hash",
+    oracle="""
+    SELECT printf('doc_%06d.txt', doc_id) AS name,
+           sha256(text) AS hash
+    FROM documents
+    """,
+)
+def zip_explode_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _members(spark, sf_dir).select("name", "hash")
+
+
+# B1: member-name glob inside the scan.
+@query(
+    "zip_glob_members",
+    oracle="""
+    SELECT printf('doc_%06d.txt', doc_id) AS name
+    FROM documents
+    WHERE printf('doc_%06d.txt', doc_id) GLOB 'doc_*1.txt'
+    """,
+)
+def zip_glob_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _members(spark, sf_dir, member_glob="doc_*1.txt", body=False, sha=False).select(
+        "name"
+    )
+
+
+# A3/D1: central-directory-only count (no decompression).
+@query(
+    "zip_count_members",
+    oracle="SELECT count(*) AS n_members FROM documents",
+)
+def zip_count_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _members(spark, sf_dir, body=False, source=False, sha=False)
+    return df.agg(F.count(F.lit(1)).alias("n_members"))
+
+
+# C: multi-archive UNION ALL bag — per-archive member counts, with the
+# machine-specific cache path normalized away (F2's path→string kept stable).
+@query(
+    "zip_union_sources",
+    oracle="""
+    SELECT printf('part%d', doc_id % 8) AS archive,
+           count(*) AS n_members
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def zip_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _members(spark, sf_dir, body=False, sha=False)
+    return df.groupBy(
+        F.regexp_extract("source", r"([^/]+)\.zip$", 1).alias("archive")
+    ).agg(F.count(F.lit(1)).alias("n_members"))
+
+
+# B2: null-projection flags — body nulled, hash still real.
+@query(
+    "zip_null_projection",
+    oracle="""
+    SELECT printf('doc_%06d.txt', doc_id) AS name,
+           true  AS body_is_null,
+           sha256(text) AS hash
+    FROM documents
+    """,
+)
+def zip_null_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _members(spark, sf_dir, body=False)
+    return df.select(
+        "name",
+        F.col("body").isNull().alias("body_is_null"),
+        "hash",
+    )

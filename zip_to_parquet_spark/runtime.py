@@ -1,0 +1,52 @@
+"""Ship this package to Spark's Python workers.
+
+The zipmembers Data Source class and every pandas-UDF function in this
+package pickle *by reference* (cloudpickle references importable modules),
+so executor-side Python workers must be able to ``import
+zip_to_parquet_spark``. On a real cluster that is ``--py-files``; for a
+session we don't own (the driver harness builds its own SparkSession, any
+cwd), ``ensure_shipped`` zips the package and ``addPyFile``s it — the same
+mechanism, applied at runtime. Idempotent per SparkContext.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def _package_zip() -> str:
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    files = []
+    for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                files.append(os.path.join(dirpath, fn))
+    files.sort()
+    h = hashlib.sha256()
+    for f in files:
+        h.update(f.encode())
+        h.update(open(f, "rb").read())
+    zpath = f"/tmp/z2ps_pkg_{h.hexdigest()[:16]}.zip"
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for f in files:
+                zf.write(f, os.path.relpath(f, root))
+        os.replace(tmp, zpath)
+    return zpath
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        return
+    sc.addPyFile(_package_zip())
+    _SHIPPED.add(key)

@@ -1,0 +1,253 @@
+"""Zip-archive member source — the reference's core capability, Spark-first.
+
+Reference semantics re-expressed (SURVEY.md §2 A1/A2/A3, B1/B2, F1/F2):
+
+- one zip archive → one unit of parallelism (the reference spawns one thread
+  per archive, /root/reference/src/builder.rs:54-73; we emit one
+  InputPartition per archive so a 1000-executor cluster fans out naturally);
+- one compressed member → one output row of the fixed 4-column schema
+  (name, source, body, hash), /root/reference/src/builder.rs:256-274;
+- member-name glob filter applied inside the scan before materializing the
+  row (builder.rs:180-183) — and, per the SURVEY §2.B bug note, *no glob
+  means keep every member* (the intended semantics; the reference's work
+  pass emits zero rows without -g, an acknowledged regression there);
+- ``--no-body/--no-source/--no-hash`` null the column values, never drop
+  columns (builder.rs:185-217); ``body=False, sha=False`` together skip
+  decompression entirely — the hand-rolled projection pushdown
+  (builder.rs:185-186) becomes a source option here;
+- hash is standard 64-char lowercase SHA-256 hex (deliberate divergence from
+  the reference's unpadded/Debug-quoted encoding, builder.rs:196-209 —
+  SURVEY §2 F1).
+
+Implementation: a PySpark 4 Python Data Source yielding Arrow RecordBatches.
+The zip bytes are read directly by the Python worker that owns the partition
+(no JVM→Python re-shipping of archive bytes). On a real cluster the archive
+paths must be on shared storage visible to executors (the same contract as
+any file-based source); ship this package via ``--py-files`` so workers can
+unpickle the reader.
+
+Scale notes: members are decompressed one at a time and flushed in bounded
+Arrow batches, so peak memory per task ≈ one decompressed member + one batch
+(mirrors the reference's bounded-channel posture, builder.rs:53,188-190).
+Archives are never split — correct, since zip needs its central directory —
+so very large single archives bound per-task time; many-archive inputs
+parallelize perfectly.
+
+Divergences by design (SURVEY §2 H): empty input glob raises at plan time
+(the reference silently writes an empty file — its NoInputsFound error is
+dead code); invalid member glob raises ValueError at plan time (the
+reference panics mid-job).
+"""
+
+from __future__ import annotations
+
+import glob as _pyglob
+import hashlib
+import io
+import json
+import re
+import zipfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from zip_to_parquet_spark.functions.globs import glob_to_regex
+
+__all__ = ["read_zip_members", "count_members", "ZipMembersDataSource", "ZipFormatError"]
+
+# zipfile's supported codecs; zstd (method 93) appears in modern zips but
+# Python's zipfile cannot decode it — detect and raise a typed error
+# (SURVEY §1.2: the one input-format gap vs the Rust zip crate).
+_ZSTD_METHOD = 93
+_SUPPORTED_METHODS = {
+    zipfile.ZIP_STORED,
+    zipfile.ZIP_DEFLATED,
+    zipfile.ZIP_BZIP2,
+    zipfile.ZIP_LZMA,
+}
+
+
+class ZipFormatError(ValueError):
+    """A member uses a compression method this engine cannot decode."""
+
+
+@dataclass
+class _ZipPartition(InputPartition):
+    path: str
+
+
+class ZipMembersReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.paths: list[str] = json.loads(options["paths"])
+        self.member_regex: str | None = options.get("member_regex") or None
+        self.with_body = options.get("body", "true") == "true"
+        self.with_source = options.get("source", "true") == "true"
+        self.with_hash = options.get("hash", "true") == "true"
+        self.batch_rows = int(options.get("batch_rows", "1024"))
+        self.batch_bytes = int(options.get("batch_bytes", str(32 * 1024 * 1024)))
+        self.on_error = options.get("on_error", "fail")
+
+    def partitions(self):
+        # One partition per archive == the reference's one-thread-per-archive
+        # (builder.rs:64). Executors each open only their own local/shared
+        # file; nothing is centralized on the driver.
+        return [_ZipPartition(p) for p in self.paths]
+
+    def read(self, partition: _ZipPartition):
+        import pyarrow as pa
+
+        pattern = re.compile(self.member_regex) if self.member_regex else None
+        need_decompress = self.with_body or self.with_hash
+
+        names: list[str] = []
+        sources: list[str | None] = []
+        bodies: list[bytes | None] = []
+        hashes: list[str | None] = []
+        pending_bytes = 0
+
+        def flush():
+            nonlocal names, sources, bodies, hashes, pending_bytes
+            batch = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(names, type=pa.string()),
+                    pa.array(sources, type=pa.string()),
+                    pa.array(bodies, type=pa.binary()),
+                    pa.array(hashes, type=pa.string()),
+                ],
+                names=["name", "source", "body", "hash"],
+            )
+            names, sources, bodies, hashes = [], [], [], []
+            pending_bytes = 0
+            return batch
+
+        try:
+            with open(partition.path, "rb") as fh, zipfile.ZipFile(fh) as zf:
+                for info in zf.infolist():
+                    if pattern is not None and not pattern.match(info.filename):
+                        continue
+                    if need_decompress and not info.is_dir():
+                        if info.compress_type not in _SUPPORTED_METHODS:
+                            kind = (
+                                "zstd"
+                                if info.compress_type == _ZSTD_METHOD
+                                else f"method {info.compress_type}"
+                            )
+                            raise ZipFormatError(
+                                f"unsupported zip compression ({kind}) for member "
+                                f"{info.filename!r} in {partition.path}"
+                            )
+                        data = zf.read(info)
+                    else:
+                        data = b""
+                    names.append(info.filename)
+                    sources.append(partition.path if self.with_source else None)
+                    if self.with_hash:
+                        hashes.append(hashlib.sha256(data).hexdigest())
+                    else:
+                        hashes.append(None)
+                    if self.with_body:
+                        bodies.append(data)
+                        pending_bytes += len(data)
+                    else:
+                        bodies.append(None)
+                    if len(names) >= self.batch_rows or pending_bytes >= self.batch_bytes:
+                        yield flush()
+        except (zipfile.BadZipFile, OSError) as exc:
+            if self.on_error == "skip":
+                # Permissive mode: a corrupt archive yields nothing instead of
+                # failing the job (the reference fails the whole run,
+                # builder.rs:65-71 — that remains our default).
+                import sys
+
+                print(
+                    f"zipmembers: skipping unreadable archive {partition.path}: {exc}",
+                    file=sys.stderr,
+                )
+            else:
+                raise
+        if names:
+            yield flush()
+
+
+class ZipMembersDataSource(DataSource):
+    """``spark.read.format("zipmembers")`` — one row per zip member."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zipmembers"
+
+    def schema(self) -> str:
+        return "name string, source string, body binary, hash string"
+
+    def reader(self, schema) -> ZipMembersReader:
+        return ZipMembersReader(self.options)
+
+
+def _expand_patterns(patterns: list[str] | str) -> list[str]:
+    if isinstance(patterns, str):
+        patterns = [patterns]
+    paths: list[str] = []
+    seen = set()
+    for p in patterns:
+        matches = sorted(_pyglob.glob(p, recursive=True))
+        for m in matches:
+            if m not in seen:
+                seen.add(m)
+                paths.append(m)
+    if not paths:
+        # Deliberate divergence: the reference's NoInputsFound is dead code
+        # and it silently writes an empty parquet (SURVEY §2 H).
+        raise ValueError(f"no input archives match patterns: {patterns!r}")
+    return paths
+
+
+def read_zip_members(
+    spark: SparkSession,
+    patterns: list[str] | str,
+    member_glob: str | None = None,
+    body: bool = True,
+    source: bool = True,
+    sha: bool = True,
+    on_error: str = "fail",
+    batch_rows: int = 1024,
+) -> DataFrame:
+    """Read zip archives as one DataFrame row per member (reference A1+A2).
+
+    Multiple patterns/archives concatenate with UNION ALL bag semantics —
+    duplicates kept, order undefined (SURVEY §2 C). ``member_glob`` filters
+    member names inside the scan (B1). ``body/source/sha=False`` null the
+    respective column (B2); ``body=False, sha=False`` never decompresses —
+    the projection pushdown of builder.rs:185-186 as a source option.
+    """
+    from zip_to_parquet_spark.runtime import ensure_shipped
+
+    paths = _expand_patterns(patterns)
+    member_regex = glob_to_regex(member_glob) if member_glob else ""
+    ensure_shipped(spark)  # workers must import this module to unpickle
+    spark.dataSource.register(ZipMembersDataSource)
+    return (
+        spark.read.format("zipmembers")
+        .option("paths", json.dumps(paths))
+        .option("member_regex", member_regex)
+        .option("body", "true" if body else "false")
+        .option("source", "true" if source else "false")
+        .option("hash", "true" if sha else "false")
+        .option("on_error", on_error)
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+
+
+def count_members(
+    spark: SparkSession,
+    patterns: list[str] | str,
+    member_glob: str | None = None,
+) -> int:
+    """Reference A3/D1: count glob-matching members without decompressing
+    anything (central-directory-only scan). The reference runs this as a
+    separate sequential pre-pass that re-opens every archive
+    (builder.rs:24-41); here it is the same distributed scan with the
+    body/hash projection pushed down."""
+    df = read_zip_members(spark, patterns, member_glob, body=False, source=False, sha=False)
+    return df.count()
