@@ -1,0 +1,96 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly one JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is forced through a noop sink (full materialization of every
+column, no collect-to-driver cost, no count()-style projection pruning that
+would let Spark skip the work being measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative slice of the operator inventory: scan/agg, multiway join,
+# window, sessionization, fuzzy dedup, vector search, text analysis, and
+# the zip-explode pipeline itself.
+HEADLINE = [
+    "q1_pricing_summary",
+    "filter_pushdown_project",
+    "join_broadcast_dim",
+    "join_multiway_q5",
+    "window_rank_topn",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_stats",
+    "doc_fingerprint",
+    "zip_explode_hash",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("zip-to-parquet-spark-bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from zip_to_parquet_spark.plans import all_queries
+    from zip_to_parquet_spark.plans.zipparity import _zip_fixture_dir
+
+    # Warmup outside the timed region: JVM/codegen spin-up and the one-time
+    # deterministic zip-fixture build (setup, not operator work).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    _zip_fixture_dir(sf_dir)
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,121 @@
+"""Unit tests for the operator library against hand-computable truths."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from zip_to_parquet_spark.operators.dedupe import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_sets,
+    simhash,
+    simhash_pairs,
+)
+from zip_to_parquet_spark.operators.multimodal import attach_media_metadata, decode_media
+from zip_to_parquet_spark.operators.vectors import cosine
+from zip_to_parquet_spark.functions.globs import glob_to_regex
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different words entirely unrelated text here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r["text_sha"] for r in exact_dedup(docs).collect()}
+    assert set(out) == {1, 3, 4}  # doc 2 deduped into doc 1 (min id wins)
+    expected = hashlib.sha256(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert out[1] == expected
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    sh = shingle_sets(docs)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(sh, threshold=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # docs 1 and 3 differ in the last word: 9 words -> 7 shingles each,
+    # 6 shared -> jaccard = 6 / (7 + 7 - 6) = 0.75
+    assert math.isclose(pairs[(1, 3)], 6 / 8)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near(spark, docs):
+    sh = shingle_sets(docs)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(sh, threshold=0.7).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_identical_and_different(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert out[1] == out[2]  # identical text -> identical signature
+    assert out[1] != out[4]
+    assert all(v >= 0 for v in out.values())  # 60-bit packing stays positive
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash_pairs(simhash(docs), max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_cosine_known_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 2.0], [2.0, 4.0]), (3, [1.0, 0.0], [1.0, 1.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {r["id"]: r["c"] for r in
+           df.select("id", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert math.isclose(got[1], 0.0, abs_tol=1e-12)
+    assert math.isclose(got[2], 1.0)
+    assert math.isclose(got[3], 1 / math.sqrt(2))
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_media_metadata(docs)
+    feats = {r["doc_id"]: r for r in decode_media(media, fake=True).collect()}
+    assert set(feats) == {1, 2, 3, 4}
+    r = feats[1]
+    assert r["mime"] == "audio/wav"  # doc_id 1 % 3 == 1
+    assert r["byte_len"] == len("the quick brown fox jumps over the lazy dog")
+    assert 0.0 < r["entropy"] <= 8.0
+    assert 16 <= r["width"] < 1040 and 16 <= r["height"] < 1040
+    assert feats[1]["entropy"] == feats[2]["entropy"]  # deterministic
+
+
+def test_multimodal_real_decode_raises(spark, docs):
+    media = attach_media_metadata(docs)
+    with pytest.raises(Exception) as ei:
+        decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "media decoding" in str(ei.value)
+
+
+@pytest.mark.parametrize(
+    "pattern,matches,rejects",
+    [
+        ("*.png", ["a.png"], ["d/a.png", "a.txt"]),
+        ("**/*.png", ["a.png", "d/a.png", "d/e/a.png"], ["a.txt"]),
+        ("doc_?.txt", ["doc_1.txt"], ["doc_12.txt"]),
+        ("[ab].txt", ["a.txt", "b.txt"], ["c.txt"]),
+        ("[!ab].txt", ["c.txt"], ["a.txt"]),
+        ("{foo,bar}.csv", ["foo.csv", "bar.csv"], ["baz.csv"]),
+        ("data/**", ["data/x", "data/d/y"], ["other/x"]),
+    ],
+)
+def test_glob_semantics(pattern, matches, rejects):
+    import re
+
+    rx = re.compile(glob_to_regex(pattern))
+    for m in matches:
+        assert rx.match(m), f"{pattern} should match {m}"
+    for r in rejects:
+        assert not rx.match(r), f"{pattern} should reject {r}"

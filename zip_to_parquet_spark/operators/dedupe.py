@@ -1,0 +1,281 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, exact n-gram Jaccard.
+
+All candidate generation is shuffle-bounded (band-bucket joins), never
+O(n²): the cross-join-free shapes here are exactly what survives 100 TB.
+The verify stage is exact (array_intersect on shingle sets), so the
+approximate stages only affect recall, never precision.
+
+Skew note for the shingle-join path: shingles shared by a large fraction of
+documents explode the candidate join. ``max_shingle_df`` drops
+high-document-frequency shingles before the join — the standard stopword-
+shingle mitigation; near-duplicate pairs share plenty of rare shingles, so
+recall at meaningful thresholds is unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zip_to_parquet_spark.operators.textops import word_shingles, words
+
+__all__ = [
+    "shingle_sets",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+]
+
+# Fixed MinHash parameters: k independent (a·h + b) mod P hashes.
+# h is masked to 32 bits and a < 2^30, so a·h + b < 2^62 + 2^61 < 2^63 —
+# no long overflow (Spark 4 runs ANSI mode: overflow is an error, not a
+# silent wrap), and the hash family stays a genuine universal family.
+_MERSENNE_P = (1 << 61) - 1
+
+
+def _minhash_coeffs(k: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, 1 << 30), rnd.randrange(0, _MERSENNE_P)) for _ in range(k)
+    ]
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, sh) where sh is the distinct n-word shingle set of the text."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(words(F.col(text_col)), n)).alias("sh"),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one survivor (min id) per sha256. A
+    single hash-groupBy — the only shuffle key is the 64-char digest, which
+    is uniform by construction (no skew at any scale)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("text_sha")
+        )
+        .groupBy("text_sha")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text_sha")
+    )
+
+
+def _jaccard(sh_a: Column, sh_b: Column) -> Column:
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(sh_a) + F.size(sh_b) - inter
+    return inter / union
+
+
+def ngram_jaccard_pairs(
+    shingled: DataFrame,
+    threshold: float,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via an inverted-index join on shingles.
+
+    explode → (skew-guard) → self-join on shingle → distinct candidate pair
+    → exact verify on the full shingle sets. Shuffles on `shingle` then on
+    the pair key; both keys are high-cardinality. The exact-verify join
+    broadcasts nothing — at scale `shingled` is big on both sides, which is
+    fine: it's an equi-join on doc_id.
+    """
+    e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            e.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        e = e.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # No rounding on jaccard: it is a small-denominator rational whose double
+    # is bit-identical across engines (same int/int division), while decimal
+    # rounding of such rationals hits .5 boundaries where Spark (HALF_UP)
+    # and DuckDB (half-even-ish) genuinely disagree.
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(shingled: DataFrame, k: int = 128, seed: int = 42) -> DataFrame:
+    """(doc_id, sh, sig) with sig = k-element MinHash signature array.
+
+    Entirely Catalyst: xxhash64 per shingle, then k array_min(transform(...))
+    expressions — one codegen'd projection, no shuffle, no Python.
+    """
+    coeffs = _minhash_coeffs(k, seed)
+    hashed = shingled.withColumn(
+        "h32",
+        F.transform(
+            "sh", lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 32) - 1))
+        ),
+    )
+
+    # Factory closure, NOT default-arg capture: PySpark derives the HOF's
+    # arity from the lambda's full parameter list, so `lambda h, a=a: ...`
+    # would be bound as a (nonexistent) 2-arg transform.
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform("h32", lambda h: F.pmod(a * h + b, F.lit(_MERSENNE_P)))
+        )
+
+    sig = F.array(*[perm_min(a, b) for a, b in coeffs])
+    return hashed.select("doc_id", "sh", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    shingled: DataFrame,
+    threshold: float,
+    k: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exact-verified.
+
+    sign → band (r = k/bands rows per band) → bucket join on
+    (band_idx, band_hash) → exact Jaccard verify. The only shuffles are the
+    band-bucket groupBy-join and the verify join; candidate volume scales
+    with true duplicate density, not n². Recall at j≥threshold is
+    1-(1-j^r)^bands (≈1-5e-8 at j=0.8 with k=128/b=32); precision is exact.
+    """
+    assert k % bands == 0
+    r = k // bands
+    signed = minhash_signature(shingled, k=k, seed=seed)
+    banded = signed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.xxhash64(F.slice("sig", i * r + 1, r)).alias("band_hash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash over word tokens.
+
+    Per bit i (unrolled in Python, so shift amounts are literals): a single
+    `aggregate` over the token-hash array summing +1/-1, then signed bit
+    packing. All codegen'd expressions; no explode, no shuffle. 60 bits
+    (not 64) keeps every packed value positive and divides evenly into
+    4×15-bit bands.
+    """
+    tok_hashes = F.transform(words(F.col(text_col)), lambda w: F.xxhash64(w))
+    hashed = df.select(F.col(id_col).alias("doc_id"), tok_hashes.alias("th"))
+
+    def bit_counter(i: int):
+        return F.aggregate(
+            F.col("th"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+
+    packed = None
+    for i in range(bits):
+        term = F.when(bit_counter(i) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed + term
+    return hashed.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_pairs(
+    simhashed: DataFrame, max_hamming: int = 3, bands: int = 4, bits: int = 60
+) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming via 15-bit band buckets.
+
+    Pigeonhole: with 4 bands, any pair within Hamming distance 3 matches on
+    at least one full band — the bucket join is *complete* for d ≤ bands-1,
+    so this is exact, not approximate, at the default threshold.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = simhashed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine's multimodal model (per the reference's body:binary column,
+SURVEY §1.1, generalized): media travels as a ``binary`` column beside a
+typed metadata struct; decode / feature-extract run as Arrow-batched
+pandas iterators over ``mapInPandas`` so each executor processes whole
+record batches without per-row Python overhead.
+
+The actual codec step is STUBBED — this container has no image/audio
+libraries — behind ``decode_media``: with ``fake=True`` (default) it
+produces deterministic per-payload features (byte histogram entropy, fake
+dimensions derived from the payload hash) so the Spark-side plumbing
+(schema, batching, partition parallelism) is real and testable; with
+``fake=False`` it raises ``NotImplementedError`` exactly where a real
+PIL/librosa/ffmpeg call would go.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["attach_media_metadata", "decode_media", "MEDIA_FEATURE_SCHEMA"]
+
+_MIME_BY_MOD = ["image/png", "audio/wav", "video/mp4"]
+
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("entropy", DoubleType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build the canonical multimodal frame from a text table: payload =
+    UTF-8 bytes (deterministic stand-in for real media bytes), mime cycled
+    by id. All Catalyst expressions."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _MIME_BY_MOD]),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("mime"),
+    )
+
+
+def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode/feature-extract the payload column via mapInPandas.
+
+    Arrow-batched: each Python worker receives whole record batches; the
+    per-batch loop is numpy-vectorized where it matters. Partition-parallel
+    with no shuffle — the 100 TB shape for media feature extraction.
+    """
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                # Real decode goes here: PIL.Image.open(io.BytesIO(b)) /
+                # soundfile / av frame sampling. Not available in this
+                # environment by design.
+                raise NotImplementedError(
+                    "real media decoding requires image/audio libraries "
+                    "not present in this container"
+                )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "byte_len": pdf["payload"].map(len).astype("int64"),
+            }
+            ents, widths, heights = [], [], []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                if arr.size:
+                    counts = np.bincount(arr, minlength=256)
+                    p = counts[counts > 0] / arr.size
+                    ents.append(float(-(p * np.log2(p)).sum()))
+                else:
+                    ents.append(0.0)
+                # Deterministic fake dimensions from the payload prefix.
+                h = int.from_bytes(b[:4].ljust(4, b"\0"), "little")
+                widths.append(16 + h % 1024)
+                heights.append(16 + (h >> 10) % 1024)
+            out["entropy"] = pd.Series(ents).round(6)
+            out["width"] = pd.Series(widths, dtype="int32")
+            out["height"] = pd.Series(heights, dtype="int32")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(extract, schema=MEDIA_FEATURE_SCHEMA)

@@ -1,0 +1,69 @@
+"""Text-analysis building blocks — all JVM-side Catalyst expressions.
+
+Shingling, stopword stats, token counting, fingerprinting. No Python UDFs:
+at 100 TB the per-row path must stay inside whole-stage codegen; everything
+here composes from higher-order array functions (`transform`, `filter`,
+`aggregate`) and string built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "words",
+    "word_shingles",
+    "stopword_ratio",
+    "punct_ratio",
+    "token_count_regex",
+    "min_fingerprint",
+    "EN_STOPWORDS",
+]
+
+# Small closed-class marker set used by stopword stats and the language
+# heuristic; mirrored literally in the DuckDB oracles.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for")
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column | str) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(col, " ")
+
+
+def word_shingles(words_col: Column, n: int = 3) -> Column:
+    """Overlapping n-word shingles as space-joined strings.
+
+    `transform(sequence(...))` keeps this a single codegen'd expression —
+    no explode, no shuffle; the array lives inside the row.
+    """
+    w = words_col
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+
+
+def stopword_ratio(words_col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    n_stop = F.size(F.filter(words_col, lambda x: x.isin(*stopwords)))
+    return n_stop / F.greatest(F.size(words_col), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    return n_punct / F.greatest(F.length(text), F.lit(1))
+
+
+def token_count_regex(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(TOKEN_REGEX))
+
+
+def min_fingerprint(shingles_col: Column) -> Column:
+    """Winnowing-flavor document fingerprint: the lexicographic minimum of
+    the md5 hex digests of the document's shingles. Identical across
+    engines (md5 hex is canonical), robust to word order only as much as
+    shingles are — which is the point."""
+    return F.array_min(F.transform(shingles_col, lambda s: F.md5(s)))

@@ -1,0 +1,57 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Catalyst-only building blocks (`zip_with` + `aggregate` — codegen'd, no
+Python in the row path) for exact cosine similarity, plus a fixed-seed
+random-hyperplane signature UDF (Arrow-batched numpy matmul — the one place
+vectorized Python genuinely beats 64 nested aggregate expressions).
+"""
+
+# NOTE: no `from __future__ import annotations` here — it would stringify
+# the pandas-UDF type hints, which pandas_udf cannot resolve at runtime.
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "l2_norm", "cosine", "hyperplane_signature_udf"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ, sequential left-to-right — the same evaluation order DuckDB
+    uses, so doubles match bit-for-bit in oracle comparisons."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    """Returns a pandas UDF mapping array<float> → bigint LSH signature.
+
+    Fixed-seed Gaussian hyperplanes; bit i = sign(v · pᵢ). One numpy matmul
+    per Arrow batch — at 100 TB this runs embarrassingly parallel per
+    partition with no shuffle; the signature then drives a cheap
+    groupBy-bucket instead of an O(n²) cross join.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if n_planes > 63:
+        raise ValueError("signature must fit a signed 64-bit integer")
+
+    @pandas_udf("long")
+    def signature(v: pd.Series) -> pd.Series:
+        planes = np.random.RandomState(seed).standard_normal((dim, n_planes))
+        mat = np.vstack(v.to_numpy())  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return signature

@@ -1,6 +1,364 @@
-"""LLM-data-pipeline queries: dedup, similarity, text analysis, multimodal.
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal (SURVEY.md §7 M3; BASELINE.json north star).
 
-Filled in milestone M3 (SURVEY.md §7).
+Oracle discipline: every operator whose semantics DuckDB can express gets a
+full value oracle — including MinHash-LSH dedup, whose *output* (exact-
+verified pairs at j≥0.8) is deterministic and SQL-computable even though
+the candidate mechanism isn't. Only the hyperplane-LSH ANN variant and the
+fake-decode multimodal features are rows-only.
+
+Fixture note: the documents fixture has a tiny ~30-word vocabulary, so
+token-SET similarity saturates (~0.97 between random docs) while 3-word
+shingle Jaccard separates cleanly (random ≈ 0.001, planted near-dups
+≥ 0.8). All fuzzy dedup here operates on 3-gram shingles for that reason.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zip_to_parquet_spark.operators import textops
+from zip_to_parquet_spark.operators.dedupe import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_sets,
+    simhash,
+    simhash_pairs,
+)
+from zip_to_parquet_spark.operators.multimodal import attach_media_metadata, decode_media
+from zip_to_parquet_spark.operators.vectors import cosine, hyperplane_signature_udf
+from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.schema import load_table
+
+# Shared DuckDB CTE: distinct 3-word shingle sets per document, matching
+# operators.dedupe.shingle_sets.
+_DUCK_SHINGLES = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM t
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_DUCK_SHINGLES
+    + """
+    , e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(x.sh, y.sh))::DOUBLE
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+    FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b
+    WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard pairs via inverted-index join — the exact
+    complement to the MinHash path; same output, no approximation."""
+    sh = shingle_sets(load_table(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(sh, threshold=0.8)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_DUCK_SHINGLES
+    + """
+    , e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(x.sh, y.sh))::DOUBLE
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+    FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b
+    WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+          / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128)+LSH(32 bands) with exact verify. The oracle is the
+    ground-truth exact join: recall at j≥0.8 is 1-(1-0.8⁴)³² ≈ 1-5e-8 per
+    pair and the hash family is fixed-seed, so Spark output == exact output
+    deterministically on this data."""
+    sh = shingle_sets(load_table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs(sh, threshold=0.8)
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3; complete via 4-band pigeonhole).
+    No SQL oracle: the 64-bit signature depends on Spark's xxhash64."""
+    sh = simhash(load_table(spark, sf_dir, "documents"))
+    return simhash_pairs(sh, max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.95). Brute-force pair scan
+    at test SF; at 100 TB the identical predicate runs after hyperplane-LSH
+    bucketing (see ann_lsh_topk) — the verify expression is shared."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6)
+                 AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 25 = 0
+    ) WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the corpus,
+    rank per query. Ranking is on the ROUNDED similarity with vec_id
+    tie-break, so ordering is deterministic and engine-independent. This is
+    the exact baseline; the LSH variant below is the scale path."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("v").alias("cv"))
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@query("ann_lsh_topk")
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 16-bit fixed-seed hyperplane signature, candidates
+    share a bucket with the query, exact cosine re-rank within bucket.
+    No SQL oracle (signature is numpy-side); deterministic via fixed seed.
+
+    Scale shape: signature is one narrow pandas-UDF projection; the join is
+    bucket-equi (shuffle on a 16-bit key ⇒ use more planes/multi-probe at
+    real scale); no cross join anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    sig = hyperplane_signature_udf(dim=dim, n_planes=16, seed=42)
+    signed = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", sig(F.col("v")))
+    q = signed.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = signed.select(F.col("vec_id").alias("n_id"), F.col("v").alias("cv"), "bucket")
+    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+               / greatest(len(string_split(text, ' ')), 1) AS stop_ratio,
+           length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+               / greatest(length(text), 1) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Ratios ship unrounded: int/int division is bit-identical across
+    # engines, while decimal rounding of small-denominator rationals lands
+    # on .5 boundaries where Spark's HALF_UP and DuckDB's rounding diverge.
+    d = load_table(spark, sf_dir, "documents")
+    w = textops.words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(w).alias("n_words"),
+        textops.stopword_ratio(w).alias("stop_ratio"),
+        textops.punct_ratio(F.col("text")).alias("punct_ratio"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           least(len(string_split(text, ' ')) / 400.0, 1.0) * 0.5
+           + least(len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+                   / greatest(len(string_split(text, ' ')), 1) / 0.05, 1.0) * 0.5
+               AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length saturation + stopword-density
+    saturation (the classic cheap quality prior for pretraining filtering).
+    Unrounded — identical IEEE op sequence in both engines (see text_stats)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = textops.words(F.col("text"))
+    length_term = F.least(F.size(w) / 400.0, F.lit(1.0))
+    stop_term = F.least(textops.stopword_ratio(w) / 0.05, F.lit(1.0))
+    return d.select(
+        "doc_id",
+        (length_term * 0.5 + stop_term * 0.5).alias("quality"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+                     / greatest(len(string_split(text, ' ')), 1) >= 0.02
+                THEN 'en' ELSE 'unknown' END AS lang_guess
+    FROM documents
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language heuristic. (The fixture's text is the same
+    word-soup for every `lang` label, so a real n-gram model has no signal
+    here; the operator's shape — marker-set densities and an argmax CASE —
+    is what scales.)"""
+    d = load_table(spark, sf_dir, "documents")
+    ratio = textops.stopword_ratio(textops.words(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.when(ratio >= 0.02, "en").otherwise("unknown").alias("lang_guess"),
+    )
+
+
+@query(
+    "token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(textops.words(F.col("text"))).alias("ws_tokens"),
+        textops.token_count_regex(F.col("text")).cast("bigint").alias("re_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=_DUCK_SHINGLES
+    + """
+    SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fingerprint
+    FROM s
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over the document's 3-gram
+    shingles — one codegen'd projection per row."""
+    sh = shingle_sets(load_table(spark, sf_dir, "documents"))
+    return sh.select("doc_id", textops.min_fingerprint(F.col("sh")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           ['image/png','audio/wav','video/mp4'][(doc_id % 3 + 1)::INT] AS mime
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata, all-Catalyst (the decode-free half
+    of the multimodal surface — fully oracle-checked)."""
+    media = attach_media_metadata(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id", F.octet_length("payload").alias("byte_len"), "mime"
+    )
+
+
+@query("multimodal_decode_features")
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched fake decode via mapInPandas (real codec stubbed —
+    NotImplementedError path when fake=False). Rows-only check: entropy is
+    numpy-side. Deterministic from payload bytes."""
+    media = attach_media_metadata(load_table(spark, sf_dir, "documents"))
+    return decode_media(media, fake=True)

@@ -515,7 +515,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_totalprice > 200000 THEN 'big'
                 WHEN o_totalprice > 100000 THEN 'mid'
                 ELSE 'small' END                      AS size_class,
-           round(o_totalprice * 1.1, 2)               AS price_with_tax
+           o_totalprice * 1.1                         AS price_with_tax
     FROM orders
     WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
     """,
@@ -538,7 +538,10 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_totalprice") > 100000, "mid")
         .otherwise("small")
         .alias("size_class"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("price_with_tax"),
+        # Unrounded: 2-decimal × 1.1 sits exactly on 3rd-decimal .5
+        # boundaries where Spark/DuckDB rounding modes diverge; the raw
+        # product is bit-identical in both engines.
+        (F.col("o_totalprice") * 1.1).alias("price_with_tax"),
     )
 
 
