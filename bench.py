@@ -62,10 +62,28 @@ def main() -> int:
     from zip_to_parquet_spark.plans import all_queries
     from zip_to_parquet_spark.plans.zipparity import _zip_fixture_dir
 
-    # Warmup outside the timed region: JVM/codegen spin-up and the one-time
-    # deterministic zip-fixture build (setup, not operator work).
+    # Warmup outside the timed region: JVM/codegen/class-loading spin-up,
+    # Python-worker + addPyFile shipping for the zipmembers source, and the
+    # one-time deterministic zip-fixture build (setup, not operator work —
+    # each timed query still does its full scan + compute cold).
+    import zipfile as _zf
+
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warm.groupBy("r_name").count().withColumn(
+        "rn", _F.row_number().over(_W.partitionBy("r_name").orderBy("count"))
+    ).collect()
     _zip_fixture_dir(sf_dir)
+    _warm_zip = "/tmp/z2ps_bench_warm.zip"
+    if not os.path.exists(_warm_zip):
+        with _zf.ZipFile(_warm_zip, "w") as z:
+            z.writestr("warm.txt", b"warmup")
+    from zip_to_parquet_spark.sources.zipsource import read_zip_members
+
+    read_zip_members(spark, _warm_zip).count()
 
     queries = all_queries()
     timings: dict[str, float] = {}

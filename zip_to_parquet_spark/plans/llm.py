@@ -31,7 +31,19 @@ from zip_to_parquet_spark.operators.dedupe import (
 from zip_to_parquet_spark.operators.multimodal import attach_media_metadata, decode_media
 from zip_to_parquet_spark.operators.vectors import cosine, hyperplane_signature_udf
 from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.runtime import spread
 from zip_to_parquet_spark.schema import load_table
+
+
+def _documents_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, hash-distributed on doc_id so per-row heavy expressions
+    (shingling, 128-perm MinHash, SimHash) use every core even when the
+    fixture parquet is a single scan partition (no-op at real scale)."""
+    return spread(load_table(spark, sf_dir, "documents"), "doc_id")
+
+
+def _embeddings_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
 
 # Shared DuckDB CTE: distinct 3-word shingle sets per document, matching
 # operators.dedupe.shingle_sets.
@@ -80,7 +92,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard pairs via inverted-index join — the exact
     complement to the MinHash path; same output, no approximation."""
-    sh = shingle_sets(load_table(spark, sf_dir, "documents"))
+    sh = shingle_sets(_documents_spread(spark, sf_dir))
     return ngram_jaccard_pairs(sh, threshold=0.8)
 
 
@@ -106,7 +118,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth exact join: recall at j≥0.8 is 1-(1-0.8⁴)³² ≈ 1-5e-8 per
     pair and the hash family is fixed-seed, so Spark output == exact output
     deterministically on this data."""
-    sh = shingle_sets(load_table(spark, sf_dir, "documents"))
+    sh = shingle_sets(_documents_spread(spark, sf_dir))
     return minhash_lsh_pairs(sh, threshold=0.8)
 
 
@@ -114,7 +126,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3; complete via 4-band pigeonhole).
     No SQL oracle: the 64-bit signature depends on Spark's xxhash64."""
-    sh = simhash(load_table(spark, sf_dir, "documents"))
+    sh = simhash(_documents_spread(spark, sf_dir))
     return simhash_pairs(sh, max_hamming=3)
 
 
@@ -132,7 +144,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.95). Brute-force pair scan
     at test SF; at 100 TB the identical predicate runs after hyperplane-LSH
     bucketing (see ann_lsh_topk) — the verify expression is shared."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _embeddings_spread(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
@@ -172,7 +184,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank per query. Ranking is on the ROUNDED similarity with vec_id
     tie-break, so ordering is deterministic and engine-independent. This is
     the exact baseline; the LSH variant below is the scale path."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _embeddings_spread(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     q = emb.filter(F.col("vec_id") % 25 == 0).select(
@@ -198,7 +210,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: signature is one narrow pandas-UDF projection; the join is
     bucket-equi (shuffle on a 16-bit key ⇒ use more planes/multi-probe at
     real scale); no cross join anywhere."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _embeddings_spread(spark, sf_dir)
     dim = 64
     sig = hyperplane_signature_udf(dim=dim, n_planes=16, seed=42)
     signed = emb.select(
@@ -330,7 +342,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over the document's 3-gram
     shingles — one codegen'd projection per row."""
-    sh = shingle_sets(load_table(spark, sf_dir, "documents"))
+    sh = shingle_sets(_documents_spread(spark, sf_dir))
     return sh.select("doc_id", textops.min_fingerprint(F.col("sh")).alias("fingerprint"))
 
 

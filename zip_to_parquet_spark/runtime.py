@@ -15,9 +15,27 @@ import hashlib
 import os
 import zipfile
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 _SHIPPED: set[str] = set()
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition a compute-heavy input up to the session's core count.
+
+    Small parquet files arrive as a single scan partition, which serializes
+    expensive per-row expressions (MinHash signatures, SimHash bit packing,
+    per-member decompression) onto one core. One explicit repartition unlocks
+    full parallelism; whenever the scan already has >= defaultParallelism
+    partitions — any real-scale input — this is a no-op with zero added
+    shuffles. Keying the repartition (e.g. on doc_id) also makes both sides
+    of downstream self-joins share an identical exchange subtree, so Spark's
+    ReuseExchange computes the expensive projection once.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
 def _package_zip() -> str:
