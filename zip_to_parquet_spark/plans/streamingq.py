@@ -1,0 +1,94 @@
+"""Oracle-checked Structured Streaming queries (SURVEY.md §2 E extension).
+
+Each callable runs a real streaming query (file source → watermark →
+stateful operator → memory sink) drained with ``Trigger.AvailableNow`` over
+the bounded events fixture, then returns the sink contents as a batch
+DataFrame. On bounded single-file input the final state is deterministic,
+so these get FULL value oracles, not rows-only checks:
+
+- complete-mode aggregations emit exactly the final state;
+- update-mode emissions equal final state because one file → one
+  micro-batch (documented single-batch caveat in streams.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionized_stream,
+    stateful_user_totals,
+    windowed_counts,
+)
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming tumbling-window agg; complete-mode final state
+    == the batch answer, hence the same oracle as events_tumbling_window."""
+    return run_stream_to_memory(
+        windowed_counts(read_events_stream(spark, sf_dir)), "complete", "tumble"
+    )
+
+
+@query(
+    "stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30 min gap). Note the boundary
+    semantics: Spark's session_window merges an event only if it falls
+    STRICTLY inside [start, last+gap), so a gap of exactly 30:00 starts a
+    new session — hence `>=` in the oracle's new-session flag (the batch
+    events_sessionize keeps the reference `>` semantics; the fixture's µs
+    timestamps make exact-boundary gaps measure-zero anyway)."""
+    return run_stream_to_memory(
+        sessionized_stream(read_events_stream(spark, sf_dir)), "complete", "sess"
+    )
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-user totals; single-batch update emissions == final totals."""
+    return run_stream_to_memory(
+        stateful_user_totals(read_events_stream(spark, sf_dir)), "update", "totals"
+    )

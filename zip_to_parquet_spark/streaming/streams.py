@@ -1,0 +1,189 @@
+"""Structured Streaming operators over the events stream (SURVEY.md §2 E /
+§7 M4 stretch surface).
+
+The reference is a terminating batch job with no time dimension
+(/root/reference/src/main.rs:46-69); its producer/consumer channel
+(builder.rs:53) is pipelining, not streaming semantics. This module is the
+extension surface: event-time windowed aggregation with watermarks, session
+windows, and a custom stateful operator via ``applyInPandasWithState``.
+
+Design for scale: every operator here is keyed state over a shuffle on the
+group key (window/event_type, user_id) — Spark's streaming state store
+partitions by that key, so a 1000-executor cluster shards state naturally.
+Watermarks bound state size; nothing accumulates unbounded driver-side.
+
+Testability: each stream can be run with ``Trigger.AvailableNow`` over the
+bounded events fixture and drained to a memory sink, making the final
+result deterministic and DuckDB-oracle-checkable (the fixture arrives as
+one file → one micro-batch, so update-mode emissions equal final state).
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+__all__ = [
+    "read_events_stream",
+    "windowed_counts",
+    "sessionized_stream",
+    "stateful_user_totals",
+    "run_stream_to_memory",
+]
+
+# Streaming reads declare the schema explicitly (file streams cannot infer).
+# ts is TIMESTAMP(NANOS) in the fixture parquet; with nanosAsLong it arrives
+# as a long that we truncate to µs exactly like schema.load_table.
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based stream over the events fixture (one parquet → one
+    micro-batch under AvailableNow; a directory of arriving files in
+    production)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        # File streams take a directory; the glob filter selects the events
+        # table out of the fixture dir (in production: the landing dir).
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the canonical late-data-
+    tolerant streaming agg. State is keyed on (window, event_type); the
+    watermark lets Spark drop windows older than max(event time) - delay."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Native streaming sessionization: ``session_window`` merges events
+    within ``gap`` of each other into one growing window per user. The
+    batch twin (plans.relational.events_sessionize) does the same with
+    lag/running-sum; this is the incremental form with keyed session state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): running
+    per-user event count + value total, emitted each micro-batch in update
+    mode. Arrow-batched; state is two scalars per user, sharded by the
+    group-key shuffle — the template for bespoke streaming accumulators
+    Spark's built-ins can't express."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_SINK_IDS = itertools.count()
+
+
+def run_stream_to_memory(
+    df: DataFrame, output_mode: str, name_hint: str = "stream"
+) -> DataFrame:
+    """Drain a (bounded) stream with Trigger.AvailableNow into a memory
+    sink and return the result as a batch DataFrame.
+
+    Test/oracle harness only — the memory sink collects to the driver. The
+    production path is ``df.writeStream.format("parquet")`` (or kafka etc.)
+    with the same trigger semantics.
+    """
+    name = f"z2ps_{name_hint}_{next(_SINK_IDS)}"
+    q = (
+        df.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
