@@ -13,5 +13,6 @@ from zip_to_parquet_spark.plans import relational  # noqa: E402,F401
 from zip_to_parquet_spark.plans import llm  # noqa: E402,F401
 from zip_to_parquet_spark.plans import zipparity  # noqa: E402,F401
 from zip_to_parquet_spark.plans import streamingq  # noqa: E402,F401
+from zip_to_parquet_spark.plans import temporal  # noqa: E402,F401
 
 __all__ = ["all_queries", "all_oracle_sql", "query"]

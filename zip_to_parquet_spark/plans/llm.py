@@ -374,3 +374,98 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy-side. Deterministic from payload bytes."""
     media = attach_media_metadata(load_table(spark, sf_dir, "documents"))
     return decode_media(media, fake=True)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                 c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    ), probes AS (
+      SELECT q_id, cent_id FROM (
+        SELECT q.vec_id AS q_id, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                 c.cent_id) AS r
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id % 25 = 0
+      ) WHERE r <= 2
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT p.q_id, a.vec_id AS n_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY p.q_id ORDER BY
+               round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) DESC,
+               a.vec_id) AS rank
+      FROM probes p
+      JOIN assign a ON a.cent_id = p.cent_id
+      JOIN embeddings q ON q.vec_id = p.q_id
+      JOIN embeddings n ON n.vec_id = a.vec_id
+      WHERE a.vec_id <> p.q_id
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 16 fixed centroids (vec_id < 16 — a deterministic
+    stand-in for a k-means codebook), every vector assigned to its nearest
+    centroid (broadcast 16-way argmax, narrow map, no shuffle), queries
+    probe their 2 nearest cells, exact cosine re-rank within the probed
+    cells. Fully oracle-checked because every step is deterministic.
+
+    Scale shape: the codebook broadcasts; assignment is map-only; the
+    candidate join shuffles on cent_id — at real scale use 4k-64k
+    centroids (and train them with sampled k-means) so cells stay small
+    and the shuffle key is high-cardinality."""
+    emb = _embeddings_spread(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    sim_to_cent = cosine(F.col("v"), F.col("cv"))
+    # Nearest centroid per vector: max(struct(cos, -cent_id)) breaks ties
+    # toward the smaller centroid id, matching the oracle's row_number order.
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            F.struct(
+                sim_to_cent.alias("s"), (-F.col("cent_id")).alias("neg"),
+                F.col("cent_id").alias("cent_id"),
+            ).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sc")["cent_id"].alias("cent_id"), F.first("v").alias("v"))
+    )
+    qw = Window.partitionBy("q_id").orderBy(F.col("qs").desc(), F.col("cent_id"))
+    probes = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cv")).alias("qs")
+        )
+        .withColumn("r", F.row_number().over(qw))
+        .filter(F.col("r") <= 2)
+        .select("q_id", "qv", "cent_id")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    return (
+        probes.join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("n_id"), sim.alias("cos_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )

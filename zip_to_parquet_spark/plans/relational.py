@@ -660,3 +660,29 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("session_value"),
     )
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: events has only a
+    handful of event_type values, so a direct groupBy funnels everything
+    into ≤5 reducers. Salting hashes each row into 32 subkeys, partial-
+    aggregates on (event_type, salt) — uniform fan-out — then finalizes on
+    event_type over ≤ 5×32 tiny partial rows. Result-identical to the
+    direct groupBy (the oracle IS the direct groupBy); rounding happens
+    only at the final stage."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "__salt", F.pmod(F.xxhash64("event_id"), F.lit(32))
+    )
+    partial = e.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 2).alias("total_value")
+    )

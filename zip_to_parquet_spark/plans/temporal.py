@@ -1,0 +1,79 @@
+"""As-of and range join queries over the events stream (extension surface;
+the reference has no joins — SURVEY.md §2 C)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zip_to_parquet_spark.operators.temporal import asof_join, range_join_pairs
+from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.schema import load_table
+
+
+@query(
+    "join_asof_last_click",
+    oracle="""
+    WITH err AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'
+    ), clk AS (
+      SELECT user_id AS cu, event_id AS click_event_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value, c.click_event_id, c.click_ts
+    FROM err e ASOF LEFT JOIN clk c
+      ON e.user_id = c.cu AND e.ts >= c.click_ts
+    """,
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event picks up the latest click of the same
+    user at or before it. Linear union+sort formulation (operators.temporal
+    — one shuffle on user_id, no theta-join blow-up); oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return asof_join(
+        errors,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_event_id", "click_ts"],
+    )
+
+
+@query(
+    "join_range_within_5min",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS event_a, a.ts AS ts_a,
+           b.event_id AS event_b, b.ts AS ts_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '5 minutes'
+    """,
+)
+def join_range_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range self-join: ordered event pairs of the same user within
+    5 minutes, via the 2-bucket equi-join (operators.temporal) — the
+    shuffle key is (user_id, time-bucket), candidate volume is local
+    density × 2 buckets, never n²."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    pairs = range_join_pairs(
+        ev, key="user_id", ts="ts", payload=["event_id", "ts"], max_gap_seconds=300
+    )
+    return pairs.select(
+        "user_id",
+        F.col("event_id").alias("event_a"),
+        F.col("ts").alias("ts_a"),
+        F.col("event_id_b").alias("event_b"),
+        F.col("ts_b").alias("ts_b"),
+    )
