@@ -53,6 +53,10 @@ def get_spark(app_name: str = "zip-to-parquet-spark") -> SparkSession:
         # test SFs) broadcast; at 100 TB the big fact tables never qualify.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Codegen-heavy plans (128-perm MinHash, 60-bit SimHash) overflow the
+        # default ~240 MB JIT code cache; once full the JVM silently stops
+        # compiling and every later stage runs interpreted at 4-10x cost.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
