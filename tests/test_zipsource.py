@@ -209,3 +209,48 @@ def test_on_error_skip(spark, tmp_path):
     assert df.count() == 3  # bad archive skipped, good one intact
     with pytest.raises(Exception):
         read_zip_members(spark, [str(tmp_path / "*.zip")]).count()  # default: fail
+
+
+def test_streaming_zip_source_incremental(spark, tmp_path):
+    """New archives are picked up incrementally; checkpointed offsets make
+    re-drains exactly-once (batch 2 reads only b.zip)."""
+    import hashlib
+    import os
+    import zipfile
+
+    from zip_to_parquet_spark.sources.zipsource import read_zip_members_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt, out_pq = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def make_zip(name, members):
+        with zipfile.ZipFile(in_dir / name, "w") as z:
+            for m, data in members:
+                z.writestr(m, data)
+
+    def drain():
+        stream = read_zip_members_stream(spark, f"{in_dir}/*.zip")
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out_pq)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    make_zip("a.zip", [("x.txt", b"hello"), ("y.txt", b"world")])
+    drain()
+    assert sorted(r.name for r in spark.read.parquet(out_pq).collect()) == [
+        "x.txt",
+        "y.txt",
+    ]
+
+    make_zip("b.zip", [("z.txt", b"again")])
+    drain()
+    rows = spark.read.parquet(out_pq).collect()
+    assert sorted(r.name for r in rows) == ["x.txt", "y.txt", "z.txt"]
+    by_name = {r.name: r for r in rows}
+    assert by_name["z.txt"].hash == hashlib.sha256(b"again").hexdigest()
+    assert os.path.basename(by_name["z.txt"].source) == "b.zip"

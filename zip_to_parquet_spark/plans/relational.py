@@ -686,3 +686,104 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 2).alias("total_value")
     )
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user counts by event type. The category
+    list is pinned, which keeps the plan a single-pass pivot aggregation
+    (no extra distinct-values job) and the output schema static — the only
+    form that is sane at scale."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the rollup/cube shorthands): per-
+    status, per-priority, and grand-total aggregates in one pass over the
+    fact table (Catalyst expands to a single Expand + hash aggregate —
+    one shuffle total, not three scans)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("z2ps_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM z2ps_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.90) AS p90,
+           median(l_extendedprice) AS med
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. Spark's percentile() and
+    DuckDB's quantile_cont share the same linear-interpolation definition —
+    verified bit-identical. (At 100 TB prefer approx_percentile: same one-
+    shuffle shape, t-digest sketch state instead of a full sorted buffer.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.25).alias("p25"),
+        F.percentile("l_extendedprice", 0.50).alias("p50"),
+        F.percentile("l_extendedprice", 0.90).alias("p90"),
+        F.median("l_extendedprice").alias("med"),
+    )
+
+
+@query(
+    "explode_top_words",
+    oracle="""
+    SELECT word, n FROM (
+      SELECT word, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, word) AS r
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ) WHERE r <= 20
+    """,
+)
+def explode_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode + aggregate + deterministic top-k: corpus word frequencies.
+    The partial aggregation (map-side combine) collapses the exploded rows
+    before the shuffle, so shuffle volume is |vocabulary|, not |tokens|."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    return counts.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 20).select("word", "n")

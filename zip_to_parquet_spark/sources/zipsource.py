@@ -50,7 +50,12 @@ import zipfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from zip_to_parquet_spark.functions.globs import glob_to_regex
 
@@ -79,7 +84,7 @@ class _ZipPartition(InputPartition):
 
 class ZipMembersReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.paths: list[str] = json.loads(options["paths"])
+        self.paths: list[str] = json.loads(options.get("paths", "[]"))
         self.member_regex: str | None = options.get("member_regex") or None
         self.with_body = options.get("body", "true") == "true"
         self.with_source = options.get("source", "true") == "true"
@@ -170,8 +175,47 @@ class ZipMembersReader(DataSourceReader):
             yield flush()
 
 
+class ZipMembersStreamReader(DataSourceStreamReader):
+    """Incremental zip ingestion: each micro-batch picks up archives that
+    appeared in the watched directory since the last committed offset.
+
+    The offset is the sorted list of already-processed archive paths —
+    exact and replay-safe (a restarted query re-plans the same batch from
+    its checkpointed offsets). One InputPartition per new archive, read by
+    the same member-exploding logic as the batch reader, so executors do
+    the decompression in parallel; the driver only lists the directory.
+    (At production scale, swap the grow-forever list for an (mtime, name)
+    high-watermark with a lateness allowance — same reader body.)
+    """
+
+    def __init__(self, options: dict):
+        self._batch = ZipMembersReader(options)
+        self.pattern: str = options["stream_glob"]
+
+    def _list(self) -> list[str]:
+        return sorted(_pyglob.glob(self.pattern, recursive=True))
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": self._list()}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [_ZipPartition(p) for p in new]
+
+    def read(self, partition: _ZipPartition):
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class ZipMembersDataSource(DataSource):
-    """``spark.read.format("zipmembers")`` — one row per zip member."""
+    """``spark.read.format("zipmembers")`` — one row per zip member.
+    ``spark.readStream`` with a ``stream_glob`` option tails a directory of
+    arriving archives."""
 
     @classmethod
     def name(cls) -> str:
@@ -182,6 +226,9 @@ class ZipMembersDataSource(DataSource):
 
     def reader(self, schema) -> ZipMembersReader:
         return ZipMembersReader(self.options)
+
+    def streamReader(self, schema) -> ZipMembersStreamReader:
+        return ZipMembersStreamReader(self.options)
 
 
 def _expand_patterns(patterns: list[str] | str) -> list[str]:
@@ -235,6 +282,35 @@ def read_zip_members(
         .option("hash", "true" if sha else "false")
         .option("on_error", on_error)
         .option("batch_rows", str(batch_rows))
+        .load()
+    )
+
+
+def read_zip_members_stream(
+    spark: SparkSession,
+    pattern: str,
+    member_glob: str | None = None,
+    body: bool = True,
+    source: bool = True,
+    sha: bool = True,
+    on_error: str = "fail",
+) -> DataFrame:
+    """Streaming variant of :func:`read_zip_members`: tail a directory glob
+    for newly-arriving zip archives; each micro-batch explodes only the new
+    archives (exact-once via checkpointed path-set offsets)."""
+    from zip_to_parquet_spark.runtime import ensure_shipped
+
+    member_regex = glob_to_regex(member_glob) if member_glob else ""
+    ensure_shipped(spark)
+    spark.dataSource.register(ZipMembersDataSource)
+    return (
+        spark.readStream.format("zipmembers")
+        .option("stream_glob", pattern)
+        .option("member_regex", member_regex)
+        .option("body", "true" if body else "false")
+        .option("source", "true" if source else "false")
+        .option("hash", "true" if sha else "false")
+        .option("on_error", on_error)
         .load()
     )
 
