@@ -30,7 +30,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["attach_media_metadata", "decode_media", "MEDIA_FEATURE_SCHEMA"]
+__all__ = [
+    "attach_media_metadata",
+    "decode_media",
+    "sample_frames",
+    "MEDIA_FEATURE_SCHEMA",
+    "FRAME_SCHEMA",
+]
 
 _MIME_BY_MOD = ["image/png", "audio/wav", "video/mp4"]
 
@@ -105,3 +111,48 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(extract, schema=MEDIA_FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", LongType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Frame sampling: the one-to-many multimodal shape (one video payload
+    → k frame rows) via mapInPandas.
+
+    Deterministic fake sampler: k = 1 + byte_len mod 4 evenly-spaced
+    offsets (a real implementation seeks keyframes with av/ffmpeg at the
+    marked spot). Chosen to be a pure function of byte length so the whole
+    operator — including the fan-out — is SQL-oracle-checkable; the
+    plumbing (Arrow batches, iterator-of-frames output, no shuffle) is the
+    production shape.
+    """
+
+    def frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires video codecs not present "
+                    "in this container"
+                )
+            out = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(b)
+                k = 1 + n % 4
+                step = n // k
+                for idx in range(k):
+                    out.append((doc_id, idx, idx * step, step))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_offset", "frame_bytes"]
+            )
+
+    return df.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -18,6 +18,7 @@ __all__ = [
     "punct_ratio",
     "token_count_regex",
     "min_fingerprint",
+    "winnow_fingerprints",
     "EN_STOPWORDS",
 ]
 
@@ -59,6 +60,36 @@ def punct_ratio(text: Column) -> Column:
 
 def token_count_regex(text: Column) -> Column:
     return F.regexp_count(text, F.lit(TOKEN_REGEX))
+
+
+def winnow_fingerprints(text: Column, n: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03): rolling char-n-gram hashes → per-window-of-w minima →
+    distinct set. Robust to insertions/reordering at sub-window scale;
+    the standard local-fingerprinting scheme behind MOSS-style clone
+    detection.
+
+    All Catalyst higher-order functions over in-row arrays (constant-size
+    codegen regardless of document length); md5 keeps the hash canonical
+    across engines for oracle parity. Documents shorter than n+w-1 chars
+    yield an empty set.
+    """
+
+    def seq_or_empty(upper: Column) -> Column:
+        # sequence(1, 0) DESCENDS in Spark; guard the short-string case.
+        return F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    hashes = F.transform(
+        seq_or_empty(F.length(text) - (n - 1)),
+        lambda i: F.md5(F.substring(text, i, n)),
+    )
+    mins = F.transform(
+        seq_or_empty(F.size(hashes) - (w - 1)),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_distinct(mins)
 
 
 def min_fingerprint(shingles_col: Column) -> Column:

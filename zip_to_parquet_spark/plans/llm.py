@@ -28,7 +28,11 @@ from zip_to_parquet_spark.operators.dedupe import (
     simhash,
     simhash_pairs,
 )
-from zip_to_parquet_spark.operators.multimodal import attach_media_metadata, decode_media
+from zip_to_parquet_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_media,
+    sample_frames,
+)
 from zip_to_parquet_spark.operators.vectors import cosine, hyperplane_signature_udf
 from zip_to_parquet_spark.plans.registry import query
 from zip_to_parquet_spark.runtime import spread
@@ -469,3 +473,55 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                            i -> md5(text[i:i+7])) AS hs
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(hs) - 3, 0) + 1),
+                           j -> list_min(hs[j:j+3]))) AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM m
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling 8-gram hash, window 4 — Schleimer
+    et al., SIGMOD'03) exploded to (doc_id, fp) rows. Downstream clone
+    detection is then a self-equi-join on fp — same shuffle-bounded shape
+    as the shingle inverted index."""
+    d = _documents_spread(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.explode(textops.winnow_fingerprints(F.col("text"), n=8, w=4)).alias("fp"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             1 + octet_length(encode(text)) % 4 AS k
+      FROM documents
+    )
+    SELECT doc_id, idx::INT AS frame_idx,
+           (idx * (n // k))::BIGINT AS frame_offset,
+           (n // k)::BIGINT AS frame_bytes
+    FROM m, unnest(range(0, k)) AS t(idx)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one payload → k evenly-spaced frame rows via
+    mapInPandas (fake sampler is a pure function of byte length, so the
+    whole fan-out is value-oracle-checked; a real codec slots into the
+    marked stub without changing the Spark plumbing)."""
+    media = attach_media_metadata(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, fake=True)
