@@ -863,3 +863,86 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, count(*) AS n_type FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, d.n_type
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted join on a pathologically skewed key (event_type
+    has ~5 values, so a naive shuffle join lands 10k rows on 5 reducers).
+    Left rows scatter via a whole-row hash salt; the 5-row dim replicates
+    16×; the join key becomes (event_type, salt). Result-identical to the
+    plain join (the oracle IS the plain join). In production a 5-row dim
+    would simply broadcast — the pattern matters when both sides are big."""
+    from zip_to_parquet_spark.operators.joins import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_type"))
+    )
+    return salted_join(e, dim, key="event_type", salts=16)
+
+
+@query(
+    "scalar_null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_alt,
+           greatest(o_totalprice, 150000.0) AS floor_price,
+           least(o_totalprice, 150000.0) AS capped_price,
+           CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderpriority END
+               AS maybe_priority,
+           if(o_totalprice > 200000, 'big', 'small') AS bucket
+    FROM orders
+    """,
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-logic scalar battery: coalesce/nullif/greatest/least/CASE/if —
+    one codegen'd projection, no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_alt"
+        ),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("floor_price"),
+        F.least("o_totalprice", F.lit(150000.0)).alias("capped_price"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("maybe_priority"),
+        F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias(
+            "bucket"
+        ),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           count(DISTINCT event_type) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-user sorted distinct event types.
+    collect_set is order-nondeterministic across retries/partitions —
+    array_sort makes it canonical (the only defensible form for a
+    reproducible pipeline); serialized to CSV so the oracle hash covers a
+    scalar column."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
