@@ -1,0 +1,72 @@
+"""End-to-end CLI test: the reference's primary usage
+(`zip-to-parquet -i … -o … -g …`, README.md:17-45) through our CLI.
+
+Runs in a subprocess (the CLI owns its SparkSession lifecycle) — one test
+to keep the ~20 s JVM cost bounded; flag behaviors are covered in-session
+by test_zipsource.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import subprocess
+import sys
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_cli_roundtrip(tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    with zipfile.ZipFile(src / "a.zip", "w") as z:
+        z.writestr("one.txt", b"alpha")
+        z.writestr("two.png", b"beta")
+    with zipfile.ZipFile(src / "b.zip", "w") as z:
+        z.writestr("three.txt", b"gamma")
+    out = tmp_path / "members.parquet"
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "zip_to_parquet_spark.cli",
+            "-i",
+            f"{src}/*.zip",
+            "-o",
+            str(out),
+            "-g",
+            "*.txt",
+            "--row-group-size",
+            "2",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    rows = {r["name"]: r for r in t.to_pylist()}
+    assert set(rows) == {"one.txt", "three.txt"}  # glob filtered two.png
+    assert rows["one.txt"]["hash"] == hashlib.sha256(b"alpha").hexdigest()
+    assert rows["one.txt"]["body"] == b"alpha"
+    assert rows["three.txt"]["source"].endswith("b.zip")
+    # exact row-group control: 2 rows, group size 2 → one row group
+    assert pq.ParquetFile(out).metadata.num_row_groups == 1
+
+
+def test_cli_rejects_missing_sink():
+    proc = subprocess.run(
+        [sys.executable, "-m", "zip_to_parquet_spark.cli", "-i", "x*.zip"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 2
+    assert "exactly one of" in proc.stderr
