@@ -111,11 +111,12 @@ def main() -> int:
             except Exception as exc:  # pragma: no cover - warmup is best-effort
                 print(f"  warmup {name} failed: {exc}", file=sys.stderr)
 
-    # Best of two passes per query: a single-JVM local box has multi-second
-    # run-to-run noise (GC pauses, page cache, competing daemons); min-of-2
-    # is the standard way to report the achievable per-query cost.
+    # Best of three passes per query: this box shows intermittent multi-
+    # second interference (shared-host neighbors, GC, driver-harness cron);
+    # min-of-N is the standard way to report achievable per-query cost.
+    print(f"  load at start: {os.getloadavg()[0]:.2f}", file=sys.stderr)
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.perf_counter()
