@@ -265,34 +265,47 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
-    """(doc_id, simhash) — 60-bit SimHash over word tokens.
+    """(doc_id, simhash) — 60-bit SimHash over word tokens (Charikar'02).
 
-    Per bit i (unrolled in Python, so shift amounts are literals): a single
-    `aggregate` over the token-hash array summing +1/-1, then signed bit
-    packing. All codegen'd expressions; no explode, no shuffle. 60 bits
-    (not 64) keeps every packed value positive and divides evenly into
-    4×15-bit bands.
+    Arrow-batched numpy: per document, token crc32s expand to a (tokens ×
+    bits) ±1 matrix whose column sums sign-pack into the signature — one
+    vectorized pass, map-only, no shuffle. (The previous all-Catalyst
+    version unrolled 60 aggregate expressions; that generated enough code
+    to pressure the JIT code cache — see session.py — and was slower.)
+    60 bits keeps every packed value positive in a signed long and divides
+    evenly into 4×15-bit bands for the pigeonhole pair search.
     """
-    tok_hashes = F.transform(words(F.col(text_col)), lambda w: F.xxhash64(w))
-    hashed = df.select(F.col(id_col).alias("doc_id"), tok_hashes.alias("th"))
+    import zlib
 
-    def bit_counter(i: int):
-        return F.aggregate(
-            F.col("th"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        )
+    import numpy as np
 
-    packed = None
-    for i in range(bits):
-        term = F.when(bit_counter(i) > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        packed = term if packed is None else packed + term
-    return hashed.select("doc_id", packed.alias("simhash"))
+    from pyspark.sql.functions import pandas_udf
+
+    bit_idx = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def signature(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.split(" ")
+            # Two salted crc32s concatenate to a 64-bit token hash (a bare
+            # crc32 would leave bits 32..59 constant-zero, collapsing the
+            # upper pigeonhole bands into one giant bucket).
+            h = np.fromiter(
+                (
+                    zlib.crc32(w.encode()) | (zlib.crc32(b"\x01" + w.encode()) << 32)
+                    for w in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            # (tokens, bits) bit matrix -> ±1 -> column sums -> sign pack.
+            bits_mat = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            votes = (2 * bits_mat.astype(np.int64) - 1).sum(axis=0)
+            out.append(int(((votes > 0).astype(np.uint64) << bit_idx).sum()))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("doc_id"), signature(text_col).alias("simhash"))
 
 
 def simhash_pairs(
