@@ -77,3 +77,31 @@ def test_asof_join_single_shuffle_no_join_node(spark):
     plan = plan_of(spark, "join_asof_last_click")
     assert "Join" not in plan
     assert n_shuffles(plan) <= 1
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Same-bucketed tables joined on the bucket column plan ZERO exchanges
+    — the write-once-shuffle-never-again contract of bucketing."""
+    from zip_to_parquet_spark.schema import load_table
+    from zip_to_parquet_spark.sinks import write_bucketed_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed_table(li, "t_li_b", "l_orderkey", 8, path=str(tmp_path / "li"))
+    write_bucketed_table(o, "t_o_b", "o_orderkey", 8, path=str(tmp_path / "o"))
+    try:
+        joined = spark.table("t_li_b").join(
+            spark.table("t_o_b"),
+            spark.table("t_li_b").l_orderkey == spark.table("t_o_b").o_orderkey,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert n_shuffles(plan) == 0, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_o_b")

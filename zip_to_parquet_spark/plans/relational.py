@@ -946,3 +946,64 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
         F.count_distinct("event_type").alias("n_types"),
     )
+
+
+@query(
+    "scalar_string_date_extra",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS pri_upper,
+           lpad(o_orderstatus, 3, '_') AS status_pad,
+           replace(o_orderpriority, '-', '_') AS pri_repl,
+           reverse(o_orderstatus) AS status_rev,
+           split_part(o_orderpriority, '-', 1) AS pri_code,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           date_trunc('month', o_orderdate)::TIMESTAMP AS order_month,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           last_day(o_orderdate) AS month_end,
+           datediff('day', o_orderdate, TIMESTAMP '1998-01-01') AS days_to_98
+    FROM orders
+    """,
+)
+def scalar_string_date_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second scalar battery: padding/replace/reverse/split_part string ops
+    and interval/truncation/extraction/boundary date ops — one codegen'd
+    projection (argument-order note: Spark datediff(end, start))."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.lpad("o_orderstatus", 3, "_").alias("status_pad"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("pri_repl"),
+        F.reverse("o_orderstatus").alias("status_rev"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).alias("pri_code"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.lit("1998-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_98"
+        ),
+    )
+
+
+@query("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (rows-only: the approximation is engine-
+    specific so values can't hash-match an exact oracle). Same one-shuffle
+    partial+final shape as the exact version but with bounded t-digest
+    state — the 100 TB default; agg_percentiles is the exact twin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+        ).alias("approx_p")
+    ).select(
+        "l_returnflag",
+        F.col("approx_p")[0].alias("p50_approx"),
+        F.col("approx_p")[1].alias("p95_approx"),
+    )

@@ -22,7 +22,12 @@ from typing import BinaryIO
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_parquet", "write_single_parquet_file", "write_parquet_stdout"]
+__all__ = [
+    "write_parquet",
+    "write_single_parquet_file",
+    "write_parquet_stdout",
+    "write_bucketed_table",
+]
 
 DEFAULT_ROW_GROUP_ROWS = 100  # reference default, main.rs:41-43
 
@@ -124,3 +129,32 @@ def write_parquet_stdout(
 ) -> int:
     """Stream the parquet bytes to stdout (A5, ``--stdout``)."""
     return _stream_to_pyarrow(df, sys.stdout.buffer, compression, row_group_rows)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed + sorted table (Hive-style bucketing via the session
+    catalog).
+
+    Bucketing pre-shuffles the data ONCE at write time: every subsequent
+    equi-join or aggregation on ``bucket_col`` between tables bucketed the
+    same way runs with ZERO exchanges (Spark reads the bucket layout from
+    the catalog and plans a co-located join). This is the 100 TB answer to
+    repeated fact-fact joins on the same key — pay the shuffle once,
+    amortize it over every downstream query.
+    """
+    writer = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
