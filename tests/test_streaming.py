@@ -17,6 +17,7 @@ STREAM_KEYS = [
     "stream_tumbling_window",
     "stream_sessionize",
     "stream_stateful_totals",
+    "stream_stream_join",
 ]
 
 

@@ -14,6 +14,7 @@ so these get FULL value oracles, not rows-only checks:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from zip_to_parquet_spark.plans.registry import query
 from zip_to_parquet_spark.streaming import (
@@ -91,4 +92,31 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user totals; single-batch update emissions == final totals."""
     return run_stream_to_memory(
         stateful_user_totals(read_events_stream(spark, sf_dir)), "update", "totals"
+    )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           c.event_id AS click_event_id,  c.ts AS click_ts,
+           p.event_id AS purchase_event_id, p.ts AS purchase_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts < p.ts
+     AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases ← clicks within 30 min, same
+    user), both sides watermarked so join state expires. Inner join ⇒
+    bounded append-mode drain == the batch interval join, hence the full
+    oracle."""
+    from zip_to_parquet_spark.streaming import clicks_to_purchases_join
+
+    ev1 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    ev2 = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return run_stream_to_memory(
+        clicks_to_purchases_join(ev1, ev2), "append", "ssjoin"
     )

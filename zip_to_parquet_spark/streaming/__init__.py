@@ -1,4 +1,5 @@
 from zip_to_parquet_spark.streaming.streams import (
+    clicks_to_purchases_join,
     read_events_stream,
     run_stream_to_memory,
     sessionized_stream,
@@ -7,6 +8,7 @@ from zip_to_parquet_spark.streaming.streams import (
 )
 
 __all__ = [
+    "clicks_to_purchases_join",
     "read_events_stream",
     "run_stream_to_memory",
     "sessionized_stream",

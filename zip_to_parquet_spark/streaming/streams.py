@@ -40,6 +40,7 @@ if TYPE_CHECKING:
 
 __all__ = [
     "read_events_stream",
+    "clicks_to_purchases_join",
     "windowed_counts",
     "sessionized_stream",
     "stateful_user_totals",
@@ -161,6 +162,42 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def clicks_to_purchases_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matches the same user's
+    clicks from the preceding ``within`` window.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire join state (clicks older than
+    watermark + within are dropped) — the canonical bounded-state
+    stream-stream join. Inner join ⇒ append-mode emissions on a bounded
+    drain equal the complete batch answer.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select(
+        "user_id", "click_event_id", "click_ts", "purchase_event_id", "purchase_ts"
     )
 
 
