@@ -119,3 +119,18 @@ def test_glob_semantics(pattern, matches, rejects):
         assert rx.match(m), f"{pattern} should match {m}"
     for r in rejects:
         assert not rx.match(r), f"{pattern} should reject {r}"
+
+
+def test_connected_components_known_graph(spark):
+    from pyspark.sql import Row
+
+    from zip_to_parquet_spark.operators.dedupe import connected_components
+
+    # Components: {1,2,3,4} (chain), {7,9}, singleton edges only — no
+    # isolated nodes appear since nodes come from the edge list.
+    edges = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=3, doc_b=2), Row(doc_a=3, doc_b=4),
+         Row(doc_a=9, doc_b=7)]
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}

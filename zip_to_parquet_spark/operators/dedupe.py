@@ -26,6 +26,7 @@ from zip_to_parquet_spark.operators.textops import word_shingles, words
 
 __all__ = [
     "shingle_sets",
+    "connected_components",
     "minhash_band_hashes_udf",
     "exact_dedup",
     "ngram_jaccard_pairs",
@@ -366,3 +367,57 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → (node, comp)
+    with comp = min node id reachable. The dedup-clustering step: group
+    mutually-near-duplicate documents, keep comp as the canonical survivor.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(component
+    diameter) rounds (near-dup clusters are tiny and dense, so 2-3 rounds
+    in practice; ``max_iter`` bounds adversarial chains). Each round is one
+    shuffle-bounded join + groupBy; ``localCheckpoint`` truncates the
+    lineage so the plan doesn't grow exponentially with iterations — the
+    standard Spark idiom for iterative graph algorithms.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=False)
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .groupBy(F.col("v").alias("node2"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -525,3 +525,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked stub without changing the Spark plumbing)."""
     media = attach_media_metadata(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, fake=True)
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM t
+    ),
+    e2 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM e2 a JOIN e2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b
+      WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.src, s2.v FROM reach r JOIN sym s2 ON r.dst = s2.u
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS comp
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the exact near-dup
+    pair graph (j≥0.8); comp = min doc_id of the cluster = the canonical
+    survivor. Spark side is iterative min-label propagation (one
+    shuffle-bounded join+groupBy per round, localCheckpoint-truncated
+    lineage); the oracle computes the same components with a recursive
+    transitive-closure CTE — tractable because near-dup clusters are tiny,
+    which is also why the Spark loop converges in 2-3 rounds."""
+    from zip_to_parquet_spark.operators.dedupe import connected_components
+
+    sh = shingle_sets(_documents_spread(spark, sf_dir))
+    pairs = ngram_jaccard_pairs(sh, threshold=0.8).select("doc_a", "doc_b")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "comp"
+    )
