@@ -576,3 +576,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "comp"
     )
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, len(toks) AS n,
+             greatest((len(toks) - 8 + 23) // 24, 1) AS n_chunks, toks
+      FROM w
+    )
+    SELECT doc_id, idx::INT AS chunk_idx,
+           array_to_string(toks[idx * 24 + 1 : idx * 24 + 32], ' ') AS chunk
+    FROM c, unnest(range(0, n_chunks)) AS t(idx)
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 32 tokens, stride 24 ⇒ 8-token
+    overlap) — the standard pretraining chunker. One codegen'd projection +
+    posexplode per document; no shuffle, no Python. Chunk count =
+    ceil((n-overlap)/stride) with a 1-chunk floor, so short docs emit one
+    (possibly partial) chunk and consecutive chunks share the overlap."""
+    size, stride = 32, 24
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.greatest(
+        F.floor((F.size(toks) - (size - stride) + stride - 1) / stride).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * stride + 1, size), " "),
+    )
+    return d.select("doc_id", F.posexplode(chunks)).select(
+        "doc_id", F.col("pos").cast("int").alias("chunk_idx"), F.col("col").alias("chunk")
+    )

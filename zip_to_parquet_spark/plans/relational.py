@@ -1007,3 +1007,97 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_p")[0].alias("p50_approx"),
         F.col("approx_p")[1].alias("p95_approx"),
     )
+
+
+@query(
+    "window_rank_battery",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4)      OVER w AS price_quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist()    OVER w AS cd,
+           dense_rank()   OVER w AS dr,
+           first_value(o_orderkey) OVER w AS cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family battery: ntile/percent_rank/cume_dist/dense_rank/
+    first_value over one window spec — one shuffle on the partition key,
+    one sort, all five functions evaluated in a single Window operator.
+    The orderkey tiebreak makes every rank deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.dense_rank().over(w).alias("dr"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
+@query(
+    "agg_having_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_spent
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+    )
+    GROUP BY c.c_custkey, c.c_mktsegment
+    HAVING count(*) >= 2
+    """,
+)
+def agg_having_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (planned as a left-semi join on the subquery key)
+    + post-aggregation HAVING filter — the TPC-H Q18/Q21 shape."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"z2ps_he_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_spent
+        FROM z2ps_he_customer c JOIN z2ps_he_orders o ON o.o_custkey = c.c_custkey
+        WHERE EXISTS (
+          SELECT 1 FROM z2ps_he_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+        )
+        GROUP BY c.c_custkey, c.c_mktsegment
+        HAVING count(*) >= 2
+        """
+    )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, measure, val FROM (
+      SELECT p_partkey, 'retail_price' AS measure, p_retailprice AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'size_val', p_size::DOUBLE FROM part
+    )
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): one Expand node emits both measure rows per
+    input row in a single scan — no union of two scans, no shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.col("p_retailprice"), F.col("p_size").cast("double").alias("size_val")
+    ).unpivot(
+        "p_partkey",
+        ["p_retailprice", "size_val"],
+        "measure",
+        "val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "p_retailprice", "retail_price").otherwise(
+            F.col("measure")
+        ),
+    )
