@@ -18,6 +18,7 @@ STREAM_KEYS = [
     "stream_sessionize",
     "stream_stateful_totals",
     "stream_stream_join",
+    "stream_dedup_keys",
 ]
 
 

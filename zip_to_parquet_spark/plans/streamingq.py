@@ -120,3 +120,20 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         clicks_to_purchases_join(ev1, ev2), "append", "ssjoin"
     )
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first arrival per (user_id, event_type) via
+    dropDuplicatesWithinWatermark — dedup state is keyed by the subset and
+    expires with the watermark, so it stays bounded on an infinite stream
+    (plain dropDuplicates would grow state forever). Projected to the key
+    columns, the bounded drain equals DISTINCT keys — full oracle."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    return run_stream_to_memory(
+        deduped.select("user_id", "event_type"), "append", "dedupkeys"
+    )
