@@ -254,3 +254,41 @@ def test_streaming_zip_source_incremental(spark, tmp_path):
     by_name = {r.name: r for r in rows}
     assert by_name["z.txt"].hash == hashlib.sha256(b"again").hexdigest()
     assert os.path.basename(by_name["z.txt"].source) == "b.zip"
+
+
+def test_filter_pushdown_name_and_source(spark, tmp_path):
+    """Catalyst filter pushdown into the zip source: name predicates filter
+    members inside the scan (before decompression); source predicates prune
+    whole archives from the partition list at planning time."""
+    import zipfile
+
+    from pyspark.sql import functions as F
+
+    from zip_to_parquet_spark.sources.zipsource import read_zip_members
+
+    for arch, members in (("a.zip", ["x.txt", "y.png"]), ("b.zip", ["z.txt"])):
+        with zipfile.ZipFile(tmp_path / arch, "w") as z:
+            for m in members:
+                z.writestr(m, m.encode())
+
+    df = read_zip_members(spark, f"{tmp_path}/*.zip")
+
+    # Name pushdown: endswith + correctness.
+    out = df.filter(F.col("name").endswith(".txt")).select("name")
+    assert sorted(r.name for r in out.collect()) == ["x.txt", "z.txt"]
+
+    # Source pushdown prunes archives: only b.zip's partition remains.
+    pruned = df.filter(F.col("source").endswith("b.zip"))
+    assert pruned.rdd.getNumPartitions() == 1
+    assert [r.name for r in pruned.collect()] == ["z.txt"]
+
+    # Unsupported predicates still evaluate correctly post-scan.
+    mixed = df.filter(
+        (F.col("name").endswith(".txt")) & (F.length("name") > 1)
+    )
+    assert sorted(r.name for r in mixed.collect()) == ["x.txt", "z.txt"]
+
+    # --no-source: source is NULL, so source predicates must NOT prune
+    # (Spark's residual filter then correctly drops every row).
+    nosrc = read_zip_members(spark, f"{tmp_path}/*.zip", source=False)
+    assert nosrc.filter(F.col("source").endswith("b.zip")).count() == 0

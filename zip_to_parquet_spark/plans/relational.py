@@ -1101,3 +1101,43 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("measure")
         ),
     )
+
+
+@query(
+    "join_outer_full",
+    oracle="""
+    WITH big AS (
+      SELECT o_custkey, count(*) AS n_big FROM orders
+      WHERE o_totalprice > 250000 GROUP BY o_custkey
+    ), seg AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000
+    )
+    SELECT coalesce(s.c_custkey, b.o_custkey) AS custkey,
+           s.c_mktsegment, b.n_big,
+           (s.c_custkey IS NULL) AS only_big,
+           (b.o_custkey IS NULL) AS only_rich
+    FROM seg s FULL OUTER JOIN big b ON s.c_custkey = b.o_custkey
+    """,
+)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with null-side indicators — both unmatched sides
+    survive. Same shuffle shape as an inner join (hash exchange both
+    sides); only the null-filling differs."""
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_mktsegment")
+    )
+    return seg.join(big, seg.c_custkey == big.o_custkey, "full_outer").select(
+        F.coalesce(seg.c_custkey, big.o_custkey).alias("custkey"),
+        "c_mktsegment",
+        "n_big",
+        seg.c_custkey.isNull().alias("only_big"),
+        big.o_custkey.isNull().alias("only_rich"),
+    )

@@ -54,7 +54,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    In,
     InputPartition,
+    IsNotNull,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
 )
 
 from zip_to_parquet_spark.functions.globs import glob_to_regex
@@ -93,16 +99,68 @@ class ZipMembersReader(DataSourceReader):
         self.batch_bytes = int(options.get("batch_bytes", str(32 * 1024 * 1024)))
         self.on_error = options.get("on_error", "fail")
 
+        # Populated by pushFilters (Catalyst filter pushdown, Spark 4.1+):
+        # per-member name predicates evaluated before decompression, and
+        # source predicates that prune whole archives at planning time.
+        self.name_preds: list = []
+        self.source_preds: list = []
+
+    @staticmethod
+    def _compile(filters: list):
+        """Filter objects → one python predicate (AND of all)."""
+        fns = []
+        for f in filters:
+            if isinstance(f, EqualTo):
+                fns.append(lambda s, v=f.value: s == v)
+            elif isinstance(f, In):
+                fns.append(lambda s, vs=set(f.value): s in vs)
+            elif isinstance(f, StringStartsWith):
+                fns.append(lambda s, v=f.value: s.startswith(v))
+            elif isinstance(f, StringEndsWith):
+                fns.append(lambda s, v=f.value: s.endswith(v))
+            elif isinstance(f, StringContains):
+                fns.append(lambda s, v=f.value: v in s)
+            # IsNotNull: name/source are non-null whenever pushed — no-op.
+        return lambda s: all(fn(s) for fn in fns)
+
+    def pushFilters(self, filters):
+        """Absorb name/source predicates (SURVEY §4: the reference applies
+        its member filter inside the scan, builder.rs:180-183 — this is the
+        Catalyst-integrated version). `name` predicates skip members before
+        decompression; `source` predicates prune whole archives from the
+        partition list — file-level pruning. Everything else, and any
+        source predicate while the source column is nulled (--no-source),
+        stays with Spark."""
+        supported = (EqualTo, In, StringStartsWith, StringEndsWith, StringContains, IsNotNull)
+        for f in filters:
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if not isinstance(f, supported):
+                yield f
+            elif col == "name":
+                if not isinstance(f, IsNotNull):
+                    self.name_preds.append(f)
+            elif col == "source" and self.with_source:
+                if not isinstance(f, IsNotNull):
+                    self.source_preds.append(f)
+            else:
+                yield f
+
     def partitions(self):
         # One partition per archive == the reference's one-thread-per-archive
         # (builder.rs:64). Executors each open only their own local/shared
-        # file; nothing is centralized on the driver.
-        return [_ZipPartition(p) for p in self.paths]
+        # file; nothing is centralized on the driver. Pushed source
+        # predicates prune archives here, before any task launches.
+        paths = self.paths
+        if self.source_preds:
+            pred = self._compile(self.source_preds)
+            paths = [p for p in paths if pred(p)]
+        return [_ZipPartition(p) for p in paths]
 
     def read(self, partition: _ZipPartition):
         import pyarrow as pa
 
         pattern = re.compile(self.member_regex) if self.member_regex else None
+        name_pred = self._compile(self.name_preds) if self.name_preds else None
         need_decompress = self.with_body or self.with_hash
 
         names: list[str] = []
@@ -130,6 +188,8 @@ class ZipMembersReader(DataSourceReader):
             with open(partition.path, "rb") as fh, zipfile.ZipFile(fh) as zf:
                 for info in zf.infolist():
                     if pattern is not None and not pattern.match(info.filename):
+                        continue
+                    if name_pred is not None and not name_pred(info.filename):
                         continue
                     if need_decompress and not info.is_dir():
                         if info.compress_type not in _SUPPORTED_METHODS:
@@ -272,6 +332,9 @@ def read_zip_members(
     paths = _expand_patterns(patterns)
     member_regex = glob_to_regex(member_glob) if member_glob else ""
     ensure_shipped(spark)  # workers must import this module to unpickle
+    # Runtime conf (the driver harness owns its session): without it Spark
+    # refuses a reader that implements pushFilters.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ZipMembersDataSource)
     return (
         spark.read.format("zipmembers")
