@@ -292,3 +292,25 @@ def test_filter_pushdown_name_and_source(spark, tmp_path):
     # (Spark's residual filter then correctly drops every row).
     nosrc = read_zip_members(spark, f"{tmp_path}/*.zip", source=False)
     assert nosrc.filter(F.col("source").endswith("b.zip")).count() == 0
+
+
+def test_empty_and_dir_entry_archives(spark, tmp_path):
+    """An archive with zero members yields zero rows (not an error); pure
+    directory entries produce rows with empty bodies, matching the
+    reference's member-indexed iteration."""
+    import hashlib
+    import zipfile
+
+    from zip_to_parquet_spark.sources.zipsource import read_zip_members
+
+    with zipfile.ZipFile(tmp_path / "empty.zip", "w"):
+        pass
+    with zipfile.ZipFile(tmp_path / "dirs.zip", "w") as z:
+        z.writestr("sub/", b"")
+        z.writestr("sub/file.txt", b"data")
+
+    df = read_zip_members(spark, f"{tmp_path}/*.zip")
+    rows = {r.name: r for r in df.collect()}
+    assert set(rows) == {"sub/", "sub/file.txt"}
+    assert rows["sub/"].body == b""
+    assert rows["sub/file.txt"].hash == hashlib.sha256(b"data").hexdigest()

@@ -1141,3 +1141,30 @@ def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.c_custkey.isNull().alias("only_big"),
         big.o_custkey.isNull().alias("only_rich"),
     )
+
+
+@query(
+    "subquery_min_per_group",
+    oracle="""
+    SELECT p.p_partkey, p.p_type, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (
+      SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_type = p.p_type
+    )
+    """,
+)
+def subquery_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape): cheapest part per type.
+    Catalyst decorrelates it into an aggregate + equi-join on the
+    correlation key — one shuffle, no per-row subquery execution."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("z2ps_part_sq")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_type, p.p_retailprice
+        FROM z2ps_part_sq p
+        WHERE p.p_retailprice = (
+          SELECT min(p2.p_retailprice) FROM z2ps_part_sq p2
+          WHERE p2.p_type = p.p_type
+        )
+        """
+    )
