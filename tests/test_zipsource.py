@@ -314,3 +314,24 @@ def test_empty_and_dir_entry_archives(spark, tmp_path):
     assert set(rows) == {"sub/", "sub/file.txt"}
     assert rows["sub/"].body == b""
     assert rows["sub/file.txt"].hash == hashlib.sha256(b"data").hexdigest()
+
+
+def test_large_members_flush_by_bytes(spark, tmp_path):
+    """Members larger than batch_bytes force per-batch flushes; bodies and
+    hashes survive multi-batch assembly intact."""
+    import hashlib
+    import zipfile
+
+    from zip_to_parquet_spark.sources.zipsource import read_zip_members
+
+    blobs = {f"big{i}.bin": bytes([i]) * (3 * 1024 * 1024) for i in range(3)}
+    with zipfile.ZipFile(tmp_path / "big.zip", "w", zipfile.ZIP_DEFLATED) as z:
+        for name, data in blobs.items():
+            z.writestr(name, data)
+
+    df = read_zip_members(spark, f"{tmp_path}/big.zip", batch_rows=2)
+    rows = {r.name: r for r in df.collect()}
+    assert set(rows) == set(blobs)
+    for name, data in blobs.items():
+        assert rows[name].hash == hashlib.sha256(data).hexdigest()
+        assert len(rows[name].body) == len(data)

@@ -4,8 +4,10 @@ multimodal (SURVEY.md §7 M3; BASELINE.json north star).
 Oracle discipline: every operator whose semantics DuckDB can express gets a
 full value oracle — including MinHash-LSH dedup, whose *output* (exact-
 verified pairs at j≥0.8) is deterministic and SQL-computable even though
-the candidate mechanism isn't. Only the hyperplane-LSH ANN variant and the
-fake-decode multimodal features are rows-only.
+the candidate mechanism isn't. Rows-only keys (each for an engine-specific
+mechanism DuckDB can't reproduce): ann_lsh_topk (numpy hyperplane
+signature), dedup_simhash (numpy signature family), and
+multimodal_decode_features (numpy entropy over a stubbed codec).
 
 Fixture note: the documents fixture has a tiny ~30-word vocabulary, so
 token-SET similarity saturates (~0.97 between random docs) while 3-word
@@ -129,7 +131,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3; complete via 4-band pigeonhole).
-    No SQL oracle: the 64-bit signature depends on Spark's xxhash64."""
+    No SQL oracle: the numpy signature family isn't SQL-expressible."""
     sh = simhash(_documents_spread(spark, sf_dir))
     return simhash_pairs(sh, max_hamming=3)
 
