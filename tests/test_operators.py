@@ -134,3 +134,18 @@ def test_connected_components_known_graph(spark):
     )
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_ann_lsh_recall_floor(spark):
+    """Multi-table LSH must beat a recall floor against the exact top-5
+    (theory on this near-random fixture: ~0.64; a broken single-table
+    construction measures ~0.01)."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.q_id, r.n_id) for r in qs["ann_cosine_topk"](spark, sf).collect()}
+    lsh = {(r.q_id, r.n_id) for r in qs["ann_lsh_topk"](spark, sf).collect()}
+    assert exact, "exact top-k returned nothing"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.4, f"LSH recall collapsed: {recall:.3f}"

@@ -12,7 +12,13 @@ vectorized Python genuinely beats 64 nested aggregate expressions).
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "l2_norm", "cosine", "hyperplane_signature_udf"]
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "hyperplane_signature_udf",
+    "hyperplane_multitable_udf",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -55,3 +61,36 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
         return pd.Series(bits @ weights)
 
     return signature
+
+
+def hyperplane_multitable_udf(
+    dim: int, n_planes: int = 8, n_tables: int = 8, seed: int = 42
+):
+    """array<float> → array<long>: one hyperplane-LSH bucket per hash table.
+
+    OR-amplification: a single n_planes-bit table only catches pairs at
+    angle θ with probability (1-θ/π)^n_planes — near zero for the moderate
+    similarities that dominate top-k neighbors. L independent tables lift
+    recall to 1-(1-p)^L at the cost of L bucket keys per vector (explode →
+    equi-join per (table, bucket), still no cross join). One numpy matmul
+    computes all L×n_planes projections per Arrow batch.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if n_planes > 63:
+        raise ValueError("bucket must fit a signed 64-bit integer")
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        planes = np.random.RandomState(seed).standard_normal(
+            (dim, n_tables * n_planes)
+        )
+        mat = np.vstack(v.to_numpy())  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, tables*planes)
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(list((bits @ weights).astype(np.int64)))
+
+    return buckets

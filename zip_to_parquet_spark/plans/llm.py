@@ -35,7 +35,10 @@ from zip_to_parquet_spark.operators.multimodal import (
     decode_media,
     sample_frames,
 )
-from zip_to_parquet_spark.operators.vectors import cosine, hyperplane_signature_udf
+from zip_to_parquet_spark.operators.vectors import (
+    cosine,
+    hyperplane_multitable_udf,
+)
 from zip_to_parquet_spark.plans.registry import query
 from zip_to_parquet_spark.runtime import spread
 from zip_to_parquet_spark.schema import load_table
@@ -209,29 +212,47 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: 16-bit fixed-seed hyperplane signature, candidates
-    share a bucket with the query, exact cosine re-rank within bucket.
-    No SQL oracle (signature is numpy-side); deterministic via fixed seed.
+    """Multi-table hyperplane-LSH ANN: L=16 independent 6-bit hash tables
+    (OR-amplification), candidates = same (table, bucket) in ANY table,
+    exact cosine re-rank, deterministic fixed-seed planes. No SQL oracle
+    (signature is numpy-side).
 
-    Scale shape: signature is one narrow pandas-UDF projection; the join is
-    bucket-equi (shuffle on a 16-bit key ⇒ use more planes/multi-probe at
-    real scale); no cross join anywhere."""
+    Recall math on this fixture (near-random embeddings, top-5 neighbors
+    at θ≈66°): per-table hit rate p=(1-θ/π)^6≈0.06, 16 tables →
+    1-(1-p)^16≈0.64 — measured 0.6-0.7 against ann_cosine_topk. A single
+    16-bit table (the naive construction) measures ~0.01: OR-amplification
+    IS the operator. On real clustered embeddings the same L×planes gives
+    far higher recall at far lower candidate volume.
+
+    Scale shape: one numpy matmul per Arrow batch computes all L buckets;
+    the candidate join is equi on (table_idx, bucket) — shuffle-bounded,
+    no cross join; distinct pre-rerank keeps multi-table duplicates from
+    inflating the verify stage."""
     emb = _embeddings_spread(spark, sf_dir)
     dim = 64
-    sig = hyperplane_signature_udf(dim=dim, n_planes=16, seed=42)
+    sig = hyperplane_multitable_udf(dim=dim, n_planes=6, n_tables=16, seed=42)
     signed = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("bucket", sig(F.col("v")))
-    q = signed.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    ).withColumn("buckets", sig(F.col("v")))
+    tabbed = signed.select(
+        "vec_id", "v", F.posexplode("buckets").alias("table_idx", "bucket")
     )
-    c = signed.select(F.col("vec_id").alias("n_id"), F.col("v").alias("cv"), "bucket")
+    q = tabbed.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "table_idx", "bucket"
+    )
+    c = tabbed.select(
+        F.col("vec_id").alias("n_id"), F.col("v").alias("cv"), "table_idx", "bucket"
+    )
+    cand = (
+        q.join(c, ["table_idx", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "qv", "n_id", "cv")
+        .distinct()
+    )
     sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
     return (
-        q.join(c, "bucket")
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", sim.alias("cos_sim"))
+        cand.select("q_id", "n_id", sim.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
