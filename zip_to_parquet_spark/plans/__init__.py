@@ -6,7 +6,12 @@ surface is ``all_queries()`` / ``all_oracle_sql()``.
 
 from __future__ import annotations
 
-from zip_to_parquet_spark.plans.registry import all_oracle_sql, all_queries, query
+from zip_to_parquet_spark.plans.registry import (
+    all_oracle_sql,
+    all_queries,
+    query,
+    set_priority,
+)
 
 # Import for side effect: each module registers its queries.
 from zip_to_parquet_spark.plans import relational  # noqa: E402,F401
@@ -15,4 +20,74 @@ from zip_to_parquet_spark.plans import zipparity  # noqa: E402,F401
 from zip_to_parquet_spark.plans import streamingq  # noqa: E402,F401
 from zip_to_parquet_spark.plans import temporal  # noqa: E402,F401
 
-__all__ = ["all_queries", "all_oracle_sql", "query"]
+# The driver's per-round correctness sweep covers the FIRST 50 registry keys.
+# Round 1 registered relational+llm first, pushing every reference-parity
+# (zip_*), streaming, and temporal key past the window — implemented,
+# pytest-green, but with no driver-oracle row. This list pins the window to:
+#   1-12   reference parity + streaming + temporal (the point of the repo),
+#   13-22  LLM-pipeline tail that was untested in round 1,
+#   23-37  queries whose code changed this round (rounding/ANSI/LSH fixes),
+#   38-50  representative relational queries (joins, TPC-H, windows, aggs).
+# The 22 keys that rotate out (set ops, scalar batteries, extra agg/join
+# variants) all have green hash-verified rows in CORRECTNESS_r01.json and
+# their code is untouched this round.
+set_priority([
+    # reference parity (builder.rs operators re-expressed on Spark)
+    "zip_explode_hash",
+    "zip_glob_members",
+    "zip_count_members",
+    "zip_union_sources",
+    "zip_null_projection",
+    # structured streaming
+    "stream_tumbling_window",
+    "stream_sessionize",
+    "stream_stateful_totals",
+    "stream_stream_join",
+    "stream_dedup_keys",
+    # temporal joins
+    "join_asof_last_click",
+    "join_range_within_5min",
+    # LLM-pipeline tail untested in round 1
+    "lang_id_heuristic",
+    "token_count",
+    "doc_fingerprint",
+    "doc_winnow_fingerprints",
+    "text_chunk_windows",
+    "multimodal_meta",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "dedup_clusters",
+    "ann_ivf_topk",
+    # changed this round
+    "events_sessionize",
+    "events_tumbling_window",
+    "q1_pricing_summary",
+    "agg_salted_skew",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "dedup_simhash",
+    "dedup_exact",
+    "text_stats",
+    "text_quality_score",
+    "sha256_documents",
+    "glob_filter_names",
+    # representative relational coverage
+    "filter_pushdown_project",
+    "join_broadcast_dim",
+    "join_multiway_q5",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "topk_orders",
+    "window_rank_topn",
+    "window_lag_delta",
+    "window_moving_sum",
+    "agg_rollup",
+    "agg_cube",
+    "pivot_event_counts",
+    "json_extract_events",
+])
+
+__all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

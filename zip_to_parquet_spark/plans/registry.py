@@ -48,9 +48,32 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+_PRIORITY: list[str] = []
+
+
+def set_priority(keys: list[str]) -> None:
+    """Pin the iteration order of :func:`all_queries` / :func:`all_oracle_sql`.
+
+    The driver's correctness sweep covers the first 50 registry keys in
+    iteration order; round 1 showed registration order silently starved the
+    reference-parity (``zip_*``), streaming, temporal, and LLM-tail queries of
+    any oracle row. The priority list puts those first. Keys not listed keep
+    their registration order after the prioritized block; unknown keys are
+    ignored (they may be pruned later without touching the list).
+    """
+    global _PRIORITY
+    _PRIORITY = list(keys)
+
+
+def _ordered(d: dict) -> dict:
+    out = {k: d[k] for k in _PRIORITY if k in d}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def all_oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
