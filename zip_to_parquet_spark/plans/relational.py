@@ -36,10 +36,12 @@ from zip_to_parquet_spark.schema import load_table
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           round(sum(l_quantity), 2)                                  AS sum_qty,
-           round(sum(l_extendedprice), 2)                             AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           (sum(l_quantity::DECIMAL(12,2)))::DOUBLE                   AS sum_qty,
+           (sum(l_extendedprice::DECIMAL(12,2)))::DOUBLE              AS sum_base_price,
+           (sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2))))::DOUBLE
+                                                                      AS sum_disc_price,
+           (sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(12,2))
+                                               * (1 + l_tax::DECIMAL(12,2))))::DOUBLE
                                                                       AS sum_charge,
            round(avg(l_quantity), 4)                                  AS avg_qty,
            round(avg(l_extendedprice), 4)                             AS avg_price,
@@ -52,16 +54,24 @@ from zip_to_parquet_spark.schema import load_table
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # The source columns are 2-decimal quantities stored as double; sums are
+    # computed over exact DECIMAL(12,2) casts (products stay exact at scale
+    # 4/6, within decimal(38) limits) so the aggregate is associative and
+    # engine-independent, then cast to double as the stable wire type.
+    # round(sum(double), 2) is the .xx5-boundary trap that broke
+    # events_sessionize in round 1.
+    qty_d = F.col("l_quantity").cast("decimal(12,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price_d = price_d * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+    charge_d = disc_price_d * (F.lit(1) + F.col("l_tax").cast("decimal(12,2)"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.sum(qty_d).cast("double").alias("sum_qty"),
+            F.sum(price_d).cast("double").alias("sum_base_price"),
+            F.sum(disc_price_d).cast("double").alias("sum_disc_price"),
+            F.sum(charge_d).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -587,7 +597,7 @@ def sha256_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -598,7 +608,9 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # Exact decimal sum (see events_sessionize): round(sum(double))
+            # is engine-dependent on .xx5 boundaries.
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -627,7 +639,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_id,
            count(*) AS n_events,
-           round(sum(value), 2) AS session_value
+           (sum(value::DECIMAL(18,2)))::DOUBLE AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -656,16 +668,22 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    # value is a 2-decimal quantity stored as double; cast to DECIMAL(18,2)
+    # BEFORE the sum so addition is exact/associative and the result is
+    # engine- and partition-order-independent (round(sum(double), 2) lands on
+    # .xx5 boundaries where Spark HALF_UP and DuckDB disagree — this was
+    # round 1's only hash mismatch). Final cast back to double for a stable
+    # wire type on both sides.
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
     )
 
 
 @query(
     "agg_salted_skew",
     oracle="""
-    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    SELECT event_type, count(*) AS n_events, (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -675,16 +693,18 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     into ≤5 reducers. Salting hashes each row into 32 subkeys, partial-
     aggregates on (event_type, salt) — uniform fan-out — then finalizes on
     event_type over ≤ 5×32 tiny partial rows. Result-identical to the
-    direct groupBy (the oracle IS the direct groupBy); rounding happens
-    only at the final stage."""
+    direct groupBy (the oracle IS the direct groupBy); the partial sums are
+    exact decimals so the two-stage total is bit-identical to the direct
+    one regardless of salt fan-out or partition order."""
     e = load_table(spark, sf_dir, "events").withColumn(
         "__salt", F.pmod(F.xxhash64("event_id"), F.lit(32))
     )
     partial = e.groupBy("event_type", "__salt").agg(
-        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
     )
     return partial.groupBy("event_type").agg(
-        F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 2).alias("total_value")
+        F.sum("pn").alias("n_events"), F.sum("pv").cast("double").alias("total_value")
     )
 
 

@@ -32,7 +32,7 @@ from zip_to_parquet_spark.streaming import (
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -63,7 +63,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, min(ts) AS session_start,
            count(*) AS n_events,
-           round(sum(value), 2) AS session_value
+           (sum(value::DECIMAL(18,2)))::DOUBLE AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -83,7 +83,7 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_stateful_totals",
     oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    SELECT user_id, count(*) AS n_events, (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
     FROM events GROUP BY user_id
     """,
 )

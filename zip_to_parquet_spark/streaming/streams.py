@@ -89,7 +89,10 @@ def windowed_counts(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # value is a 2-decimal quantity stored as double: sum exact
+            # decimals so the aggregate is order/engine-independent (the
+            # round(sum(double), 2) form hash-diverges on .xx5 boundaries).
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -112,7 +115,8 @@ def sessionized_stream(
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            # Exact decimal sum — see windowed_counts.
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
         )
         .select(
             "user_id",
@@ -123,8 +127,11 @@ def sessionized_stream(
     )
 
 
+# State keeps the running total in integer cents: float accumulation across
+# micro-batches would drift order-dependently; int64 cents are exact and make
+# the emitted total bit-identical to an exact decimal sum.
 _STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [StructField("n", LongType()), StructField("cents", LongType())]
 )
 _TOTALS_SCHEMA = StructType(
     [
@@ -140,13 +147,15 @@ def _update_user_totals(
 ) -> Iterator["pd.DataFrame"]:
     import pandas as pd
 
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        # value is a 2-decimal quantity stored as double: per-element
+        # round-to-cents is exact, and the int64 running sum is associative.
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
     )
 
 
