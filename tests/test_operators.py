@@ -80,6 +80,39 @@ def test_cosine_known_vectors(spark):
     assert math.isclose(got[3], 1 / math.sqrt(2))
 
 
+def test_cosine_zero_vector_is_null(spark):
+    # ANSI mode: 0/0 would abort the job; zero-norm vectors must yield NULL
+    # (similar to nothing) and fall out of threshold filters/top-k ranks.
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 2.0]), (2, [0.0, 0.0], [0.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {r["id"]: r["c"] for r in
+           df.select("id", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert got[1] is None and got[2] is None
+
+
+def test_minhash_and_jaccard_survive_empty_docs(spark):
+    # Docs with < 3 words have empty 3-shingle sets; they must neither
+    # crash the ANSI-mode jaccard (0/0) nor pair with each other through a
+    # degenerate all-zeros LSH bucket.
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, ""),
+        (4, ""),
+        (5, "hi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_sets(docs)
+    lsh = {(r["doc_a"], r["doc_b"]) for r in
+           minhash_lsh_pairs(sh, threshold=0.7).collect()}
+    assert lsh == {(1, 2)}
+    exact = {(r["doc_a"], r["doc_b"]) for r in
+             ngram_jaccard_pairs(sh, threshold=0.1).collect()}
+    assert exact == {(1, 2)}
+
+
 def test_multimodal_plumbing(spark, docs):
     media = attach_media_metadata(docs)
     feats = {r["doc_id"]: r for r in decode_media(media, fake=True).collect()}
@@ -108,6 +141,9 @@ def test_multimodal_real_decode_raises(spark, docs):
         ("[ab].txt", ["a.txt", "b.txt"], ["c.txt"]),
         ("[!ab].txt", ["c.txt"], ["a.txt"]),
         ("{foo,bar}.csv", ["foo.csv", "bar.csv"], ["baz.csv"]),
+        # Alternatives are globs themselves, not literals (wax semantics).
+        ("{*.txt,*.md}", ["a.txt", "b.md"], ["c.rs", "d/a.txt"]),
+        ("docs/{**/*.rst,README}", ["docs/a/b.rst", "docs/README"], ["docs/README.md"]),
         ("data/**", ["data/x", "data/d/y"], ["other/x"]),
     ],
 )

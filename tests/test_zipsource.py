@@ -211,6 +211,28 @@ def test_on_error_skip(spark, tmp_path):
         read_zip_members(spark, [str(tmp_path / "*.zip")]).count()  # default: fail
 
 
+def test_on_error_skip_mid_read_yields_nothing(spark, tmp_path):
+    """A CRC failure on a LATER member must not leak the earlier, already-
+    buffered members of the same archive (skip = the archive contributes
+    zero rows, not a silent partial archive)."""
+    good = make_zip(tmp_path / "good.zip", BASIC)
+    bad = make_zip(
+        tmp_path / "bad.zip",
+        [("first.txt", b"readable"), ("second.txt", b"to-be-corrupted")],
+        compression=zipfile.ZIP_STORED,
+    )
+    raw = bytearray(open(bad, "rb").read())
+    at = raw.find(b"to-be-corrupted")
+    assert at != -1
+    raw[at] ^= 0xFF  # stored data no longer matches the member CRC
+    open(bad, "wb").write(bytes(raw))
+
+    df = read_zip_members(spark, [str(tmp_path / "*.zip")], on_error="skip")
+    names = {r["name"] for r in df.collect()}
+    assert names == {"a.txt", "sub/b.png", "sub/deep/c.csv"}  # good.zip only
+    assert "first.txt" not in names  # buffered partial batch was discarded
+
+
 def test_streaming_zip_source_incremental(spark, tmp_path):
     """New archives are picked up incrementally; checkpointed offsets make
     re-drains exactly-once (batch 2 reads only b.zip)."""

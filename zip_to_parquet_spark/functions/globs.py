@@ -30,6 +30,10 @@ def glob_to_regex(pattern: str) -> str:
     """
     if not pattern:
         raise ValueError("empty glob pattern")
+    return "^" + _compile_body(pattern) + "$"
+
+
+def _compile_body(pattern: str) -> str:
     out: list[str] = []
     i, n = 0, len(pattern)
     while i < n:
@@ -68,13 +72,16 @@ def glob_to_regex(pattern: str) -> str:
             j = pattern.find("}", i)
             if j == -1:
                 raise ValueError(f"unterminated alternation in glob: {pattern!r}")
+            # Each alternative is itself a glob ('{*.txt,*.md}' is standard
+            # wax usage) — compile recursively with the same rules rather
+            # than re.escape-ing wildcards into literals.
             alts = pattern[i + 1 : j].split(",")
-            out.append("(?:" + "|".join(re.escape(a) for a in alts) + ")")
+            out.append("(?:" + "|".join(_compile_body(a) for a in alts) + ")")
             i = j + 1
         else:
             out.append(re.escape(c))
             i += 1
-    return "^" + "".join(out) + "$"
+    return "".join(out)
 
 
 def glob_match_expr(column, pattern: str):

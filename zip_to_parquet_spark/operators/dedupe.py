@@ -75,9 +75,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _jaccard(sh_a: Column, sh_b: Column) -> Column:
+    # try_divide: two empty shingle sets give 0/0, which is an ANSI-mode
+    # DIVIDE_BY_ZERO error under plain `/`. NULL jaccard then falls out of
+    # every `>= threshold` filter — empty docs are near-duplicates of
+    # nothing here; byte-identical empties are exact_dedup's job.
     inter = F.size(F.array_intersect(sh_a, sh_b))
     union = F.size(sh_a) + F.size(sh_b) - inter
-    return inter / union
+    return F.try_divide(inter, union)
 
 
 def _bucket_pairs(ids: Column) -> Column:
@@ -232,6 +236,12 @@ def minhash_lsh_pairs(
     with k=128/b=32); precision is exact.
     """
     sig = minhash_band_hashes_udf(k=k, bands=bands, seed=seed)
+    # Drop docs with no shingles (< n words) BEFORE banding: they all hash
+    # to the same [0]*bands signature, which (a) forms one degenerate
+    # mega-bucket that expands O(n²) pairs at scale and (b) feeds 0/0 into
+    # the jaccard verify. They can't be near-duplicates at any positive
+    # threshold, so excluding them is semantics-preserving.
+    shingled = shingled.filter(F.size("sh") > 0)
     banded = shingled.select(
         "doc_id", F.posexplode(sig("sh"))
     ).select(

@@ -42,10 +42,17 @@ def word_shingles(words_col: Column, n: int = 3) -> Column:
     no explode, no shuffle; the array lives inside the row.
     """
     w = words_col
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
+    upper = F.size(w) - (n - 1)
+    # Guard the empty range explicitly: Spark's sequence(1, 0) DESCENDS
+    # (returns [1, 0]), so a doc with < n words would feed slice() a start
+    # of 0 and abort the job. Empty array means "no shingles".
+    return F.when(
+        upper >= 1,
+        F.transform(
+            F.sequence(F.lit(1), upper),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def stopword_ratio(words_col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:

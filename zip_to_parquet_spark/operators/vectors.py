@@ -34,7 +34,16 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either vector has zero norm.
+
+    ``try_divide`` instead of ``/``: Spark 4 runs ANSI mode, where plain
+    0.0/0.0 raises DIVIDE_BY_ZERO — an all-zero embedding (padding rows,
+    failed encoders) would abort the whole job. NULL similarity then falls
+    out of ``>= threshold`` filters and of ``ORDER BY sim DESC`` top-k
+    (Spark sorts NULL last on DESC), which is the semantics we want:
+    zero vectors are similar to nothing, not similar to everything.
+    """
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):

@@ -220,17 +220,23 @@ class ZipMembersReader(DataSourceReader):
                         yield flush()
         except (zipfile.BadZipFile, OSError) as exc:
             if self.on_error == "skip":
-                # Permissive mode: a corrupt archive yields nothing instead of
+                # Permissive mode: a corrupt archive is dropped instead of
                 # failing the job (the reference fails the whole run,
-                # builder.rs:65-71 — that remains our default).
+                # builder.rs:65-71 — that remains our default). The buffered
+                # partial batch is discarded, so an archive smaller than one
+                # batch (the common case) contributes zero rows. Best-effort
+                # caveat: batches already yielded for an archive larger than
+                # batch_rows/batch_bytes before a mid-read CRC failure cannot
+                # be retracted under bounded-memory streaming — use
+                # on_error='fail' (default) where atomicity matters.
                 import sys
 
                 print(
                     f"zipmembers: skipping unreadable archive {partition.path}: {exc}",
                     file=sys.stderr,
                 )
-            else:
-                raise
+                return
+            raise
         if names:
             yield flush()
 
