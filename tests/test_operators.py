@@ -185,3 +185,43 @@ def test_ann_lsh_recall_floor(spark):
     assert exact, "exact top-k returned nothing"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.4, f"LSH recall collapsed: {recall:.3f}"
+
+
+def test_cosine_lsh_pairs_match_brute_force(spark):
+    """LSH-bucketed near-dup pairs must equal the brute-force ground truth
+    on a corpus with planted near-duplicates (miss prob ~2e-8/pair)."""
+    import numpy as np
+
+    from zip_to_parquet_spark.operators.vectors import cosine_lsh_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((30, 64))
+    # Plant near-duplicates of vectors 0..4 as ids 30..34 (tiny noise).
+    planted = base[:5] + 0.02 * rng.standard_normal((5, 64))
+    x = np.vstack([base, planted])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, v array<double>",
+    )
+    got = {(r.vec_a, r.vec_b) for r in
+           cosine_lsh_pairs(df, threshold=0.95, dim=64).collect()}
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = np.round(xn @ xn.T, 6)
+    want = {(a, b) for a in range(len(x)) for b in range(a + 1, len(x))
+            if sims[a, b] >= 0.95}
+    assert want, "fixture planted no qualifying pairs"
+    assert got == want
+
+
+def test_ivf_trained_recall_floor(spark):
+    """Trained-codebook IVF (k=32, nprobe=3) must beat a recall floor
+    against the exact top-5 on the fixture."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.q_id, r.n_id) for r in qs["ann_cosine_topk"](spark, sf).collect()}
+    ivf = {(r.q_id, r.n_id) for r in qs["ann_ivf_trained"](spark, sf).collect()}
+    assert exact, "exact top-k returned nothing"
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.3, f"trained IVF recall collapsed: {recall:.3f}"

@@ -70,6 +70,15 @@ def test_minhash_banding_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_dedup_has_no_cross_join(spark):
+    # Round 1's version was an all-pairs `vec_a < vec_b` theta join — a
+    # BroadcastNestedLoopJoin that goes O(n²) at scale. The LSH-bucketed
+    # re-plan must stay equi-join only.
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_asof_join_single_shuffle_no_join_node(spark):
     # The linear as-of formulation: union + ONE hash exchange on the key +
     # window sort. Any *Join operator in the plan means someone rewrote it

@@ -18,6 +18,8 @@ __all__ = [
     "cosine",
     "hyperplane_signature_udf",
     "hyperplane_multitable_udf",
+    "cosine_lsh_pairs",
+    "train_ivf_codebook",
 ]
 
 
@@ -103,3 +105,109 @@ def hyperplane_multitable_udf(
         return pd.Series(list((bits @ weights).astype(np.int64)))
 
     return buckets
+
+
+def cosine_lsh_pairs(
+    emb,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 32,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+):
+    """Embedding near-duplicate pairs (cosine ≥ threshold) with hyperplane-
+    LSH candidate generation and exact cosine verification — the
+    shuffle-bounded replacement for the O(n²) all-pairs theta join.
+
+    Shape: one numpy matmul per Arrow batch computes 32 bucket keys per
+    vector; buckets group on (table_idx, bucket) and expand pairs in-row
+    (same bucket-then-expand idiom as minhash_lsh_pairs — no self-join, no
+    cartesian); the exact `cosine ≥ threshold` predicate then decides every
+    surviving pair, so precision is exact and only recall is probabilistic.
+
+    Recall at the default 0.95/8-plane/32-table setting: a qualifying pair
+    (θ ≤ 18.2°) collides in one table with p = (1-θ/π)^8 ≈ 0.43, so the
+    miss probability across 32 independent tables is (1-p)^32 ≈ 2e-8.
+    Fixed-seed planes keep the output deterministic.
+    """
+    from zip_to_parquet_spark.operators.dedupe import _bucket_pairs
+
+    sig = hyperplane_multitable_udf(
+        dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
+    )
+    banded = emb.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(sig(F.col(vec_col)))
+    ).select("vec_id", F.col("pos").alias("table_idx"), F.col("col").alias("bucket"))
+    cand = (
+        banded.groupBy("table_idx", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.doc_a").alias("vec_a"), F.col("p.doc_b").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def train_ivf_codebook(
+    emb,
+    k: int = 64,
+    iters: int = 10,
+    sample_per_centroid: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+):
+    """Sampled-k-means IVF codebook: returns a ``(k, dim)`` list of centroid
+    lists, trained with Lloyd's algorithm on a deterministic hash sample.
+
+    The sample is taken distributed (xxhash64 filter — no full collect) and
+    only ~k·sample_per_centroid vectors land on the driver, where numpy
+    Lloyd's runs in milliseconds: codebook training is a bounded driver-side
+    step by design in IVF builds (FAISS trains on a sample the same way).
+    Deterministic: hash sampling, sorted ids, fixed seed/iteration count.
+    Empty clusters re-seed from the sample (fixed RandomState), so all k
+    cells stay populated.
+    """
+    import numpy as np
+
+    n = emb.count()
+    target = max(k * sample_per_centroid, k)
+    # Deterministic 1-in-m hash sample, m chosen so ~target rows survive.
+    m = max(n // target, 1)
+    sample = (
+        emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    sample.sort(key=lambda r: r[0])
+    x = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    if len(x) < k:
+        raise ValueError(f"sample of {len(x)} rows cannot seed {k} centroids")
+    rng = np.random.RandomState(seed)
+    cents = x[:k].copy()  # deterministic init: first k sampled ids
+    for _ in range(iters):
+        # Cosine assignment == euclidean on normalized vectors.
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-12)
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True).clip(min=1e-12)
+        assign = (xn @ cn.T).argmax(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+            else:
+                cents[j] = x[rng.randint(len(x))]
+    return [[float(v) for v in c] for c in cents]

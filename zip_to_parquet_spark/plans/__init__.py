@@ -58,6 +58,7 @@ set_priority([
     "multimodal_frame_sample",
     "dedup_clusters",
     "ann_ivf_topk",
+    "ann_ivf_trained",
     # changed this round
     "events_sessionize",
     "events_tumbling_window",
@@ -87,7 +88,6 @@ set_priority([
     "agg_rollup",
     "agg_cube",
     "pivot_event_counts",
-    "json_extract_events",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

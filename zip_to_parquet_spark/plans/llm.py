@@ -37,7 +37,9 @@ from zip_to_parquet_spark.operators.multimodal import (
 )
 from zip_to_parquet_spark.operators.vectors import (
     cosine,
+    cosine_lsh_pairs,
     hyperplane_multitable_udf,
+    train_ivf_codebook,
 )
 from zip_to_parquet_spark.plans.registry import query
 from zip_to_parquet_spark.runtime import spread
@@ -150,23 +152,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine ≥ 0.95). Brute-force pair scan
-    at test SF; at 100 TB the identical predicate runs after hyperplane-LSH
-    bucketing (see ann_lsh_topk) — the verify expression is shared."""
+    """Embedding near-duplicate pairs (cosine ≥ 0.95) via hyperplane-LSH
+    candidate buckets + exact cosine verify — shuffle-bounded, no cartesian
+    (the round-1 version was an O(n²) all-pairs theta join; the brute-force
+    form survives only as the ground truth in tests). The oracle IS the
+    exact all-pairs scan: with 8 planes × 32 tables a qualifying pair is
+    missed with p ≈ 2e-8, so LSH output == exact output deterministically
+    at fixture scale."""
     emb = _embeddings_spread(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.95)
-    )
+    return cosine_lsh_pairs(emb, threshold=0.95, dim=64, n_planes=8, n_tables=32)
 
 
 # ---------------------------------------------------------------------------
@@ -407,7 +403,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     oracle="""
     WITH cents AS (
-      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 31 = 0
     ), assign AS (
       SELECT vec_id, cent_id FROM (
         SELECT e.vec_id, c.cent_id,
@@ -441,22 +437,37 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: 16 fixed centroids (vec_id < 16 — a deterministic
-    stand-in for a k-means codebook), every vector assigned to its nearest
-    centroid (broadcast 16-way argmax, narrow map, no shuffle), queries
-    probe their 2 nearest cells, exact cosine re-rank within the probed
-    cells. Fully oracle-checked because every step is deterministic.
+    """IVF-style ANN with a deterministic sampled codebook: centroids are
+    the 1-in-31 reservoir ``vec_id % 31 = 0`` — a k-means-init-style
+    data-point codebook whose cardinality GROWS with the corpus (n/31
+    cells: no fixed-16-cell shuffle key at scale), and which is
+    SQL-expressible, keeping this variant fully value-oracle-checked.
+    Every vector assigns to its nearest centroid (broadcast argmax, narrow
+    map, no shuffle), queries probe their 2 nearest cells, exact cosine
+    re-rank within the probed cells.
+
+    The Lloyd's-trained codebook (tighter cells, same query shape) is
+    ``ann_ivf_trained`` below — rows-only + recall-floor pytest, since
+    k-means isn't SQL-expressible.
 
     Scale shape: the codebook broadcasts; assignment is map-only; the
-    candidate join shuffles on cent_id — at real scale use 4k-64k
-    centroids (and train them with sampled k-means) so cells stay small
-    and the shuffle key is high-cardinality."""
+    candidate join shuffles on cent_id whose cardinality is ~n/31 — at
+    real scale cap the codebook at 4k-64k trained centroids
+    (train_ivf_codebook) so cells stay small and uniform."""
     emb = _embeddings_spread(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = emb.filter(F.col("vec_id") < 16).select(
+    cents = emb.filter(F.col("vec_id") % 31 == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
+    return _ivf_topk(emb, cents, nprobe=2, topk=5)
+
+
+def _ivf_topk(emb: DataFrame, cents: DataFrame, nprobe: int, topk: int) -> DataFrame:
+    """Shared IVF query shape: broadcast-codebook assignment (map-only
+    argmax), nprobe nearest cells per query, exact cosine re-rank within
+    probed cells. ``cents`` is a (cent_id, cv) DataFrame small enough to
+    broadcast — the IVF contract."""
     sim_to_cent = cosine(F.col("v"), F.col("cv"))
     # Nearest centroid per vector: max(struct(cos, -cent_id)) breaks ties
     # toward the smaller centroid id, matching the oracle's row_number order.
@@ -482,7 +493,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cv")).alias("qs")
         )
         .withColumn("r", F.row_number().over(qw))
-        .filter(F.col("r") <= 2)
+        .filter(F.col("r") <= nprobe)
         .select("q_id", "qv", "cent_id")
     )
     sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
@@ -494,8 +505,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_id", F.col("vec_id").alias("n_id"), sim.alias("cos_sim")
         )
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= topk)
     )
+
+
+@query("ann_ivf_trained")
+def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a Lloyd's-TRAINED codebook: k=32 centroids from
+    sampled k-means (train_ivf_codebook — deterministic hash sample,
+    fixed seed/iters), nprobe=3, exact cosine re-rank. Rows-only check
+    (k-means isn't SQL-expressible); recall vs the brute-force ground
+    truth is floor-tested in tests/test_operators.py.
+
+    This is the 100 TB path: training touches only a bounded driver-side
+    sample, the codebook broadcasts, assignment is map-only, and the
+    candidate shuffle key is the k-cell id — k sized (4k-64k at real
+    scale) to keep cells small and balanced, which trained centroids do
+    far better than sampled data points on clustered real embeddings."""
+    emb = _embeddings_spread(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    codebook = train_ivf_codebook(emb, k=32, iters=10, sample_per_centroid=16)
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(codebook)], "cent_id int, cv array<double>"
+    )
+    return _ivf_topk(emb, cents, nprobe=3, topk=5)
 
 
 @query(
