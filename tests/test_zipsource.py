@@ -137,14 +137,66 @@ def test_compression_methods(spark, tmp_path):
     assert len(rows) == 4
 
 
-def test_zstd_member_clear_error(spark, tmp_path):
-    """zstd members (method 93) → typed error naming the member (SURVEY §1.2)."""
-    zp = str(tmp_path / "zstd.zip")
+def make_zstd_zip(path, members):
+    """Hand-assemble a zip whose members use zstd (method 93) — zipfile
+    can't write one, so build local headers + central directory + EOCD
+    directly (APPNOTE 4.4.5: method 93, version-needed 6.3)."""
+    import struct
+    import zlib
+
+    import pyarrow as pa
+
+    codec = pa.Codec("zstd")
+    out = io.BytesIO()
+    central = []
+    for name, data in members:
+        comp = codec.compress(data, asbytes=True)
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        nb = name.encode()
+        central.append((nb, crc, len(comp), len(data), out.tell()))
+        out.write(b"PK\x03\x04")
+        out.write(struct.pack("<HHHHHIIIHH", 63, 0, 93, 0, 0, crc,
+                              len(comp), len(data), len(nb), 0))
+        out.write(nb)
+        out.write(comp)
+    cd_start = out.tell()
+    for nb, crc, csize, usize, offset in central:
+        out.write(b"PK\x01\x02")
+        out.write(struct.pack("<HHHHHHIIIHHHHHII", 63, 63, 0, 93, 0, 0, crc,
+                              csize, usize, len(nb), 0, 0, 0, 0, 0, offset))
+        out.write(nb)
+    cd_size = out.tell() - cd_start
+    out.write(b"PK\x05\x06")
+    out.write(struct.pack("<HHHHIIH", 0, 0, len(central), len(central),
+                          cd_size, cd_start, 0))
+    with open(path, "wb") as fh:
+        fh.write(out.getvalue())
+    return str(path)
+
+
+def test_zstd_member_roundtrip(spark, tmp_path):
+    """zstd members (method 93) decode like the reference's zip crate does
+    (/root/reference/Cargo.toml:13): bodies and hashes match the original
+    payloads, mixed alongside a deflate archive in the same read."""
+    payloads = [("a.txt", b"zstd payload " * 1000), ("dir/b.bin", bytes(range(256)) * 7)]
+    zzp = make_zstd_zip(tmp_path / "zstd.zip", payloads)
+    dzp = make_zip(tmp_path / "deflate.zip", [("c.txt", b"deflate payload")])
+    rows = {r["name"]: r for r in read_zip_members(spark, [zzp, dzp]).collect()}
+    want = dict(payloads) | {"c.txt": b"deflate payload"}
+    assert {n: bytes(r["body"]) for n, r in rows.items()} == want
+    for n, r in rows.items():
+        assert r["hash"] == hashlib.sha256(want[n]).hexdigest()
+    # Central-directory-only paths never touch the zstd codec.
+    assert count_members(spark, zzp) == 2
+
+
+def test_zstd_member_corrupt_stream(spark, tmp_path):
+    """A method-93 member whose data isn't valid zstd → BadZipFile naming
+    the member; with on_error='skip' the archive drops cleanly."""
+    zp = str(tmp_path / "badzstd.zip")
     with zipfile.ZipFile(zp, "w", zipfile.ZIP_STORED) as zf:
         zi = zipfile.ZipInfo("z.txt", date_time=FIXED_DATE)
-        zf.writestr(zi, b"data")
-    # Patch the method field to 93 (zstd) in the local header (offset 8 from
-    # PK\x03\x04) and the central directory record (offset 10 from PK\x01\x02).
+        zf.writestr(zi, b"not a zstd frame")
     raw = bytearray(open(zp, "rb").read())
     lh = raw.find(b"PK\x03\x04")
     raw[lh + 8 : lh + 10] = (93).to_bytes(2, "little")
@@ -152,10 +204,31 @@ def test_zstd_member_clear_error(spark, tmp_path):
     raw[cd + 10 : cd + 12] = (93).to_bytes(2, "little")
     open(zp, "wb").write(bytes(raw))
 
-    df = read_zip_members(spark, zp)
     with pytest.raises(Exception) as ei:
-        df.collect()
-    assert "zstd" in str(ei.value)
+        read_zip_members(spark, zp).collect()
+    assert "z.txt" in str(ei.value)
+    ok = make_zip(tmp_path / "ok.zip", [("good.txt", b"fine")])
+    rows = read_zip_members(spark, [zp, ok], on_error="skip").collect()
+    assert [r["name"] for r in rows] == ["good.txt"]
+
+
+def test_unknown_method_clear_error(spark, tmp_path):
+    """A genuinely unknown compression method (97/AES-ish) still raises the
+    typed ZipFormatError naming method and member."""
+    zp = str(tmp_path / "unknown.zip")
+    with zipfile.ZipFile(zp, "w", zipfile.ZIP_STORED) as zf:
+        zi = zipfile.ZipInfo("z.txt", date_time=FIXED_DATE)
+        zf.writestr(zi, b"data")
+    raw = bytearray(open(zp, "rb").read())
+    lh = raw.find(b"PK\x03\x04")
+    raw[lh + 8 : lh + 10] = (97).to_bytes(2, "little")
+    cd = raw.find(b"PK\x01\x02")
+    raw[cd + 10 : cd + 12] = (97).to_bytes(2, "little")
+    open(zp, "wb").write(bytes(raw))
+
+    with pytest.raises(Exception) as ei:
+        read_zip_members(spark, zp).collect()
+    assert "method 97" in str(ei.value) and "z.txt" in str(ei.value)
 
 
 def test_unicode_names(spark, tmp_path):

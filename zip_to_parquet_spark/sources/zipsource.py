@@ -67,9 +67,11 @@ from zip_to_parquet_spark.functions.globs import glob_to_regex
 
 __all__ = ["read_zip_members", "count_members", "ZipMembersDataSource", "ZipFormatError"]
 
-# zipfile's supported codecs; zstd (method 93) appears in modern zips but
-# Python's zipfile cannot decode it — detect and raise a typed error
-# (SURVEY §1.2: the one input-format gap vs the Rust zip crate).
+# zipfile's native codecs, plus zstd (method 93 — modern zips; the
+# reference's zip crate decodes it by default, /root/reference/Cargo.toml:13).
+# Python's zipfile can't decode 93, so those members go through a manual
+# raw-stream + pyarrow-zstd path (_read_zstd_member). Anything else raises
+# a typed error.
 _ZSTD_METHOD = 93
 _SUPPORTED_METHODS = {
     zipfile.ZIP_STORED,
@@ -81,6 +83,48 @@ _SUPPORTED_METHODS = {
 
 class ZipFormatError(ValueError):
     """A member uses a compression method this engine cannot decode."""
+
+
+def _read_zstd_member(fh, info: zipfile.ZipInfo, path: str) -> bytes:
+    """Decode a zstd (method 93) member zipfile can't: seek to the member's
+    local header, read ``compress_size`` raw bytes, decompress with
+    pyarrow's zstd codec, and CRC-check like zipfile would. CRC/format
+    failures raise BadZipFile so ``on_error='skip'`` treats them exactly
+    like any other corrupt-archive error."""
+    import struct
+    import zlib
+
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("zstd"):  # pragma: no cover - env guard
+        raise ZipFormatError(
+            f"member {info.filename!r} in {path} is zstd-compressed but "
+            "pyarrow lacks zstd support in this environment"
+        )
+    fh.seek(info.header_offset)
+    header = fh.read(30)
+    if len(header) != 30 or header[:4] != b"PK\x03\x04":
+        raise zipfile.BadZipFile(
+            f"bad local file header for member {info.filename!r} in {path}"
+        )
+    fnlen, extralen = struct.unpack("<HH", header[26:30])
+    fh.seek(info.header_offset + 30 + fnlen + extralen)
+    raw = fh.read(info.compress_size)
+    if len(raw) != info.compress_size:
+        raise zipfile.BadZipFile(
+            f"truncated zstd member {info.filename!r} in {path}"
+        )
+    try:
+        data = pa.input_stream(pa.py_buffer(raw), compression="zstd").read()
+    except (pa.lib.ArrowInvalid, OSError) as exc:
+        raise zipfile.BadZipFile(
+            f"zstd decode failed for member {info.filename!r} in {path}: {exc}"
+        ) from exc
+    if zlib.crc32(data) & 0xFFFFFFFF != info.CRC:
+        raise zipfile.BadZipFile(
+            f"CRC mismatch for zstd member {info.filename!r} in {path}"
+        )
+    return data
 
 
 @dataclass
@@ -192,17 +236,16 @@ class ZipMembersReader(DataSourceReader):
                     if name_pred is not None and not name_pred(info.filename):
                         continue
                     if need_decompress and not info.is_dir():
-                        if info.compress_type not in _SUPPORTED_METHODS:
-                            kind = (
-                                "zstd"
-                                if info.compress_type == _ZSTD_METHOD
-                                else f"method {info.compress_type}"
-                            )
+                        if info.compress_type == _ZSTD_METHOD:
+                            data = _read_zstd_member(fh, info, partition.path)
+                        elif info.compress_type not in _SUPPORTED_METHODS:
                             raise ZipFormatError(
-                                f"unsupported zip compression ({kind}) for member "
+                                f"unsupported zip compression (method "
+                                f"{info.compress_type}) for member "
                                 f"{info.filename!r} in {partition.path}"
                             )
-                        data = zf.read(info)
+                        else:
+                            data = zf.read(info)
                     else:
                         data = b""
                     names.append(info.filename)
