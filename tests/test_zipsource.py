@@ -351,6 +351,69 @@ def test_streaming_zip_source_incremental(spark, tmp_path):
     assert os.path.basename(by_name["z.txt"].source) == "b.zip"
 
 
+def test_streaming_offsets_bounded_watermark(tmp_path):
+    """Offsets are an (mtime watermark, recent-window) pair: steady-state
+    size is O(files within the lateness window), not O(all files ever);
+    backfill processes fully; restarts don't reprocess; too-late arrivals
+    drop (documented watermark trade)."""
+    import os
+    import time
+
+    from zip_to_parquet_spark.sources.zipsource import ZipMembersStreamReader
+
+    d = tmp_path / "w"
+    d.mkdir()
+    now = time.time()
+
+    def touch(name, age_sec):
+        p = d / name
+        with zipfile.ZipFile(p, "w") as z:
+            z.writestr("m.txt", b"x")
+        os.utime(p, (now - age_sec, now - age_sec))
+        return str(p)
+
+    # Backfill: 50 archives spread over ~14 hours — far beyond lateness.
+    backfill = [touch(f"old{i:03d}.zip", 1000 + i * 1000) for i in range(50)]
+    opts = {"stream_glob": f"{d}/*.zip", "stream_lateness": "300"}
+    r = ZipMembersStreamReader(opts)
+    start = r.initialOffset()
+    end1 = r.latestOffset()
+    # First batch enumerates and processes the whole backfill.
+    assert sorted(p.path for p in r.partitions(start, end1)) == sorted(backfill)
+
+    # Steady state: one fresh archive → next offset holds only the
+    # lateness window (the fresh file plus the file *at* the previous
+    # watermark), not the 50 backfill paths.
+    fresh = touch("fresh.zip", 0)
+    end2 = r.latestOffset()
+    assert {p for _, p in end2["seen"]} == {fresh, backfill[0]}
+    assert [p.path for p in r.partitions(end1, end2)] == [fresh]
+
+    # Driver restart: a fresh reader re-enumerates once, but the start
+    # offset's horizon excludes everything already processed.
+    r2 = ZipMembersStreamReader(opts)
+    end3 = r2.latestOffset()
+    assert len(end3["seen"]) == 51  # one-time full listing after restart
+    assert r2.partitions(end2, end3) == []
+    # ...and its next listing is bounded again.
+    fresh2 = touch("fresh2.zip", 0)
+    end4 = r2.latestOffset()
+    assert {p for _, p in end4["seen"]} == {fresh, fresh2}
+    assert [p.path for p in r2.partitions(end3, end4)] == [fresh2]
+
+    # A file landing with an mtime older than the lateness allowance is
+    # dropped as too late.
+    touch("straggler.zip", 9000)
+    end5 = r2.latestOffset()
+    assert r2.partitions(end4, end5) == []
+
+    # Legacy path-list checkpoints resume cleanly: everything in "files"
+    # counts as processed.
+    r3 = ZipMembersStreamReader(opts)
+    legacy = {"files": sorted(str(p) for p in d.glob("*.zip"))}
+    assert r3.partitions(legacy, r3.latestOffset()) == []
+
+
 def test_filter_pushdown_name_and_source(spark, tmp_path):
     """Catalyst filter pushdown into the zip source: name predicates filter
     members inside the scan (before decompression); source predicates prune

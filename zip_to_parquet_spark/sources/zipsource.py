@@ -288,30 +288,78 @@ class ZipMembersStreamReader(DataSourceStreamReader):
     """Incremental zip ingestion: each micro-batch picks up archives that
     appeared in the watched directory since the last committed offset.
 
-    The offset is the sorted list of already-processed archive paths —
-    exact and replay-safe (a restarted query re-plans the same batch from
-    its checkpointed offsets). One InputPartition per new archive, read by
-    the same member-exploding logic as the batch reader, so executors do
-    the decompression in parallel; the driver only lists the directory.
-    (At production scale, swap the grow-forever list for an (mtime, name)
-    high-watermark with a lateness allowance — same reader body.)
+    Offsets are an (mtime high-watermark, recent-file list) pair — bounded
+    steady-state, unlike a grow-forever processed-path list. ``wm`` is the
+    max mtime listed; ``seen`` holds ``[mtime, path]`` pairs for files
+    within ``stream_lateness`` seconds (default 300) of the watermark. A
+    batch processes the files of ``end.seen`` that are neither in
+    ``start.seen`` nor older than ``start``'s lateness horizon — so an
+    archive landing with an mtime more than ``stream_lateness`` behind the
+    newest file is dropped as too late (raise the allowance for laggy copy
+    jobs / object stores), and at a million archives the offset stays
+    O(arrival-rate × lateness) instead of O(all files ever).
+
+    Two deliberately-unbounded moments: the first offset of a fresh query
+    enumerates the whole backfill (those files genuinely all need
+    processing), and the first offset after a driver restart re-enumerates
+    the directory once (the start offset's horizon then excludes
+    already-processed files, so nothing is reprocessed) — steady-state
+    offsets are small either way.
+
+    Replay-safe: ``partitions(start, end)`` derives the batch purely from
+    the two checkpointed offsets, so a restarted query re-plans the
+    identical batch. One InputPartition per new archive, read by the same
+    member-exploding logic as the batch reader — executors decompress in
+    parallel; the driver only lists the directory.
     """
 
     def __init__(self, options: dict):
         self._batch = ZipMembersReader(options)
         self.pattern: str = options["stream_glob"]
+        self.lateness: float = float(options.get("stream_lateness", "300"))
+        # Listing horizon; None = enumerate everything (fresh query or
+        # just-restarted driver). Ratchets to wm - lateness after each
+        # listing, which keeps steady-state offsets bounded.
+        self._horizon: float | None = None
 
-    def _list(self) -> list[str]:
-        return sorted(_pyglob.glob(self.pattern, recursive=True))
+    def _snapshot(self) -> list[tuple[float, str]]:
+        import os
+
+        files = []
+        for p in _pyglob.glob(self.pattern, recursive=True):
+            try:
+                files.append((os.path.getmtime(p), p))
+            except OSError:
+                continue  # raced with a delete between glob and stat
+        return files
 
     def initialOffset(self) -> dict:
-        return {"files": []}
+        return {"wm": 0.0, "seen": []}
 
     def latestOffset(self) -> dict:
-        return {"files": self._list()}
+        files = self._snapshot()
+        wm = max((mt for mt, _ in files), default=0.0)
+        if self._horizon is not None:
+            files = [(mt, p) for mt, p in files if mt >= self._horizon]
+        self._horizon = max(self._horizon or float("-inf"), wm - self.lateness)
+        return {"wm": wm, "seen": sorted([mt, p] for mt, p in files)}
+
+    @staticmethod
+    def _paths(offset: dict) -> set[str]:
+        # "files" is the pre-watermark offset format — accept it so a
+        # checkpoint written by the old reader resumes cleanly.
+        if "files" in offset:
+            return set(offset["files"])
+        return {p for _, p in offset.get("seen", [])}
 
     def partitions(self, start: dict, end: dict):
-        new = sorted(set(end["files"]) - set(start["files"]))
+        done = self._paths(start)
+        # start.wm == 0 ⇒ start is the initial offset (or legacy format):
+        # no horizon, everything unseen is new.
+        horizon = start["wm"] - self.lateness if start.get("wm") else float("-inf")
+        new = sorted(
+            p for mt, p in end.get("seen", []) if p not in done and mt >= horizon
+        )
         return [_ZipPartition(p) for p in new]
 
     def read(self, partition: _ZipPartition):
