@@ -231,6 +231,20 @@ def test_unknown_method_clear_error(spark, tmp_path):
     assert "method 97" in str(ei.value) and "z.txt" in str(ei.value)
 
 
+def test_strict_hash_mode(spark, tmp_path):
+    """strict_hash=True reproduces the reference's hash encoding
+    (builder.rs:196-209: unpadded per-byte {:x} + Debug quotes), pinned as
+    a literal. sha256("hello") standard hex is 2cf24dba5fb0a30e26e83...;
+    the strict encoding renders byte 0x0e as "e" and 0x04 as "4" (leading
+    zeros dropped) and wraps the result in quotes."""
+    zp = make_zip(tmp_path / "s.zip", [("h.txt", b"hello")])
+    strict = read_zip_members(spark, zp, strict_hash=True).collect()[0]["hash"]
+    assert strict == '"2cf24dba5fb0a3e26e83b2ac5b9e29e1b161e5c1fa7425e7343362938b9824"'
+    default = read_zip_members(spark, zp).collect()[0]["hash"]
+    assert default == hashlib.sha256(b"hello").hexdigest()
+    assert len(default) == 64 and len(strict) < 66  # lossy encoding really is shorter
+
+
 def test_unicode_names(spark, tmp_path):
     name = "données/π.txt"
     zp = make_zip(tmp_path / "unicode.zip", [(name, b"bytes")])

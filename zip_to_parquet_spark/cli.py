@@ -12,7 +12,8 @@ in SURVEY.md §2:
 - ``--no-*`` null the column values, never drop columns;
 - empty input glob / invalid member glob error out at plan time instead of
   silently writing an empty file / panicking (SURVEY §2 H);
-- hash is standard sha256 hex (SURVEY §2 F1);
+- hash is standard sha256 hex (SURVEY §2 F1); ``--strict-hash`` reproduces
+  the reference's quote-wrapped unpadded encoding bit-for-bit;
 - ``-o`` writes ONE parquet file with exact ``--row-group-size`` row groups
   (reference default 100); ``--distributed -o DIR`` writes a parquet
   directory through Spark's commit protocol — the 100 TB path.
@@ -61,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="fail",
         help="fail the job on an unreadable archive (default) or skip it",
     )
+    p.add_argument(
+        "--strict-hash",
+        action="store_true",
+        help="emit the reference's quote-wrapped unpadded hex hash encoding "
+        "(builder.rs:196-209) instead of standard sha256 hex",
+    )
     p.add_argument("--simple", action="store_true", help="plain progress lines")
     return p
 
@@ -89,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
             source=not args.no_source,
             sha=not args.no_hash,
             on_error=args.on_error,
+            strict_hash=args.strict_hash,
         )
         if args.stdout:
             n = write_parquet_stdout(df, row_group_rows=args.row_group_size)

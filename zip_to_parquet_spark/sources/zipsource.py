@@ -85,6 +85,17 @@ class ZipFormatError(ValueError):
     """A member uses a compression method this engine cannot decode."""
 
 
+def _strict_hash_hex(digest: bytes) -> str:
+    """The reference's exact hash encoding (builder.rs:196-209): each digest
+    byte rendered with Rust's unpadded ``{:x}`` (so 0x0e → "e", dropping
+    leading zeros) and the joined string wrapped in Debug quotes by
+    ``format!("{:x?}", hash)``. Lossy and non-standard — our default column
+    is plain 64-char lowercase hex (the documented divergence, SURVEY §2
+    F1) — but ``strict_hash=True`` reproduces it bit-for-bit so parity with
+    reference output files is checkable."""
+    return '"' + "".join(format(b, "x") for b in digest) + '"'
+
+
 def _read_zstd_member(fh, info: zipfile.ZipInfo, path: str) -> bytes:
     """Decode a zstd (method 93) member zipfile can't: seek to the member's
     local header, read ``compress_size`` raw bytes, decompress with
@@ -142,6 +153,7 @@ class ZipMembersReader(DataSourceReader):
         self.batch_rows = int(options.get("batch_rows", "1024"))
         self.batch_bytes = int(options.get("batch_bytes", str(32 * 1024 * 1024)))
         self.on_error = options.get("on_error", "fail")
+        self.strict_hash = options.get("strict_hash", "false") == "true"
 
         # Populated by pushFilters (Catalyst filter pushdown, Spark 4.1+):
         # per-member name predicates evaluated before decompression, and
@@ -251,7 +263,12 @@ class ZipMembersReader(DataSourceReader):
                     names.append(info.filename)
                     sources.append(partition.path if self.with_source else None)
                     if self.with_hash:
-                        hashes.append(hashlib.sha256(data).hexdigest())
+                        h = hashlib.sha256(data)
+                        hashes.append(
+                            _strict_hash_hex(h.digest())
+                            if self.strict_hash
+                            else h.hexdigest()
+                        )
                     else:
                         hashes.append(None)
                     if self.with_body:
@@ -415,6 +432,7 @@ def read_zip_members(
     sha: bool = True,
     on_error: str = "fail",
     batch_rows: int = 1024,
+    strict_hash: bool = False,
 ) -> DataFrame:
     """Read zip archives as one DataFrame row per member (reference A1+A2).
 
@@ -423,6 +441,8 @@ def read_zip_members(
     member names inside the scan (B1). ``body/source/sha=False`` null the
     respective column (B2); ``body=False, sha=False`` never decompresses —
     the projection pushdown of builder.rs:185-186 as a source option.
+    ``strict_hash=True`` emits the reference's quote-wrapped unpadded hex
+    encoding instead of standard 64-char hex (see _strict_hash_hex).
     """
     from zip_to_parquet_spark.runtime import ensure_shipped
 
@@ -442,6 +462,7 @@ def read_zip_members(
         .option("hash", "true" if sha else "false")
         .option("on_error", on_error)
         .option("batch_rows", str(batch_rows))
+        .option("strict_hash", "true" if strict_hash else "false")
         .load()
     )
 
