@@ -60,7 +60,7 @@ def main() -> int:
         # Codegen-heavy plans (128-perm MinHash, 60-bit SimHash) overflow the
         # default ~240 MB JIT code cache; once full the JVM stops compiling
         # and EVERYTHING afterwards runs interpreted at 4-10x cost.
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -112,19 +112,51 @@ def main() -> int:
                 print(f"  warmup {name} failed: {exc}", file=sys.stderr)
 
     # Best of three passes per query: this box shows intermittent multi-
-    # second interference (shared-host neighbors, GC, driver-harness cron);
-    # min-of-N is the standard way to report achievable per-query cost.
+    # second interference (hypervisor steal from co-tenant VMs — visible as
+    # the 9th /proc/stat field — plus the driver-harness cron); min-of-N is
+    # the standard way to report achievable per-query cost. Steal is logged
+    # per pass so a contaminated run is diagnosable from the stderr log.
+    def _steal() -> float:
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            return int(parts[7]) / 100.0 if len(parts) > 7 else 0.0
+        except OSError:  # pragma: no cover - non-Linux fallback
+            return 0.0
+
     print(f"  load at start: {os.getloadavg()[0]:.2f}", file=sys.stderr)
     timings: dict[str, float] = {}
-    for _pass in range(3):
+    clean: set[str] = set()
+    for _pass in range(6):
+        # Adaptive pass count: minimum 3 passes; passes 4-6 run only while
+        # some query still lacks a steal-clean sample (a window where the
+        # hypervisor took < 0.5 s from us). Steal can only inflate a
+        # timing, so min-of-all-samples is always a valid upper bound —
+        # the extra passes just raise the odds of an uncontended sample.
+        if _pass >= 3 and len(clean) == len(HEADLINE):
+            break
+        st_pass = _steal()
         for name in HEADLINE:
             fn = queries[name]
+            s0 = _steal()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
+            dirty = _steal() - s0 >= 0.5
+            if not dirty:
+                clean.add(name)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
-            print(f"  pass{_pass} {name}: {dt:.2f}s", file=sys.stderr)
+            print(
+                f"  pass{_pass} {name}: {dt:.2f}s"
+                + (" [steal]" if dirty else ""),
+                file=sys.stderr,
+            )
+        print(
+            f"  pass{_pass} steal: {_steal() - st_pass:.1f}s "
+            f"load: {os.getloadavg()[0]:.2f}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

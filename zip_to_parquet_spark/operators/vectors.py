@@ -162,6 +162,45 @@ def cosine_lsh_pairs(
     )
 
 
+def ivf_assign_udfs(codebook, nprobe: int):
+    """(nearest_cell, nearest_cells) pandas UDFs for IVF coarse
+    quantization over a driver-side ``[(cent_id, [float, ...]), ...]``
+    codebook (must be cent_id-sorted for the tie-break below).
+
+    One numpy matmul per Arrow batch against the closure-shipped,
+    row-normalized codebook matrix — map-only, no join, no shuffle: the
+    FAISS/ScaNN coarse-quantizer shape. numpy argmax returns the FIRST
+    max and stable argsort keeps codebook order for ties, so with a
+    cent_id-sorted codebook both reproduce SQL's
+    ``ORDER BY sim DESC, cent_id`` tie-break. Zero-norm vectors assign
+    via clipped norms (sim 0 to every cell); the exact-cosine re-rank
+    downstream yields NULL sim for them either way, keeping them out of
+    every top-k."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_ids = np.array([c[0] for c in codebook], dtype=np.int64)
+    cmat = np.array([c[1] for c in codebook], dtype=np.float64)
+    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True).clip(min=1e-300)
+
+    def _sims(v):
+        mat = np.vstack(v.to_numpy())
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True).clip(min=1e-300)
+        return mat @ cnorm.T
+
+    @pandas_udf("long")
+    def nearest_cell(v: pd.Series) -> pd.Series:
+        return pd.Series(cent_ids[_sims(v).argmax(axis=1)])
+
+    @pandas_udf("array<long>")
+    def nearest_cells(v: pd.Series) -> pd.Series:
+        idx = np.argsort(-_sims(v), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cent_ids[idx]))
+
+    return nearest_cell, nearest_cells
+
+
 def train_ivf_codebook(
     emb,
     k: int = 64,

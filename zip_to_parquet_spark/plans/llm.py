@@ -39,6 +39,7 @@ from zip_to_parquet_spark.operators.vectors import (
     cosine,
     cosine_lsh_pairs,
     hyperplane_multitable_udf,
+    ivf_assign_udfs,
     train_ivf_codebook,
 )
 from zip_to_parquet_spark.plans.registry import query
@@ -457,44 +458,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings_spread(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = emb.filter(F.col("vec_id") % 31 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    # Collected driver-side: ~n/31 rows is a test-scale construct kept for
+    # SQL-expressibility (the oracle needs a deterministic, SQL-computable
+    # codebook). The 100 TB path is ann_ivf_trained, whose codebook is
+    # bounded (4k-64k centroids) by construction — collecting the codebook
+    # is the IVF contract (FAISS ships the trained quantizer the same way).
+    codebook = sorted(
+        (r[0], list(r[1]))
+        for r in emb.filter(F.col("vec_id") % 31 == 0).collect()
     )
-    return _ivf_topk(emb, cents, nprobe=2, topk=5)
+    return _ivf_topk(emb, codebook, nprobe=2, topk=5)
 
 
-def _ivf_topk(emb: DataFrame, cents: DataFrame, nprobe: int, topk: int) -> DataFrame:
-    """Shared IVF query shape: broadcast-codebook assignment (map-only
-    argmax), nprobe nearest cells per query, exact cosine re-rank within
-    probed cells. ``cents`` is a (cent_id, cv) DataFrame small enough to
-    broadcast — the IVF contract."""
-    sim_to_cent = cosine(F.col("v"), F.col("cv"))
-    # Nearest centroid per vector: max(struct(cos, -cent_id)) breaks ties
-    # toward the smaller centroid id, matching the oracle's row_number order.
-    assign = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "v",
-            F.struct(
-                sim_to_cent.alias("s"), (-F.col("cent_id")).alias("neg"),
-                F.col("cent_id").alias("cent_id"),
-            ).alias("sc"),
-        )
-        .groupBy("vec_id")
-        .agg(F.max("sc")["cent_id"].alias("cent_id"), F.first("v").alias("v"))
-    )
-    qw = Window.partitionBy("q_id").orderBy(F.col("qs").desc(), F.col("cent_id"))
+def _ivf_topk(
+    emb: DataFrame, codebook: list, nprobe: int, topk: int
+) -> DataFrame:
+    """Shared IVF query shape: closure-shipped codebook, numpy-argmax cell
+    assignment via ``ivf_assign_udfs`` (one matmul per Arrow batch —
+    map-only, no join, no shuffle), nprobe nearest cells per query, exact
+    Catalyst cosine re-rank within probed cells (so output similarities
+    stay bit-identical to the sequential-sum oracle).
+
+    ``codebook`` is a cent_id-sorted list of (cent_id, [float, ...]). This
+    replaces a crossJoin(broadcast)+HOF-cosine+groupBy-max plan that
+    evaluated n·k interpreted higher-order aggregates (~42 CPU-s at sf0.1);
+    the matmul form is ~100× cheaper and is exactly how FAISS/ScaNN
+    coarse-quantize."""
+    nearest_cell, nearest_cells = ivf_assign_udfs(codebook, nprobe)
+    assign = emb.select("vec_id", "v", nearest_cell("v").alias("cent_id"))
     probes = (
         emb.filter(F.col("vec_id") % 25 == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "q_id", "qv", "cent_id", cosine(F.col("qv"), F.col("cv")).alias("qs")
-        )
-        .withColumn("r", F.row_number().over(qw))
-        .filter(F.col("r") <= nprobe)
-        .select("q_id", "qv", "cent_id")
+        .select("q_id", "qv", F.explode(nearest_cells("qv")).alias("cent_id"))
     )
     sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
@@ -526,10 +521,9 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     codebook = train_ivf_codebook(emb, k=32, iters=10, sample_per_centroid=16)
-    cents = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(codebook)], "cent_id int, cv array<double>"
+    return _ivf_topk(
+        emb, [(i, c) for i, c in enumerate(codebook)], nprobe=3, topk=5
     )
-    return _ivf_topk(emb, cents, nprobe=3, topk=5)
 
 
 @query(

@@ -56,7 +56,7 @@ def get_spark(app_name: str = "zip-to-parquet-spark") -> SparkSession:
         # Codegen-heavy plans (128-perm MinHash, 60-bit SimHash) overflow the
         # default ~240 MB JIT code cache; once full the JVM silently stops
         # compiling and every later stage runs interpreted at 4-10x cost.
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
