@@ -1,0 +1,158 @@
+"""Dataset-assembly operators for LLM training pipelines: sequence
+packing, deterministic splits, quality gates, repetition statistics.
+
+All four stay JVM-side (Catalyst expressions + keyed shuffles); none needs
+Python in the row path. Scale notes per operator — the packing window runs
+per shard (never a global sort), the split is a stateless map, the quality
+gate is map-only, and repetition stats shuffle on (doc_id, token) whose
+cardinality grows with the corpus (no skewable low-cardinality key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zip_to_parquet_spark.operators.textops import (
+    EN_STOPWORDS,
+    word_shingles,
+    words,
+)
+
+__all__ = [
+    "pack_greedy_contiguous",
+    "train_val_test_split",
+    "gopher_quality",
+    "repetition_stats",
+]
+
+
+def pack_greedy_contiguous(
+    df: DataFrame,
+    ctx: int = 512,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous-fill sequence packing: concatenate documents in id order
+    within a shard and cut every ``ctx`` tokens (documents may straddle a
+    boundary — the GPT-style pretraining packer, as opposed to first-fit
+    bin packing which never splits but shuffles per bin).
+
+    100 TB shape: the running-sum window partitions by ``id % n_shards``,
+    so no global sort and no single-partition window; each shard packs
+    independently and shard count scales with the cluster. Output is one
+    row per document: its shard, token length, the bin (context window)
+    its first token lands in, and its token offset within that bin — all
+    integer arithmetic, exactly reproducible in SQL.
+    """
+    tok = F.size(words(F.col(text_col))).cast("bigint")
+    shard = (F.col(id_col) % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    d = df.select(F.col(id_col), shard.alias("shard"), tok.alias("token_len"))
+    start = (F.sum("token_len").over(w) - F.col("token_len")).alias("start_tok")
+    d = d.select(id_col, "shard", "token_len", start)
+    return d.select(
+        id_col,
+        "shard",
+        "token_len",
+        F.floor(F.col("start_tok") / ctx).cast("bigint").alias("bin_id"),
+        (F.col("start_tok") % ctx).cast("bigint").alias("bin_offset"),
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_hex: str = "cc",
+    val_hex: str = "e6",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the first two hex chars
+    of md5(id): < train_hex → train (0xcc/0x100 ≈ 79.7%), < val_hex → val
+    (≈ 10.2%), else test. Stateless map — no shuffle, no RNG, stable under
+    reruns and repartitioning, and any engine with md5 reproduces it
+    byte-for-byte (the property that matters when train/test membership
+    must never drift across pipeline versions).
+    """
+    bucket = F.substring(
+        F.md5(F.col(id_col).cast("string").cast("binary")), 1, 2
+    )
+    return df.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        F.when(bucket < train_hex, "train")
+        .when(bucket < val_hex, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1 spirit):
+    word count bounds, mean word length bounds, stopword presence. Map-only
+    Catalyst — every signal is a higher-order function over the in-row word
+    array, so the gate runs inside the scan stage at any scale.
+
+    Ratios are emitted unrounded (int/int division is bit-exact across
+    engines); the boolean verdict composes the bounds.
+    """
+    w = words(F.col(text_col))
+    n = F.size(w)
+    mean_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ) / F.greatest(n, F.lit(1))
+    stop_frac = F.size(F.filter(w, lambda x: x.isin(*EN_STOPWORDS))) / F.greatest(
+        n, F.lit(1)
+    )
+    passes = (
+        (n >= 15) & (n <= 100000) & (mean_len >= 3.0) & (mean_len <= 10.0)
+        & (stop_frac > 0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_frac.alias("stop_frac"),
+        passes.alias("passes"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition ratios per document: the fraction of tokens taken by the
+    most frequent token, and of bigrams by the most frequent bigram — the
+    Gopher/C4 repetitive-content signals (high values flag boilerplate and
+    degenerate generation loops).
+
+    Shape: explode → groupBy(doc_id, gram) → groupBy(doc_id). Both
+    shuffles key on (doc_id, gram) / doc_id — cardinality grows with the
+    corpus, no hot key, partial aggregation applies map-side. Fractions
+    are int/int, bit-exact across engines.
+    """
+    base = df.select(F.col(id_col), words(F.col(text_col)).alias("w"))
+
+    def top_frac(grams: DataFrame, out: str) -> DataFrame:
+        return (
+            grams.groupBy(id_col, "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy(id_col)
+            .agg(
+                (F.max("c") / F.sum("c")).alias(out),
+                F.sum("c").alias(f"n_{out}"),
+            )
+        )
+
+    uni = top_frac(
+        base.select(id_col, F.explode("w").alias("g")), "top_word_frac"
+    ).withColumnRenamed("n_top_word_frac", "n_words")
+    big = top_frac(
+        base.select(
+            id_col, F.explode(word_shingles(F.col("w"), n=2)).alias("g")
+        ),
+        "top_bigram_frac",
+    ).withColumnRenamed("n_top_bigram_frac", "n_bigrams")
+    return uni.join(big, id_col).select(
+        id_col, "n_words", "top_word_frac", "n_bigrams", "top_bigram_frac"
+    )

@@ -75,6 +75,14 @@ set_priority([
     "text_quality_score",
     "sha256_documents",
     "glob_filter_names",
+    # new this round: dataset-assembly operators (all new code needs a
+    # driver row; the four relational keys they displace — window_lag_delta,
+    # window_moving_sum, agg_rollup, agg_cube — are r1 hash-green and
+    # untouched)
+    "pack_sequences",
+    "dataset_split",
+    "quality_gopher_rules",
+    "repetition_ratios",
     # representative relational coverage
     "filter_pushdown_project",
     "join_broadcast_dim",
@@ -83,10 +91,6 @@ set_priority([
     "q6_forecast_revenue",
     "topk_orders",
     "window_rank_topn",
-    "window_lag_delta",
-    "window_moving_sum",
-    "agg_rollup",
-    "agg_cube",
     "pivot_event_counts",
 ])
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from zip_to_parquet_spark.operators import textops
+from zip_to_parquet_spark.operators import pipeline, textops
 from zip_to_parquet_spark.operators.dedupe import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -663,3 +663,117 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.posexplode(chunks)).select(
         "doc_id", F.col("pos").cast("int").alias("chunk_idx"), F.col("col").alias("chunk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly (packing, splits, quality gates, repetition)
+# ---------------------------------------------------------------------------
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, (doc_id % 32)::INT AS shard,
+             len(string_split(text, ' '))::BIGINT AS token_len
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, token_len,
+             (sum(token_len) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - token_len)::BIGINT AS start_tok
+      FROM t
+    )
+    SELECT doc_id, shard, token_len,
+           floor(start_tok / 512)::BIGINT AS bin_id,
+           (start_tok % 512)::BIGINT AS bin_offset
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing into 512-token context windows,
+    32 packing shards (operators/pipeline.pack_greedy_contiguous). The
+    running-sum window is per-shard — no global sort at any scale."""
+    return pipeline.pack_greedy_contiguous(
+        load_table(spark, sf_dir, "documents"), ctx=512, n_shards=32
+    )
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 2) AS bucket,
+           CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-prefix train/val/test split (~80/10/10) —
+    stateless map, reproducible byte-for-byte by any engine with md5
+    (operators/pipeline.train_val_test_split)."""
+    return pipeline.train_val_test_split(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_gopher_rules",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    q AS (
+      SELECT doc_id, len(w) AS n_words,
+             list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                 / greatest(len(w), 1) AS mean_word_len,
+             len(list_filter(w,
+                 x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+                 / greatest(len(w), 1) AS stop_frac
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, stop_frac,
+           (n_words >= 15 AND n_words <= 100000 AND mean_word_len >= 3.0
+            AND mean_word_len <= 10.0 AND stop_frac > 0.0) AS passes
+    FROM q
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: word-count bounds, mean-word-length
+    bounds, stopword presence (operators/pipeline.gopher_quality).
+    Map-only; ratios unrounded (int/int is bit-exact across engines)."""
+    return pipeline.gopher_quality(_documents_spread(spark, sf_dir))
+
+
+@query(
+    "repetition_ratios",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    uni AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS g FROM t) GROUP BY doc_id, g
+    ),
+    us AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_word_frac,
+             sum(c)::BIGINT AS n_words
+      FROM uni GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> array_to_string(w[i:i+1], ' '))) AS g
+        FROM t WHERE len(w) >= 2
+      ) GROUP BY doc_id, g
+    ),
+    bs AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac,
+             sum(c)::BIGINT AS n_bigrams
+      FROM bg GROUP BY doc_id
+    )
+    SELECT us.doc_id, n_words, top_word_frac, n_bigrams, top_bigram_frac
+    FROM us JOIN bs ON us.doc_id = bs.doc_id
+    """,
+)
+def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-token and top-bigram mass fractions per document — the
+    Gopher/C4 repetitive-content signals
+    (operators/pipeline.repetition_stats). Shuffles key on (doc_id, gram):
+    cardinality grows with the corpus, no hot key."""
+    return pipeline.repetition_stats(_documents_spread(spark, sf_dir))
