@@ -58,6 +58,18 @@ def test_minhash_lsh_finds_exact_and_near(spark, docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_text_path_identical_to_shingled_path(spark, docs):
+    # The text-first UDF (Python shingling) must reproduce the shingled
+    # path bit-for-bit: same hash family, same buckets, same jaccard.
+    from zip_to_parquet_spark.operators.dedupe import minhash_lsh_pairs_docs
+
+    via_shingles = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+                    minhash_lsh_pairs(shingle_sets(docs), threshold=0.7).collect()}
+    via_text = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+                minhash_lsh_pairs_docs(docs, threshold=0.7).collect()}
+    assert via_text == via_shingles and via_text
+
+
 def test_simhash_identical_and_different(spark, docs):
     out = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert out[1] == out[2]  # identical text -> identical signature

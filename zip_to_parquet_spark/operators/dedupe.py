@@ -32,6 +32,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "minhash_band_hashes_from_text_udf",
+    "minhash_lsh_pairs_docs",
     "simhash",
     "simhash_pairs",
 ]
@@ -218,6 +220,122 @@ def minhash_band_hashes_udf(k: int = 128, bands: int = 32, seed: int = 42):
         return pd.Series(out)
 
     return band_hashes
+
+
+def minhash_band_hashes_from_text_udf(
+    k: int = 128, bands: int = 32, seed: int = 42, n: int = 3
+):
+    """Arrow-batched numpy MinHash banding straight from text: string →
+    array<long> of ``bands`` LSH band hashes, building the distinct n-word
+    shingle set in Python on the way.
+
+    Same hash family and band encoding as ``minhash_band_hashes_udf``
+    (bit-identical output), but skips materializing the shingle arrays as
+    Catalyst values for the whole corpus — profiling at sf0.1 showed the
+    HOF shingling (slice + array_join + array_distinct per shingle) was
+    ~2/3 of the whole pipeline's CPU. Shingle semantics mirror
+    ``shingle_sets`` exactly: ``split(text, ' ')`` (keeping empty tokens,
+    like Spark's split), windows of n, space-joined, de-duplicated.
+    Documents with fewer than n words get no shingles and must be filtered
+    out upstream (same contract as the shingled path)."""
+    import zlib
+
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    assert k % bands == 0
+    r = k // bands
+    coeffs = _minhash_coeffs(k, seed)
+    a_vec = np.array([a for a, _ in coeffs], dtype=np.uint64)
+    b_vec = np.array([b for _, b in coeffs], dtype=np.uint64)
+    p = np.uint64(_MERSENNE_P)
+
+    @pandas_udf("array<long>")
+    def band_hashes(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            w = text.split(" ")
+            sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+            if not sh:
+                out.append([0] * bands)
+                continue
+            h = np.fromiter(
+                (zlib.crc32(s.encode()) for s in sh),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            mins = ((a_vec[:, None] * h[None, :] + b_vec[:, None]) % p).min(
+                axis=1
+            ).astype(np.int64)
+            out.append(
+                [int(zlib.crc32(mins[i * r : (i + 1) * r].tobytes())) for i in range(bands)]
+            )
+        return pd.Series(out)
+
+    return band_hashes
+
+
+def minhash_lsh_pairs_docs(
+    docs: DataFrame,
+    threshold: float,
+    k: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs from raw documents — the corpus-
+    scale variant of ``minhash_lsh_pairs``.
+
+    Two structural wins over banding a pre-shingled DataFrame:
+    (1) the full-corpus pass is ONE Arrow-batched UDF from text (shingling
+    + crc32 + minhash in a single numpy kernel per batch) — no Catalyst
+    shingle arrays materialize for the 99.9% of documents that never
+    become candidates; (2) the exact-verify join builds shingle sets only
+    for documents that appear in a candidate pair (an equi-join with the
+    distinct candidate-id set), so verify cost scales with duplicate
+    density, not corpus size. Output is identical to
+    ``minhash_lsh_pairs(shingle_sets(docs), ...)``: same hash family, same
+    buckets, same exact-jaccard verification.
+    """
+    sig = minhash_band_hashes_from_text_udf(k=k, bands=bands, seed=seed, n=n)
+    # Same contract as the shingled path: docs with < n words have no
+    # shingles, can't be near-duplicates, and would otherwise form one
+    # degenerate all-zeros mega-bucket.
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).filter(F.size(words(F.col("text"))) >= n)
+    banded = base.select("doc_id", F.posexplode(sig("text"))).select(
+        "doc_id", F.col("pos").alias("band_idx"), F.col("col").alias("band_hash")
+    )
+    cand = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = shingle_sets(base.join(cand_ids, "doc_id"), n=n)
+    sa = sh_cand.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh_cand.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_lsh_pairs(

@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 from zip_to_parquet_spark.operators import pipeline, textops
 from zip_to_parquet_spark.operators.dedupe import (
     exact_dedup,
-    minhash_lsh_pairs,
+    minhash_lsh_pairs_docs,
     ngram_jaccard_pairs,
     shingle_sets,
     simhash,
@@ -129,9 +129,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128)+LSH(32 bands) with exact verify. The oracle is the
     ground-truth exact join: recall at j≥0.8 is 1-(1-0.8⁴)³² ≈ 1-5e-8 per
     pair and the hash family is fixed-seed, so Spark output == exact output
-    deterministically on this data."""
-    sh = shingle_sets(_documents_spread(spark, sf_dir))
-    return minhash_lsh_pairs(sh, threshold=0.8)
+    deterministically on this data.
+
+    Text-first path (minhash_lsh_pairs_docs): the corpus-wide pass is one
+    Arrow-batched UDF; Catalyst shingle arrays materialize only for the
+    candidate-pair documents, so verify cost tracks duplicate density."""
+    return minhash_lsh_pairs_docs(_documents_spread(spark, sf_dir), threshold=0.8)
 
 
 @query("dedup_simhash")
