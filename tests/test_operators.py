@@ -237,3 +237,26 @@ def test_ivf_trained_recall_floor(spark):
     assert exact, "exact top-k returned nothing"
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.3, f"trained IVF recall collapsed: {recall:.3f}"
+
+
+def test_wav_roundtrip_real_decode(spark):
+    # synth_wav writes a genuine RIFF/WAVE container; audio_features must
+    # recover the embedded params by parsing it, and the decoded PCM must
+    # have sine-wave statistics: rms ≈ A/√2, zcr ≈ 2f/sr.
+    import math
+
+    from zip_to_parquet_spark.operators.multimodal import (
+        audio_features,
+        synth_wav,
+        _wav_params,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (0, 7, 123)], "doc_id long")
+    out = {r.doc_id: r for r in audio_features(synth_wav(ids)).collect()}
+    for doc_id in (0, 7, 123):
+        sr, n, freq = _wav_params(doc_id)
+        r = out[doc_id]
+        assert (r.n_channels, r.sample_rate, r.n_samples) == (1, sr, n)
+        assert r.duration_ms == n * 1000 // sr
+        assert math.isclose(r.rms, 12000 / math.sqrt(2), rel_tol=0.02)
+        assert math.isclose(r.zcr, 2 * freq / sr, rel_tol=0.05)

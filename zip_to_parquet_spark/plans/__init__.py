@@ -75,14 +75,15 @@ set_priority([
     "text_quality_score",
     "sha256_documents",
     "glob_filter_names",
-    # new this round: dataset-assembly operators (all new code needs a
-    # driver row; the four relational keys they displace — window_lag_delta,
-    # window_moving_sum, agg_rollup, agg_cube — are r1 hash-green and
-    # untouched)
+    # new this round: dataset-assembly + real-WAV operators (all new code
+    # needs a driver row; the five relational keys they displace —
+    # window_lag_delta, window_moving_sum, agg_rollup, agg_cube,
+    # pivot_event_counts — are r1 hash-green and untouched)
     "pack_sequences",
     "dataset_split",
     "quality_gopher_rules",
     "repetition_ratios",
+    "multimodal_wav_roundtrip",
     # representative relational coverage
     "filter_pushdown_project",
     "join_broadcast_dim",
@@ -91,7 +92,6 @@ set_priority([
     "q6_forecast_revenue",
     "topk_orders",
     "window_rank_topn",
-    "pivot_event_counts",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

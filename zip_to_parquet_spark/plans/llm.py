@@ -32,8 +32,10 @@ from zip_to_parquet_spark.operators.dedupe import (
 )
 from zip_to_parquet_spark.operators.multimodal import (
     attach_media_metadata,
+    audio_features,
     decode_media,
     sample_frames,
+    synth_wav,
 )
 from zip_to_parquet_spark.operators.vectors import (
     cosine,
@@ -780,3 +782,30 @@ def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/pipeline.repetition_stats). Shuffles key on (doc_id, gram):
     cardinality grows with the corpus, no hot key."""
     return pipeline.repetition_stats(_documents_spread(spark, sf_dir))
+
+
+@query(
+    "multimodal_wav_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           (800 + (doc_id % 100) * 8)::BIGINT AS n_samples,
+           ((800 + (doc_id % 100) * 8) * 1000 // 8000)::BIGINT AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path: synthesize a genuine RIFF/WAVE payload per
+    document (16-bit mono PCM sine, parameters a pure function of doc_id),
+    then parse it back with the stdlib wave reader and recover the
+    embedded parameters (operators/multimodal.synth_wav / audio_features).
+    Unlike the stubbed image/video codecs, nothing here is faked — the
+    oracle predicts what was embedded, the engine must parse the container
+    to recover it. Signal features (rms, zcr) are asserted in pytest
+    (their doubles depend on libm sin, not SQL-reproducible)."""
+    d = _documents_spread(spark, sf_dir).select("doc_id")
+    feats = audio_features(synth_wav(d))
+    return feats.select(
+        "doc_id", "n_channels", "sample_rate", "n_samples", "duration_ms"
+    )
