@@ -114,3 +114,19 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_b")
         spark.sql("DROP TABLE IF EXISTS t_o_b")
+
+
+def test_decontam_broadcasts_eval_grams(spark):
+    # The eval side must broadcast (benchmark suites are small); a
+    # SortMergeJoin here means the whole training corpus shuffles on the
+    # gram key at 100 TB.
+    plan = plan_of(spark, "decontam_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_redact_is_map_only(spark):
+    # Redaction is a stateless projection: the only exchange allowed is
+    # the corpus spread helper's round-robin (no keyed shuffle, no join).
+    plan = plan_of(spark, "pii_redact_counts")
+    assert "Join" not in plan

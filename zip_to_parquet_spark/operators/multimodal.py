@@ -37,9 +37,12 @@ __all__ = [
     "sample_frames",
     "synth_wav",
     "audio_features",
+    "synth_png",
+    "png_features",
     "MEDIA_FEATURE_SCHEMA",
     "FRAME_SCHEMA",
     "AUDIO_FEATURE_SCHEMA",
+    "PNG_FEATURE_SCHEMA",
 ]
 
 _MIME_BY_MOD = ["image/png", "audio/wav", "video/mp4"]
@@ -272,3 +275,224 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real image path: PNG is decodable with the stdlib alone (zlib + struct), so
+# like the WAV path this is a genuine encode → container → parse → defilter →
+# feature-extract round trip. The encoder cycles all five PNG scanline filter
+# types (None/Sub/Up/Average/Paeth), so a "decoder" that skips defiltering —
+# or only handles filter 0 — produces the wrong pixel sum and fails the
+# oracle. This is the exact seam a PIL/OpenCV deployment would occupy.
+# ---------------------------------------------------------------------------
+
+PNG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("color_type", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("px_sum", LongType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) as a pure function of doc_id — SQL-expressible so
+    the oracle can predict the embedded dimensions AND recompute the exact
+    pixel sum of the generative gradient from first principles."""
+    return 8 + doc_id % 25, 8 + (doc_id % 7) * 3
+
+
+def _png_pixels(doc_id: int, width: int, height: int):
+    """Grayscale gradient pixel(x, y) = (x + 2y + doc_id) mod 251. The
+    prime modulus keeps rows from repeating with a byte-aligned period, so
+    filtered scanlines differ from raw ones and defiltering is load-bearing."""
+    import numpy as np
+
+    xs = np.arange(width, dtype=np.int64)
+    ys = np.arange(height, dtype=np.int64)
+    return ((xs[None, :] + 2 * ys[:, None] + doc_id) % 251).astype(np.uint8)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(img) -> bytes:
+    """Minimal standards-conforming PNG encoder: 8-bit grayscale, one IDAT,
+    per-row filter type = row mod 5 (exercises None/Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        row = img[y].astype(np.int64)
+        ft = y % 5
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub: subtract left neighbor
+            filt = row - np.concatenate(([0], row[:-1]))
+        elif ft == 2:  # Up: subtract pixel above
+            filt = row - prev
+        elif ft == 3:  # Average of left and above
+            filt = row - (np.concatenate(([0], row[:-1])) + prev) // 2
+        else:  # Paeth predictor (left, above, above-left)
+            filt = np.empty(w, dtype=np.int64)
+            for x in range(w):
+                a = int(row[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                filt[x] = int(row[x]) - _paeth(a, b, c)
+        raw.append(ft)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(data: bytes):
+    """Real PNG decoder for 8-bit grayscale: walks the chunk stream
+    (verifying CRCs), inflates the concatenated IDATs, and reverses all
+    five scanline filters. Returns (width, height, bit_depth, color_type,
+    image ndarray)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, _, _, interlace = ihdr
+    if (bit_depth, color_type, interlace) != (8, 0, 0):
+        raise ValueError("decoder supports 8-bit non-interlaced grayscale only")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    img = np.zeros((h, w), dtype=np.int64)
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (w + 1)]
+        filt = np.frombuffer(raw, np.uint8, w, y * (w + 1) + 1).astype(np.int64)
+        if ft == 0:
+            row = filt
+        elif ft == 1:  # Sub: cumulative sum restores left-neighbor chain
+            row = np.cumsum(filt) % 256
+        elif ft == 2:
+            row = (filt + prev) % 256
+        elif ft == 3:
+            row = np.empty(w, dtype=np.int64)
+            left = 0
+            for x in range(w):
+                left = (filt[x] + (left + prev[x]) // 2) % 256
+                row[x] = left
+        elif ft == 4:
+            row = np.empty(w, dtype=np.int64)
+            for x in range(w):
+                a = int(row[x - 1]) if x else 0
+                c = int(prev[x - 1]) if x else 0
+                row[x] = (filt[x] + _paeth(a, int(prev[x]), c)) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        img[y] = row
+        prev = row
+    return w, h, bit_depth, color_type, img.astype(np.uint8)
+
+
+def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with payload = a real PNG file: 8-bit grayscale
+    gradient whose dimensions and pixels derive from doc_id (_png_params /
+    _png_pixels). Arrow-batched mapInPandas, deterministic bytes."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                w, h = _png_params(int(doc_id))
+                payloads.append(_encode_png(_png_pixels(int(doc_id), w, h)))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(
+        gen,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+def png_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image decode: parse each payload as a PNG (chunk walk + CRC
+    check + zlib inflate + scanline defilter, stdlib only), recover the
+    header fields, and compute the pixel sum from the DECODED image.
+    Because the encoder cycles all five filter types, the pixel sum is
+    only correct if defiltering is faithfully implemented — which is what
+    the SQL oracle (recomputing the generative gradient) checks.
+    Map-only mapInPandas: the 100 TB shape for media feature extraction."""
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, depth, ctype, img = _decode_png(bytes(b))
+                rows.append(
+                    (int(doc_id), w, h, depth, ctype, w * h, int(img.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "bit_depth", "color_type",
+                    "n_pixels", "px_sum",
+                ],
+            )
+
+    return df.mapInPandas(extract, schema=PNG_FEATURE_SCHEMA)

@@ -25,6 +25,9 @@ __all__ = [
     "train_val_test_split",
     "gopher_quality",
     "repetition_stats",
+    "decontaminate_ngrams",
+    "pii_redact",
+    "PII_PATTERNS",
 ]
 
 
@@ -156,3 +159,65 @@ def repetition_stats(
     return uni.join(big, id_col).select(
         id_col, "n_words", "top_word_frac", "n_bigrams", "top_bigram_frac"
     )
+
+
+def decontaminate_ngrams(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination by exact n-gram collision: flag every
+    training document sharing at least one n-word shingle with the eval
+    set, with the count of distinct shared shingles.
+
+    The standard pre-training hygiene step (GPT-3 appendix C / PaLM-style
+    13-gram overlap, here parameterized). Plan shape for 100 TB: the eval
+    side (a benchmark suite — megabytes, not terabytes) collapses to a
+    DISTINCT gram set and is broadcast, so the training side never
+    shuffles: scan → in-row shingling (codegen HOFs, no explode until the
+    gram join) → broadcast-hash semi-style join → per-doc count. Training
+    grams are deduped in-row (`array_distinct`) and eval grams globally,
+    so a plain `count(*)` after the join IS the distinct-collision count —
+    no count_distinct re-shuffle. Set ``broadcast_eval=False`` only if the
+    eval corpus is itself huge; the join then shuffles on the gram key
+    (high cardinality, no hot keys beyond natural stop-gram skew)."""
+    gram = lambda d: F.explode(  # noqa: E731
+        F.array_distinct(word_shingles(words(F.col(text_col)), n))
+    ).alias("gram")
+    tg = train.select(F.col(id_col), gram(train))
+    eg = eval_df.select(gram(eval_df)).distinct()
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    return (
+        tg.join(eg, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )
+
+
+# (label, java-and-RE2-compatible pattern) — kept to constructs whose
+# semantics agree between Spark's java.util.regex and DuckDB's RE2 so
+# redaction is oracle-checkable byte-for-byte.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII-shaped spans (emails, IPv4 addresses, dashed phone
+    numbers) and count hits per pattern. Map-only Catalyst
+    ``regexp_count`` / ``regexp_replace`` chain — stays inside
+    whole-stage codegen, embarrassingly parallel at any scale. Patterns
+    apply in declaration order; counts are taken on the incoming text
+    (the patterns cannot produce one another's matches)."""
+    out = df
+    redacted = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn("redacted", redacted)

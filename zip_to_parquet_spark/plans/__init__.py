@@ -75,8 +75,8 @@ set_priority([
     "text_quality_score",
     "sha256_documents",
     "glob_filter_names",
-    # new this round: dataset-assembly + real-WAV operators (all new code
-    # needs a driver row; the five relational keys they displace —
+    # new this round: dataset-assembly + real-codec (WAV/PNG) operators
+    # (all new code needs a driver row; the relational keys they displace —
     # window_lag_delta, window_moving_sum, agg_rollup, agg_cube,
     # pivot_event_counts — are r1 hash-green and untouched)
     "pack_sequences",
@@ -84,14 +84,16 @@ set_priority([
     "quality_gopher_rules",
     "repetition_ratios",
     "multimodal_wav_roundtrip",
-    # representative relational coverage
+    "multimodal_png_roundtrip",
+    "decontam_ngram_overlap",
+    "pii_redact_counts",
+    # representative relational coverage (topk_orders / window_rank_topn
+    # rotated out for the two hygiene ops above — r1 hash-green, untouched)
     "filter_pushdown_project",
     "join_broadcast_dim",
     "join_multiway_q5",
     "q3_shipping_priority",
     "q6_forecast_revenue",
-    "topk_orders",
-    "window_rank_topn",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

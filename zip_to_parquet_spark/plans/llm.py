@@ -34,7 +34,9 @@ from zip_to_parquet_spark.operators.multimodal import (
     attach_media_metadata,
     audio_features,
     decode_media,
+    png_features,
     sample_frames,
+    synth_png,
     synth_wav,
 )
 from zip_to_parquet_spark.operators.vectors import (
@@ -808,4 +810,142 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = audio_features(synth_wav(d))
     return feats.select(
         "doc_id", "n_channels", "sample_rate", "n_samples", "duration_ms"
+    )
+
+
+@query(
+    "multimodal_png_roundtrip",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               8 + doc_id % 25 AS w,
+               8 + (doc_id % 7) * 3 AS h
+        FROM documents
+    ),
+    xs AS (SELECT range AS x FROM range(0, 33)),
+    ys AS (SELECT range AS y FROM range(0, 33))
+    SELECT p.doc_id,
+           p.w::INT AS width,
+           p.h::INT AS height,
+           8 AS bit_depth,
+           0 AS color_type,
+           (p.w * p.h)::BIGINT AS n_pixels,
+           SUM((xs.x + 2 * ys.y + p.doc_id) % 251)::BIGINT AS px_sum
+    FROM p, xs, ys
+    WHERE xs.x < p.w AND ys.y < p.h
+    GROUP BY p.doc_id, p.w, p.h
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path: synthesize a genuine PNG per document
+    (8-bit grayscale gradient, dimensions and pixels pure functions of
+    doc_id), then parse it back — chunk walk, CRC verify, zlib inflate,
+    scanline defilter across all five PNG filter types — and recover the
+    header fields plus the pixel sum of the DECODED image
+    (operators/multimodal.synth_png / png_features). The oracle recomputes
+    the generative gradient's pixel sum from first principles in SQL, so a
+    decoder that skips or botches defiltering fails the hash. Map-only,
+    no shuffle until the driver's compare."""
+    d = _documents_spread(spark, sf_dir).select("doc_id")
+    return png_features(synth_png(d))
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 2),
+                    i -> array_to_string(w[i:i+3], ' ')))) AS gram
+      FROM t
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, COUNT(*)::BIGINT AS n_shared
+    FROM tr JOIN ev USING (gram)
+    GROUP BY tr.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 97th document plays the held-out
+    eval set; training documents sharing any 4-word shingle with it are
+    flagged with their distinct-collision count
+    (operators/pipeline.decontaminate_ngrams). n=4 on this fixture's tiny
+    vocabulary plays the role 13-grams do on real text: selective but
+    non-empty (n=3 flags a third of the corpus, n=5 almost nothing). The
+    eval gram set is broadcast — at 100 TB the training side stays
+    map-side (scan → in-row shingling → broadcast join → per-doc count),
+    no gram shuffle."""
+    d = _documents_spread(spark, sf_dir)
+    return pipeline.decontaminate_ngrams(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        n=4,
+    )
+
+
+@query(
+    "pii_redact_counts",
+    oracle=r"""
+    WITH dirty AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' 10.' || (doc_id % 256) || '.0.' || (doc_id % 97)
+                ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                     || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+           len(regexp_extract_all(t,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ipv4,
+           len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))::INT AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+    FROM dirty
+    """,
+)
+def pii_redact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministically-dirtied corpus: synthetic
+    emails / IPv4s / phone numbers derived from doc_id are appended to the
+    text (same synthesize-then-recover pattern as the WAV/PNG round
+    trips), then operators/pipeline.pii_redact counts and replaces them.
+    The oracle rebuilds the identical dirty text in SQL and md5s the
+    redacted output, so both the match counts AND the exact redacted bytes
+    are verified. Map-only codegen — no shuffle at any scale."""
+    d = _documents_spread(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" 10."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit(".0."), (F.col("doc_id") % 97).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" 555-"),
+                     F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                     F.lit("-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    out = pipeline.pii_redact(d.select("doc_id", dirty.alias("text")))
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
     )
