@@ -302,3 +302,48 @@ def test_png_roundtrip_real_decode(spark):
         assert (r.width, r.height, r.bit_depth, r.color_type) == (w, h, 8, 0)
         assert r.n_pixels == w * h
         assert r.px_sum == int(_png_pixels(doc_id, w, h).sum())
+
+
+def test_gemm_topk_matches_catalyst_brute_force(spark):
+    # The GEMM partial-top-k path must reproduce the pure-Catalyst
+    # broadcast-join + global-window formulation EXACTLY (same doubles:
+    # the numpy dot accumulates sequentially over dimensions).
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from zip_to_parquet_spark.operators.vectors import (
+        cosine,
+        gemm_topk_candidates,
+    )
+    from zip_to_parquet_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+
+    qrows = sorted(q.collect(), key=lambda r: r[0])
+    cand = gemm_topk_candidates(
+        emb, [r[0] for r in qrows], [list(r[1]) for r in qrows], k=5
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    gemm = (
+        cand.select("q_id", "n_id", F.round("cos_sim_raw", 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+    qb = q.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("v").alias("cv"))
+    ref = (
+        c.join(F.broadcast(qb), F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id", "n_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    got = sorted(tuple(r) for r in gemm.collect())
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got == want

@@ -20,6 +20,7 @@ __all__ = [
     "hyperplane_multitable_udf",
     "cosine_lsh_pairs",
     "train_ivf_codebook",
+    "gemm_topk_candidates",
 ]
 
 
@@ -250,3 +251,92 @@ def train_ivf_codebook(
             else:
                 cents[j] = x[rng.randint(len(x))]
     return [[float(v) for v in c] for c in cents]
+
+
+def gemm_topk_candidates(
+    corpus,
+    q_ids,
+    q_vecs,
+    k: int = 5,
+    margin: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+):
+    """Brute-force exact cosine scoring with per-batch partial top-k:
+    returns (q_id, n_id, cos_sim_raw) candidate rows, ≥ the true top-k
+    per query, scored identically to the Catalyst ``cosine()`` column.
+
+    The scale fix over the naive broadcast-join + global window: the full
+    N×Q similarity matrix never reaches a shuffle. Each Arrow batch scores
+    all queries with vectorized numpy and emits only the (k+margin) best
+    candidates per query, so shuffle volume is O(batches × Q × k) instead
+    of O(N × Q) — at 100 TB that is the difference between a rank window
+    over trillions of rows and one over a few million.
+
+    Bit-parity with the Catalyst/DuckDB sequential dot product is
+    preserved by accumulating over DIMENSIONS in order (``acc +=
+    outer(c_d, q_d)``): vectorized across pairs, sequential per pair —
+    the same left-to-right double additions as ``F.aggregate``. Final
+    rounding/ranking stays in Spark SQL downstream, so oracle tie-breaks
+    are decided by exactly the same engine arithmetic as before; the
+    in-batch preselection orders by (numpy round 6, id) with a ``margin``
+    cushion against cross-engine rounding drift at the cut line.
+
+    Zero-norm vectors (query or corpus) are excluded here, matching
+    ``try_divide`` NULL semantics downstream (NULL never enters top-k).
+    """
+    import numpy as np
+
+    qm = np.asarray(q_vecs, dtype=np.float64)  # (Q, dim)
+    qid = np.asarray(q_ids, dtype=np.int64)
+    if qm.ndim != 2 or not len(qm):
+        raise ValueError("query set must be a non-empty (Q, dim) matrix")
+
+    def _seq_sq_norm(m):
+        acc = np.zeros(len(m))
+        for d in range(m.shape[1]):
+            acc = acc + m[:, d] * m[:, d]
+        return np.sqrt(acc)
+
+    qn = _seq_sq_norm(qm)
+    take = k + margin
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cid = pdf[id_col].to_numpy(dtype=np.int64)
+            dot = np.zeros((len(cm), len(qm)))
+            for d in range(cm.shape[1]):
+                dot = dot + np.outer(cm[:, d], qm[:, d])
+            den = np.outer(_seq_sq_norm(cm), qn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = dot / den
+            sim[den == 0.0] = np.nan
+            sim[cid[:, None] == qid[None, :]] = np.nan  # self-match
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qm)):
+                col = sim[:, j]
+                valid = ~np.isnan(col)
+                idx = np.flatnonzero(valid)
+                if not len(idx):
+                    continue
+                # Preselect by the FINAL ordering (rounded desc, id asc);
+                # margin absorbs numpy-vs-JVM rounding drift at the cut.
+                order = np.lexsort((cid[idx], -np.round(col[idx], 6)))
+                sel = idx[order[:take]]
+                out_q.extend([qid[j]] * len(sel))
+                out_n.extend(cid[sel])
+                out_s.extend(col[sel])
+            yield pd.DataFrame(
+                {"q_id": np.array(out_q, dtype=np.int64),
+                 "n_id": np.array(out_n, dtype=np.int64),
+                 "cos_sim_raw": np.array(out_s, dtype=np.float64)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="q_id long, n_id long, cos_sim_raw double"
+    )

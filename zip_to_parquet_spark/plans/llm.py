@@ -42,6 +42,7 @@ from zip_to_parquet_spark.operators.multimodal import (
 from zip_to_parquet_spark.operators.vectors import (
     cosine,
     cosine_lsh_pairs,
+    gemm_topk_candidates,
     hyperplane_multitable_udf,
     ivf_assign_udfs,
     train_ivf_codebook,
@@ -193,22 +194,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: broadcast the query set against the corpus,
-    rank per query. Ranking is on the ROUNDED similarity with vec_id
-    tie-break, so ordering is deterministic and engine-independent. This is
-    the exact baseline; the LSH variant below is the scale path."""
+    """Brute-force cosine top-k, GEMM-scored: the bounded query set (ANN
+    query batches are user-supplied and small by contract — same driver-
+    side discipline as the IVF codebook) ships in the UDF closure; each
+    Arrow batch scores all queries with vectorized numpy and emits only a
+    per-batch partial top-k, so the N×Q similarity matrix never reaches a
+    shuffle (operators/vectors.gemm_topk_candidates — the r1 version
+    shuffled all N×Q rows into one global rank window). Final rounding +
+    rank + tie-break stay in Spark SQL, bit-matching the oracle: the
+    numpy dot accumulates sequentially over dimensions, reproducing
+    F.aggregate/DuckDB doubles exactly. Exact baseline; LSH/IVF are the
+    sub-linear scale paths."""
     emb = _embeddings_spread(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") % 25 == 0).collect(), key=lambda r: r[0]
     )
-    c = emb.select(F.col("vec_id").alias("n_id"), F.col("v").alias("cv"))
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    cand = gemm_topk_candidates(
+        emb, [r[0] for r in qrows], [list(r[1]) for r in qrows], k=5
+    )
+    sim = F.round(F.col("cos_sim_raw"), 6)
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
     return (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", sim.alias("cos_sim"))
+        cand.select("q_id", "n_id", sim.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
