@@ -347,3 +347,78 @@ def test_gemm_topk_matches_catalyst_brute_force(spark):
     got = sorted(tuple(r) for r in gemm.collect())
     want = sorted(tuple(r) for r in ref.collect())
     assert got == want
+
+
+def test_png_resize_nearest_neighbor(spark):
+    # Resize must sample from the genuinely-decoded image with the integer
+    # nearest-neighbor mapping x_src = x*w_in // w_out.
+    import numpy as np
+
+    from zip_to_parquet_spark.operators.multimodal import (
+        _png_params,
+        _png_pixels,
+        png_resize_features,
+        synth_png,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (2, 9, 100)], "doc_id long")
+    rows = {r.doc_id: r for r in png_resize_features(synth_png(ids)).collect()}
+    for doc_id in (2, 9, 100):
+        w, h = _png_params(doc_id)
+        img = _png_pixels(doc_id, w, h).astype(np.int64)
+        xs = (np.arange(8) * w) // 8
+        ys = (np.arange(8) * h) // 8
+        small = img[np.ix_(ys, xs)]
+        r = rows[doc_id]
+        assert (r.out_w, r.out_h) == (8, 8)
+        assert r.px_sum == int(small.sum())
+        assert r.top_left == int(small[0, 0])
+        assert r.bottom_right == int(small[7, 7])
+
+
+def test_codec_roundtrip_properties():
+    # Property tests: the PNG encoder/decoder round-trips ARBITRARY
+    # grayscale images (not just the generative gradient), and the WAV
+    # path round-trips arbitrary PCM lengths.
+    import io
+    import wave as wavmod
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zip_to_parquet_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def png_prop(w, h, seed):
+        img = np.random.RandomState(seed).randint(0, 256, (h, w), np.uint8)
+        dw, dh, depth, ctype, out = _decode_png(_encode_png(img))
+        assert (dw, dh, depth, ctype) == (w, h, 8, 0)
+        assert np.array_equal(out, img)
+
+    @settings(max_examples=20, deadline=None)
+    @given(n=st.integers(1, 5000), seed=st.integers(0, 2**31 - 1))
+    def wav_prop(n, seed):
+        pcm = np.random.RandomState(seed).randint(-(2**15), 2**15, n)
+        pcm = pcm.astype(np.int16)
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as wr:
+            wr.setnchannels(1)
+            wr.setsampwidth(2)
+            wr.setframerate(16000)
+            wr.writeframes(pcm.tobytes())
+        with wavmod.open(io.BytesIO(buf.getvalue()), "rb") as rd:
+            assert rd.getnframes() == n
+            got = np.frombuffer(rd.readframes(n), dtype=np.int16)
+        assert np.array_equal(got, pcm)
+
+    png_prop()
+    wav_prop()

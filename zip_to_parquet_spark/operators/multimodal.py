@@ -39,6 +39,7 @@ __all__ = [
     "audio_features",
     "synth_png",
     "png_features",
+    "png_resize_features",
     "MEDIA_FEATURE_SCHEMA",
     "FRAME_SCHEMA",
     "AUDIO_FEATURE_SCHEMA",
@@ -496,3 +497,56 @@ def png_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema=PNG_FEATURE_SCHEMA)
+
+
+def png_resize_features(
+    df: DataFrame, out_w: int = 8, out_h: int = 8, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image resize: decode each PNG (full parse + defilter), then
+    nearest-neighbor downsample to (out_w, out_h) with numpy fancy
+    indexing — source pixel (x·w_in // w_out, y·h_in // h_out), the
+    classic integer nearest-neighbor mapping — and emit the resized
+    image's pixel sum and corner checksum. Because the mapping is pure
+    integer arithmetic over the generative gradient, a SQL oracle can
+    recompute the expected sums exactly: the decode AND the resample are
+    both verified. Map-only mapInPandas, same shape as png_features."""
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                w, h, _, _, img = _decode_png(bytes(b))
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                small = img[np.ix_(ys, xs)].astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id), out_w, out_h,
+                        int(small.sum()),
+                        int(small[0, 0]), int(small[out_h - 1, out_w - 1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "out_w", "out_h", "px_sum",
+                    "top_left", "bottom_right",
+                ],
+            )
+
+    return df.mapInPandas(
+        resize,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("out_w", IntegerType()),
+                StructField("out_h", IntegerType()),
+                StructField("px_sum", LongType()),
+                StructField("top_left", IntegerType()),
+                StructField("bottom_right", IntegerType()),
+            ]
+        ),
+    )

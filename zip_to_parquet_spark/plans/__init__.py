@@ -85,14 +85,15 @@ set_priority([
     "repetition_ratios",
     "multimodal_wav_roundtrip",
     "multimodal_png_roundtrip",
+    "multimodal_png_resize",
     "decontam_ngram_overlap",
     "pii_redact_counts",
-    # representative relational coverage (topk_orders / window_rank_topn
-    # rotated out for the two hygiene ops above — r1 hash-green, untouched)
+    # representative relational coverage (topk_orders / window_rank_topn /
+    # q3_shipping_priority rotated out for the new ops above — all r1
+    # hash-green, untouched)
     "filter_pushdown_project",
     "join_broadcast_dim",
     "join_multiway_q5",
-    "q3_shipping_priority",
     "q6_forecast_revenue",
 ])
 

@@ -35,6 +35,7 @@ from zip_to_parquet_spark.operators.multimodal import (
     audio_features,
     decode_media,
     png_features,
+    png_resize_features,
     sample_frames,
     synth_png,
     synth_wav,
@@ -958,3 +959,38 @@ def pii_redact_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_email", "n_ipv4", "n_phone",
         F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
     )
+
+
+@query(
+    "multimodal_png_resize",
+    oracle="""
+    WITH p AS (
+        SELECT doc_id,
+               8 + doc_id % 25 AS w,
+               8 + (doc_id % 7) * 3 AS h
+        FROM documents
+    ),
+    xs AS (SELECT range AS i FROM range(0, 8)),
+    ys AS (SELECT range AS j FROM range(0, 8))
+    SELECT p.doc_id,
+           8 AS out_w,
+           8 AS out_h,
+           SUM(((xs.i * p.w) // 8 + 2 * ((ys.j * p.h) // 8) + p.doc_id) % 251)::BIGINT
+               AS px_sum,
+           (p.doc_id % 251)::INT AS top_left,
+           (((7 * p.w) // 8 + 2 * ((7 * p.h) // 8) + p.doc_id) % 251)::INT
+               AS bottom_right
+    FROM p, xs, ys
+    GROUP BY p.doc_id, p.w, p.h
+    """,
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize path: decode each synthesized PNG (full chunk
+    walk + defilter) and nearest-neighbor downsample to 8×8 with integer
+    source mapping x_src = x·w_in // 8
+    (operators/multimodal.png_resize_features). The oracle recomputes the
+    resized pixel sums and corner values from the generative gradient in
+    pure SQL, so the decode AND the resample arithmetic are both
+    hash-verified. Map-only at any scale."""
+    d = _documents_spread(spark, sf_dir).select("doc_id")
+    return png_resize_features(synth_png(d))
