@@ -130,3 +130,10 @@ def test_pii_redact_is_map_only(spark):
     # the corpus spread helper's round-robin (no keyed shuffle, no join).
     plan = plan_of(spark, "pii_redact_counts")
     assert "Join" not in plan
+
+
+def test_csv_member_parse_is_shuffle_free(spark):
+    # Parsing members to typed records must stay inside the scan stage:
+    # decompress → explode lines → from_csv, no Exchange.
+    plan = plan_of(spark, "zip_csv_members")
+    assert "Exchange" not in plan

@@ -507,3 +507,36 @@ def test_large_members_flush_by_bytes(spark, tmp_path):
     for name, data in blobs.items():
         assert rows[name].hash == hashlib.sha256(data).hexdigest()
         assert len(rows[name].body) == len(data)
+
+
+def test_csv_members_malformed_lines(spark, tmp_path):
+    # PERMISSIVE (default): malformed lines yield null columns, line_no
+    # and member name preserved. FAILFAST: the job raises.
+    import zipfile
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from zip_to_parquet_spark.functions.recordize import parse_csv_members
+    from zip_to_parquet_spark.sources.zipsource import read_zip_members
+
+    p = tmp_path / "bad.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("t.csv", "id,val\n1,10\nnot-a-number,20\n3,30\n")
+    members = read_zip_members(spark, str(p), sha=False)
+
+    rows = sorted(
+        tuple(r)
+        for r in parse_csv_members(members, "id BIGINT, val BIGINT").collect()
+    )
+    assert rows == [
+        ("t.csv", 1, 1, 10),
+        ("t.csv", 2, None, 20),
+        ("t.csv", 3, 3, 30),
+    ]
+
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        parse_csv_members(
+            members, "id BIGINT, val BIGINT", options={"mode": "FAILFAST"}
+        ).collect()

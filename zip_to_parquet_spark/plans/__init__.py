@@ -38,6 +38,8 @@ set_priority([
     "zip_count_members",
     "zip_union_sources",
     "zip_null_projection",
+    "zip_csv_members",
+    "zip_jsonl_members",
     # structured streaming
     "stream_tumbling_window",
     "stream_sessionize",
@@ -89,10 +91,8 @@ set_priority([
     "decontam_ngram_overlap",
     "pii_redact_counts",
     # representative relational coverage (topk_orders / window_rank_topn /
-    # q3_shipping_priority rotated out for the new ops above — all r1
-    # hash-green, untouched)
-    "filter_pushdown_project",
-    "join_broadcast_dim",
+    # q3_shipping_priority / filter_pushdown_project / join_broadcast_dim
+    # rotated out for the new ops above — all r1 hash-green, untouched)
     "join_multiway_q5",
     "q6_forecast_revenue",
 ])

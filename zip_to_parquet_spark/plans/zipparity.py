@@ -139,3 +139,87 @@ def zip_null_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("body").isNull().alias("body_is_null"),
         "hash",
     )
+
+
+def _record_fixture_dir(sf_dir: str, kind: str) -> str:
+    """Deterministic zip mirror of documents METADATA as structured
+    records: 4 archives, each one member ``docs_<shard>.{csv,jsonl}``
+    holding the rows with doc_id % 4 == shard, doc_id-sorted. Same
+    build-once-per-sf caching as _zip_fixture_dir."""
+    import json as jsonmod
+
+    key = hashlib.sha256(f"{sf_dir}:{kind}".encode()).hexdigest()[:16]
+    out_dir = f"/tmp/z2ps_recfix_{key}"
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    rows = sorted(
+        zip(
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("lang").to_pylist(),
+            tbl.column("source").to_pylist(),
+            tbl.column("n_chars").to_pylist(),
+        )
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    n_arch = 4
+    bodies = [[] for _ in range(n_arch)]
+    for doc_id, lang, src, n_chars in rows:
+        if kind == "csv":
+            bodies[doc_id % n_arch].append(f"{doc_id},{lang},{n_chars}")
+        else:
+            bodies[doc_id % n_arch].append(
+                jsonmod.dumps(
+                    {"doc_id": doc_id, "source": src, "n_chars": n_chars},
+                    sort_keys=True,
+                )
+            )
+    ext = "csv" if kind == "csv" else "jsonl"
+    header = ["doc_id,lang,n_chars"] if kind == "csv" else []
+    for i in range(n_arch):
+        with zipfile.ZipFile(
+            os.path.join(out_dir, f"part{i}.zip"), "w", zipfile.ZIP_DEFLATED
+        ) as zf:
+            zi = zipfile.ZipInfo(f"docs_{i}.{ext}", date_time=_FIXED_DATE)
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, "\n".join(header + bodies[i]) + "\n")
+    open(marker, "w").close()
+    return out_dir
+
+
+# Extension of A2: members are STRUCTURED RECORDS, parsed to typed columns
+# inside the scan stage (functions/recordize.py). The reference stops at
+# (name, body, hash); a zip of CSVs is the dominant real-world case.
+@query(
+    "zip_csv_members",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+)
+def zip_csv_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zip_to_parquet_spark.functions.recordize import parse_csv_members
+
+    d = _record_fixture_dir(sf_dir, "csv")
+    members = read_zip_members(spark, f"{d}/part*.zip", sha=False)
+    return parse_csv_members(
+        members, "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "zip_jsonl_members",
+    oracle="SELECT doc_id, source, n_chars FROM documents",
+)
+def zip_jsonl_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zip_to_parquet_spark.functions.recordize import parse_jsonl_members
+
+    d = _record_fixture_dir(sf_dir, "jsonl")
+    members = read_zip_members(spark, f"{d}/part*.zip", sha=False)
+    return parse_jsonl_members(
+        members, "doc_id BIGINT, source STRING, n_chars BIGINT"
+    ).select("doc_id", "source", "n_chars")
