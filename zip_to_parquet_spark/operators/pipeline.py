@@ -221,3 +221,58 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
         redacted = F.regexp_replace(redacted, pat, token)
     return out.withColumn("redacted", redacted)
+
+
+def mixture_sample(
+    df: DataFrame,
+    threshold_hex: Column,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Deterministic per-stratum mixture sampling: keep a row iff the
+    first md5 byte of ``stratum:id`` sorts below the row's (hex-string)
+    threshold — ``'80'`` keeps ≈50%, ``'20'`` ≈12.5%. The per-source
+    rate column expresses the mixture weights of a training-data recipe
+    (e.g. upsample curated sources, downsample crawl).
+
+    Same md5-prefix discipline as train_val_test_split: stateless map,
+    no RNG, stable under reruns/repartitioning, reproducible by any
+    engine with md5 — membership never drifts across pipeline versions.
+    Map-only at any scale."""
+    bucket = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.col(strata_col), F.col(id_col).cast("string")
+            ).cast("binary")
+        ),
+        1,
+        2,
+    )
+    return (
+        df.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < threshold_hex)
+    )
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = True,
+    max_chars: int | None = None,
+) -> DataFrame:
+    """Normalization pass every training corpus runs first: strip control
+    characters, collapse runs of whitespace to single spaces, trim,
+    optionally lowercase and truncate. Pure Catalyst regexp/string chain
+    — map-only codegen at any scale; appends a ``clean`` column.
+
+    The whitespace class is spelled explicitly ([ \\t\\n\\r\\f]) rather
+    than \\s because Java regex includes \\x0B in \\s and RE2 does not —
+    the explicit class keeps Spark and DuckDB byte-identical."""
+    c = F.regexp_replace(F.col(text_col), r"[\x00-\x08\x0b-\x1f\x7f]", "")
+    c = F.regexp_replace(c, r"[ \t\n\r\f]+", " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    if max_chars is not None:
+        c = F.substring(c, 1, max_chars)
+    return df.withColumn("clean", c)

@@ -994,3 +994,73 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-verified. Map-only at any scale."""
     d = _documents_spread(spark, sf_dir).select("doc_id")
     return png_resize_features(synth_png(d))
+
+
+@query(
+    "mixture_sample_by_source",
+    oracle="""
+    SELECT doc_id, source, substr(md5(source || ':' || doc_id), 1, 2) AS bucket
+    FROM documents
+    WHERE substr(md5(source || ':' || doc_id), 1, 2) <
+          CASE (substr(source, 4)::INT % 4)
+            WHEN 0 THEN '20' WHEN 1 THEN '40' WHEN 2 THEN '80' ELSE 'c0' END
+    """,
+)
+def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (operators/pipeline.mixture_sample):
+    each source gets a rate from its index mod 4 — 12.5% / 25% / 50% /
+    75% — modeling a training-data recipe that up/downsamples sources.
+    md5-prefix membership, so the oracle reproduces the exact sample.
+    Outside the driver's 50-key window; value-verified by the pytest
+    oracle-parity sweep instead."""
+    d = _documents_spread(spark, sf_dir)
+    n = F.substring("source", 4, 10).cast("int")
+    thr = F.element_at(
+        F.array(F.lit("20"), F.lit("40"), F.lit("80"), F.lit("c0")),
+        (n % 4) + 1,
+    )
+    return pipeline.mixture_sample(d, thr).select("doc_id", "source", "bucket")
+
+
+@query(
+    "text_clean_normalize",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || '   ' || chr(9) || upper(substr(text, 1, 16))
+                  || chr(7) || '  ' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           length(t)::BIGINT AS raw_len,
+           length(trim(regexp_replace(regexp_replace(t,
+               '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+               '[ \\t\\n\\r\\f]+', ' ', 'g')))::BIGINT AS clean_len,
+           md5(lower(trim(regexp_replace(regexp_replace(t,
+               '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+               '[ \\t\\n\\r\\f]+', ' ', 'g')))) AS clean_md5
+    FROM dirty
+    """,
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning (operators/pipeline.clean_text) over a
+    deterministically dirtied corpus — trailing whitespace runs, a tab,
+    an upper-cased echo of the prefix, a BEL control char — verified by
+    md5 of the cleaned bytes (synthesize-then-recover). The whitespace
+    class is explicit so Java regex and RE2 agree. Outside the driver's
+    50-key window; value-verified by the pytest oracle-parity sweep."""
+    d = _documents_spread(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"), F.lit("   \t"),
+        F.upper(F.substring("text", 1, 16)),
+        F.lit("\x07  "),
+    )
+    out = pipeline.clean_text(
+        d.select("doc_id", dirty.alias("text")), lowercase=True
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("raw_len"),
+        F.length("clean").cast("bigint").alias("clean_len"),
+        F.md5(F.col("clean").cast("binary")).alias("clean_md5"),
+    )
