@@ -422,3 +422,38 @@ def test_codec_roundtrip_properties():
 
     png_prop()
     wav_prop()
+
+
+def test_media_decode_on_error_modes(spark):
+    # One corrupt payload among good ones: fail aborts, skip drops the
+    # row, null keeps it with null features — the zip-source contract,
+    # because at corpus scale one bad file must not kill the job.
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+    from pyspark.sql import functions as F
+
+    from zip_to_parquet_spark.operators.multimodal import (
+        audio_features,
+        png_features,
+        synth_png,
+        synth_wav,
+    )
+
+    for synth, feats in ((synth_png, png_features), (synth_wav, audio_features)):
+        ids = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+        good = synth(ids)
+        corrupted = good.withColumn(
+            "payload",
+            F.when(F.col("doc_id") == 2, F.lit(b"garbage")).otherwise(
+                F.col("payload")
+            ),
+        )
+        with pytest.raises((Py4JJavaError, PySparkException)):
+            feats(corrupted, on_error="fail").collect()
+        skip = feats(corrupted, on_error="skip").collect()
+        assert sorted(r.doc_id for r in skip) == [1, 3]
+        null = {r.doc_id: r for r in feats(corrupted, on_error="null").collect()}
+        assert sorted(null) == [1, 2, 3]
+        assert null[2][1] is None  # first feature column nulled
+        assert null[1][1] is not None

@@ -232,13 +232,21 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", on_error: str = "fail"
+) -> DataFrame:
     """REAL audio decode: parse each payload as a RIFF/WAVE container
     (stdlib ``wave``), recover channel count / sample rate / frame count,
     and compute signal features (RMS, zero-crossing rate) from the decoded
     16-bit PCM samples with numpy. Arrow-batched mapInPandas, map-only —
     the same 100 TB shape as decode_media, but nothing is faked.
-    Non-WAV payloads raise (use a filter or on_error wrapper upstream)."""
+
+    ``on_error`` (zip-source contract): ``fail`` aborts on a malformed
+    payload, ``skip`` drops its row, ``null`` keeps the row with null
+    feature columns. At corpus scale one corrupt file must not kill the
+    job — skip/null are the production modes, fail is the debugging one."""
+    if on_error not in ("fail", "skip", "null"):
+        raise ValueError(f"on_error must be fail|skip|null, got {on_error!r}")
 
     def extract(batches: Iterator) -> Iterator:
         import io
@@ -250,11 +258,20 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
-                with wavmod.open(io.BytesIO(bytes(b)), "rb") as w:
-                    nch = w.getnchannels()
-                    sr = w.getframerate()
-                    nf = w.getnframes()
-                    raw = w.readframes(nf)
+                try:
+                    with wavmod.open(io.BytesIO(bytes(b)), "rb") as w:
+                        nch = w.getnchannels()
+                        sr = w.getframerate()
+                        nf = w.getnframes()
+                        raw = w.readframes(nf)
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "null":
+                        rows.append(
+                            (int(doc_id), None, None, None, None, None, None)
+                        )
+                    continue
                 pcm = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
                 if nch > 1:
                     pcm = pcm.reshape(-1, nch).mean(axis=1)
@@ -469,14 +486,23 @@ def synth_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def png_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def png_features(
+    df: DataFrame, payload_col: str = "payload", on_error: str = "fail"
+) -> DataFrame:
     """REAL image decode: parse each payload as a PNG (chunk walk + CRC
     check + zlib inflate + scanline defilter, stdlib only), recover the
     header fields, and compute the pixel sum from the DECODED image.
     Because the encoder cycles all five filter types, the pixel sum is
     only correct if defiltering is faithfully implemented — which is what
     the SQL oracle (recomputing the generative gradient) checks.
-    Map-only mapInPandas: the 100 TB shape for media feature extraction."""
+    Map-only mapInPandas: the 100 TB shape for media feature extraction.
+
+    ``on_error`` (zip-source contract): ``fail`` aborts on a malformed
+    payload (bad signature, CRC mismatch, truncation), ``skip`` drops its
+    row, ``null`` keeps the row with null feature columns — at corpus
+    scale one corrupt file must not kill the job."""
+    if on_error not in ("fail", "skip", "null"):
+        raise ValueError(f"on_error must be fail|skip|null, got {on_error!r}")
 
     def extract(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -484,7 +510,16 @@ def png_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
-                w, h, depth, ctype, img = _decode_png(bytes(b))
+                try:
+                    w, h, depth, ctype, img = _decode_png(bytes(b))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "null":
+                        rows.append(
+                            (int(doc_id), None, None, None, None, None, None)
+                        )
+                    continue
                 rows.append(
                     (int(doc_id), w, h, depth, ctype, w * h, int(img.sum()))
                 )
