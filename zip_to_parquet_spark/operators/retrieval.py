@@ -1,0 +1,94 @@
+"""Lexical retrieval: BM25 scoring over the documents table.
+
+The lexical complement to the vector-similarity operators: Okapi BM25
+(Robertson/Sparck Jones) with the standard k1/b parameterization. All
+Catalyst; the plan is the inverted-index shape that scales:
+
+  scan → explode ONLY query-term tokens (the isin filter runs before the
+  shuffle, so corpus volume through the exchange is proportional to
+  query-term hits, not corpus size) → per-(doc, term) tf → per-term df →
+  broadcast the one-row corpus stats and the tiny per-term df table →
+  per-doc sequential fold of term contributions → top-k.
+
+Determinism notes (oracle parity): the per-doc score is a SEQUENTIAL fold
+over term-sorted contributions (array_sort + aggregate), never a
+groupBy-sum over doubles, so summation order is engine-independent; the
+final ranking is on round(score, 6) with doc_id tie-break per the repo's
+ranking rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zip_to_parquet_spark.operators.textops import words
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag of query terms.
+
+    Returns (doc_id, score, rank) for documents matching ≥1 term. The
+    corpus stats (N, avgdl) ride a single-row broadcast join — no
+    driver-side action; the df table is per-query-term (tiny) and also
+    broadcasts."""
+    base = docs.select(
+        F.col(id_col), F.size(words(F.col(text_col))).cast("bigint").alias("dl")
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tok = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("t")
+    ).filter(F.col("t").isin(*terms))
+    tf = tok.groupBy(id_col, "t").agg(F.count("*").cast("bigint").alias("tf"))
+    df_tbl = tf.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_tbl), "t")
+        .join(base, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1)
+    ) / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    per_term = scored.select(F.col(id_col), F.col("t"), contrib.alias("c"))
+    # Sequential, term-ordered fold: array_sort on (t, c) structs orders by
+    # term; aggregate adds left-to-right — same doubles in any engine.
+    per_doc = (
+        per_term.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("t", "c"))).alias("cs"))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.aggregate(
+                    "cs", F.lit(0.0), lambda acc, x: acc + x.getField("c")
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    # Global top-k via orderBy+limit (Spark's distributed TakeOrdered —
+    # each partition contributes its local top-k, no single-partition
+    # window over all matching docs); the rank window then runs over just
+    # k rows.
+    top = per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -1064,3 +1064,55 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("clean").cast("bigint").alias("clean_len"),
         F.md5(F.col("clean").cast("binary")).alias("clean_md5"),
     )
+
+
+@query(
+    "bm25_topk_docs",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM base),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    tf AS (
+      SELECT doc_id, t, count(*)::BIGINT AS tf
+      FROM tok WHERE t IN ('table', 'spark', 'fast')
+      GROUP BY doc_id, t
+    ),
+    dft AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+    contrib AS (
+      SELECT tf.doc_id, tf.t,
+             ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * base.dl / stats.avgdl)) AS c
+      FROM tf
+      JOIN dft USING (t)
+      JOIN base USING (doc_id)
+      CROSS JOIN stats
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             round(list_aggregate(list(c ORDER BY t), 'sum'), 6) AS score
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM per_doc
+    ) WHERE rank <= 10
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-10 for the query bag {table, spark, fast}
+    (operators/retrieval.bm25_topk) — the lexical complement to the
+    vector-ANN family. Inverted-index shape: only query-term tokens reach
+    the shuffle; corpus stats and per-term dfs ride broadcasts; per-doc
+    scores fold term contributions in term-sorted sequential order so the
+    doubles are engine-independent; final ranking on round(score, 6) with
+    doc_id tie-break. Outside the driver's 50-key window; value-verified
+    by the pytest oracle-parity sweep."""
+    from zip_to_parquet_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _documents_spread(spark, sf_dir), ["table", "spark", "fast"], k=10
+    )
