@@ -142,7 +142,8 @@ def glob_filter_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_dim",
     oracle="""
     SELECT p.p_brand,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           (sum(l.l_extendedprice::DECIMAL(12,2)
+                * (1 - l.l_discount::DECIMAL(12,2))))::DOUBLE AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size <= 15
@@ -156,9 +157,12 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # Exact decimal sum (see q1): round(sum(double), 2) is
+            # engine-dependent on .xx5 boundaries.
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -168,7 +172,8 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_shuffle_facts",
     oracle="""
     SELECT o.o_orderpriority,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           (sum(l.l_extendedprice::DECIMAL(12,2)
+                * (1 - l.l_discount::DECIMAL(12,2))))::DOUBLE AS revenue,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderstatus = 'F'
@@ -185,9 +190,10 @@ def join_shuffle_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+            ).cast("double").alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -232,7 +238,8 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway_q5",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           (sum(l.l_extendedprice::DECIMAL(12,2)
+                * (1 - l.l_discount::DECIMAL(12,2))))::DOUBLE AS revenue
     FROM customer c
     JOIN orders   o ON c.c_custkey   = o.o_custkey
     JOIN lineitem l ON o.o_orderkey  = l.l_orderkey
@@ -266,9 +273,10 @@ def join_multiway_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -280,7 +288,7 @@ def join_multiway_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
     SELECT r.r_name, n.n_name,
-           round(sum(c.c_acctbal), 2) AS total_acctbal,
+           (sum(c.c_acctbal::DECIMAL(12,2)))::DOUBLE AS total_acctbal,
            count(*) AS n_customers
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -296,7 +304,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(r), n.n_regionkey == r.r_regionkey
     )
     return joined.rollup("r_name", "n_name").agg(
-        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_acctbal"),
         F.count(F.lit(1)).alias("n_customers"),
     )
 
@@ -305,7 +315,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
+           (sum(l_quantity::DECIMAL(12,2)))::DOUBLE AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -314,7 +324,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -406,9 +418,9 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           (sum(o_totalprice::DECIMAL(12,2)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_total
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::DOUBLE AS moving_total
     FROM orders
     """,
 )
@@ -422,7 +434,10 @@ def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("moving_total"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("moving_total"),
     )
 
 
@@ -738,7 +753,8 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+           count(*) AS n_orders,
+           (sum(o_totalprice::DECIMAL(12,2)))::DOUBLE AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -752,7 +768,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         FROM z2ps_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -813,7 +830,8 @@ def explode_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           (sum(l_extendedprice::DECIMAL(12,2)
+                * (1 - l_discount::DECIMAL(12,2))))::DOUBLE AS revenue,
            o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -844,9 +862,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -857,7 +876,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT (sum(l_extendedprice::DECIMAL(12,2)
+                * l_discount::DECIMAL(12,2)))::DOUBLE AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -878,9 +898,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * F.col("l_discount").cast("decimal(12,2)")
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -1064,7 +1085,7 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having_exists",
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment, count(*) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS total_spent
+           (sum(o.o_totalprice::DECIMAL(12,2)))::DOUBLE AS total_spent
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
     WHERE EXISTS (
       SELECT 1 FROM lineitem l
@@ -1082,7 +1103,7 @@ def agg_having_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_mktsegment, count(*) AS n_orders,
-               round(sum(o.o_totalprice), 2) AS total_spent
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
         FROM z2ps_he_customer c JOIN z2ps_he_orders o ON o.o_custkey = c.c_custkey
         WHERE EXISTS (
           SELECT 1 FROM z2ps_he_lineitem l
