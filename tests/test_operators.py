@@ -226,8 +226,9 @@ def test_cosine_lsh_pairs_match_brute_force(spark):
 
 
 def test_ivf_trained_recall_floor(spark):
-    """Trained-codebook IVF (k=32, nprobe=3) must beat a recall floor
-    against the exact top-5 on the fixture."""
+    """Trained-codebook IVF (k=32, nprobe=8) must beat a recall floor
+    against the exact top-5 on the fixture (measured ~0.76; random
+    embeddings are IVF's hardest case)."""
     from zip_to_parquet_spark.plans import all_queries
 
     qs = all_queries()
@@ -236,7 +237,7 @@ def test_ivf_trained_recall_floor(spark):
     ivf = {(r.q_id, r.n_id) for r in qs["ann_ivf_trained"](spark, sf).collect()}
     assert exact, "exact top-k returned nothing"
     recall = len(ivf & exact) / len(exact)
-    assert recall >= 0.3, f"trained IVF recall collapsed: {recall:.3f}"
+    assert recall >= 0.6, f"trained IVF recall collapsed: {recall:.3f}"
 
 
 def test_wav_roundtrip_real_decode(spark):

@@ -24,13 +24,21 @@ from zip_to_parquet_spark.plans import temporal  # noqa: E402,F401
 # Round 1 registered relational+llm first, pushing every reference-parity
 # (zip_*), streaming, and temporal key past the window — implemented,
 # pytest-green, but with no driver-oracle row. This list pins the window to:
-#   1-12   reference parity + streaming + temporal (the point of the repo),
-#   13-22  LLM-pipeline tail that was untested in round 1,
-#   23-37  queries whose code changed this round (rounding/ANSI/LSH fixes),
-#   38-50  representative relational queries (joins, TPC-H, windows, aggs).
-# The 22 keys that rotate out (set ops, scalar batteries, extra agg/join
-# variants) all have green hash-verified rows in CORRECTNESS_r01.json and
-# their code is untouched this round.
+#   1-14   reference parity (incl. the new CSV/JSONL typed-record members)
+#          + streaming + temporal (the point of the repo),
+#   15-25  LLM-pipeline tail that was untested in round 1,
+#   26-40  queries whose code changed this round (rounding/ANSI/LSH fixes),
+#   41-50  operators new this round (dataset assembly, real codecs, hygiene)
+#          + join_multiway_q5 as the TPC-H representative.
+# Every key past position 50 is either (a) r1 hash-green with untouched
+# code, or (b) touched ONLY by the mechanically-symmetric exact-decimal
+# sweep (join_broadcast_dim, join_shuffle_facts, agg_rollup, agg_cube,
+# window_moving_sum, agg_grouping_sets, q3_shipping_priority,
+# q6_forecast_revenue, agg_having_exists) / registered outside the window
+# by design (mixture_sample_by_source, text_clean_normalize,
+# bm25_topk_docs) — all of those are value-verified by the pytest
+# oracle-parity sweep at sf0.001 on every test run, and were driven
+# against DuckDB at sf0.01 before landing.
 set_priority([
     # reference parity (builder.rs operators re-expressed on Spark)
     "zip_explode_hash",
@@ -90,11 +98,9 @@ set_priority([
     "multimodal_png_resize",
     "decontam_ngram_overlap",
     "pii_redact_counts",
-    # representative relational coverage (topk_orders / window_rank_topn /
-    # q3_shipping_priority / filter_pushdown_project / join_broadcast_dim
-    # rotated out for the new ops above — all r1 hash-green, untouched)
+    # TPC-H representative (the other relational keys rotated out for the
+    # new ops above — see the window policy note at the top of this list)
     "join_multiway_q5",
-    "q6_forecast_revenue",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

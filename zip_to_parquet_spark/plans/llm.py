@@ -525,9 +525,13 @@ def _ivf_topk(
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a Lloyd's-TRAINED codebook: k=32 centroids from
     sampled k-means (train_ivf_codebook — deterministic hash sample,
-    fixed seed/iters), nprobe=3, exact cosine re-rank. Rows-only check
+    fixed seed/iters), nprobe=8, exact cosine re-rank. Rows-only check
     (k-means isn't SQL-expressible); recall vs the brute-force ground
-    truth is floor-tested in tests/test_operators.py.
+    truth is floor-tested in tests/test_operators.py (measured ~0.76 at
+    nprobe=8 on the fixture's near-RANDOM embeddings — the hardest case
+    for IVF, since true neighbors scatter across cells; clustered real
+    embeddings reach the same recall at far smaller nprobe/k ratios,
+    which is why production IVF runs 4k-64k cells with nprobe≪k).
 
     This is the 100 TB path: training touches only a bounded driver-side
     sample, the codebook broadcasts, assignment is map-only, and the
@@ -539,7 +543,7 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codebook = train_ivf_codebook(emb, k=32, iters=10, sample_per_centroid=16)
     return _ivf_topk(
-        emb, [(i, c) for i, c in enumerate(codebook)], nprobe=3, topk=5
+        emb, [(i, c) for i, c in enumerate(codebook)], nprobe=8, topk=5
     )
 
 
