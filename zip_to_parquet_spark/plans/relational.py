@@ -654,8 +654,11 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sessions AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             -- ::BIGINT: DuckDB's windowed sum(int) yields HUGEINT, Spark's
+             -- yields BIGINT; the driver's value hash is type-sensitive even
+             -- when every value is identical (round 2's only hash fail).
+             (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
