@@ -52,6 +52,14 @@ from zip_to_parquet_spark.plans.registry import query
 from zip_to_parquet_spark.runtime import spread
 from zip_to_parquet_spark.schema import load_table
 
+# Hard caps on the two driver-side collects in the ANN fixtures: the % 25
+# query set and the % 31 sampled codebook both scale with the corpus, so an
+# explicit deterministic ORDER BY + LIMIT keeps driver memory O(1) at any
+# scale. Both are far above the fixture cardinalities (80 / 65 at sf0.1),
+# so fixture results are byte-identical; the oracle SQL mirrors the bound.
+_MAX_QUERY_BATCH = 512
+_MAX_CODEBOOK = 4096
+
 
 def _documents_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, hash-distributed on doc_id so per-row heavy expressions
@@ -191,6 +199,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                         c.vec_id) AS rank
       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
       WHERE q.vec_id % 25 = 0
+        AND q.vec_id IN (SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0
+                         ORDER BY vec_id LIMIT 512)
     ) WHERE rank <= 5
     """,
 )
@@ -209,8 +219,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings_spread(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    qrows = sorted(
-        emb.filter(F.col("vec_id") % 25 == 0).collect(), key=lambda r: r[0]
+    # Bounded collect: the fixture query set (vec_id % 25) is tiny, but the
+    # modulus scales with the corpus — the deterministic ORDER BY + LIMIT
+    # hard-caps driver memory at any scale (the oracle mirrors the same
+    # bound). Real deployments pass the query batch in explicitly.
+    qrows = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .orderBy("vec_id")
+        .limit(_MAX_QUERY_BATCH)
+        .collect()
     )
     cand = gemm_topk_candidates(
         emb, [r[0] for r in qrows], [list(r[1]) for r in qrows], k=5
@@ -421,7 +438,8 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     oracle="""
     WITH cents AS (
-      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id % 31 = 0
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 4096
     ), assign AS (
       SELECT vec_id, cent_id FROM (
         SELECT e.vec_id, c.cent_id,
@@ -480,10 +498,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codebook). The 100 TB path is ann_ivf_trained, whose codebook is
     # bounded (4k-64k centroids) by construction — collecting the codebook
     # is the IVF contract (FAISS ships the trained quantizer the same way).
-    codebook = sorted(
+    # ORDER BY + LIMIT hard-caps the collect at any corpus size (mirrored
+    # in the oracle's cents CTE), so this can't OOM the driver at 100×.
+    codebook = [
         (r[0], list(r[1]))
-        for r in emb.filter(F.col("vec_id") % 31 == 0).collect()
-    )
+        for r in emb.filter(F.col("vec_id") % 31 == 0)
+        .orderBy("vec_id")
+        .limit(_MAX_CODEBOOK)
+        .collect()
+    ]
     return _ivf_topk(emb, codebook, nprobe=2, topk=5)
 
 
