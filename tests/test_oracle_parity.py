@@ -16,6 +16,10 @@ from zip_to_parquet_spark.plans import all_oracle_sql, all_queries
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
+# Computed oracles (ann_ivf_trained) train against the sf dir under test;
+# the driver leaves this unset and gets its contract default (sf0.01).
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+
 QUERIES = all_queries()
 ORACLES = all_oracle_sql()
 

@@ -202,39 +202,21 @@ def ivf_assign_udfs(codebook, nprobe: int):
     return nearest_cell, nearest_cells
 
 
-def train_ivf_codebook(
-    emb,
-    k: int = 64,
-    iters: int = 10,
-    sample_per_centroid: int = 50,
-    seed: int = 42,
-    id_col: str = "vec_id",
-    vec_col: str = "v",
-):
-    """Sampled-k-means IVF codebook: returns a ``(k, dim)`` list of centroid
-    lists, trained with Lloyd's algorithm on a deterministic hash sample.
+def ivf_sample_modulus(n: int, k: int, sample_per_centroid: int) -> int:
+    """The deterministic 1-in-m training-sample rate for a corpus of ``n``
+    rows — shared by the Spark sampler below and the pure-Python oracle
+    replication in ``plans/llm.py``."""
+    return max(n // max(k * sample_per_centroid, k), 1)
 
-    The sample is taken distributed (xxhash64 filter — no full collect) and
-    only ~k·sample_per_centroid vectors land on the driver, where numpy
-    Lloyd's runs in milliseconds: codebook training is a bounded driver-side
-    step by design in IVF builds (FAISS trains on a sample the same way).
-    Deterministic: hash sampling, sorted ids, fixed seed/iteration count.
-    Empty clusters re-seed from the sample (fixed RandomState), so all k
-    cells stay populated.
-    """
+
+def lloyds_codebook(x, k: int, iters: int = 10, seed: int = 42):
+    """Pure-numpy Lloyd's k-means over an (n, dim) float64 sample —
+    deterministic (fixed init from the first k rows, fixed re-seed
+    RandomState), so the SAME array trains the SAME codebook anywhere it
+    runs: the driver-side oracle generator replays this exact function to
+    inline centroids as SQL literals."""
     import numpy as np
 
-    n = emb.count()
-    target = max(k * sample_per_centroid, k)
-    # Deterministic 1-in-m hash sample, m chosen so ~target rows survive.
-    m = max(n // target, 1)
-    sample = (
-        emb.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    sample.sort(key=lambda r: r[0])
-    x = np.array([list(r[1]) for r in sample], dtype=np.float64)
     if len(x) < k:
         raise ValueError(f"sample of {len(x)} rows cannot seed {k} centroids")
     rng = np.random.RandomState(seed)
@@ -251,6 +233,43 @@ def train_ivf_codebook(
             else:
                 cents[j] = x[rng.randint(len(x))]
     return [[float(v) for v in c] for c in cents]
+
+
+def train_ivf_codebook(
+    emb,
+    k: int = 64,
+    iters: int = 10,
+    sample_per_centroid: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+):
+    """Sampled-k-means IVF codebook: returns a ``(k, dim)`` list of centroid
+    lists, trained with Lloyd's algorithm on a deterministic hash sample.
+
+    The sample is taken distributed (crc32-of-id filter — no full collect)
+    and only ~k·sample_per_centroid vectors land on the driver, where numpy
+    Lloyd's runs in milliseconds: codebook training is a bounded driver-side
+    step by design in IVF builds (FAISS trains on a sample the same way).
+    Deterministic: hash sampling, sorted ids, fixed seed/iteration count —
+    and the sample hash is crc32 over the id's decimal string, which
+    ``zlib.crc32(str(id).encode())`` reproduces bit-for-bit outside Spark,
+    so the value oracle can replay training from the raw parquet.
+    """
+    import numpy as np
+
+    n = emb.count()
+    m = ivf_sample_modulus(n, k, sample_per_centroid)
+    sample = (
+        emb.filter(
+            F.crc32(F.col(id_col).cast("string").cast("binary")) % m == 0
+        )
+        .select(id_col, vec_col)
+        .collect()
+    )
+    sample.sort(key=lambda r: r[0])
+    x = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    return lloyds_codebook(x, k=k, iters=iters, seed=seed)
 
 
 def gemm_topk_candidates(

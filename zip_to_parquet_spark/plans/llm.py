@@ -544,13 +544,93 @@ def _ivf_topk(
     )
 
 
-@query("ann_ivf_trained")
+def _ivf_trained_oracle() -> str:
+    """Computed oracle for ``ann_ivf_trained``: replay the deterministic
+    codebook training in pure Python from the raw parquet (same crc32
+    sample filter, same ``lloyds_codebook`` numpy code, same machine →
+    bit-identical centroids), then inline the 32 trained centroids as
+    DuckDB list literals in the standard IVF probe/re-rank SQL.
+
+    The driver's contract fixes the correctness scale at sf0.01, so that
+    path is the default; the pytest sweep points
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` at its own sf dir before resolving
+    oracles. Resolution happens lazily inside ``all_oracle_sql()`` — if
+    the parquet is unreadable the key degrades to a rows-only check."""
+    import os
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zip_to_parquet_spark.operators.vectors import (
+        ivf_sample_modulus,
+        lloyds_codebook,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()  # float32 → Python float, exact
+    m = ivf_sample_modulus(len(ids), k=32, sample_per_centroid=16)
+    samp = sorted(
+        (i, v)
+        for i, v in zip(ids, vecs)
+        if zlib.crc32(str(i).encode()) % m == 0
+    )
+    x = np.array([v for _, v in samp], dtype=np.float64)
+    cents = lloyds_codebook(x, k=32, iters=10, seed=42)
+    # repr() emits the shortest round-trip decimal → DuckDB parses back the
+    # exact same double.
+    rows = ", ".join(
+        "(%d, [%s])" % (i, ", ".join(repr(v) for v in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH cents(cent_id, cv) AS (VALUES {rows}),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                 c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    ), probes AS (
+      SELECT q_id, cent_id FROM (
+        SELECT q.vec_id AS q_id, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                 c.cent_id) AS r
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id % 25 = 0
+      ) WHERE r <= 8
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT p.q_id, a.vec_id AS n_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY p.q_id ORDER BY
+               round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) DESC,
+               a.vec_id) AS rank
+      FROM probes p
+      JOIN assign a ON a.cent_id = p.cent_id
+      JOIN embeddings q ON q.vec_id = p.q_id
+      JOIN embeddings n ON n.vec_id = a.vec_id
+      WHERE a.vec_id <> p.q_id
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_ivf_trained", oracle=_ivf_trained_oracle)
 def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over a Lloyd's-TRAINED codebook: k=32 centroids from
     sampled k-means (train_ivf_codebook — deterministic hash sample,
-    fixed seed/iters), nprobe=8, exact cosine re-rank. Rows-only check
-    (k-means isn't SQL-expressible); recall vs the brute-force ground
-    truth is floor-tested in tests/test_operators.py (measured ~0.76 at
+    fixed seed/iters), nprobe=8, exact cosine re-rank. Full value oracle:
+    training is deterministic, so ``_ivf_trained_oracle`` replays it in
+    pure Python and inlines the centroids as SQL literals; recall vs the
+    brute-force ground truth is floor-tested in tests/test_operators.py
+    (measured ~0.76 at
     nprobe=8 on the fixture's near-RANDOM embeddings — the hardest case
     for IVF, since true neighbors scatter across cells; clustered real
     embeddings reach the same recall at far smaller nprobe/k ratios,

@@ -22,8 +22,12 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
-def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register ``fn`` under ``name`` with an optional oracle SQL."""
+def query(
+    name: str, oracle: Optional[str | Callable[[], str]] = None
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` under ``name`` with an optional oracle SQL
+    (a literal string, or a zero-arg callable resolved lazily by
+    :func:`all_oracle_sql` for oracles that must be computed)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
@@ -76,4 +80,19 @@ def all_queries() -> dict[str, QueryFn]:
 
 
 def all_oracle_sql() -> dict[str, str]:
-    return _ordered(_ORACLES)
+    """Oracle SQL per key. A registered oracle may be a callable returning
+    SQL — resolved here, at driver call time, for oracles that must be
+    *computed* rather than written (e.g. ``ann_ivf_trained`` inlines its
+    deterministically-trained centroids as literals). A callable that
+    raises degrades that key to the rows-only check instead of failing the
+    whole sweep."""
+    out = {}
+    for k, v in _ordered(_ORACLES).items():
+        if callable(v):
+            try:
+                out[k] = v()
+            except Exception:  # noqa: BLE001 — degrade to rows-only
+                continue
+        else:
+            out[k] = v
+    return out
