@@ -125,23 +125,41 @@ def test_minhash_and_jaccard_survive_empty_docs(spark):
     assert exact == {(1, 2)}
 
 
-def test_multimodal_plumbing(spark, docs):
-    media = attach_media_metadata(docs)
-    feats = {r["doc_id"]: r for r in decode_media(media, fake=True).collect()}
-    assert set(feats) == {1, 2, 3, 4}
-    r = feats[1]
-    assert r["mime"] == "audio/wav"  # doc_id 1 % 3 == 1
-    assert r["byte_len"] == len("the quick brown fox jumps over the lazy dog")
-    assert 0.0 < r["entropy"] <= 8.0
-    assert 16 <= r["width"] < 1040 and 16 <= r["height"] < 1040
-    assert feats[1]["entropy"] == feats[2]["entropy"]  # deterministic
+def test_multimodal_decode_dispatch(spark):
+    from zip_to_parquet_spark.operators.multimodal import synth_png, synth_wav
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(2,), (4,), (7,)], "doc_id long")
+    media = (
+        synth_png(ids.filter("doc_id % 2 = 0")).withColumn("mime", F.lit("image/png"))
+        .unionByName(
+            synth_wav(ids.filter("doc_id % 2 = 1")).withColumn("mime", F.lit("audio/wav"))
+        )
+    )
+    feats = {r["doc_id"]: r for r in decode_media(media).collect()}
+    assert set(feats) == {2, 4, 7}
+    # PNG rows: real decoded dims + defiltered pixel sum, audio cols NULL.
+    assert feats[2]["width"] == 8 + 2 % 25 and feats[2]["height"] == 8 + (2 % 7) * 3
+    assert feats[2]["px_sum"] is not None and feats[2]["sample_rate"] is None
+    # WAV rows: recovered container params, image cols NULL.
+    assert feats[7]["sample_rate"] == 8000
+    assert feats[7]["n_samples"] == 800 + (7 % 100) * 8
+    assert feats[7]["width"] is None
 
 
-def test_multimodal_real_decode_raises(spark, docs):
-    media = attach_media_metadata(docs)
-    with pytest.raises(Exception) as ei:
-        decode_media(media, fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "media decoding" in str(ei.value)
+def test_multimodal_decode_on_error(spark):
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame([(1, b"not a png", "image/png")],
+                                "doc_id long, payload binary, mime string")
+    with pytest.raises(Exception):
+        decode_media(bad, on_error="fail").collect()
+    assert decode_media(bad, on_error="skip").count() == 0
+    nulled = decode_media(bad, on_error="null").collect()
+    assert len(nulled) == 1 and nulled[0]["px_sum"] is None
+    unknown = spark.createDataFrame([(1, b"x", "video/mp4")],
+                                    "doc_id long, payload binary, mime string")
+    assert decode_media(unknown, on_error="skip").count() == 0
 
 
 @pytest.mark.parametrize(
