@@ -241,12 +241,57 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk")
+def _lsh_topk_oracle() -> str:
+    """Computed oracle for ``ann_lsh_topk``: the 16×6 fixed-seed Gaussian
+    hyperplanes are deterministic, so inline all 96 as DuckDB list
+    literals and rebuild the bucket ids with sign-bit arithmetic
+    (``list_inner_product > 0`` ↔ numpy ``mat @ planes > 0`` — a sign
+    flip needs |dot| below double epsilon, vanishingly rare for O(1)
+    Gaussian dots), then replay the same candidate/re-rank SQL shape as
+    the other ANN oracles."""
+    import numpy as np
+
+    planes = np.random.RandomState(42).standard_normal((64, 16 * 6))
+    rows = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[])"
+        % (t, b, ", ".join(repr(v) for v in planes[:, t * 6 + b]))
+        for t in range(16)
+        for b in range(6)
+    )
+    return f"""
+    WITH planes(table_idx, bit_idx, p) AS (VALUES {rows}),
+    b AS (
+      SELECT e.vec_id, pl.table_idx,
+             SUM(CASE WHEN list_inner_product(e.embedding::DOUBLE[], pl.p) > 0
+                      THEN (1::BIGINT << pl.bit_idx) ELSE 0 END)::BIGINT AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, pl.table_idx
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+      FROM b q JOIN b c ON q.table_idx = c.table_idx AND q.bucket = c.bucket
+      WHERE q.vec_id % 25 = 0 AND c.vec_id <> q.vec_id
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM (
+      SELECT cand.q_id, cand.n_id,
+             round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY cand.q_id ORDER BY
+               round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) DESC,
+               cand.n_id) AS rank
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.q_id
+      JOIN embeddings ne ON ne.vec_id = cand.n_id
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_lsh_topk", oracle=_lsh_topk_oracle)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH ANN: L=16 independent 6-bit hash tables
     (OR-amplification), candidates = same (table, bucket) in ANY table,
-    exact cosine re-rank, deterministic fixed-seed planes. No SQL oracle
-    (signature is numpy-side).
+    exact cosine re-rank, deterministic fixed-seed planes. Full value
+    oracle: ``_lsh_topk_oracle`` inlines the planes as literals and
+    rebuilds the buckets with SQL sign-bit arithmetic.
 
     Recall math on this fixture (near-random embeddings, top-5 neighbors
     at θ≈66°): per-table hit rate p=(1-θ/π)^6≈0.06, 16 tables →
