@@ -396,15 +396,20 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
     """(doc_id, simhash) — 60-bit SimHash over word tokens (Charikar'02).
 
-    Arrow-batched numpy: per document, token crc32s expand to a (tokens ×
-    bits) ±1 matrix whose column sums sign-pack into the signature — one
-    vectorized pass, map-only, no shuffle. (The previous all-Catalyst
-    version unrolled 60 aggregate expressions; that generated enough code
-    to pressure the JIT code cache — see session.py — and was slower.)
-    60 bits keeps every packed value positive in a signed long and divides
-    evenly into 4×15-bit bands for the pigeonhole pair search.
+    Arrow-batched numpy: per document, 64-bit md5 token hashes expand to a
+    (tokens × bits) ±1 matrix whose column sums sign-pack into the
+    signature — one vectorized pass, map-only, no shuffle. (The previous
+    all-Catalyst version unrolled 60 aggregate expressions; that generated
+    enough code to pressure the JIT code cache — see session.py — and was
+    slower.) 60 bits keeps every packed value positive in a signed long and
+    divides evenly into 4×15-bit bands for the pigeonhole pair search.
+
+    Token hash = the last 8 md5 digest bytes little-endian — exactly
+    DuckDB's ``md5_number_lower``, which is what makes the whole operator
+    SQL-oracle-checkable (plans/llm._simhash_oracle rebuilds signatures,
+    bands, and Hamming pairs from scratch in SQL).
     """
-    import zlib
+    import hashlib
 
     import numpy as np
 
@@ -417,12 +422,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         out = []
         for t in texts:
             toks = t.split(" ")
-            # Two salted crc32s concatenate to a 64-bit token hash (a bare
-            # crc32 would leave bits 32..59 constant-zero, collapsing the
-            # upper pigeonhole bands into one giant bucket).
             h = np.fromiter(
                 (
-                    zlib.crc32(w.encode()) | (zlib.crc32(b"\x01" + w.encode()) << 32)
+                    int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
                     for w in toks
                 ),
                 dtype=np.uint64,

@@ -151,10 +151,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_docs(_documents_spread(spark, sf_dir), threshold=0.8)
 
 
-@query("dedup_simhash")
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    h AS (SELECT doc_id, md5_number_lower(w) AS h FROM tok),
+    bits AS (SELECT range AS b FROM range(0, 60)),
+    v AS (
+      SELECT h.doc_id, bits.b,
+             SUM(CASE WHEN (h.h >> bits.b::INT) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN bits
+      GROUP BY h.doc_id, bits.b
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT
+                 AS simhash
+      FROM v GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band::INT * 15)) & 32767 AS bv
+      FROM sig CROSS JOIN (SELECT range AS band FROM range(0, 4)) r
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3; complete via 4-band pigeonhole).
-    No SQL oracle: the numpy signature family isn't SQL-expressible."""
+    Full value oracle: the md5_number_lower token-hash family lets DuckDB
+    rebuild signatures, 15-bit bands, and Hamming pairs from first
+    principles (operators/dedupe.simhash)."""
     sh = simhash(_documents_spread(spark, sf_dir))
     return simhash_pairs(sh, max_hamming=3)
 
