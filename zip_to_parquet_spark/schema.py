@@ -138,10 +138,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader + Catalyst column pruning / filter pushdown do the heavy lifting;
     callers must select only what they need so pruning reaches the scan.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the file; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long that we
-    truncate to µs (integer division — exactly DuckDB's ns→µs behavior) and
-    cast back to a timestamp. Narrow, codegen'd, no Python in the path.
+    ``events.ts`` normalization — the fixture generator has shipped two
+    physical encodings across rounds, and both must land as a plain
+    TIMESTAMP (UTC instant) so downstream ``unix_micros``/window arithmetic
+    resolves and matches DuckDB, which reads either file as a naive
+    timestamp and treats it as UTC in ``epoch_us``:
+      * TIMESTAMP(NANOS): read as long via
+        ``spark.sql.legacy.parquet.nanosAsLong``, µs-truncate, re-cast;
+      * TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+        TIMESTAMP_NTZ under Spark 4's NTZ inference; reinterpret the wall
+        clock as UTC with ``to_utc_timestamp(ts, 'UTC')`` — session-
+        timezone-independent, unlike a bare NTZ→TIMESTAMP cast.
+    Both paths are narrow, codegen'd, no Python in the path.
     """
     import pyspark.sql.functions as F
 
@@ -151,10 +159,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # are handed or the read fails with PARQUET_TYPE_ILLEGAL.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # Integer `div`, not `/`: float division would round-trip ~1.7e18 ns
-        # through double (exact only to 2^53) and corrupt the low microseconds.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # Integer `div`, not `/`: float division would round-trip
+            # ~1.7e18 ns through double (exact only to 2^53) and corrupt
+            # the low microseconds.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
 
 

@@ -47,19 +47,29 @@ __all__ = [
     "run_stream_to_memory",
 ]
 
-# Streaming reads declare the schema explicitly (file streams cannot infer).
-# ts is TIMESTAMP(NANOS) in the fixture parquet; with nanosAsLong it arrives
-# as a long that we truncate to µs exactly like schema.load_table.
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_stream_schema(ts_dtype: str) -> StructType:
+    """Streaming reads declare the schema explicitly (file streams cannot
+    infer). The fixture generator has shipped ``ts`` as TIMESTAMP(NANOS)
+    (read as long under nanosAsLong) and as TIMESTAMP(MICROS, NTZ) across
+    rounds — declare whichever physical type the file actually carries and
+    normalize after (schema.load_table documents the same dual path)."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ts_field = (
+        StructField("ts", LongType())
+        if ts_dtype == "bigint"
+        else StructField("ts", TimestampNTZType())
+    )
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            ts_field,
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,15 +77,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch under AvailableNow; a directory of arriving files in
     production)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Schema-only batch read (no job) to detect the file's ts encoding.
+    ts_dtype = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(ts_dtype))
         .format("parquet")
         # File streams take a directory; the glob filter selects the events
         # table out of the fixture dir (in production: the landing dir).
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_dtype == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
 
 
 def windowed_counts(
