@@ -70,3 +70,41 @@ def test_cli_rejects_missing_sink():
     )
     assert proc.returncode == 2
     assert "exactly one of" in proc.stderr
+
+
+def test_cli_skip_summary_and_simple_progress(tmp_path):
+    """--on-error skip surfaces an exact skip count in the summary (the
+    reference logs every failed archive, builder.rs:65-71) and --simple
+    engages the plain-line progress reporter without breaking the run."""
+    src = tmp_path / "in"
+    src.mkdir()
+    with zipfile.ZipFile(src / "ok.zip", "w") as z:
+        z.writestr("a.txt", b"alpha")
+    (src / "bad.zip").write_bytes(b"this is not a zip file")
+    out = tmp_path / "members.parquet"
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "zip_to_parquet_spark.cli",
+            "-i",
+            f"{src}/*.zip",
+            "-o",
+            str(out),
+            "--on-error",
+            "skip",
+            "--simple",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "skipped 1 unreadable archive(s)" in proc.stderr
+    assert "skipping unreadable archive" in proc.stderr  # per-archive line
+
+    import pyarrow.parquet as pq
+
+    assert [r["name"] for r in pq.read_table(out).to_pylist()] == ["a.txt"]

@@ -298,6 +298,26 @@ def test_on_error_skip(spark, tmp_path):
         read_zip_members(spark, [str(tmp_path / "*.zip")]).count()  # default: fail
 
 
+def test_on_error_skip_counter(spark, tmp_path):
+    """Permissive mode is observable: each archive dropped by
+    on_error='skip' bumps the caller's accumulator exactly once (executor →
+    driver on task completion), the Spark-native form of the reference's
+    per-archive error log (builder.rs:65-71)."""
+    make_zip(tmp_path / "good.zip", BASIC)
+    open(tmp_path / "bad1.zip", "wb").write(b"not a zip")
+    open(tmp_path / "bad2.zip", "wb").write(b"PK\x03\x04 truncated junk")
+    acc = spark.sparkContext.accumulator(0)
+    df = read_zip_members(
+        spark, [str(tmp_path / "*.zip")], on_error="skip", skip_counter=acc
+    )
+    assert df.count() == 3
+    assert acc.value == 2
+    # A second action re-reads and re-counts — accumulator semantics, so
+    # callers read it once per job (documented; the CLI runs one action).
+    df.count()
+    assert acc.value == 4
+
+
 def test_on_error_skip_mid_read_yields_nothing(spark, tmp_path):
     """A CRC failure on a LATER member must not leak the earlier, already-
     buffered members of the same archive (skip = the archive contributes

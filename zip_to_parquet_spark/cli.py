@@ -72,6 +72,46 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+class _ProgressReporter:
+    """Plain-line progress for ``--simple`` — the Spark-native analog of the
+    reference's indicatif/simple logger split (logger.rs:13-29): a daemon
+    thread polls ``statusTracker`` and prints one line per change in
+    completed-task count, so a long conversion shows liveness without a TTY
+    progress bar (log-file friendly, like the reference's simple mode)."""
+
+    def __init__(self, spark, every: float = 2.0):
+        import threading
+
+        self._tracker = spark.sparkContext.statusTracker()
+        self._every = every
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        last = -1
+        while not self._stop.wait(self._every):
+            done = total = 0
+            try:
+                for sid in self._tracker.getActiveStageIds():
+                    info = self._tracker.getStageInfo(sid)
+                    if info is not None:
+                        done += info.numCompletedTasks
+                        total += info.numTasks
+            except Exception:
+                continue  # tracker races with stage completion; retry next tick
+            if total and done != last:
+                print(f"progress: {done}/{total} tasks", file=sys.stderr)
+                last = done
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if bool(args.output) == bool(args.stdout):
@@ -88,6 +128,12 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("zip-to-parquet-cli")
     try:
+        # Exact skip accounting in permissive mode (reference logs each
+        # failed archive, builder.rs:65-71): executors bump the accumulator
+        # as they drop archives; the driver reads it after the action.
+        skip_acc = (
+            spark.sparkContext.accumulator(0) if args.on_error == "skip" else None
+        )
         df = read_zip_members(
             spark,
             args.input,
@@ -97,18 +143,31 @@ def main(argv: list[str] | None = None) -> int:
             sha=not args.no_hash,
             on_error=args.on_error,
             strict_hash=args.strict_hash,
+            skip_counter=skip_acc,
         )
-        if args.stdout:
-            n = write_parquet_stdout(df, row_group_rows=args.row_group_size)
-        elif args.distributed:
-            write_parquet(df, args.output, mode="overwrite")
-            n = -1
-        else:
-            n = write_single_parquet_file(df, args.output, row_group_rows=args.row_group_size)
+        import contextlib
+
+        reporter = _ProgressReporter(spark) if args.simple else contextlib.nullcontext()
+        with reporter:
+            if args.stdout:
+                n = write_parquet_stdout(df, row_group_rows=args.row_group_size)
+            elif args.distributed:
+                write_parquet(df, args.output, mode="overwrite")
+                n = -1
+            else:
+                n = write_single_parquet_file(
+                    df, args.output, row_group_rows=args.row_group_size
+                )
         if not args.stdout:
             where = args.output
             print(
                 f"wrote {n if n >= 0 else 'all'} member rows to {where}",
+                file=sys.stderr,
+            )
+        if skip_acc is not None and skip_acc.value:
+            print(
+                f"skipped {skip_acc.value} unreadable archive(s)"
+                " (details above, one line per archive)",
                 file=sys.stderr,
             )
         return 0

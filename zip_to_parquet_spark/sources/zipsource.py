@@ -144,7 +144,13 @@ class _ZipPartition(InputPartition):
 
 
 class ZipMembersReader(DataSourceReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, skip_acc=None):
+        # Optional SparkContext accumulator counting archives dropped by
+        # on_error='skip' — the Spark-native analog of the reference's
+        # per-archive error log (builder.rs:65-71). Travels driver →
+        # executor with the pickled reader; updates flow back on task
+        # completion, so the caller reads an exact job-wide count.
+        self.skip_acc = skip_acc
         self.paths: list[str] = json.loads(options.get("paths", "[]"))
         self.member_regex: str | None = options.get("member_regex") or None
         self.with_body = options.get("body", "true") == "true"
@@ -291,6 +297,8 @@ class ZipMembersReader(DataSourceReader):
                 # on_error='fail' (default) where atomicity matters.
                 import sys
 
+                if self.skip_acc is not None:
+                    self.skip_acc.add(1)
                 print(
                     f"zipmembers: skipping unreadable archive {partition.path}: {exc}",
                     file=sys.stderr,
@@ -391,6 +399,13 @@ class ZipMembersDataSource(DataSource):
     ``spark.readStream`` with a ``stream_glob`` option tails a directory of
     arriving archives."""
 
+    # Optional skip-counter accumulator. Options are string-only, so the
+    # accumulator rides a class attribute: read_zip_members registers a
+    # dynamic subclass carrying it, which cloudpickle serializes BY VALUE
+    # (dynamic classes always are), while this importable base stays
+    # by-reference. None ⇒ counting disabled.
+    _skip_acc = None
+
     @classmethod
     def name(cls) -> str:
         return "zipmembers"
@@ -399,7 +414,7 @@ class ZipMembersDataSource(DataSource):
         return "name string, source string, body binary, hash string"
 
     def reader(self, schema) -> ZipMembersReader:
-        return ZipMembersReader(self.options)
+        return ZipMembersReader(self.options, skip_acc=type(self)._skip_acc)
 
     def streamReader(self, schema) -> ZipMembersStreamReader:
         return ZipMembersStreamReader(self.options)
@@ -433,6 +448,7 @@ def read_zip_members(
     on_error: str = "fail",
     batch_rows: int = 1024,
     strict_hash: bool = False,
+    skip_counter=None,
 ) -> DataFrame:
     """Read zip archives as one DataFrame row per member (reference A1+A2).
 
@@ -443,6 +459,13 @@ def read_zip_members(
     the projection pushdown of builder.rs:185-186 as a source option.
     ``strict_hash=True`` emits the reference's quote-wrapped unpadded hex
     encoding instead of standard 64-char hex (see _strict_hash_hex).
+
+    ``skip_counter``: optional ``spark.sparkContext.accumulator(0)``; with
+    ``on_error='skip'`` each dropped archive adds 1, giving callers an exact
+    job-wide skip count (the reference logs every failed archive,
+    builder.rs:65-71). The binding happens at ``.load()`` (schema resolution
+    instantiates the source), so interleaved reads each capture their own
+    counter.
     """
     from zip_to_parquet_spark.runtime import ensure_shipped
 
@@ -452,7 +475,15 @@ def read_zip_members(
     # Runtime conf (the driver harness owns its session): without it Spark
     # refuses a reader that implements pushFilters.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(ZipMembersDataSource)
+    source_cls = ZipMembersDataSource
+    if skip_counter is not None:
+        # Dynamic subclass → pickled by value, accumulator included.
+        source_cls = type(
+            "ZipMembersDataSourceCounted",
+            (ZipMembersDataSource,),
+            {"_skip_acc": skip_counter},
+        )
+    spark.dataSource.register(source_cls)
     return (
         spark.read.format("zipmembers")
         .option("paths", json.dumps(paths))
