@@ -15,6 +15,7 @@ from zip_to_parquet_spark.operators.dedupe import (
     shingle_sets,
     simhash,
     simhash_pairs,
+    span_dedup,
 )
 from zip_to_parquet_spark.operators.multimodal import attach_media_metadata, decode_media
 from zip_to_parquet_spark.operators.vectors import cosine
@@ -37,6 +38,45 @@ def test_exact_dedup(spark, docs):
     assert set(out) == {1, 3, 4}  # doc 2 deduped into doc 1 (min id wins)
     expected = hashlib.sha256(b"the quick brown fox jumps over the lazy dog").hexdigest()
     assert out[1] == expected
+
+
+def test_span_dedup_removes_cross_doc_runs(spark):
+    """A verbatim run of >= 2*span_words words shared by two docs loses at
+    least one full tile in each doc regardless of tiling alignment (the
+    Lee-et-al recall argument); unique text and sub-span tails survive."""
+    boiler = "all rights reserved copyright notice terms of service apply"  # 9 words
+    rows = [
+        (1, "alpha bravo " + boiler + " tail1"),
+        (2, boiler + " charlie delta echo"),
+        (3, "totally unique words that appear nowhere else at all"),
+        (4, "tiny"),  # shorter than one span: zero spans, text kept verbatim
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(df, span_words=3).collect()}
+
+    assert out[4]["n_spans"] == 0 and out[4]["clean_text"] == "tiny"
+    assert out[3]["n_dup_spans"] == 0
+    assert out[3]["clean_text"] == rows[2][1]  # 9 words = 3 tiles + no tail
+    # doc 1 tiles: [alpha bravo all] [rights reserved copyright] [notice
+    # terms of] [service apply tail1]; doc 2 tiles: [all rights reserved]
+    # [copyright notice terms] [of service apply] + tail. The 9-word run is
+    # only 1.5*span_words long per alignment, so only identically-aligned
+    # tiles collide — here none do, proving tiles are alignment-sensitive
+    # below 2*span_words (documented recall bound), while a full-tile
+    # duplicate IS removed:
+    rows2 = [
+        (10, "one two three four five six"),
+        (11, "one two three seven eight nine"),
+    ]
+    out2 = {
+        r["doc_id"]: r
+        for r in span_dedup(
+            spark.createDataFrame(rows2, "doc_id long, text string"), span_words=3
+        ).collect()
+    }
+    assert out2[10]["n_dup_spans"] == 1  # "one two three" tile shared
+    assert out2[10]["clean_text"] == "four five six"
+    assert out2[11]["clean_text"] == "seven eight nine"
 
 
 def test_ngram_jaccard_pairs(spark, docs):

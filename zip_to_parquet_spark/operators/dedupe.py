@@ -36,6 +36,7 @@ __all__ = [
     "minhash_lsh_pairs_docs",
     "simhash",
     "simhash_pairs",
+    "span_dedup",
 ]
 
 # Fixed MinHash parameters: k independent (a·h + b) mod P hashes.
@@ -496,6 +497,118 @@ def simhash_pairs(
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    span_words: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring span deduplication (the scalable Spark form of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": remove verbatim text runs repeated across the corpus).
+
+    The published pipeline builds a corpus-global suffix array to find
+    every duplicated ≥50-token substring — inherently single-machine.
+    The distributed re-expression: tile each document into non-overlapping
+    ``span_words``-word spans, count each span's corpus-wide frequency with
+    one hash-groupBy, and drop spans occurring ``min_count``+ times. A
+    duplicated run of ≥ 2·span_words words is caught regardless of
+    alignment (it contains a full tile from each tiling offset); shorter
+    overlaps are caught when tile-aligned — recall, never precision, and
+    the standard tiling trade-off at 100 TB.
+
+    Output: (doc_id, n_spans, n_dup_spans, clean_text) where clean_text is
+    the surviving spans in document order plus the sub-span tail.
+
+    Scale shape: two shuffles, both on uniform keys — span text (hash it
+    first at real scale) for the global count, doc_id for reassembly. No
+    joins wider than the exploded span list, no driver-side state.
+    """
+    w = span_words
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
+    )
+    docs = docs.select(
+        "doc_id",
+        "ws",
+        F.expr("size(ws) div %d" % w).cast("int").alias("n_full"),
+    ).select(
+        "doc_id",
+        "n_full",
+        # sub-span tail (kept verbatim: it cannot form a full span)
+        F.array_join(
+            F.slice(
+                "ws", F.col("n_full") * w + 1, F.size("ws") - F.col("n_full") * w
+            ),
+            " ",
+        ).alias("remainder"),
+        F.when(
+            F.col("n_full") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_full") - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("span_idx"),
+                    F.array_join(F.slice("ws", i * w + 1, w), " ").alias(
+                        "span_text"
+                    ),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<span_idx:int,span_text:string>>"))
+        .alias("spans"),
+    )
+    # explode_outer keeps zero-span (short) docs in the reassembly.
+    sp = docs.select(
+        "doc_id",
+        "remainder",
+        F.explode_outer("spans").alias("s"),
+    ).select(
+        "doc_id", "remainder", F.col("s.span_idx").alias("span_idx"),
+        F.col("s.span_text").alias("span_text"),
+    )
+    counts = (
+        sp.filter(F.col("span_text").isNotNull())
+        .groupBy("span_text")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    flagged = sp.join(counts, "span_text", "left")
+    kept = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(  # collect_list drops the NULLs from when()
+                    F.when(
+                        F.col("c") < min_count, F.struct("span_idx", "span_text")
+                    )
+                )
+            ),
+            lambda x: x["span_text"],
+        ),
+        " ",
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("span_idx").alias("n_spans"),
+            F.sum(
+                F.when(F.col("c") >= min_count, 1).otherwise(0)
+            ).cast("long").alias("n_dup_spans"),
+            kept.alias("kept"),
+            F.first("remainder").alias("remainder"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.concat_ws(
+                " ",
+                F.nullif(F.col("kept"), F.lit("")),
+                F.nullif(F.col("remainder"), F.lit("")),
+            ).alias("clean_text"),
+        )
     )
 
 

@@ -29,6 +29,7 @@ from zip_to_parquet_spark.operators.dedupe import (
     shingle_sets,
     simhash,
     simhash_pairs,
+    span_dedup,
 )
 from zip_to_parquet_spark.operators.multimodal import (
     attach_media_metadata,
@@ -211,6 +212,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return cosine_lsh_pairs(emb, threshold=0.95, dim=64, n_planes=8, n_tables=32)
+
+
+@query(
+    "dedup_exact_spans",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    d AS (
+      SELECT doc_id, ws, (len(ws) // 3)::INT AS n_full,
+             array_to_string(ws[(len(ws) // 3) * 3 + 1 : len(ws)], ' ')
+                 AS remainder
+      FROM t
+    ),
+    sp AS (
+      SELECT doc_id, i::INT AS span_idx,
+             array_to_string(ws[i * 3 + 1 : i * 3 + 3], ' ') AS span_text
+      FROM d, (SELECT range AS i FROM range(0, 1000)) r
+      WHERE i < n_full
+    ),
+    cnt AS (SELECT span_text, count(*) AS c FROM sp GROUP BY span_text),
+    agg AS (
+      SELECT sp.doc_id,
+             count(*) AS n_spans,
+             sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+             nullif(string_agg(CASE WHEN cnt.c < 2 THEN sp.span_text END,
+                               ' ' ORDER BY sp.span_idx), '') AS kept
+      FROM sp JOIN cnt USING (span_text)
+      GROUP BY sp.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(agg.n_spans, 0) AS n_spans,
+           coalesce(agg.n_dup_spans, 0) AS n_dup_spans,
+           concat_ws(' ', agg.kept, nullif(d.remainder, '')) AS clean_text
+    FROM d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022 re-expressed as tiling +
+    one hash-groupBy — see operators.dedupe.span_dedup for the recall
+    argument). span_words=3 here because the fixture's ~40-word vocabulary
+    only produces repeated runs that short; production uses ~50 (the
+    paper's duplication threshold). Fully value-oracle-checked including
+    the reassembled clean_text."""
+    return span_dedup(_documents_spread(spark, sf_dir), span_words=3)
 
 
 # ---------------------------------------------------------------------------
