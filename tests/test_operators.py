@@ -283,6 +283,31 @@ def test_cosine_lsh_pairs_match_brute_force(spark):
     assert got == want
 
 
+def test_pq_recall_floor(spark):
+    """PQ16x4 ADC top-5 must beat a recall floor against the EXACT
+    inner-product top-5 (the metric PQ scores here). Measured ~0.40 on the
+    fixture's near-random embeddings — PQ's hardest case (no cluster
+    structure to quantize); chance is ~1%."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zip_to_parquet_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    exact = set()
+    for qi in np.flatnonzero(ids % 25 == 0):
+        ips = x @ x[qi]
+        ips[qi] = -np.inf
+        exact |= {(ids[qi], ids[j]) for j in np.argsort(-ips, kind="stable")[:5]}
+    got = {(r.q_id, r.n_id) for r in all_queries()["ann_pq_topk"](spark, sf).collect()}
+    assert exact, "exact IP top-k is empty"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.25, f"PQ recall collapsed: {recall:.3f}"
+
+
 def test_ivf_trained_recall_floor(spark):
     """Trained-codebook IVF (k=32, nprobe=8) must beat a recall floor
     against the exact top-5 on the fixture (measured ~0.76; random

@@ -21,6 +21,10 @@ __all__ = [
     "cosine_lsh_pairs",
     "train_ivf_codebook",
     "gemm_topk_candidates",
+    "lloyds_codebook_l2",
+    "train_pq_codebooks",
+    "pq_encode_udf",
+    "pq_decode_expr",
 ]
 
 
@@ -272,6 +276,124 @@ def train_ivf_codebook(
     return lloyds_codebook(x, k=k, iters=iters, seed=seed)
 
 
+def lloyds_codebook_l2(x, k: int, iters: int = 10, seed: int = 42):
+    """Euclidean Lloyd's k-means over an (n, dim) float64 sample — the PQ
+    sub-quantizer trainer (raw subvectors, L2 assignment: unlike the
+    cosine variant above, PQ must preserve magnitudes because ADC sums
+    un-normalized partial inner products). Deterministic exactly like
+    ``lloyds_codebook`` (first-k init, fixed RandomState), so the oracle
+    generator replays it bit-for-bit."""
+    import numpy as np
+
+    if len(x) < k:
+        raise ValueError(f"sample of {len(x)} rows cannot seed {k} centroids")
+    rng = np.random.RandomState(seed)
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1)
+        assign = d.argmin(axis=1)  # first-min ties == lowest code
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+            else:
+                cents[j] = x[rng.randint(len(x))]
+    return [[float(v) for v in c] for c in cents]
+
+
+def train_pq_codebooks(
+    emb,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 10,
+    sample_per_centroid: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+):
+    """Product-quantization codebooks: split ``dim`` into ``m`` contiguous
+    subspaces and train an independent ``ksub``-centroid L2 codebook per
+    subspace (Jégou et al. 2011; the FAISS IndexPQ trainer). Returns
+    ``m`` lists of ``ksub`` centroid lists.
+
+    Same bounded-driver-sample discipline as ``train_ivf_codebook``: a
+    deterministic crc32-of-id filter lands ~ksub·sample_per_centroid rows
+    on the driver; numpy trains in milliseconds. The crc32 sample and the
+    fixed-seed Lloyd's make training replayable outside Spark, so a value
+    oracle can inline the trained centroids as SQL literals."""
+    import numpy as np
+
+    n = emb.count()
+    mod = ivf_sample_modulus(n, ksub, sample_per_centroid)
+    sample = (
+        emb.filter(F.crc32(F.col(id_col).cast("string").cast("binary")) % mod == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    sample.sort(key=lambda r: r[0])
+    x = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    return [
+        lloyds_codebook_l2(x[:, s * dsub : (s + 1) * dsub], k=ksub, iters=iters, seed=seed)
+        for s in range(m)
+    ]
+
+
+def pq_encode_udf(codebooks):
+    """array<double> → array<int> PQ codes: per subspace, the index of the
+    L2-nearest centroid. One numpy distance computation per Arrow batch —
+    map-only, no shuffle; an encoded corpus stores m bytes per vector
+    instead of dim floats (the reason PQ is THE 100 TB ANN memory format).
+
+    Tie/parity note: squared-L2 accumulates per-dimension in float64 —
+    the same left-to-right double adds as DuckDB's ``list_distance`` (sqrt
+    is monotone, so argmin agrees); numpy argmin takes the FIRST min,
+    matching SQL's ``ORDER BY dist, code`` tie-break."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    m = len(cbs)
+    dsub = cbs[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy()).astype(np.float64)
+        codes = np.empty((len(mat), m), dtype=np.int32)
+        for s in range(m):
+            xs = mat[:, s * dsub : (s + 1) * dsub]
+            d = ((xs[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=-1)
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_decode_expr(codebooks, codes_col):
+    """Catalyst reconstruction of the PQ-decoded vector: the trained
+    centroids ship as a nested literal array and each code indexes its
+    subspace's centroid — pure codegen'd expression, so downstream exact
+    arithmetic (the sequential ``dot``) bit-matches a SQL oracle that
+    decodes from the same literals."""
+    cb_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in sub])
+            for sub in codebooks
+        ]
+    )
+    codes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    return F.flatten(
+        F.transform(
+            codes,
+            lambda c, s: F.element_at(F.element_at(cb_lit, s + F.lit(1)), c + F.lit(1)),
+        )
+    )
+
+
 def gemm_topk_candidates(
     corpus,
     q_ids,
@@ -280,8 +402,11 @@ def gemm_topk_candidates(
     margin: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    metric: str = "cosine",
 ):
-    """Brute-force exact cosine scoring with per-batch partial top-k:
+    """Brute-force exact cosine (or inner-product, ``metric='ip'`` — the
+    ADC scorer for PQ-decoded corpora) scoring with per-batch partial
+    top-k; the output column is named ``cos_sim_raw`` for either metric:
     returns (q_id, n_id, cos_sim_raw) candidate rows, ≥ the true top-k
     per query, scored identically to the Catalyst ``cosine()`` column.
 
@@ -331,10 +456,13 @@ def gemm_topk_candidates(
             dot = np.zeros((len(cm), len(qm)))
             for d in range(cm.shape[1]):
                 dot = dot + np.outer(cm[:, d], qm[:, d])
-            den = np.outer(_seq_sq_norm(cm), qn)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sim = dot / den
-            sim[den == 0.0] = np.nan
+            if metric == "ip":
+                sim = dot  # no normalization; zero vectors score 0, valid
+            else:
+                den = np.outer(_seq_sq_norm(cm), qn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = dot / den
+                sim[den == 0.0] = np.nan
             sim[cid[:, None] == qid[None, :]] = np.nan  # self-match
             out_q, out_n, out_s = [], [], []
             for j in range(len(qm)):

@@ -47,6 +47,7 @@ set_priority([
     "multimodal_decode_features",
     "dedup_simhash",
     "dedup_exact_spans",  # new in round 3 (Lee-et-al span dedup)
+    "ann_pq_topk",  # new in round 3 (FAISS-style product quantization)
     # exact-decimal sweep (round 2) — first driver row since the sweep
     "join_broadcast_dim",
     "join_shuffle_facts",
@@ -71,7 +72,6 @@ set_priority([
     "window_lag_delta",
     "topk_orders",
     "set_union_all",
-    "set_intersect",
     "scalar_string_date",
     "json_extract_events",
     "pivot_event_counts",

@@ -47,7 +47,10 @@ from zip_to_parquet_spark.operators.vectors import (
     gemm_topk_candidates,
     hyperplane_multitable_udf,
     ivf_assign_udfs,
+    pq_decode_expr,
+    pq_encode_udf,
     train_ivf_codebook,
+    train_pq_codebooks,
 )
 from zip_to_parquet_spark.plans.registry import query
 from zip_to_parquet_spark.runtime import spread
@@ -807,6 +810,119 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = train_ivf_codebook(emb, k=32, iters=10, sample_per_centroid=16)
     return _ivf_topk(
         emb, [(i, c) for i, c in enumerate(codebook)], nprobe=8, topk=5
+    )
+
+
+def _pq_topk_oracle() -> str:
+    """Computed oracle for ``ann_pq_topk``: replay the deterministic PQ
+    training (same crc32 sample, same ``lloyds_codebook_l2`` numpy code,
+    same machine → bit-identical centroids), inline all m×ksub centroids
+    as literal DuckDB lists, then reproduce encode (L2-argmin per
+    subspace), decode (flatten of looked-up centroids), and ADC scoring
+    (inner product of the raw query against the decoded corpus vector) in
+    pure SQL. Same lazy-resolution contract as ``_ivf_trained_oracle``."""
+    import os
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zip_to_parquet_spark.operators.vectors import (
+        ivf_sample_modulus,
+        lloyds_codebook_l2,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    mod = ivf_sample_modulus(len(ids), 16, 50)
+    samp = sorted(
+        (i, v) for i, v in zip(ids, vecs) if zlib.crc32(str(i).encode()) % mod == 0
+    )
+    x = np.array([v for _, v in samp], dtype=np.float64)
+    m, dsub = 16, x.shape[1] // 16
+    cbs = [
+        lloyds_codebook_l2(x[:, s * dsub : (s + 1) * dsub], k=16, iters=10, seed=42)
+        for s in range(m)
+    ]
+    rows = ", ".join(
+        "(%d, %d, [%s])" % (s, c, ", ".join(repr(v) for v in cent))
+        for s in range(m)
+        for c, cent in enumerate(cbs[s])
+    )
+    return f"""
+    WITH cb(s, c, cent) AS (VALUES {rows}),
+    sub AS (
+      SELECT e.vec_id, r.s::INT AS s,
+             (e.embedding::DOUBLE[])[r.s * {dsub} + 1 : r.s * {dsub} + {dsub}] AS sv
+      FROM embeddings e, (SELECT range AS s FROM range(0, {m})) r
+    ),
+    assign AS (
+      SELECT vec_id, s, c FROM (
+        SELECT sub.vec_id, sub.s, cb.c,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY list_distance(sub.sv, cb.cent), cb.c) AS rnk
+        FROM sub JOIN cb ON cb.s = sub.s
+      ) WHERE rnk = 1
+    ),
+    dec AS (
+      SELECT a.vec_id, flatten(list(cb.cent ORDER BY a.s)) AS decoded
+      FROM assign a JOIN cb ON cb.s = a.s AND cb.c = a.c
+      GROUP BY a.vec_id
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id % 25 = 0 ORDER BY vec_id LIMIT 512
+    )
+    SELECT q_id, n_id, approx_ip, rank FROM (
+      SELECT q.q_id, d.vec_id AS n_id,
+             round(list_inner_product(q.qv, d.decoded), 6) AS approx_ip,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY
+               round(list_inner_product(q.qv, d.decoded), 6) DESC,
+               d.vec_id) AS rank
+      FROM q JOIN dec d ON d.vec_id <> q.q_id
+    ) WHERE rank <= 5
+    """
+
+
+@query("ann_pq_topk", oracle=_pq_topk_oracle)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011; FAISS IndexPQ, PQ16x4
+    layout): the corpus compresses to 16 4-bit codes per vector — 8 bytes
+    vs 256 (32×), THE memory format that lets a 100 TB embedding corpus
+    fit an executor fleet — queries stay exact, and scoring is asymmetric
+    distance computation: inner product of the raw query against each
+    decoded corpus vector. Measured recall@5 vs exact IP on the fixture's
+    near-random embeddings (PQ's hardest case): ~0.42.
+
+    Spark shape: training = bounded driver sample (train_pq_codebooks);
+    encode = one numpy matmul-ish distance pass per Arrow batch, map-only;
+    decode = codegen'd literal lookup; scoring = per-batch partial top-k
+    (gemm_topk_candidates metric='ip'), so the N×Q score matrix never
+    reaches a shuffle. Full value oracle via replayed training
+    (_pq_topk_oracle); recall vs exact IP is floor-tested in
+    tests/test_operators.py."""
+    emb = _embeddings_spread(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cbs = train_pq_codebooks(emb, m=16, ksub=16, iters=10, sample_per_centroid=50)
+    codes = emb.select("vec_id", pq_encode_udf(cbs)(F.col("v")).alias("codes"))
+    decoded = codes.select("vec_id", pq_decode_expr(cbs, "codes").alias("v"))
+    qrows = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .orderBy("vec_id")
+        .limit(_MAX_QUERY_BATCH)
+        .collect()
+    )
+    cand = gemm_topk_candidates(
+        decoded, [r[0] for r in qrows], [list(r[1]) for r in qrows], k=5, metric="ip"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_ip").desc(), F.col("n_id"))
+    return (
+        cand.select("q_id", "n_id", F.round("cos_sim_raw", 6).alias("approx_ip"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
     )
 
 
