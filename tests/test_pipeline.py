@@ -100,3 +100,33 @@ def test_repetition_stats_crafted(spark):
            for r in repetition_stats(df).collect()}
     assert out[1] == (4, 1.0, 3, 1.0)
     assert out[2] == (4, 0.25, 3, 1.0 / 3.0)
+
+
+def test_dsir_separates_target_domain(spark):
+    """DSIR importance weights must rank target-domain documents above the
+    rest on average (the resampling property the scores exist for), and
+    n_features must equal unigrams + bigrams = 2*len - 1."""
+    import pyspark.sql.functions as F
+
+    from zip_to_parquet_spark.operators.pipeline import dsir_scores
+    from zip_to_parquet_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    scored = dsir_scores(docs, target_pred=F.col("source") == "src0")
+    joined = scored.join(docs.select("doc_id", "source"), "doc_id")
+    means = {
+        r["is_t"]: r["m"]
+        for r in joined.groupBy((F.col("source") == "src0").alias("is_t"))
+        .agg(F.avg("dsir_micro_nats").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+    bad = (
+        scored.join(docs, "doc_id")
+        .filter(
+            F.col("n_features")
+            != 2 * F.size(F.split(F.col("text"), " ")) - 1
+        )
+        .count()
+    )
+    assert bad == 0

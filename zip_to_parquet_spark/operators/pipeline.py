@@ -28,6 +28,7 @@ __all__ = [
     "decontaminate_ngrams",
     "pii_redact",
     "PII_PATTERNS",
+    "dsir_scores",
 ]
 
 
@@ -276,3 +277,77 @@ def clean_text(
     if max_chars is not None:
         c = F.substring(c, 1, max_chars)
     return df.withColumn("clean", c)
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much its hashed n-gram profile looks like a target domain vs the
+    rest of the corpus; training-data selection then keeps/resamples the
+    top-scoring docs.
+
+    Features are unigrams + bigrams hashed into ``n_buckets`` buckets
+    (md5-prefix hash — canonical across engines). Both bucket
+    distributions get add-one smoothing; a document's raw score is
+    Σ_features ln(p_target[b(f)] / p_rest[b(f)]).
+
+    Cross-engine determinism: floating-point ADDITION order inside a
+    distributed sum is nondeterministic, so summing per-feature log
+    ratios as doubles would not hash-match an oracle. Instead each
+    bucket's log ratio is floored to integer MICRO-nats once (floor is
+    exact for identical IEEE inputs, and ln/division on identical doubles
+    are bit-identical under IEEE), and documents sum those integers —
+    an order-free exact aggregation. Output ``dsir_micro_nats`` is that
+    integer score; divide by 1e6 for nats.
+
+    Scale shape: the bucket table is O(n_buckets) — two groupBy passes
+    over exploded features (uniform md5 keys), then a broadcast join of
+    the tiny log-ratio table against the feature stream and one integer
+    sum per doc. Map-side combine does the heavy lifting; no skew, no
+    driver-side state.
+    """
+    feats = F.concat(
+        words(F.col(text_col)), word_shingles(words(F.col(text_col)), 2)
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_target"),
+        F.explode(feats).alias("f"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+    dist = base.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("cr"),
+    )
+    totals = dist.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lr = dist.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("ct") + 1) / (F.col("tt") + n_buckets))
+                - F.log((F.col("cr") + 1) / (F.col("tr") + n_buckets))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    return (
+        base.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("lr_micro").alias("dsir_micro_nats"),
+        )
+    )

@@ -1499,3 +1499,54 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _documents_spread(spark, sf_dir), ["table", "spark", "fast"], k=10
     )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source = 'src0' AS is_target, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, is_target,
+             unnest(list_concat(
+               w,
+               list_transform(range(1, len(w)),
+                              i -> array_to_string(w[i:i+1], ' '))
+             )) AS f
+      FROM t
+    ),
+    bk AS (
+      SELECT doc_id, is_target,
+             ('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS b
+      FROM feats
+    ),
+    dist AS (
+      SELECT b,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS ct,
+             sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS cr
+      FROM bk GROUP BY b
+    ),
+    tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM dist),
+    lr AS (
+      SELECT b,
+             floor((ln((ct + 1) / (tt + 256)) - ln((cr + 1) / (tr + 256)))
+                   * 1e6)::BIGINT AS lr_micro
+      FROM dist, tot
+    )
+    SELECT doc_id, count(*) AS n_features, sum(lr_micro)::BIGINT AS dsir_micro_nats
+    FROM bk JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    importance weights of every document against the 'src0' target domain
+    (operators/pipeline.dsir_scores). Integer micro-nat scores make the
+    distributed sum order-free, so the full pipeline — feature hashing,
+    smoothed distributions, per-doc log-ratio sum — is value-oracle-
+    checked end to end."""
+    return pipeline.dsir_scores(
+        _documents_spread(spark, sf_dir), target_pred=F.col("source") == "src0"
+    )
