@@ -137,3 +137,33 @@ def test_csv_member_parse_is_shuffle_free(spark):
     # decompress → explode lines → from_csv, no Exchange.
     plan = plan_of(spark, "zip_csv_members")
     assert "Exchange" not in plan
+
+
+def test_span_dedup_no_cross_join_bounded_shuffles(spark):
+    # Span dedup's scale contract: two keyed shuffles (span text count,
+    # doc reassembly) plus at most the corpus-spread round-robin and
+    # AQE reads — and never a cross join. A cartesian here means the
+    # count-join degenerated.
+    plan = plan_of(spark, "dedup_exact_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n_shuffles(plan) <= 4, plan
+
+
+def test_pq_topk_no_join_before_scoring(spark):
+    # PQ: encode (map) -> decode (codegen literal lookup) -> per-batch
+    # partial top-k (mapInPandas) -> one rank window. No join at all: the
+    # codebook ships in closures/literals, never as a join side.
+    plan = plan_of(spark, "ann_pq_topk")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_broadcasts_bucket_table(spark):
+    # The O(256) log-ratio table must broadcast against the feature
+    # stream; a SortMergeJoin would shuffle every feature of a 100 TB
+    # corpus on the bucket key.
+    plan = plan_of(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
