@@ -541,3 +541,38 @@ def test_media_decode_on_error_modes(spark):
         assert sorted(null) == [1, 2, 3]
         assert null[2][1] is None  # first feature column nulled
         assert null[1][1] is not None
+
+
+def test_semantic_dedup_pairs_planted(spark):
+    """SemDeDup pair semantics on planted near-duplicates: a >=0.95 pair
+    sharing a cluster is found with its exact cosine; pairs split across
+    clusters are invisible (the documented SemDeDup recall bound)."""
+    import numpy as np
+
+    from zip_to_parquet_spark.operators.vectors import (
+        semantic_dedup_pairs,
+        train_ivf_codebook,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 16))
+    planted = base[:4] + 0.01 * rng.standard_normal((4, 16))
+    x = np.vstack([base, planted])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, v array<double>",
+    )
+    cb = train_ivf_codebook(df, k=4, iters=10, sample_per_centroid=16)
+    assign, pairs = semantic_dedup_pairs(df, cb, threshold=0.95)
+    clusters = {r["vec_id"]: r["cluster"] for r in assign.collect()}
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = np.round(xn @ xn.T, 6)
+    want_same_cluster = {
+        (a, b)
+        for a in range(len(x))
+        for b in range(a + 1, len(x))
+        if sims[a, b] >= 0.95 and clusters[a] == clusters[b]
+    }
+    assert want_same_cluster, "fixture planted no same-cluster pairs"
+    assert got == want_same_cluster

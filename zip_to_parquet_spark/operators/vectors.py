@@ -25,6 +25,7 @@ __all__ = [
     "train_pq_codebooks",
     "pq_encode_udf",
     "pq_decode_expr",
+    "semantic_dedup_pairs",
 ]
 
 
@@ -274,6 +275,50 @@ def train_ivf_codebook(
     sample.sort(key=lambda r: r[0])
     x = np.array([list(r[1]) for r in sample], dtype=np.float64)
     return lloyds_codebook(x, k=k, iters=iters, seed=seed)
+
+
+def semantic_dedup_pairs(
+    emb,
+    codebook,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+):
+    """SemDeDup core (Abbas et al. 2023): assign every embedding to its
+    nearest trained centroid (map-only numpy argmax per Arrow batch), then
+    emit exact cosine near-duplicate pairs WITHIN each cluster via an
+    equi-join on the cluster id. Returns ``(assign, pairs)`` DataFrames:
+    assign = (vec_id, v, cluster); pairs = (cluster, vec_a, vec_b,
+    cos_sim) with cos_sim rounded to 6 and ≥ threshold.
+
+    Candidate volume is O(Σ cell²); scale k with the corpus so cells stay
+    constant-sized (same knob as IVF — 4k-64k cells in production)."""
+    nearest_cell, _ = ivf_assign_udfs(
+        [(i, c) for i, c in enumerate(codebook)], nprobe=1
+    )
+    assign = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        nearest_cell(vec_col).alias("cluster"),
+    )
+    a = assign.select(
+        "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = assign.select(
+        "cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "cluster",
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return assign, pairs
 
 
 def lloyds_codebook_l2(x, k: int, iters: int = 10, seed: int = 42):

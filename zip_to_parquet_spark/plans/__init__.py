@@ -49,6 +49,7 @@ set_priority([
     "dedup_exact_spans",  # new in round 3 (Lee-et-al span dedup)
     "ann_pq_topk",  # new in round 3 (FAISS-style product quantization)
     "dsir_importance_weights",  # new in round 3 (DSIR data selection)
+    "dedup_semantic",  # new in round 3 (SemDeDup cluster-scoped dedup)
     # exact-decimal sweep (round 2) — first driver row since the sweep
     "join_broadcast_dim",
     "join_shuffle_facts",
@@ -72,7 +73,6 @@ set_priority([
     "window_rank_topn",
     "window_lag_delta",
     "topk_orders",
-    "scalar_string_date",
     "json_extract_events",
     "pivot_event_counts",
     "agg_percentiles",

@@ -707,18 +707,14 @@ def _ivf_topk(
     )
 
 
-def _ivf_trained_oracle() -> str:
-    """Computed oracle for ``ann_ivf_trained``: replay the deterministic
-    codebook training in pure Python from the raw parquet (same crc32
-    sample filter, same ``lloyds_codebook`` numpy code, same machine →
-    bit-identical centroids), then inline the 32 trained centroids as
-    DuckDB list literals in the standard IVF probe/re-rank SQL.
-
-    The driver's contract fixes the correctness scale at sf0.01, so that
-    path is the default; the pytest sweep points
-    ``SPARK_GRAFT_ORACLE_SF_DIR`` at its own sf dir before resolving
-    oracles. Resolution happens lazily inside ``all_oracle_sql()`` — if
-    the parquet is unreadable the key degrades to a rows-only check."""
+def _replayed_ivf_cents_values() -> str:
+    """Replay the deterministic k=32 IVF codebook training in pure Python
+    from the raw parquet (same crc32 sample filter, same
+    ``lloyds_codebook`` numpy code, same machine → bit-identical
+    centroids) and render the centroids as a DuckDB ``VALUES`` row list.
+    repr() emits the shortest round-trip decimal, so DuckDB parses back
+    the exact same double. Shared by the trained-IVF and SemDeDup
+    oracles (identical training parameters)."""
     import os
     import zlib
 
@@ -744,12 +740,23 @@ def _ivf_trained_oracle() -> str:
     )
     x = np.array([v for _, v in samp], dtype=np.float64)
     cents = lloyds_codebook(x, k=32, iters=10, seed=42)
-    # repr() emits the shortest round-trip decimal → DuckDB parses back the
-    # exact same double.
-    rows = ", ".join(
+    return ", ".join(
         "(%d, [%s])" % (i, ", ".join(repr(v) for v in c))
         for i, c in enumerate(cents)
     )
+
+
+def _ivf_trained_oracle() -> str:
+    """Computed oracle for ``ann_ivf_trained``: inline the replayed
+    trained centroids as DuckDB list literals in the standard IVF
+    probe/re-rank SQL.
+
+    The driver's contract fixes the correctness scale at sf0.01, so that
+    path is the default; the pytest sweep points
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` at its own sf dir before resolving
+    oracles. Resolution happens lazily inside ``all_oracle_sql()`` — if
+    the parquet is unreadable the key degrades to a rows-only check."""
+    rows = _replayed_ivf_cents_values()
     return f"""
     WITH cents(cent_id, cv) AS (VALUES {rows}),
     assign AS (
@@ -923,6 +930,76 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("q_id", "n_id", F.round("cos_sim_raw", 6).alias("approx_ip"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    """Computed oracle for ``dedup_semantic``: the same replayed k=32
+    trained centroids, SQL argmax cluster assignment, then exact
+    within-cluster cosine pairs — the full SemDeDup pipeline from first
+    principles."""
+    rows = _replayed_ivf_cents_values()
+    return f"""
+    WITH cents(cent_id, cv) AS (VALUES {rows}),
+    assign AS (
+      SELECT vec_id, embedding, cent_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                 c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    ),
+    pairs AS (
+      SELECT a.cluster FROM assign a
+      JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6) >= 0.95
+    ),
+    pc AS (SELECT cluster, count(*) AS np FROM pairs GROUP BY cluster)
+    SELECT m.cluster::BIGINT AS cluster,
+           count(*) AS n_members,
+           coalesce(any_value(pc.np), 0)::BIGINT AS n_dup_pairs
+    FROM assign m LEFT JOIN pc ON pc.cluster = m.cluster
+    GROUP BY m.cluster
+    """
+
+
+@query("dedup_semantic", oracle=_semantic_dedup_oracle)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with the
+    trained k-means codebook, then find exact cosine near-duplicate pairs
+    ONLY within each cluster — the cluster-scoped complement to the
+    global hyperplane-LSH pairs of ``dedup_embedding_cosine``. Recall is
+    bounded by same-cluster membership (the SemDeDup trade: a ≥0.95 pair
+    lands in one cell with near-certainty), precision is exact.
+
+    Output is the per-cluster summary (members, qualifying pairs): the
+    fixture's near-random embeddings contain no ≥0.95 pairs, so cluster
+    CARDINALITIES are the strong cross-engine signal — they hash-match
+    only if every one of the corpus's numpy argmax assignments equals the
+    oracle's SQL argmax. Pair-level semantics (planted near-dups found
+    within a cluster, cross-cluster pairs invisible) are pinned in
+    tests/test_operators.py over operators.vectors.semantic_dedup_pairs.
+
+    Scale shape: training is a bounded driver sample, assignment is a
+    map-only numpy argmax per Arrow batch, and the pair search is an
+    equi-join on cluster id — total candidate volume O(Σ cell²), kept
+    linear by scaling k with the corpus (k=32 at fixture scale, 4k-64k in
+    production — the same knob as IVF) so cells stay constant-sized."""
+    from zip_to_parquet_spark.operators.vectors import semantic_dedup_pairs
+
+    emb = _embeddings_spread(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    codebook = train_ivf_codebook(emb, k=32, iters=10, sample_per_centroid=16)
+    assign, pairs = semantic_dedup_pairs(emb, codebook, threshold=0.95)
+    members = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    per_cluster = pairs.groupBy("cluster").agg(F.count(F.lit(1)).alias("np"))
+    return members.join(per_cluster, "cluster", "left").select(
+        "cluster",
+        "n_members",
+        F.coalesce(F.col("np"), F.lit(0)).cast("long").alias("n_dup_pairs"),
     )
 
 
