@@ -41,42 +41,32 @@ def test_exact_dedup(spark, docs):
 
 
 def test_span_dedup_removes_cross_doc_runs(spark):
-    """A verbatim run of >= 2*span_words words shared by two docs loses at
-    least one full tile in each doc regardless of tiling alignment (the
-    Lee-et-al recall argument); unique text and sub-span tails survive."""
+    """A verbatim run of >= span_words words shared by two docs is removed
+    from BOTH regardless of its alignment inside each doc (stride-1 grams
+    make detection alignment-invariant — the property the tiled form
+    lacked); unique text and sub-gram-length docs survive verbatim."""
     boiler = "all rights reserved copyright notice terms of service apply"  # 9 words
     rows = [
+        # Deliberately DIFFERENT phases: offset 2 in doc 1, offset 0 in doc 2.
         (1, "alpha bravo " + boiler + " tail1"),
         (2, boiler + " charlie delta echo"),
         (3, "totally unique words that appear nowhere else at all"),
-        (4, "tiny"),  # shorter than one span: zero spans, text kept verbatim
+        (4, "tiny"),  # shorter than one gram: zero grams, text kept verbatim
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in span_dedup(df, span_words=3).collect()}
 
-    assert out[4]["n_spans"] == 0 and out[4]["clean_text"] == "tiny"
-    assert out[3]["n_dup_spans"] == 0
-    assert out[3]["clean_text"] == rows[2][1]  # 9 words = 3 tiles + no tail
-    # doc 1 tiles: [alpha bravo all] [rights reserved copyright] [notice
-    # terms of] [service apply tail1]; doc 2 tiles: [all rights reserved]
-    # [copyright notice terms] [of service apply] + tail. The 9-word run is
-    # only 1.5*span_words long per alignment, so only identically-aligned
-    # tiles collide — here none do, proving tiles are alignment-sensitive
-    # below 2*span_words (documented recall bound), while a full-tile
-    # duplicate IS removed:
-    rows2 = [
-        (10, "one two three four five six"),
-        (11, "one two three seven eight nine"),
-    ]
-    out2 = {
-        r["doc_id"]: r
-        for r in span_dedup(
-            spark.createDataFrame(rows2, "doc_id long, text string"), span_words=3
-        ).collect()
-    }
-    assert out2[10]["n_dup_spans"] == 1  # "one two three" tile shared
-    assert out2[10]["clean_text"] == "four five six"
-    assert out2[11]["clean_text"] == "seven eight nine"
+    assert out[4]["n_grams"] == 0 and out[4]["clean_text"] == "tiny"
+    assert out[3]["n_dup_grams"] == 0
+    assert out[3]["clean_text"] == rows[2][1]
+    # The 9 boiler words vanish from both docs despite the phase mismatch;
+    # neighboring unique words survive except those captured inside a
+    # boundary-straddling duplicated gram (here: none straddle, because
+    # the straddling grams differ between the two docs).
+    assert out[1]["clean_text"] == "alpha bravo tail1"
+    assert out[2]["clean_text"] == "charlie delta echo"
+    assert out[1]["n_dup_grams"] == 7  # the run's 9-3+1 internal grams
+    assert out[2]["n_dup_grams"] == 7
 
 
 def test_ngram_jaccard_pairs(spark, docs):

@@ -306,16 +306,28 @@ def test_on_error_skip_counter(spark, tmp_path):
     make_zip(tmp_path / "good.zip", BASIC)
     open(tmp_path / "bad1.zip", "wb").write(b"not a zip")
     open(tmp_path / "bad2.zip", "wb").write(b"PK\x03\x04 truncated junk")
+    # An archive whose member uses an unsupported compression method
+    # (Deflate64, method 9) must take the same skip path as structural
+    # corruption — ZipFormatError is a skip-mode error, not a job-killer.
+    m9 = str(tmp_path / "bad3.zip")
+    with zipfile.ZipFile(m9, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("d64.txt", b"whatever")
+    raw = bytearray(open(m9, "rb").read())
+    lh = raw.find(b"PK\x03\x04")
+    raw[lh + 8 : lh + 10] = (9).to_bytes(2, "little")
+    cd = raw.find(b"PK\x01\x02")
+    raw[cd + 10 : cd + 12] = (9).to_bytes(2, "little")
+    open(m9, "wb").write(bytes(raw))
     acc = spark.sparkContext.accumulator(0)
     df = read_zip_members(
         spark, [str(tmp_path / "*.zip")], on_error="skip", skip_counter=acc
     )
     assert df.count() == 3
-    assert acc.value == 2
+    assert acc.value == 3
     # A second action re-reads and re-counts — accumulator semantics, so
     # callers read it once per job (documented; the CLI runs one action).
     df.count()
-    assert acc.value == 4
+    assert acc.value == 6
 
 
 def test_on_error_skip_mid_read_yields_nothing(spark, tmp_path):

@@ -165,9 +165,15 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
         if skip_acc is not None and skip_acc.value:
+            # Per-archive detail lines print on the stderr of whichever
+            # process read the archive: the driver in local mode, executor
+            # logs when --distributed runs on a real cluster.
+            where_logs = (
+                "executor logs" if args.distributed else "details above"
+            )
             print(
                 f"skipped {skip_acc.value} unreadable archive(s)"
-                " (details above, one line per archive)",
+                f" (one line per archive; {where_logs})",
                 file=sys.stderr,
             )
         return 0

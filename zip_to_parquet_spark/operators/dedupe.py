@@ -513,102 +513,83 @@ def span_dedup(
 
     The published pipeline builds a corpus-global suffix array to find
     every duplicated ≥50-token substring — inherently single-machine.
-    The distributed re-expression: tile each document into non-overlapping
-    ``span_words``-word spans, count each span's corpus-wide frequency with
-    one hash-groupBy, and drop spans occurring ``min_count``+ times. A
-    duplicated run of ≥ 2·span_words words is caught regardless of
-    alignment (it contains a full tile from each tiling offset); shorter
-    overlaps are caught when tile-aligned — recall, never precision, and
-    the standard tiling trade-off at 100 TB.
+    The distributed re-expression: slide a stride-1 window of
+    ``span_words`` words over every document, count each gram's
+    corpus-wide frequency with one hash-groupBy, and remove every word
+    covered by a gram occurring ``min_count``+ times. Overlapping grams
+    make detection ALIGNMENT-INVARIANT: a verbatim duplicated run of
+    ≥ span_words words shares all of its length-``span_words`` subruns
+    wherever it sits in each document, so the whole run is removed from
+    every occurrence. (Divergence from the paper, documented: the suffix
+    array keeps one surviving occurrence; this removes all copies — the
+    aggressive boilerplate-removal variant, the right default for
+    corpus-frequency ≥ min_count spans.) Word-granular, recall-exact for
+    runs ≥ span_words; runs shorter than span_words are below the
+    duplication threshold by definition.
 
-    Output: (doc_id, n_spans, n_dup_spans, clean_text) where clean_text is
-    the surviving spans in document order plus the sub-span tail.
+    Output: (doc_id, n_grams, n_dup_grams, clean_text) — gram counts per
+    document and the surviving words in order.
 
-    Scale shape: two shuffles, both on uniform keys — span text (hash it
-    first at real scale) for the global count, doc_id for reassembly. No
-    joins wider than the exploded span list, no driver-side state.
+    Scale shape: three shuffles, all on uniform or per-doc keys — gram
+    text (hash it first at real scale) for the global count, doc_id for
+    the dup-start sets, doc_id for reassembly. The stride-1 explode is
+    span_words× the corpus tokens — the price of alignment invariance;
+    the paper's suffix array pays O(n log n) single-machine instead. No
+    driver-side state.
     """
     w = span_words
     docs = df.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
     )
-    docs = docs.select(
-        "doc_id",
-        "ws",
-        F.expr("size(ws) div %d" % w).cast("int").alias("n_full"),
-    ).select(
-        "doc_id",
-        "n_full",
-        # sub-span tail (kept verbatim: it cannot form a full span)
-        F.array_join(
-            F.slice(
-                "ws", F.col("n_full") * w + 1, F.size("ws") - F.col("n_full") * w
+    grams = F.when(
+        F.size("ws") >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - w),
+            lambda j: F.struct(
+                j.cast("int").alias("j"),
+                F.array_join(F.slice("ws", j + 1, w), " ").alias("gram"),
             ),
-            " ",
-        ).alias("remainder"),
-        F.when(
-            F.col("n_full") > 0,
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_full") - 1),
-                lambda i: F.struct(
-                    i.cast("int").alias("span_idx"),
-                    F.array_join(F.slice("ws", i * w + 1, w), " ").alias(
-                        "span_text"
-                    ),
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<struct<span_idx:int,span_text:string>>"))
-        .alias("spans"),
-    )
-    # explode_outer keeps zero-span (short) docs in the reassembly.
-    sp = docs.select(
-        "doc_id",
-        "remainder",
-        F.explode_outer("spans").alias("s"),
-    ).select(
-        "doc_id", "remainder", F.col("s.span_idx").alias("span_idx"),
-        F.col("s.span_text").alias("span_text"),
+        ),
+    ).otherwise(F.array().cast("array<struct<j:int,gram:string>>"))
+    # explode_outer keeps sub-gram-length docs in the reassembly.
+    sp = docs.select("doc_id", F.explode_outer(grams).alias("g")).select(
+        "doc_id", F.col("g.j").alias("j"), F.col("g.gram").alias("gram")
     )
     counts = (
-        sp.filter(F.col("span_text").isNotNull())
-        .groupBy("span_text")
+        sp.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    flagged = sp.join(counts, "span_text", "left")
-    kept = F.array_join(
-        F.transform(
-            F.array_sort(
-                F.collect_list(  # collect_list drops the NULLs from when()
-                    F.when(
-                        F.col("c") < min_count, F.struct("span_idx", "span_text")
-                    )
-                )
+    flagged = sp.join(counts, "gram", "left")
+    agg = flagged.groupBy("doc_id").agg(
+        F.count("j").alias("n_grams"),
+        F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_grams"),
+        # Start offsets of duplicated grams; membership-only downstream,
+        # so collect order is irrelevant. collect_list drops when()'s NULLs.
+        F.collect_list(F.when(F.col("c") >= min_count, F.col("j"))).alias(
+            "starts"
+        ),
+    )
+    joined = docs.join(agg, "doc_id", "left")
+    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    clean = F.array_join(
+        F.filter(
+            F.col("ws"),
+            lambda x, i: ~F.exists(
+                starts, lambda s: (i >= s) & (i < s + w)
             ),
-            lambda x: x["span_text"],
         ),
         " ",
     )
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count("span_idx").alias("n_spans"),
-            F.sum(
-                F.when(F.col("c") >= min_count, 1).otherwise(0)
-            ).cast("long").alias("n_dup_spans"),
-            kept.alias("kept"),
-            F.first("remainder").alias("remainder"),
-        )
-        .select(
-            "doc_id",
-            "n_spans",
-            "n_dup_spans",
-            F.concat_ws(
-                " ",
-                F.nullif(F.col("kept"), F.lit("")),
-                F.nullif(F.col("remainder"), F.lit("")),
-            ).alias("clean_text"),
-        )
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias("n_grams"),
+        F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("bigint")).alias(
+            "n_dup_grams"
+        ),
+        clean.alias("clean_text"),
     )
 
 

@@ -26,6 +26,8 @@ __all__ = [
     "pq_encode_udf",
     "pq_decode_expr",
     "semantic_dedup_pairs",
+    "deterministic_training_sample",
+    "replayed_training_sample",
 ]
 
 
@@ -261,6 +263,22 @@ def train_ivf_codebook(
     ``zlib.crc32(str(id).encode())`` reproduces bit-for-bit outside Spark,
     so the value oracle can replay training from the raw parquet.
     """
+    x = deterministic_training_sample(emb, k, sample_per_centroid, id_col, vec_col)
+    return lloyds_codebook(x, k=k, iters=iters, seed=seed)
+
+
+def deterministic_training_sample(
+    emb,
+    k: int,
+    sample_per_centroid: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+):
+    """The ONE definition of the bounded deterministic training sample:
+    crc32-of-decimal-id filter at ``ivf_sample_modulus`` rate, id-sorted,
+    float64. Shared by the IVF and PQ trainers — and replayed bit-for-bit
+    by the oracle generators in plans/llm.py (same crc32 contract), so
+    any change here must change both or the value oracles break loudly."""
     import numpy as np
 
     n = emb.count()
@@ -273,8 +291,31 @@ def train_ivf_codebook(
         .collect()
     )
     sample.sort(key=lambda r: r[0])
-    x = np.array([list(r[1]) for r in sample], dtype=np.float64)
-    return lloyds_codebook(x, k=k, iters=iters, seed=seed)
+    return np.array([list(r[1]) for r in sample], dtype=np.float64)
+
+
+def replayed_training_sample(sf_dir: str, k: int, sample_per_centroid: int):
+    """Pure-Python replay of :func:`deterministic_training_sample` from the
+    raw embeddings parquet — the oracle-side half of the crc32 contract
+    (``zlib.crc32(str(id).encode())`` == Spark's
+    ``crc32(cast(id as string))``). Keep the two in lockstep."""
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()  # float32 → Python float, exact
+    m = ivf_sample_modulus(len(ids), k, sample_per_centroid)
+    samp = sorted(
+        (i, v)
+        for i, v in zip(ids, vecs)
+        if zlib.crc32(str(i).encode()) % m == 0
+    )
+    return np.array([v for _, v in samp], dtype=np.float64)
 
 
 def semantic_dedup_pairs(
@@ -301,6 +342,10 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("v"),
         nearest_cell(vec_col).alias("cluster"),
     )
+    # Both sides of the pair self-join AND the caller's members groupBy
+    # consume `assign`; without a persist Spark re-runs the scan + argmax
+    # UDF once per consumer branch.
+    assign = assign.persist()
     a = assign.select(
         "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )
@@ -366,17 +411,9 @@ def train_pq_codebooks(
     on the driver; numpy trains in milliseconds. The crc32 sample and the
     fixed-seed Lloyd's make training replayable outside Spark, so a value
     oracle can inline the trained centroids as SQL literals."""
-    import numpy as np
-
-    n = emb.count()
-    mod = ivf_sample_modulus(n, ksub, sample_per_centroid)
-    sample = (
-        emb.filter(F.crc32(F.col(id_col).cast("string").cast("binary")) % mod == 0)
-        .select(id_col, vec_col)
-        .collect()
+    x = deterministic_training_sample(
+        emb, ksub, sample_per_centroid, id_col, vec_col
     )
-    sample.sort(key=lambda r: r[0])
-    x = np.array([list(r[1]) for r in sample], dtype=np.float64)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")

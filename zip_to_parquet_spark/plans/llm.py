@@ -221,42 +221,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_exact_spans",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-    d AS (
-      SELECT doc_id, ws, (len(ws) // 3)::INT AS n_full,
-             array_to_string(ws[(len(ws) // 3) * 3 + 1 : len(ws)], ' ')
-                 AS remainder
+    g AS (
+      -- per-row range: every gram of every doc, no arbitrary cap
+      SELECT doc_id,
+             unnest(range(0, greatest(len(ws) - 3 + 1, 0)))::INT AS j,
+             ws
       FROM t
     ),
     sp AS (
-      SELECT doc_id, i::INT AS span_idx,
-             array_to_string(ws[i * 3 + 1 : i * 3 + 3], ' ') AS span_text
-      FROM d, (SELECT range AS i FROM range(0, 1000)) r
-      WHERE i < n_full
+      SELECT doc_id, j, array_to_string(ws[j + 1 : j + 3], ' ') AS gram
+      FROM g
     ),
-    cnt AS (SELECT span_text, count(*) AS c FROM sp GROUP BY span_text),
+    cnt AS (SELECT gram, count(*) AS c FROM sp GROUP BY gram),
     agg AS (
       SELECT sp.doc_id,
-             count(*) AS n_spans,
-             sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
-             nullif(string_agg(CASE WHEN cnt.c < 2 THEN sp.span_text END,
-                               ' ' ORDER BY sp.span_idx), '') AS kept
-      FROM sp JOIN cnt USING (span_text)
+             count(*) AS n_grams,
+             sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+             list(sp.j) FILTER (WHERE cnt.c >= 2) AS starts
+      FROM sp JOIN cnt USING (gram)
       GROUP BY sp.doc_id
     )
-    SELECT d.doc_id,
-           coalesce(agg.n_spans, 0) AS n_spans,
-           coalesce(agg.n_dup_spans, 0) AS n_dup_spans,
-           concat_ws(' ', agg.kept, nullif(d.remainder, '')) AS clean_text
-    FROM d LEFT JOIN agg USING (doc_id)
+    SELECT t.doc_id,
+           coalesce(agg.n_grams, 0) AS n_grams,
+           coalesce(agg.n_dup_grams, 0) AS n_dup_grams,
+           -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+           -- array_join([]) is '' — an all-words-removed doc must agree.
+           coalesce(array_to_string(
+             list_filter(t.ws, (x, i) ->
+               len(list_filter(coalesce(agg.starts, []),
+                               s -> (i - 1) >= s AND (i - 1) < s + 3)) = 0),
+             ' '), '') AS clean_text
+    FROM t LEFT JOIN agg USING (doc_id)
     """,
 )
 def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring span dedup (Lee et al. 2022 re-expressed as tiling +
-    one hash-groupBy — see operators.dedupe.span_dedup for the recall
-    argument). span_words=3 here because the fixture's ~40-word vocabulary
-    only produces repeated runs that short; production uses ~50 (the
-    paper's duplication threshold). Fully value-oracle-checked including
-    the reassembled clean_text."""
+    """Exact-substring span dedup (Lee et al. 2022 re-expressed as
+    stride-1 gram counting + word-coverage removal — alignment-invariant;
+    see operators.dedupe.span_dedup for the recall argument and the
+    remove-all-copies divergence). span_words=3 here because the
+    fixture's ~40-word vocabulary only produces repeated runs that short;
+    production uses ~50 (the paper's duplication threshold). Fully
+    value-oracle-checked including the reassembled clean_text."""
     return span_dedup(_documents_spread(spark, sf_dir), span_words=3)
 
 
@@ -716,29 +721,14 @@ def _replayed_ivf_cents_values() -> str:
     the exact same double. Shared by the trained-IVF and SemDeDup
     oracles (identical training parameters)."""
     import os
-    import zlib
-
-    import numpy as np
-    import pyarrow.parquet as pq
 
     from zip_to_parquet_spark.operators.vectors import (
-        ivf_sample_modulus,
         lloyds_codebook,
+        replayed_training_sample,
     )
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    ids = t.column("vec_id").to_pylist()
-    vecs = t.column("embedding").to_pylist()  # float32 → Python float, exact
-    m = ivf_sample_modulus(len(ids), k=32, sample_per_centroid=16)
-    samp = sorted(
-        (i, v)
-        for i, v in zip(ids, vecs)
-        if zlib.crc32(str(i).encode()) % m == 0
-    )
-    x = np.array([v for _, v in samp], dtype=np.float64)
+    x = replayed_training_sample(sf_dir, k=32, sample_per_centroid=16)
     cents = lloyds_codebook(x, k=32, iters=10, seed=42)
     return ", ".join(
         "(%d, [%s])" % (i, ", ".join(repr(v) for v in c))
@@ -829,25 +819,14 @@ def _pq_topk_oracle() -> str:
     (inner product of the raw query against the decoded corpus vector) in
     pure SQL. Same lazy-resolution contract as ``_ivf_trained_oracle``."""
     import os
-    import zlib
-
-    import numpy as np
-    import pyarrow.parquet as pq
 
     from zip_to_parquet_spark.operators.vectors import (
-        ivf_sample_modulus,
         lloyds_codebook_l2,
+        replayed_training_sample,
     )
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_pylist()
-    vecs = t.column("embedding").to_pylist()
-    mod = ivf_sample_modulus(len(ids), 16, 50)
-    samp = sorted(
-        (i, v) for i, v in zip(ids, vecs) if zlib.crc32(str(i).encode()) % mod == 0
-    )
-    x = np.array([v for _, v in samp], dtype=np.float64)
+    x = replayed_training_sample(sf_dir, k=16, sample_per_centroid=50)
     m, dsub = 16, x.shape[1] // 16
     cbs = [
         lloyds_codebook_l2(x[:, s * dsub : (s + 1) * dsub], k=16, iters=10, seed=42)

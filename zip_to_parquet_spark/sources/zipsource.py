@@ -284,7 +284,12 @@ class ZipMembersReader(DataSourceReader):
                         bodies.append(None)
                     if len(names) >= self.batch_rows or pending_bytes >= self.batch_bytes:
                         yield flush()
-        except (zipfile.BadZipFile, OSError) as exc:
+        except (zipfile.BadZipFile, ZipFormatError, OSError) as exc:
+            # ZipFormatError (unsupported compression method, missing zstd
+            # codec) must take the same skip path as structural corruption:
+            # permissive mode means "convert what this engine can read",
+            # and the reference logs-and-fails per archive the same way
+            # for undecodable members (builder.rs:65-71).
             if self.on_error == "skip":
                 # Permissive mode: a corrupt archive is dropped instead of
                 # failing the job (the reference fails the whole run,
