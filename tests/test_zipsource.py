@@ -572,3 +572,44 @@ def test_csv_members_malformed_lines(spark, tmp_path):
         parse_csv_members(
             members, "id BIGINT, val BIGINT", options={"mode": "FAILFAST"}
         ).collect()
+
+
+def test_stream_on_error_skip_counter(spark, tmp_path):
+    """The streaming reader threads the same skip accumulator as the batch
+    reader: a corrupt archive arriving mid-stream is dropped, counted, and
+    later micro-batches keep draining."""
+    from zip_to_parquet_spark.sources.zipsource import read_zip_members_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt, out_pq = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    acc = spark.sparkContext.accumulator(0)
+
+    def drain():
+        stream = read_zip_members_stream(
+            spark, f"{in_dir}/*.zip", on_error="skip", skip_counter=acc
+        )
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out_pq)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    with zipfile.ZipFile(in_dir / "good.zip", "w") as z:
+        z.writestr("a.txt", b"alpha")
+    (in_dir / "bad.zip").write_bytes(b"not a zip at all")
+    drain()
+    assert acc.value == 1
+    assert [r.name for r in spark.read.parquet(out_pq).collect()] == ["a.txt"]
+
+    with zipfile.ZipFile(in_dir / "later.zip", "w") as z:
+        z.writestr("b.txt", b"beta")
+    drain()
+    assert acc.value == 1  # bad.zip not reprocessed: offsets advanced past it
+    assert sorted(r.name for r in spark.read.parquet(out_pq).collect()) == [
+        "a.txt",
+        "b.txt",
+    ]

@@ -343,8 +343,8 @@ class ZipMembersStreamReader(DataSourceStreamReader):
     parallel; the driver only lists the directory.
     """
 
-    def __init__(self, options: dict):
-        self._batch = ZipMembersReader(options)
+    def __init__(self, options: dict, skip_acc=None):
+        self._batch = ZipMembersReader(options, skip_acc=skip_acc)
         self.pattern: str = options["stream_glob"]
         self.lateness: float = float(options.get("stream_lateness", "300"))
         # Listing horizon; None = enumerate everything (fresh query or
@@ -422,7 +422,7 @@ class ZipMembersDataSource(DataSource):
         return ZipMembersReader(self.options, skip_acc=type(self)._skip_acc)
 
     def streamReader(self, schema) -> ZipMembersStreamReader:
-        return ZipMembersStreamReader(self.options)
+        return ZipMembersStreamReader(self.options, skip_acc=type(self)._skip_acc)
 
 
 def _expand_patterns(patterns: list[str] | str) -> list[str]:
@@ -511,15 +511,27 @@ def read_zip_members_stream(
     source: bool = True,
     sha: bool = True,
     on_error: str = "fail",
+    skip_counter=None,
 ) -> DataFrame:
     """Streaming variant of :func:`read_zip_members`: tail a directory glob
     for newly-arriving zip archives; each micro-batch explodes only the new
-    archives (exact-once via checkpointed path-set offsets)."""
+    archives (exact-once via checkpointed path-set offsets).
+
+    ``skip_counter``: as in the batch reader — with ``on_error='skip'``
+    each dropped archive adds 1; the count accumulates ACROSS micro-batches
+    (a monitoring counter, not a per-batch metric)."""
     from zip_to_parquet_spark.runtime import ensure_shipped
 
     member_regex = glob_to_regex(member_glob) if member_glob else ""
     ensure_shipped(spark)
-    spark.dataSource.register(ZipMembersDataSource)
+    source_cls = ZipMembersDataSource
+    if skip_counter is not None:
+        source_cls = type(
+            "ZipMembersDataSourceCounted",
+            (ZipMembersDataSource,),
+            {"_skip_acc": skip_counter},
+        )
+    spark.dataSource.register(source_cls)
     return (
         spark.readStream.format("zipmembers")
         .option("stream_glob", pattern)
