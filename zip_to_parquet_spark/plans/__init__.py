@@ -50,6 +50,7 @@ set_priority([
     "ann_pq_topk",  # new in round 3 (FAISS-style product quantization)
     "dsir_importance_weights",  # new in round 3 (DSIR data selection)
     "dedup_semantic",  # new in round 3 (SemDeDup cluster-scoped dedup)
+    "pipeline_prep_recipe",  # new in round 3 (composed gate→dedup→split→pack)
     # exact-decimal sweep (round 2) — first driver row since the sweep
     "join_broadcast_dim",
     "join_shuffle_facts",
@@ -82,7 +83,6 @@ set_priority([
     "agg_collect_sorted",
     "agg_approx_percentile",
     "window_rank_battery",
-    "unpivot_part_measures",
     "join_outer_full",
     "subquery_min_per_group",
     # reference parity — zipsource.py is touched this round

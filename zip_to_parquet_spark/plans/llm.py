@@ -1154,6 +1154,67 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_prep_recipe",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    gate AS (
+      SELECT doc_id, text, w FROM t
+      WHERE len(w) >= 15 AND len(w) <= 100000
+        AND list_sum(list_transform(w, x -> length(x)))::DOUBLE
+            / greatest(len(w), 1) >= 3.0
+        AND list_sum(list_transform(w, x -> length(x)))::DOUBLE
+            / greatest(len(w), 1) <= 10.0
+        AND len(list_filter(w,
+              x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+            / greatest(len(w), 1) > 0.0
+    ),
+    ded AS (SELECT min(doc_id) AS doc_id FROM gate GROUP BY sha256(text)),
+    train AS (
+      SELECT g.doc_id, g.w FROM gate g JOIN ded USING (doc_id)
+      WHERE substr(md5(g.doc_id::VARCHAR), 1, 2) < 'cc'
+    ),
+    c AS (
+      SELECT doc_id, (doc_id % 32)::INT AS shard, len(w)::BIGINT AS token_len
+      FROM train
+    ),
+    s AS (
+      SELECT doc_id, shard, token_len,
+             (sum(token_len) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - token_len)::BIGINT AS start_tok
+      FROM c
+    )
+    SELECT doc_id, shard, token_len,
+           floor(start_tok / 512)::BIGINT AS bin_id,
+           (start_tok % 512)::BIGINT AS bin_offset
+    FROM s
+    """,
+)
+def pipeline_prep_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole prep pipeline as ONE composed plan — quality gate →
+    exact dedup (min-id survivor) → deterministic train split → sequence
+    packing — the recipe a pretraining-data user actually runs, proving
+    the operators compose without materialization barriers: Catalyst
+    fuses the gate into the scan, the dedup groupBy and the split filter
+    share one pipeline, and the packing window runs per shard on the
+    surviving train docs only. Every stage is individually oracle-checked
+    elsewhere; this key hash-checks their COMPOSITION end to end."""
+    d = _documents_spread(spark, sf_dir)
+    gate = pipeline.gopher_quality(d).filter("passes").select("doc_id")
+    gated = d.join(gate, "doc_id")
+    from zip_to_parquet_spark.operators.dedupe import exact_dedup as _ed
+
+    survivors = _ed(gated).select("doc_id")
+    kept = gated.join(survivors, "doc_id")
+    train = (
+        pipeline.train_val_test_split(kept)
+        .filter(F.col("split") == "train")
+        .select("doc_id")
+    )
+    return pipeline.pack_greedy_contiguous(kept.join(train, "doc_id"))
+
+
+@query(
     "dataset_split",
     oracle="""
     SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 2) AS bucket,
