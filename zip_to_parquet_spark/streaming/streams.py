@@ -228,22 +228,43 @@ _SINK_IDS = itertools.count()
 
 
 def run_stream_to_memory(
-    df: DataFrame, output_mode: str, name_hint: str = "stream"
+    df: DataFrame,
+    output_mode: str,
+    name_hint: str = "stream",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a (bounded) stream with Trigger.AvailableNow into a memory
     sink and return the result as a batch DataFrame.
+
+    ``state_partitions`` sizes ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime (restored after): stateful streaming CANNOT use AQE,
+    so the shuffle-partition count is pinned into the checkpoint as the
+    state-store count — one store per partition per stateful operator,
+    each with open/commit/snapshot overhead every micro-batch. Sizing it
+    to the state's cardinality is the standard Structured Streaming
+    deployment rule (it cannot be changed after the first checkpoint).
+    The fixture's aggregations carry thousands of keys → 8 stores; a
+    production topic with billions of keys sizes this to the cluster, not
+    to AQE. ``None`` leaves the session value untouched.
 
     Test/oracle harness only — the memory sink collects to the driver. The
     production path is ``df.writeStream.format("parquet")`` (or kafka etc.)
     with the same trigger semantics.
     """
+    spark = df.sparkSession
     name = f"z2ps_{name_hint}_{next(_SINK_IDS)}"
-    q = (
-        df.writeStream.trigger(availableNow=True)
-        .format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            df.writeStream.trigger(availableNow=True)
+            .format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
