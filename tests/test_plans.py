@@ -140,14 +140,16 @@ def test_csv_member_parse_is_shuffle_free(spark):
 
 
 def test_span_dedup_no_cross_join_bounded_shuffles(spark):
-    # Span dedup's scale contract: two keyed shuffles (span text count,
-    # doc reassembly) plus at most the corpus-spread round-robin and
-    # AQE reads — and never a cross join. A cartesian here means the
-    # count-join degenerated.
+    # Span dedup's scale contract: every shuffle keys on gram text,
+    # (doc_id, pos), or doc_id — all linear in corpus tokens — and never
+    # a cross join. The explode + anti-join coverage form trades a couple
+    # more keyed exchanges for O(tokens) reassembly (the in-row
+    # filter-by-starts form it replaced was O(words × dup-grams) per
+    # document). A cartesian here means the count-join degenerated.
     plan = plan_of(spark, "dedup_exact_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert n_shuffles(plan) <= 4, plan
+    assert n_shuffles(plan) <= 9, plan
 
 
 def test_pq_topk_no_join_before_scoring(spark):

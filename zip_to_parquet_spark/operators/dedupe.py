@@ -530,12 +530,13 @@ def span_dedup(
     Output: (doc_id, n_grams, n_dup_grams, clean_text) — gram counts per
     document and the surviving words in order.
 
-    Scale shape: three shuffles, all on uniform or per-doc keys — gram
-    text (hash it first at real scale) for the global count, doc_id for
-    the dup-start sets, doc_id for reassembly. The stride-1 explode is
-    span_words× the corpus tokens — the price of alignment invariance;
-    the paper's suffix array pays O(n log n) single-machine instead. No
-    driver-side state.
+    Scale shape: every step is linear in corpus tokens and shuffles only
+    on uniform or per-doc keys — gram text (hash it first at real scale)
+    for the global count, (doc_id, pos) for the covered-position
+    anti-join, doc_id for reassembly. The stride-1 explode is span_words×
+    the corpus tokens — the price of alignment invariance; the paper's
+    suffix array pays O(n log n) single-machine instead. No driver-side
+    state, no per-row quadratic expressions.
     """
     w = span_words
     docs = df.select(
@@ -566,30 +567,50 @@ def span_dedup(
         F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0))
         .cast("long")
         .alias("n_dup_grams"),
-        # Start offsets of duplicated grams; membership-only downstream,
-        # so collect order is irrelevant. collect_list drops when()'s NULLs.
-        F.collect_list(F.when(F.col("c") >= min_count, F.col("j"))).alias(
-            "starts"
-        ),
     )
-    joined = docs.join(agg, "doc_id", "left")
-    starts = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
-    clean = F.array_join(
-        F.filter(
-            F.col("ws"),
-            lambda x, i: ~F.exists(
-                starts, lambda s: (i >= s) & (i < s + w)
+    # Coverage via explode + anti-join, NOT a per-word scan of the dup
+    # start set: an in-row `filter(ws, i -> exists(starts, ...))` is
+    # O(words × dup-grams) per document — quadratic on exactly the
+    # boilerplate-heavy docs this operator exists for. Exploding each
+    # duplicated gram to its ≤ span_words covered positions and
+    # anti-joining on (doc_id, pos) keeps every step linear in corpus
+    # tokens (the same magnitude as the gram explode above).
+    covered = (
+        flagged.filter(F.col("c") >= min_count)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("j"), F.col("j") + w - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("ws").alias("pos", "word")
+    )
+    clean_by_doc = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("clean_text")
+        )
+    )
+    return (
+        docs.join(agg, "doc_id", "left")
+        .join(clean_by_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("bigint")).alias(
+                "n_dup_grams"
             ),
-        ),
-        " ",
-    )
-    return joined.select(
-        "doc_id",
-        F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias("n_grams"),
-        F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("bigint")).alias(
-            "n_dup_grams"
-        ),
-        clean.alias("clean_text"),
+            # all-words-removed docs have no clean_by_doc row → ''
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
     )
 
 

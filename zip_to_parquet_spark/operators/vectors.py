@@ -343,9 +343,14 @@ def semantic_dedup_pairs(
         nearest_cell(vec_col).alias("cluster"),
     )
     # Both sides of the pair self-join AND the caller's members groupBy
-    # consume `assign`; without a persist Spark re-runs the scan + argmax
-    # UDF once per consumer branch.
-    assign = assign.persist()
+    # consume `assign`; without materialization Spark re-runs the scan +
+    # argmax UDF once per consumer branch. localCheckpoint, not persist():
+    # checkpoint blocks are released by the ContextCleaner when the
+    # DataFrame is garbage-collected, so repeated calls (driver sweeps,
+    # pytest) don't pin an ever-growing cache of embedding corpora —
+    # persist() would need an unpersist() no caller can place, since the
+    # action happens after this function returns.
+    assign = assign.localCheckpoint(eager=True)
     a = assign.select(
         "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )

@@ -1202,9 +1202,7 @@ def pipeline_prep_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents_spread(spark, sf_dir)
     gate = pipeline.gopher_quality(d).filter("passes").select("doc_id")
     gated = d.join(gate, "doc_id")
-    from zip_to_parquet_spark.operators.dedupe import exact_dedup as _ed
-
-    survivors = _ed(gated).select("doc_id")
+    survivors = exact_dedup(gated).select("doc_id")
     kept = gated.join(survivors, "doc_id")
     train = (
         pipeline.train_val_test_split(kept)

@@ -940,7 +940,11 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_type"))
     )
-    return salted_join(e, dim, key="event_type", salts=16)
+    # Column order matched to the oracle projection (the driver compares
+    # name-sorted, but ad-hoc tuple diffs shouldn't trip on ordering).
+    return salted_join(e, dim, key="event_type", salts=16).select(
+        "event_id", "event_type", "n_type"
+    )
 
 
 @query(

@@ -253,10 +253,8 @@ def run_stream_to_memory(
     """
     spark = df.sparkSession
     name = f"z2ps_{name_hint}_{next(_SINK_IDS)}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+
+    def _drain():
         q = (
             df.writeStream.trigger(availableNow=True)
             .format("memory")
@@ -265,6 +263,14 @@ def run_stream_to_memory(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    if state_partitions is None:
+        _drain()  # genuinely touch-free: no conf read or write
+    else:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+            _drain()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
