@@ -566,3 +566,73 @@ def test_semantic_dedup_pairs_planted(spark):
     }
     assert want_same_cluster, "fixture planted no same-cluster pairs"
     assert got == want_same_cluster
+
+
+def test_span_dedup_invariants_random_corpus(spark):
+    """Property sweep on a seeded random corpus: surviving words are a
+    subsequence of the original, gram counts are consistent, and a doc
+    duplicated verbatim is erased from both copies (every gram shared)."""
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    rows.append((100, rows[0][1]))  # verbatim duplicate of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(df, span_words=4).collect()}
+    texts = dict(rows)
+    for doc_id, r in out.items():
+        orig = texts[doc_id].split(" ")
+        clean = r["clean_text"].split(" ") if r["clean_text"] else []
+        # subsequence check (order-preserving removal)
+        it = iter(orig)
+        assert all(any(w == o for o in it) for w in clean), doc_id
+        assert 0 <= r["n_dup_grams"] <= r["n_grams"]
+        assert r["n_grams"] == max(len(orig) - 4 + 1, 0)
+    if len(texts[0].split(" ")) >= 4:
+        # the duplicated pair: every gram occurs >= 2x -> full erasure
+        assert out[0]["clean_text"] == "" and out[100]["clean_text"] == ""
+
+
+def test_pq_encode_decode_shapes(spark):
+    """PQ codes are valid indices and decode reconstructs centroid rows of
+    the right dimensionality; encode is deterministic across calls."""
+    import numpy as np
+
+    from zip_to_parquet_spark.operators.vectors import (
+        pq_decode_expr,
+        pq_encode_udf,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(3)
+    x = rng.standard_normal((64, 32))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, v array<double>",
+    )
+    cbs = train_pq_codebooks(df, m=8, ksub=8, iters=5, sample_per_centroid=8)
+    assert len(cbs) == 8 and all(len(cb) == 8 for cb in cbs)
+    enc = pq_encode_udf(cbs)
+    codes1 = {r["vec_id"]: list(r["c"]) for r in
+              df.select("vec_id", enc("v").alias("c")).collect()}
+    codes2 = {r["vec_id"]: list(r["c"]) for r in
+              df.select("vec_id", enc("v").alias("c")).collect()}
+    assert codes1 == codes2  # deterministic
+    assert all(len(c) == 8 and all(0 <= ci < 8 for ci in c)
+               for c in codes1.values())
+    dec = df.select("vec_id", enc("v").alias("codes"))
+    dec = dec.select("vec_id", pq_decode_expr(cbs, "codes").alias("d"))
+    got = {r["vec_id"]: list(r["d"]) for r in dec.collect()}
+    for vid, d in got.items():
+        assert len(d) == 32
+        # each subvector must be one of that subspace's centroids
+        for s in range(8):
+            sub = d[s * 4 : (s + 1) * 4]
+            assert any(
+                all(abs(a - b) < 1e-12 for a, b in zip(sub, cent))
+                for cent in cbs[s]
+            )
