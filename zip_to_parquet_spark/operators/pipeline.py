@@ -29,6 +29,7 @@ __all__ = [
     "pii_redact",
     "PII_PATTERNS",
     "dsir_scores",
+    "unigram_surprisal",
 ]
 
 
@@ -349,5 +350,63 @@ def dsir_scores(
         .agg(
             F.count(F.lit(1)).alias("n_features"),
             F.sum("lr_micro").alias("dsir_micro_nats"),
+        )
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020
+    filter documents by LM perplexity), with the LM reduced to the
+    largest model whose training is one distributed pass: a corpus-fit
+    unigram LM with add-one smoothing. Low mean surprisal ≈ typical
+    text; high ≈ noise/outliers — the same accept/reject signal shape
+    CCNet gets from its KenLM 5-gram.
+
+    Per-token surprisal -ln p(w) is floored to integer micro-nats once
+    per TYPE, so each document's total is an order-free integer sum
+    (same cross-engine-determinism trick as dsir_scores). Output:
+    (doc_id, n_tokens, surprisal_micro, mean_surprisal).
+
+    Scale shape: one groupBy over exploded tokens builds the vocab
+    table (uniform keys), which then broadcast-joins back against the
+    token stream; one integer sum per doc. Map-side combine carries the
+    load; no skew beyond natural token frequencies (cap the vocab side
+    or switch the join to shuffle if a corpus's vocab outgrows the
+    broadcast threshold).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    stats = vocab.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    surp = vocab.crossJoin(F.broadcast(stats)).select(
+        "w",
+        F.floor(
+            -F.log((F.col("c") + 1) / (F.col("total") + F.col("v"))) * 1e6
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return (
+        toks.join(F.broadcast(surp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("s_micro").alias("surprisal_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "surprisal_micro",
+            # Division order mirrored exactly in the oracle SQL.
+            ((F.col("surprisal_micro") / 1e6) / F.col("n_tokens")).alias(
+                "mean_surprisal"
+            ),
         )
     )

@@ -51,6 +51,7 @@ set_priority([
     "dsir_importance_weights",  # new in round 3 (DSIR data selection)
     "dedup_semantic",  # new in round 3 (SemDeDup cluster-scoped dedup)
     "pipeline_prep_recipe",  # new in round 3 (composed gate→dedup→split→pack)
+    "lm_surprisal_scores",  # new in round 3 (CCNet-style LM quality signal)
     # exact-decimal sweep (round 2) — first driver row since the sweep
     "join_broadcast_dim",
     "join_shuffle_facts",
@@ -80,7 +81,6 @@ set_priority([
     "explode_top_words",
     "join_salted_skew",
     "scalar_null_handling",
-    "agg_collect_sorted",
     "agg_approx_percentile",
     "window_rank_battery",
     "join_outer_full",

@@ -1665,3 +1665,36 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.dsir_scores(
         _documents_spread(spark, sf_dir), target_pred=F.col("source") == "src0"
     )
+
+
+@query(
+    "lm_surprisal_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    stats AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS v FROM vocab),
+    surp AS (
+      SELECT w,
+             floor(-ln((c + 1) / (total + v)) * 1e6)::BIGINT AS s_micro
+      FROM vocab, stats
+    ),
+    agg AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             sum(s.s_micro)::BIGINT AS surprisal_micro
+      FROM toks t JOIN surp s USING (w)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, surprisal_micro,
+           (surprisal_micro / 1e6) / n_tokens AS mean_surprisal
+    FROM agg
+    """,
+)
+def lm_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit unigram-LM surprisal per document — the CCNet
+    perplexity-filter signal (operators/pipeline.unigram_surprisal).
+    Integer micro-nat per-type surprisals make the per-doc sum order-free,
+    so the whole scoring pipeline is value-oracle-checked, mean included
+    (division order mirrored across engines)."""
+    return pipeline.unigram_surprisal(_documents_spread(spark, sf_dir))
