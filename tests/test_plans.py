@@ -169,3 +169,20 @@ def test_dsir_broadcasts_bucket_table(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prep_recipe_no_cross_join(spark):
+    # The composed gate->dedup->split->pack recipe must stay equi-join
+    # only; its window is per-shard (32 packing shards), never global.
+    plan = plan_of(spark, "pipeline_prep_recipe")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_surprisal_broadcasts_vocab(spark):
+    # The vocab surprisal table must broadcast against the token stream;
+    # a SortMergeJoin would shuffle every token of the corpus on the
+    # word key.
+    plan = plan_of(spark, "lm_surprisal_scores")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
