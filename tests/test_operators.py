@@ -636,3 +636,38 @@ def test_pq_encode_decode_shapes(spark):
                 all(abs(a - b) < 1e-12 for a, b in zip(sub, cent))
                 for cent in cbs[s]
             )
+
+
+def test_mp4_container_roundtrip_and_on_error(spark):
+    """ISO-BMFF write -> box-walk parse recovers the embedded parameters;
+    corrupt payloads honor fail/skip/null."""
+    from pyspark.sql import functions as F
+
+    from zip_to_parquet_spark.operators.multimodal import (
+        _mp4_params,
+        mp4_meta,
+        synth_mp4,
+    )
+
+    ids = spark.createDataFrame([(2,), (5,), (11,)], "doc_id long")
+    out = {r["doc_id"]: r for r in mp4_meta(synth_mp4(ids)).collect()}
+    for doc_id in (2, 5, 11):
+        ts, dur, w, h, nf, fs = _mp4_params(doc_id)
+        r = out[doc_id]
+        assert r["width"] == w and r["height"] == h
+        assert r["duration_ms"] == dur * 1000 // ts
+        assert r["n_frames"] == nf and r["mdat_bytes"] == nf * fs
+
+    bad = synth_mp4(ids).withColumn(
+        "payload",
+        F.when(F.col("doc_id") == 5, F.lit(b"\x00\x00\x00\x08junk")).otherwise(
+            F.col("payload")
+        ),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="mp4 parse failed"):
+        mp4_meta(bad, on_error="fail").collect()
+    assert {r["doc_id"] for r in mp4_meta(bad, on_error="skip").collect()} == {2, 11}
+    nulls = {r["doc_id"]: r for r in mp4_meta(bad, on_error="null").collect()}
+    assert nulls[5]["width"] is None and nulls[2]["width"] is not None

@@ -43,6 +43,9 @@ __all__ = [
     "FRAME_SCHEMA",
     "AUDIO_FEATURE_SCHEMA",
     "PNG_FEATURE_SCHEMA",
+    "synth_mp4",
+    "mp4_meta",
+    "MP4_META_SCHEMA",
 ]
 
 _MIME_BY_MOD = ["image/png", "audio/wav", "video/mp4"]
@@ -593,3 +596,175 @@ def png_resize_features(
             ]
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL video container: minimal ISO-BMFF (MP4) writer + box parser
+# ---------------------------------------------------------------------------
+def _mp4_params(doc_id: int) -> tuple[int, int, int, int, int, int]:
+    """(timescale, duration, width, height, n_frames, frame_size) derived
+    from doc_id — the generative spec the oracle recomputes in SQL."""
+    timescale = 600  # the conventional ISO-BMFF movie timescale
+    duration = timescale * (1 + doc_id % 10)
+    width = 16 * (4 + doc_id % 9)
+    height = 16 * (3 + doc_id % 7)
+    n_frames = 8 + doc_id % 17
+    frame_size = 32 + doc_id % 11
+    return timescale, duration, width, height, n_frames, frame_size
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def synth_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) with payload = a real (minimal) ISO-BMFF file:
+    ftyp + moov(mvhd, trak(tkhd, mdia(minf(stbl(stsz))))) + mdat, every
+    box size-prefixed per the spec, parameters from _mp4_params.
+    Constant-sample-size stsz carries the frame count; mdat carries
+    n_frames deterministic pseudo-frames (codec payloads are out of
+    scope — container structure is what a 100 TB video pipeline parses
+    for routing/stats before any decoder runs)."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        identity = struct.pack(
+            ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        )
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                ts, dur, w, h, nf, fs = _mp4_params(int(doc_id))
+                ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp41")
+                mvhd = _box(
+                    b"mvhd",
+                    struct.pack(">IIIII", 0, 0, 0, ts, dur)
+                    + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                    + b"\x00" * 8
+                    + identity
+                    + b"\x00" * 24
+                    + struct.pack(">I", 2),
+                )
+                tkhd = _box(
+                    b"tkhd",
+                    struct.pack(">IIIIII", 7, 0, 0, 1, 0, dur)
+                    + b"\x00" * 8
+                    + struct.pack(">HHHH", 0, 0, 0, 0)
+                    + identity
+                    + struct.pack(">II", w << 16, h << 16),
+                )
+                stsz = _box(b"stsz", struct.pack(">III", 0, fs, nf))
+                stbl = _box(b"stbl", stsz)
+                minf = _box(b"minf", stbl)
+                mdia = _box(b"mdia", minf)
+                trak = _box(b"trak", tkhd + mdia)
+                moov = _box(b"moov", mvhd + trak)
+                frames = b"".join(
+                    bytes([(doc_id * 31 + i * 7) % 251]) * fs for i in range(nf)
+                )
+                payloads.append(ftyp + moov + _box(b"mdat", frames))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(
+        gen,
+        schema=StructType(
+            [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+        ),
+    )
+
+
+MP4_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("mdat_bytes", LongType()),
+    ]
+)
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def mp4_meta(
+    df: DataFrame, payload_col: str = "payload", on_error: str = "fail"
+) -> DataFrame:
+    """REAL ISO-BMFF parse: walk the size-prefixed box tree, recurse into
+    container boxes, and recover movie timescale/duration (mvhd), track
+    dimensions (tkhd, 16.16 fixed point), frame count (constant-size
+    stsz), and media payload size (mdat). Arrow-batched mapInPandas,
+    map-only — the video leg of the multimodal triad, parsed from bytes
+    like audio_features/png_features, nothing faked.
+
+    ``on_error``: fail aborts, skip drops the row, null keeps it with
+    null metadata (production modes at corpus scale)."""
+    if on_error not in ("fail", "skip", "null"):
+        raise ValueError(f"on_error must be fail|skip|null, got {on_error!r}")
+
+    def parse_one(data: bytes) -> tuple:
+        import struct
+
+        found = {}
+
+        def walk(buf: bytes) -> None:
+            off = 0
+            while off + 8 <= len(buf):
+                size, typ = struct.unpack(">I4s", buf[off : off + 8])
+                if size < 8 or off + size > len(buf):
+                    raise ValueError(f"malformed box {typ!r} (size {size})")
+                body = buf[off + 8 : off + size]
+                if typ in _MP4_CONTAINERS:
+                    walk(body)
+                elif typ in (b"mvhd", b"tkhd", b"stsz", b"mdat"):
+                    found[typ] = body
+                off += size
+            if off != len(buf):
+                raise ValueError("trailing bytes after last box")
+
+        walk(data)
+        for req in (b"mvhd", b"tkhd", b"stsz", b"mdat"):
+            if req not in found:
+                raise ValueError(f"missing {req!r} box")
+        mvhd, tkhd, stsz = found[b"mvhd"], found[b"tkhd"], found[b"stsz"]
+        ts, dur = struct.unpack(">II", mvhd[12:20])
+        if ts == 0:
+            raise ValueError("mvhd timescale is zero")
+        w = struct.unpack(">I", tkhd[76:80])[0] >> 16
+        h = struct.unpack(">I", tkhd[80:84])[0] >> 16
+        sample_size, n_frames = struct.unpack(">II", stsz[4:12])
+        if sample_size == 0:
+            raise ValueError("variable-size stsz unsupported in fixture")
+        return (w, h, dur * 1000 // ts, n_frames, len(found[b"mdat"]))
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    w, h, dms, nf, mb = parse_one(bytes(payload))
+                    rows.append((int(doc_id), w, h, dms, nf, mb))
+                except Exception as exc:  # noqa: BLE001 — parse errors
+                    if on_error == "fail":
+                        raise ValueError(
+                            f"mp4 parse failed for doc {doc_id}: {exc}"
+                        ) from exc
+                    if on_error == "null":
+                        rows.append((int(doc_id), None, None, None, None, None))
+                    # skip: drop the row
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "duration_ms",
+                    "n_frames", "mdat_bytes",
+                ],
+            )
+
+    return df.mapInPandas(extract, schema=MP4_META_SCHEMA)

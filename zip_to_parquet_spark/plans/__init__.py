@@ -52,6 +52,7 @@ set_priority([
     "dedup_semantic",  # new in round 3 (SemDeDup cluster-scoped dedup)
     "pipeline_prep_recipe",  # new in round 3 (composed gate→dedup→split→pack)
     "lm_surprisal_scores",  # new in round 3 (CCNet-style LM quality signal)
+    "multimodal_mp4_meta",  # new in round 3 (real ISO-BMFF box parse)
     # exact-decimal sweep (round 2) — first driver row since the sweep
     "join_broadcast_dim",
     "join_shuffle_facts",
@@ -81,7 +82,6 @@ set_priority([
     "explode_top_words",
     "join_salted_skew",
     "scalar_null_handling",
-    "agg_approx_percentile",
     "window_rank_battery",
     "join_outer_full",
     "subquery_min_per_group",

@@ -1698,3 +1698,33 @@ def lm_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole scoring pipeline is value-oracle-checked, mean included
     (division order mirrored across engines)."""
     return pipeline.unigram_surprisal(_documents_spread(spark, sf_dir))
+
+
+@query(
+    "multimodal_mp4_meta",
+    oracle="""
+    SELECT doc_id,
+           (16 * (4 + doc_id % 9))::INT AS width,
+           (16 * (3 + doc_id % 7))::INT AS height,
+           ((600 * (1 + doc_id % 10)) * 1000 // 600)::BIGINT AS duration_ms,
+           (8 + doc_id % 17)::BIGINT AS n_frames,
+           ((8 + doc_id % 17) * (32 + doc_id % 11))::BIGINT AS mdat_bytes
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container parse, the third leg of the multimodal triad:
+    synthesize a minimal-but-spec-shaped ISO-BMFF file per video doc
+    (size-prefixed box tree: ftyp, moov/mvhd/trak/tkhd/stbl/stsz, mdat)
+    and recover dimensions, duration, frame count, and media bytes by
+    WALKING THE BOXES (operators/multimodal.synth_mp4 / mp4_meta). The
+    oracle recomputes every recovered value from the generative spec, so
+    a wrong box offset or fixed-point shift fails the hash — same
+    discipline as the WAV/PNG round trips. Codec frame DECODE stays out
+    of scope (no codec libs in this container, documented stub)."""
+    from zip_to_parquet_spark.operators.multimodal import mp4_meta, synth_mp4
+
+    vids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2
+    ).select("doc_id")
+    return mp4_meta(synth_mp4(spread(vids, "doc_id")))
