@@ -671,3 +671,101 @@ def test_mp4_container_roundtrip_and_on_error(spark):
     assert {r["doc_id"] for r in mp4_meta(bad, on_error="skip").collect()} == {2, 11}
     nulls = {r["doc_id"]: r for r in mp4_meta(bad, on_error="null").collect()}
     assert nulls[5]["width"] is None and nulls[2]["width"] is not None
+
+
+def test_mp4_size0_and_largesize_boxes(spark):
+    """Legal ISO-BMFF variants real-world files use: size==0 (box extends
+    to end of file — common for the trailing mdat) and size==1 (64-bit
+    largesize header). Both must parse identically to the compact form."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from zip_to_parquet_spark.operators.multimodal import mp4_meta, synth_mp4
+
+    ids = spark.createDataFrame([(3,)], "doc_id long")
+    [(baseline, payload)] = [
+        (r["doc_id"], bytes(r["payload"]))
+        for r in synth_mp4(ids).collect()
+    ]
+    expected = mp4_meta(synth_mp4(ids)).collect()[0]
+
+    # Rewrite the trailing mdat header: compact -> size==0 (to-EOF).
+    mdat_off = payload.rindex(b"mdat") - 4
+    size0 = payload[:mdat_off] + b"\x00\x00\x00\x00" + payload[mdat_off + 4 :]
+    # Rewrite it again as a 64-bit largesize box (8 extra header bytes).
+    body = payload[mdat_off + 8 :]
+    large = (
+        payload[:mdat_off]
+        + struct.pack(">I4sQ", 1, b"mdat", 16 + len(body))
+        + body
+    )
+    variants = spark.createDataFrame(
+        [(0, size0), (1, large)], "doc_id long, payload binary"
+    )
+    got = {r["doc_id"]: r for r in mp4_meta(variants).collect()}
+    for did in (0, 1):
+        r = got[did]
+        assert r["width"] == expected["width"]
+        assert r["height"] == expected["height"]
+        assert r["duration_ms"] == expected["duration_ms"]
+        assert r["n_frames"] == expected["n_frames"]
+        assert r["mdat_bytes"] == expected["mdat_bytes"]
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """The HLL++ sketch key is rows-only at the driver (no SQL oracle can
+    exist for an engine-specific sketch) — so pin its VALUE surface here:
+    every group's estimate must sit within a conservative multiple of the
+    documented rsd of the exact DuckDB count."""
+    import duckdb
+
+    from zip_to_parquet_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in all_queries()["agg_approx_count_distinct"](spark, sf).collect()
+    }
+    exact = dict(
+        duckdb.sql(
+            f"""SELECT l_returnflag, count(DISTINCT l_partkey)
+                FROM '{sf}/lineitem.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for flag, est in got.items():
+        # rsd=0.02 is one standard deviation; 5 sigma never flakes.
+        assert abs(est - exact[flag]) <= max(1, 5 * 0.02 * exact[flag]), (
+            flag, est, exact[flag],
+        )
+
+
+def test_approx_percentile_within_rank_accuracy(spark):
+    """approx_percentile(accuracy=10000) bounds RANK error at 1/accuracy:
+    the returned value's true rank fraction must be within eps of the
+    requested percentile (generous slack vs the 1e-4 contract, but tight
+    enough to catch a broken sketch)."""
+    import duckdb
+
+    from zip_to_parquet_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = all_queries()["agg_approx_percentile"](spark, sf).collect()
+    con = duckdb.connect()
+    for r in rows:
+        for p, val in ((0.5, r["p50_approx"]), (0.95, r["p95_approx"])):
+            [(n, n_le)] = con.sql(
+                f"""SELECT count(*), count(*) FILTER (l_extendedprice <= {val!r})
+                    FROM '{sf}/lineitem.parquet'
+                    WHERE l_returnflag = '{r["l_returnflag"]}'"""
+            ).fetchall()
+            assert n > 0
+            # value's rank fraction brackets the target percentile
+            assert n_le / n >= p - 0.01, (r["l_returnflag"], p, val, n_le / n)
+            [(n_lt,)] = con.sql(
+                f"""SELECT count(*) FILTER (l_extendedprice < {val!r})
+                    FROM '{sf}/lineitem.parquet'
+                    WHERE l_returnflag = '{r["l_returnflag"]}'"""
+            ).fetchall()
+            assert n_lt / n <= p + 0.01, (r["l_returnflag"], p, val, n_lt / n)

@@ -140,16 +140,22 @@ def test_csv_member_parse_is_shuffle_free(spark):
 
 
 def test_span_dedup_no_cross_join_bounded_shuffles(spark):
-    # Span dedup's scale contract: every shuffle keys on gram text,
-    # (doc_id, pos), or doc_id — all linear in corpus tokens — and never
-    # a cross join. The explode + anti-join coverage form trades a couple
-    # more keyed exchanges for O(tokens) reassembly (the in-row
-    # filter-by-starts form it replaced was O(words × dup-grams) per
-    # document). A cartesian here means the count-join degenerated.
+    # Span dedup's scale contract: every shuffle keys on xxhash64(gram)
+    # (8 bytes — never the ~300 B gram string), (doc_id, pos), or doc_id
+    # — all linear in corpus tokens — and never a cross join. The
+    # explode + anti-join coverage form trades a couple more keyed
+    # exchanges for O(tokens) reassembly (the in-row filter-by-starts
+    # form it replaced was O(words × dup-grams) per document). A
+    # cartesian here means the count-join degenerated.
     plan = plan_of(spark, "dedup_exact_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert n_shuffles(plan) <= 9, plan
+    # The gram shuffle key must be the 64-bit hash, not the raw string:
+    # no exchange may partition on a `gram` column, and the hash must
+    # appear in the plan.
+    assert "hashpartitioning(gram" not in plan, plan
+    assert "xxhash64" in plan, plan
 
 
 def test_pq_topk_no_join_before_scoring(spark):
@@ -180,9 +186,38 @@ def test_prep_recipe_no_cross_join(spark):
 
 
 def test_lm_surprisal_broadcasts_vocab(spark):
-    # The vocab surprisal table must broadcast against the token stream;
-    # a SortMergeJoin would shuffle every token of the corpus on the
-    # word key.
+    # The vocab surprisal table must broadcast against the token stream
+    # when the probe finds it under the threshold; a SortMergeJoin here
+    # would shuffle every token of the corpus on the word key.
     plan = plan_of(spark, "lm_surprisal_scores")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lm_surprisal_shuffle_fallback_over_threshold(spark):
+    # Size-aware join: when the probe finds MORE vocab types than the
+    # broadcast threshold, the join must NOT force-broadcast (a 100 TB
+    # corpus vocab would blow the 8 GB broadcast limit at runtime) —
+    # it falls back to a plain join and still computes the same result.
+    from zip_to_parquet_spark.operators.pipeline import unigram_surprisal
+    from zip_to_parquet_spark.schema import load_table
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    forced = unigram_surprisal(docs, broadcast_max_types=1)
+    # The physical plan can't distinguish (AQE auto-broadcasts any small
+    # side); the HINT lives in the analyzed logical plan.
+    analyzed = forced._jdf.queryExecution().analyzed().toString()
+    default = unigram_surprisal(docs)._jdf.queryExecution().analyzed().toString()
+    # Both plans broadcast the 1-row totals table (hint #1); only the
+    # default may additionally hint the vocab join side (hint #2).
+    assert analyzed.count("strategy=broadcast") == 1
+    assert default.count("strategy=broadcast") == 2
+    got = {
+        (r["doc_id"], r["n_tokens"], r["surprisal_micro"])
+        for r in forced.collect()
+    }
+    want = {
+        (r["doc_id"], r["n_tokens"], r["surprisal_micro"])
+        for r in unigram_surprisal(docs).collect()
+    }
+    assert got == want

@@ -531,12 +531,17 @@ def span_dedup(
     document and the surviving words in order.
 
     Scale shape: every step is linear in corpus tokens and shuffles only
-    on uniform or per-doc keys — gram text (hash it first at real scale)
-    for the global count, (doc_id, pos) for the covered-position
-    anti-join, doc_id for reassembly. The stride-1 explode is span_words×
-    the corpus tokens — the price of alignment invariance; the paper's
-    suffix array pays O(n log n) single-machine instead. No driver-side
-    state, no per-row quadratic expressions.
+    on uniform or per-doc keys — ``xxhash64(gram)`` (8 bytes, never the
+    ~span_words-word gram string, which would be ~300 B/row) for the
+    global count and the dup-flag join, (doc_id, pos) for the
+    covered-position anti-join, doc_id for reassembly. A 64-bit hash
+    collision would conflate two distinct grams; at p≈n²/2⁶⁵ that is
+    negligible for any real corpus (10¹² grams → p≈3%·per-corpus of ONE
+    collided pair, which would at worst remove one spurious span). The
+    stride-1 explode is span_words× the corpus tokens — the price of
+    alignment invariance; the paper's suffix array pays O(n log n)
+    single-machine instead. No driver-side state, no per-row quadratic
+    expressions.
     """
     w = span_words
     docs = df.select(
@@ -552,16 +557,23 @@ def span_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<j:int,gram:string>>"))
-    # explode_outer keeps sub-gram-length docs in the reassembly.
+    # explode_outer keeps sub-gram-length docs in the reassembly. The
+    # gram string itself is dropped here: only its 64-bit hash ever
+    # shuffles (xxhash64(NULL) would fold to the seed, so null grams are
+    # guarded to stay null and excluded from the count).
     sp = docs.select("doc_id", F.explode_outer(grams).alias("g")).select(
-        "doc_id", F.col("g.j").alias("j"), F.col("g.gram").alias("gram")
+        "doc_id",
+        F.col("g.j").alias("j"),
+        F.when(
+            F.col("g.gram").isNotNull(), F.xxhash64(F.col("g.gram"))
+        ).alias("gh"),
     )
     counts = (
-        sp.filter(F.col("gram").isNotNull())
-        .groupBy("gram")
+        sp.filter(F.col("gh").isNotNull())
+        .groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    flagged = sp.join(counts, "gram", "left")
+    flagged = sp.join(counts, "gh", "left")
     agg = flagged.groupBy("doc_id").agg(
         F.count("j").alias("n_grams"),
         F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0))

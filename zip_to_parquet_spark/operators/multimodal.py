@@ -716,9 +716,20 @@ def mp4_meta(
             off = 0
             while off + 8 <= len(buf):
                 size, typ = struct.unpack(">I4s", buf[off : off + 8])
-                if size < 8 or off + size > len(buf):
+                hdr = 8
+                if size == 0:
+                    # Legal ISO-BMFF: box extends to end of enclosing
+                    # buffer (commonly the trailing mdat).
+                    size = len(buf) - off
+                elif size == 1:
+                    # 64-bit largesize follows the compact header.
+                    if off + 16 > len(buf):
+                        raise ValueError(f"truncated largesize box {typ!r}")
+                    size = struct.unpack(">Q", buf[off + 8 : off + 16])[0]
+                    hdr = 16
+                if size < hdr or off + size > len(buf):
                     raise ValueError(f"malformed box {typ!r} (size {size})")
-                body = buf[off + 8 : off + size]
+                body = buf[off + hdr : off + size]
                 if typ in _MP4_CONTAINERS:
                     walk(body)
                 elif typ in (b"mvhd", b"tkhd", b"stsz", b"mdat"):

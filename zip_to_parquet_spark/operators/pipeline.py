@@ -358,6 +358,7 @@ def unigram_surprisal(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_max_types: int | None = 2_000_000,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020
     filter documents by LM perplexity), with the LM reduced to the
@@ -372,11 +373,15 @@ def unigram_surprisal(
     (doc_id, n_tokens, surprisal_micro, mean_surprisal).
 
     Scale shape: one groupBy over exploded tokens builds the vocab
-    table (uniform keys), which then broadcast-joins back against the
-    token stream; one integer sum per doc. Map-side combine carries the
-    load; no skew beyond natural token frequencies (cap the vocab side
-    or switch the join to shuffle if a corpus's vocab outgrows the
-    broadcast threshold).
+    table (uniform keys), which joins back against the token stream;
+    one integer sum per doc. Map-side combine carries the load. The
+    vocab join is SIZE-AWARE: a bounded driver probe counts distinct
+    types up to ``broadcast_max_types``+1 and force-broadcasts the
+    vocab only when it is under the threshold; above it (a 100 TB
+    corpus's vocab will not fit the 8 GB broadcast limit) the join
+    falls back to a plain shuffle join on the uniform token key.
+    ``broadcast_max_types=None`` skips the probe and leaves the choice
+    to AQE.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("w")
@@ -393,8 +398,18 @@ def unigram_surprisal(
         .cast("long")
         .alias("s_micro"),
     )
+    if broadcast_max_types is None:
+        surp_side = surp
+    else:
+        # Bounded probe: LIMIT lets the job stop once threshold+1 vocab
+        # rows exist, so the probe cost is one early-terminating pass of
+        # the same groupBy (cheap next to the main join at any scale).
+        n_types = vocab.limit(broadcast_max_types + 1).count()
+        surp_side = (
+            F.broadcast(surp) if n_types <= broadcast_max_types else surp
+        )
     return (
-        toks.join(F.broadcast(surp), "w")
+        toks.join(surp_side, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -435,10 +435,13 @@ def pq_encode_udf(codebooks):
     map-only, no shuffle; an encoded corpus stores m bytes per vector
     instead of dim floats (the reason PQ is THE 100 TB ANN memory format).
 
-    Tie/parity note: squared-L2 accumulates per-dimension in float64 —
-    the same left-to-right double adds as DuckDB's ``list_distance`` (sqrt
-    is monotone, so argmin agrees); numpy argmin takes the FIRST min,
-    matching SQL's ``ORDER BY dist, code`` tie-break."""
+    Tie/parity note: squared-L2 accumulates per-dimension in float64
+    via an EXPLICIT sequential loop — the same left-to-right double adds
+    as DuckDB's ``list_distance`` (sqrt is monotone, so argmin agrees).
+    A numpy ``.sum(axis=-1)`` would NOT guarantee this: numpy switches
+    to pairwise summation for longer reductions, which silently breaks
+    bit-parity once dsub grows past the pairwise threshold. numpy argmin
+    takes the FIRST min, matching SQL's ``ORDER BY dist, code``."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -453,7 +456,10 @@ def pq_encode_udf(codebooks):
         codes = np.empty((len(mat), m), dtype=np.int32)
         for s in range(m):
             xs = mat[:, s * dsub : (s + 1) * dsub]
-            d = ((xs[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=-1)
+            d = np.zeros((len(xs), cbs[s].shape[0]))
+            for dd in range(dsub):
+                diff = xs[:, dd, None] - cbs[s][None, :, dd]
+                d = d + diff * diff
             codes[:, s] = d.argmin(axis=1)
         return pd.Series(list(codes))
 
@@ -518,6 +524,8 @@ def gemm_topk_candidates(
     """
     import numpy as np
 
+    if metric not in ("cosine", "ip"):
+        raise ValueError(f"metric must be cosine|ip, got {metric!r}")
     qm = np.asarray(q_vecs, dtype=np.float64)  # (Q, dim)
     qid = np.asarray(q_ids, dtype=np.int64)
     if qm.ndim != 2 or not len(qm):

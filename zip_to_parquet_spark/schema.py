@@ -147,8 +147,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ``spark.sql.legacy.parquet.nanosAsLong``, µs-truncate, re-cast;
       * TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
         TIMESTAMP_NTZ under Spark 4's NTZ inference; reinterpret the wall
-        clock as UTC with ``to_utc_timestamp(ts, 'UTC')`` — session-
-        timezone-independent, unlike a bare NTZ→TIMESTAMP cast.
+        clock as UTC with ``to_utc_timestamp(ts, 'UTC')``. NOTE: this is
+        NOT session-timezone-independent — the implicit NTZ→TIMESTAMP
+        cast inside ``to_utc_timestamp`` applies the SESSION timezone
+        first, so a non-UTC session would shift the instant. load_table
+        therefore pins ``spark.sql.session.timeZone=UTC`` on the handed
+        session (driver-owned sessions are not guaranteed to have
+        session.py's UTC default).
     Both paths are narrow, codegen'd, no Python in the path.
     """
     import pyspark.sql.functions as F
@@ -167,6 +172,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # the low microseconds.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
+            # Pin BEFORE building the expression: the NTZ→TIMESTAMP cast
+            # inside to_utc_timestamp resolves against the session tz.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
 

@@ -89,6 +89,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if ts_dtype == "bigint":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The NTZ→TIMESTAMP cast inside to_utc_timestamp resolves against the
+    # SESSION timezone; pin UTC so driver-owned non-UTC sessions cannot
+    # shift the instant (same contract as schema.load_table).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return raw.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
 
 
