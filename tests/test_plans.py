@@ -167,6 +167,16 @@ def test_pq_topk_no_join_before_scoring(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivfpq_topk_equi_join_on_cell_only(spark):
+    # IVFPQ's only join is the candidate equi-join on the k-cell id
+    # (shuffle key cardinality = k, sized 4k-64k at real scale); both
+    # codebooks ship as closures/literals, never as join sides. A
+    # cartesian or nested-loop here means the probe join degenerated.
+    plan = plan_of(spark, "ann_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_dsir_broadcasts_bucket_table(spark):
     # The O(256) log-ratio table must broadcast against the feature
     # stream; a SortMergeJoin would shuffle every feature of a 100 TB

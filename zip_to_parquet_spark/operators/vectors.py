@@ -23,6 +23,7 @@ __all__ = [
     "gemm_topk_candidates",
     "lloyds_codebook_l2",
     "train_pq_codebooks",
+    "ivfpq_train_arrays",
     "pq_encode_udf",
     "pq_decode_expr",
     "semantic_dedup_pairs",
@@ -427,6 +428,43 @@ def train_pq_codebooks(
         lloyds_codebook_l2(x[:, s * dsub : (s + 1) * dsub], k=ksub, iters=iters, seed=seed)
         for s in range(m)
     ]
+
+
+def ivfpq_train_arrays(x, k_coarse=16, m=16, ksub=16, iters=10, seed=42):
+    """FAISS-IVFPQ trainer (Jégou et al. 2011 §IV; faiss IndexIVFPQ):
+    from ONE deterministic (n, dim) float64 sample, train (a) the coarse
+    cosine codebook with ``lloyds_codebook`` and (b) per-subspace L2
+    codebooks over the RESIDUALS x - coarse_centroid(x) with
+    ``lloyds_codebook_l2``. Encoding residuals instead of raw vectors is
+    the IVFPQ insight: within a cell the residual energy is much smaller
+    than the vector energy, so the same PQ bit budget quantizes far more
+    finely. Returns ``(coarse, cbs)`` — ``coarse`` a (k_coarse, dim)
+    list-of-lists, ``cbs`` m lists of ksub sub-centroids.
+
+    Pure numpy, deterministic end-to-end (fixed inits/seeds, sample
+    assignment replicates ``ivf_assign_udfs``'s normalized-cosine argmax
+    incl. its norm clip), so the oracle generator replays this exact
+    function on the replayed sample and inlines both codebooks as SQL
+    literals."""
+    import numpy as np
+
+    coarse = lloyds_codebook(x, k=k_coarse, iters=iters, seed=seed)
+    cmat = np.array(coarse, dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True).clip(min=1e-300)
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True).clip(min=1e-300)
+    assign = (xn @ cn.T).argmax(axis=1)
+    resid = x - cmat[assign]
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    dsub = dim // m
+    cbs = [
+        lloyds_codebook_l2(
+            resid[:, s * dsub : (s + 1) * dsub], k=ksub, iters=iters, seed=seed
+        )
+        for s in range(m)
+    ]
+    return coarse, cbs
 
 
 def pq_encode_udf(codebooks):
