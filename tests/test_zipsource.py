@@ -613,3 +613,52 @@ def test_stream_on_error_skip_counter(spark, tmp_path):
         "a.txt",
         "b.txt",
     ]
+
+
+def test_jumbo_archive_splits_into_partitions(spark, tmp_path):
+    """An archive with more members than split_members yields multiple
+    member-index-range partitions with an IDENTICAL output bag (every
+    member exactly once, bodies/hashes intact), and the reader-level
+    partition list shows the split. The EOCD fast count must agree with
+    the real central directory."""
+    from zip_to_parquet_spark.sources.zipsource import (
+        ZipMembersReader,
+        _eocd_member_count,
+    )
+    import json
+
+    members = [(f"m{i:04d}.txt", f"payload-{i}".encode()) for i in range(120)]
+    zp = make_zip(tmp_path / "jumbo.zip", members)
+    assert _eocd_member_count(zp) == 120
+
+    # Reader-level: 120 members / threshold 50 -> 3 range partitions.
+    rdr = ZipMembersReader(
+        {"paths": json.dumps([zp]), "split_members": "50"}
+    )
+    parts = rdr.partitions()
+    assert len(parts) == 3
+    assert [(p.start, p.end) for p in parts] == [(0, 50), (50, 100), (100, 120)]
+
+    # End-to-end: split output bag == unsplit output bag.
+    def bag(df):
+        return sorted(
+            (r["name"], bytes(r["body"]), r["hash"]) for r in df.collect()
+        )
+
+    split_df = read_zip_members(spark, zp, split_members=50)
+    assert split_df.rdd.getNumPartitions() == 3
+    unsplit = bag(read_zip_members(spark, zp, split_members=0))
+    assert bag(split_df) == unsplit
+    assert len(unsplit) == 120
+
+
+def test_small_archive_never_splits(spark, tmp_path):
+    """Default threshold: a small archive stays one partition (the size
+    gate must not even attempt an EOCD read for it)."""
+    from zip_to_parquet_spark.sources.zipsource import ZipMembersReader
+    import json
+
+    zp = make_zip(tmp_path / "small.zip", BASIC)
+    rdr = ZipMembersReader({"paths": json.dumps([zp])})
+    parts = rdr.partitions()
+    assert len(parts) == 1 and parts[0].start == 0 and parts[0].end is None

@@ -29,9 +29,14 @@ unpickle the reader.
 Scale notes: members are decompressed one at a time and flushed in bounded
 Arrow batches, so peak memory per task ≈ one decompressed member + one batch
 (mirrors the reference's bounded-channel posture, builder.rs:53,188-190).
-Archives are never split — correct, since zip needs its central directory —
-so very large single archives bound per-task time; many-archive inputs
-parallelize perfectly.
+Many-archive inputs parallelize one task per archive; a JUMBO archive (more
+than ``split_members`` central-directory entries) additionally splits into
+member-index-range partitions — the central directory is random-access, so
+each task opens the file independently and reads only its slice, bounding
+per-task time by the range size instead of the largest archive. The member
+count comes from the end-of-central-directory record alone (an O(comment)
+tail read, no CD parse), gated on file size so small archives cost the
+driver nothing beyond the stat it already does.
 
 Divergences by design (SURVEY §2 H): empty input glob raises at plan time
 (the reference silently writes an empty file — its NoInputsFound error is
@@ -138,9 +143,46 @@ def _read_zstd_member(fh, info: zipfile.ZipInfo, path: str) -> bytes:
     return data
 
 
+# Minimum possible central-directory entry: 46-byte fixed header + a
+# nonempty filename. Lets partitions() skip the EOCD tail read entirely
+# for any archive too small to exceed the split threshold.
+_MIN_CD_ENTRY = 46
+
+
+def _eocd_member_count(path: str) -> int:
+    """Total member count from the end-of-central-directory record alone —
+    seek to the tail, find the EOCD signature (scanning back past a zip
+    comment of up to 64 KiB), read the 2-byte total; 0xFFFF defers to the
+    ZIP64 EOCD's 8-byte total. Never parses the central directory, so a
+    million-member archive costs one bounded tail read."""
+    import os
+    import struct
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as fh:
+        tail_len = min(size, 22 + 65535)
+        fh.seek(size - tail_len)
+        tail = fh.read(tail_len)
+    i = tail.rfind(b"PK\x05\x06")
+    if i < 0 or i + 22 > len(tail):
+        raise zipfile.BadZipFile(f"no end-of-central-directory record in {path}")
+    total = struct.unpack("<H", tail[i + 10 : i + 12])[0]
+    if total == 0xFFFF:
+        j = tail.rfind(b"PK\x06\x06", 0, i)
+        if j < 0 or j + 40 > len(tail):
+            raise zipfile.BadZipFile(f"ZIP64 EOCD not found in {path}")
+        total = struct.unpack("<Q", tail[j + 32 : j + 40])[0]
+    return total
+
+
 @dataclass
 class _ZipPartition(InputPartition):
     path: str
+    # Half-open member-index range [start, end) into the central
+    # directory's infolist order; end=None means "to the last member".
+    # (0, None) — the default — is the whole archive.
+    start: int = 0
+    end: int | None = None
 
 
 class ZipMembersReader(DataSourceReader):
@@ -160,6 +202,10 @@ class ZipMembersReader(DataSourceReader):
         self.batch_bytes = int(options.get("batch_bytes", str(32 * 1024 * 1024)))
         self.on_error = options.get("on_error", "fail")
         self.strict_hash = options.get("strict_hash", "false") == "true"
+        # Jumbo-archive splitting threshold (0 disables): archives whose
+        # central directory lists more members than this split into
+        # member-index-range partitions.
+        self.split_members = int(options.get("split_members", "65536"))
 
         # Populated by pushFilters (Catalyst filter pushdown, Spark 4.1+):
         # per-member name predicates evaluated before decompression, and
@@ -212,11 +258,37 @@ class ZipMembersReader(DataSourceReader):
         # (builder.rs:64). Executors each open only their own local/shared
         # file; nothing is centralized on the driver. Pushed source
         # predicates prune archives here, before any task launches.
+        #
+        # Jumbo archives additionally split into member-index ranges so the
+        # largest archive no longer bounds per-task time. The size gate
+        # (an archive under split_members·46 bytes CANNOT list that many
+        # CD entries) keeps the driver cost at the stat it already pays;
+        # only plausibly-jumbo files get the O(comment) EOCD tail read.
+        # A file unreadable here falls through to a single partition so
+        # the error surfaces in the task, where on_error applies.
+        import os
+
         paths = self.paths
         if self.source_preds:
             pred = self._compile(self.source_preds)
             paths = [p for p in paths if pred(p)]
-        return [_ZipPartition(p) for p in paths]
+        parts: list[_ZipPartition] = []
+        for p in paths:
+            n = None
+            if self.split_members > 0:
+                try:
+                    if os.path.getsize(p) > self.split_members * _MIN_CD_ENTRY:
+                        n = _eocd_member_count(p)
+                except (OSError, zipfile.BadZipFile):
+                    n = None
+            if n is not None and n > self.split_members:
+                parts.extend(
+                    _ZipPartition(p, s, min(s + self.split_members, n))
+                    for s in range(0, n, self.split_members)
+                )
+            else:
+                parts.append(_ZipPartition(p))
+        return parts
 
     def read(self, partition: _ZipPartition):
         import pyarrow as pa
@@ -248,7 +320,10 @@ class ZipMembersReader(DataSourceReader):
 
         try:
             with open(partition.path, "rb") as fh, zipfile.ZipFile(fh) as zf:
-                for info in zf.infolist():
+                infos = zf.infolist()
+                if partition.start or partition.end is not None:
+                    infos = infos[partition.start : partition.end]
+                for info in infos:
                     if pattern is not None and not pattern.match(info.filename):
                         continue
                     if name_pred is not None and not name_pred(info.filename):
@@ -302,7 +377,13 @@ class ZipMembersReader(DataSourceReader):
                 # on_error='fail' (default) where atomicity matters.
                 import sys
 
-                if self.skip_acc is not None:
+                # Count once per ARCHIVE, not per split range: whole-archive
+                # corruption fails every range, but only the start==0 task
+                # increments, keeping the "archives skipped" semantic exact.
+                # (A mid-range CRC failure in a later split logs without
+                # counting — that archive already emitted earlier ranges, a
+                # case the best-effort caveat above covers either way.)
+                if self.skip_acc is not None and partition.start == 0:
                     self.skip_acc.add(1)
                 print(
                     f"zipmembers: skipping unreadable archive {partition.path}: {exc}",
@@ -454,6 +535,7 @@ def read_zip_members(
     batch_rows: int = 1024,
     strict_hash: bool = False,
     skip_counter=None,
+    split_members: int = 65536,
 ) -> DataFrame:
     """Read zip archives as one DataFrame row per member (reference A1+A2).
 
@@ -471,6 +553,11 @@ def read_zip_members(
     builder.rs:65-71). The binding happens at ``.load()`` (schema resolution
     instantiates the source), so interleaved reads each capture their own
     counter.
+
+    ``split_members``: archives whose central directory lists more than
+    this many members split into member-index-range partitions (0
+    disables) — per-task time is bounded by the range, not the largest
+    archive; see the module docstring's scale notes.
     """
     from zip_to_parquet_spark.runtime import ensure_shipped
 
@@ -499,6 +586,7 @@ def read_zip_members(
         .option("on_error", on_error)
         .option("batch_rows", str(batch_rows))
         .option("strict_hash", "true" if strict_hash else "false")
+        .option("split_members", str(split_members))
         .load()
     )
 
