@@ -1,0 +1,188 @@
+"""Automated driver-window policy (VERDICT r3 ask #2).
+
+Policy (set in round 2, violated for streaming in round 3): any query key
+whose implementing code changed since the key's LAST driver-green round
+must sit inside the driver's first-50 correctness window, so the next
+CORRECTNESS_r{N}.json re-verifies it at sf0.01.
+
+This test automates the bookkeeping end-to-end from repo history — no
+manually-maintained JSON to rot:
+
+* last green round per key  = the highest CORRECTNESS_r*.json containing
+  the key with ``hash_match: true`` (or a rows-only ``no_oracle`` row —
+  that IS that key's strongest possible driver signal);
+* the code the driver verified = the tree at the commit that ADDED that
+  round's CORRECTNESS file (the driver commits results on the final tree
+  of the round);
+* implementing code per key   = the transitive package-import closure of
+  the key's defining plans module (deferred in-function imports
+  included — the regex scans whole sources);
+* changed                     = ``git diff`` from that commit to the
+  WORKING TREE touches any file in the closure (so the test bites before
+  commit, not after).
+
+Rule: with C = changed-or-never-verified keys and W = the first-50
+window — if |C| ≤ 50 then C ⊆ W (every changed key gets a driver row
+next round); if |C| > 50 the window can't hold them all, so every slot
+must at least be SPENT on a changed key (prioritization, the best any
+round can do).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import subprocess
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+PKG = "zip_to_parquet_spark"
+WINDOW = 50
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", str(REPO), *args],
+        check=True,
+        capture_output=True,
+        text=True,
+    ).stdout
+
+
+def _module_file(dotted: str) -> str | None:
+    """'zip_to_parquet_spark.operators.vectors' → repo-relative file."""
+    rel = Path(dotted.replace(".", "/"))
+    if (REPO / rel).with_suffix(".py").exists():
+        return str(rel.with_suffix(".py"))
+    if (REPO / rel / "__init__.py").exists():
+        return str(rel / "__init__.py")
+    return None
+
+
+def _import_closure() -> dict[str, set[str]]:
+    """file → transitive set of package files it imports (itself included)."""
+    edges: dict[str, set[str]] = {}
+    for f in (REPO / PKG).rglob("*.py"):
+        rel = str(f.relative_to(REPO))
+        src = f.read_text()
+        deps: set[str] = set()
+        for m in re.finditer(
+            rf"^\s*from\s+({PKG}[.\w]*)\s+import\s+([^\n]+)", src, re.M
+        ):
+            base, names = m.group(1), m.group(2)
+            bf = _module_file(base)
+            if bf:
+                deps.add(bf)
+            # `from pkg.plans import llm, relational` imports submodules.
+            for name in re.findall(r"\w+", names.split("#")[0]):
+                sub = _module_file(f"{base}.{name}")
+                if sub:
+                    deps.add(sub)
+        for m in re.finditer(rf"^\s*import\s+({PKG}[.\w]*)", src, re.M):
+            bf = _module_file(m.group(1))
+            if bf:
+                deps.add(bf)
+        edges[rel] = deps
+    closure: dict[str, set[str]] = {}
+
+    def walk(node: str, acc: set[str]) -> None:
+        if node in acc:
+            return
+        acc.add(node)
+        for dep in edges.get(node, ()):
+            walk(dep, acc)
+
+    for node in edges:
+        acc: set[str] = set()
+        walk(node, acc)
+        closure[node] = acc
+    return closure
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """key → highest round with a driver row that counts as verified."""
+    green: dict[str, int] = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        for key, res in json.loads(f.read_text()).items():
+            if res.get("hash_match") or res.get("err") == "no_oracle":
+                green[key] = max(green.get(key, 0), rnd)
+    return green
+
+
+def _round_commit(rnd: int) -> str | None:
+    """The commit that ADDED CORRECTNESS_r{rnd}.json (driver round end)."""
+    out = _git(
+        "log",
+        "--format=%H",
+        "--diff-filter=A",
+        "--",
+        f"CORRECTNESS_r{rnd:02d}.json",
+    ).strip()
+    return out.splitlines()[0] if out else None
+
+
+def test_changed_keys_are_inside_driver_window():
+    from zip_to_parquet_spark.plans import all_queries
+    from zip_to_parquet_spark.plans.registry import key_modules
+
+    keys = list(all_queries())
+    window = set(keys[:WINDOW])
+    modules = key_modules()
+    closure = _import_closure()
+    green = _last_green_rounds()
+
+    # Changed files since each round's driver run (vs the WORKING TREE),
+    # computed once per distinct round.
+    changed_since: dict[int, set[str]] = {}
+    for rnd in set(green.values()):
+        sha = _round_commit(rnd)
+        changed_since[rnd] = (
+            set(
+                _git("diff", "--name-only", sha, "--", PKG).splitlines()
+            )
+            if sha
+            else set()
+        )
+
+    changed: set[str] = set()
+    for key in keys:
+        mod_file = _module_file(modules[key])
+        if key not in green:
+            changed.add(key)  # never had a driver row
+            continue
+        files = closure.get(mod_file, {mod_file})
+        if files & changed_since[green[key]]:
+            changed.add(key)
+
+    if len(changed) <= WINDOW:
+        outside = sorted(changed - window)
+        assert not outside, (
+            f"{len(outside)} changed key(s) outside the first-{WINDOW} driver "
+            f"window — re-pin set_priority in {PKG}/plans/__init__.py: "
+            f"{outside}"
+        )
+    else:
+        wasted = sorted(window - changed)
+        assert not wasted, (
+            f"{len(changed)} keys changed (> window of {WINDOW}) but these "
+            f"window slots hold UNCHANGED keys — swap them for changed ones: "
+            f"{wasted}"
+        )
+
+
+def test_window_policy_detects_plan_module_edit(tmp_path):
+    """The machinery itself: the closure must tie every registered key to
+    its defining plans module, and that module's closure must include the
+    operator modules it imports (an edit anywhere in the closure flags
+    the key)."""
+    from zip_to_parquet_spark.plans.registry import key_modules
+
+    closure = _import_closure()
+    modules = key_modules()
+    llm_file = _module_file(modules["ann_pq_topk"])
+    assert llm_file == f"{PKG}/plans/llm.py"
+    assert f"{PKG}/operators/vectors.py" in closure[llm_file]
+    assert f"{PKG}/schema.py" in closure[llm_file]
+    zip_file = _module_file(modules["zip_explode_hash"])
+    assert f"{PKG}/sources/zipsource.py" in closure[zip_file]

@@ -20,6 +20,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+# key → defining module ("zip_to_parquet_spark.plans.llm") — the root of
+# the key's implementing-code closure for the window-policy test.
+_MODULES: dict[str, str] = {}
 
 
 def query(
@@ -45,6 +48,7 @@ def query(
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         _QUERIES[name] = wrapped
+        _MODULES[name] = fn.__module__
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
@@ -77,6 +81,11 @@ def _ordered(d: dict) -> dict:
 
 def all_queries() -> dict[str, QueryFn]:
     return _ordered(_QUERIES)
+
+
+def key_modules() -> dict[str, str]:
+    """key → dotted module that defines it (window-policy test input)."""
+    return dict(_MODULES)
 
 
 def all_oracle_sql() -> dict[str, str]:
