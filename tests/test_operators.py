@@ -798,3 +798,59 @@ def test_ivfpq_recall_floor(spark):
     assert exact, "exact IP top-k is empty"
     recall = len(got & exact) / len(exact)
     assert recall >= 0.3, f"IVFPQ recall collapsed: {recall:.3f}"
+
+
+def test_pagerank_integer_known_graph(spark):
+    """Hand-computed 3-node graph, integer arithmetic: edges 1->2, 1->3,
+    2->1 (node 3 dangling/absorbing). Two power steps."""
+    from zip_to_parquet_spark.operators.graph import pagerank_integer
+
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 1)], "src long, dst long")
+    # iter1: n1 = 150000 + 85%*1000000 = 1000000
+    #        n2 = n3 = 150000 + 85%*(1000000 div 2) = 575000
+    # iter2: n1 = 150000 + 85%*575000 = 638750; n2 = n3 = 575000
+    got = {r["node"]: r["rank_micro"]
+           for r in pagerank_integer(e, iters=2).collect()}
+    assert got == {1: 638750, 2: 575000, 3: 575000}
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """Doc 'a b a b': bigrams ab, ba, ab. p(ab)=0.9*(2/2)+0.1*(3/6)=0.95,
+    p(ba)=0.9*(1/2)+0.1*(3/6)=0.5 -> micro-nats 51293 and 693147. A
+    single-token doc has no transitions and must drop out."""
+    import math
+
+    from zip_to_parquet_spark.operators.pipeline import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_surprisal(df).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    s_ab = math.floor(-math.log(0.9 * (2 / 2) + 0.1 * ((2 + 1) / (5 + 3))) * 1e6)
+    s_ba = math.floor(-math.log(0.9 * (1 / 2) + 0.1 * ((2 + 1) / (5 + 3))) * 1e6)
+    assert r["n_bigrams"] == 3
+    assert r["surprisal_micro"] == 2 * s_ab + s_ba
+    assert r["mean_surprisal"] == ((2 * s_ab + s_ba) / 1e6) / 3
+
+
+def test_topic_classify_tiebreak_and_none(spark):
+    """Equal hits -> first lexicon in order wins; zero hits -> 'none';
+    occurrence counts keep duplicates."""
+    from zip_to_parquet_spark.operators.textops import topic_classify
+
+    df = spark.createDataFrame(
+        [
+            (1, "scan scan query table"),   # execution 2 > others
+            (2, "scan query"),              # tie 1-1-0 -> execution (order)
+            (3, "zzz yyy"),                 # no hits -> none
+            (4, "table table table scan"),  # storage 3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in topic_classify(df).collect()}
+    assert got[1]["topic"] == "execution" and got[1]["hits_execution"] == 2
+    assert got[2]["topic"] == "execution" and got[2]["top_hits"] == 1
+    assert got[3]["topic"] == "none" and got[3]["top_hits"] == 0
+    assert got[4]["topic"] == "storage" and got[4]["hits_storage"] == 3

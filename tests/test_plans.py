@@ -231,3 +231,52 @@ def test_lm_surprisal_shuffle_fallback_over_threshold(spark):
         for r in unigram_surprisal(docs).collect()
     }
     assert got == want
+
+
+def test_topic_classify_is_map_only(spark):
+    # Lexicon classification is a stateless projection: the only exchange
+    # allowed is the corpus spread helper's round-robin (no join, no
+    # keyed shuffle).
+    plan = plan_of(spark, "topic_lexicon_classify")
+    assert "Join" not in plan
+
+
+def test_bigram_surprisal_no_cartesian_broadcasts_types(spark):
+    # The scored bigram-type table must broadcast against the transition
+    # stream at fixture scale (the probe confirms it's small); the only
+    # cross join allowed is the broadcast 1-row stats table.
+    plan = plan_of(spark, "lm_bigram_surprisal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_dims_broadcast_no_cartesian(spark):
+    # The final plan is a checkpoint scan (localCheckpoint truncates the
+    # per-iteration lineage — that IS the iterative idiom under test), so
+    # join strategy must be asserted on the un-checkpointed edge build:
+    # dims broadcast into the fact joins, nothing degenerates to a
+    # cartesian.
+    from pyspark.sql import functions as F
+
+    from zip_to_parquet_spark.schema import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, SF, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edges.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # And the full query must still run without a cartesian anywhere.
+    full = plan_of(spark, "graph_pagerank_nations")
+    assert "CartesianProduct" not in full

@@ -30,6 +30,7 @@ __all__ = [
     "PII_PATTERNS",
     "dsir_scores",
     "unigram_surprisal",
+    "bigram_surprisal",
 ]
 
 
@@ -354,6 +355,19 @@ def dsir_scores(
     )
 
 
+def _size_aware_side(side: DataFrame, probe: DataFrame, max_rows: int | None):
+    """Force-broadcast ``side`` only when a bounded driver probe confirms
+    ``probe`` (same cardinality) is under ``max_rows``; above it the join
+    falls back to a plain shuffle join (a 100 TB corpus's type table will
+    not fit the 8 GB broadcast limit). ``None`` skips the probe and leaves
+    the choice to AQE. The LIMIT lets the probe job stop once max_rows+1
+    rows exist — one early-terminating pass of the same groupBy."""
+    if max_rows is None:
+        return side
+    n = probe.limit(max_rows + 1).count()
+    return F.broadcast(side) if n <= max_rows else side
+
+
 def unigram_surprisal(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -398,16 +412,7 @@ def unigram_surprisal(
         .cast("long")
         .alias("s_micro"),
     )
-    if broadcast_max_types is None:
-        surp_side = surp
-    else:
-        # Bounded probe: LIMIT lets the job stop once threshold+1 vocab
-        # rows exist, so the probe cost is one early-terminating pass of
-        # the same groupBy (cheap next to the main join at any scale).
-        n_types = vocab.limit(broadcast_max_types + 1).count()
-        surp_side = (
-            F.broadcast(surp) if n_types <= broadcast_max_types else surp
-        )
+    surp_side = _size_aware_side(surp, vocab, broadcast_max_types)
     return (
         toks.join(surp_side, "w")
         .groupBy("doc_id")
@@ -421,6 +426,99 @@ def unigram_surprisal(
             "surprisal_micro",
             # Division order mirrored exactly in the oracle SQL.
             ((F.col("surprisal_micro") / 1e6) / F.col("n_tokens")).alias(
+                "mean_surprisal"
+            ),
+        )
+    )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_types: int | None = 2_000_000,
+) -> DataFrame:
+    """Interpolated bigram-LM surprisal — one Markov order up from
+    ``unigram_surprisal``, the next step toward CCNet's KenLM 5-gram
+    (Wenzek et al. 2020) while training stays two distributed counting
+    passes. Per transition:
+
+        p(w2 | w1) = 0.9 · c(w1 w2)/c(w1) + 0.1 · (c(w2)+1)/(total+V)
+
+    — fixed-weight Jelinek-Mercer interpolation with the add-one unigram
+    as the backoff floor, so unseen-in-context words never zero out. The
+    0.9/0.1 weights are DOUBLE literals mirrored in the oracle (never
+    ``1 - λ`` computed at runtime: IEEE 1.0-0.9 ≠ literal 0.1).
+
+    Cross-engine determinism, same discipline as the unigram scorer:
+    -ln p is floored to integer micro-nats once per bigram TYPE (all
+    inputs to ln are identical doubles in both engines — integer counts
+    through identical division/multiply/add order), and each document
+    sums those integers — order-free exact aggregation. Output:
+    (doc_id, n_bigrams, surprisal_micro, mean_surprisal); documents with
+    fewer than two tokens have no transitions and drop out (mirrored in
+    the oracle's join-aggregate).
+
+    Scale shape: two groupBys over exploded tokens/transitions (uniform
+    keys, map-side combine), a three-way type-table join (bigram types ×
+    two unigram lookups — all type-cardinality, not corpus-cardinality),
+    then the SIZE-AWARE join of scored types back against the transition
+    stream (``_size_aware_side``: bigram types outgrow broadcast far
+    sooner than vocabularies — the probe matters more here, not less).
+    """
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), words(F.col(text_col)).alias("ws")
+    )
+    toks = docs.select("doc_id", F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    stats = uni.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("v"))
+    n1 = F.size("ws") - 1
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, n1),
+                F.slice("ws", 2, n1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bgt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bgt.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                -F.log(
+                    F.lit(0.9) * (F.col("c12") / F.col("c1"))
+                    + F.lit(0.1)
+                    * ((F.col("c2") + 1) / (F.col("total") + F.col("v")))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("s_micro"),
+        )
+    )
+    side = _size_aware_side(scored, bgt, broadcast_max_types)
+    return (
+        pairs.join(side, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s_micro").alias("surprisal_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprisal_micro",
+            # Division order mirrored exactly in the oracle SQL.
+            ((F.col("surprisal_micro") / 1e6) / F.col("n_bigrams")).alias(
                 "mean_surprisal"
             ),
         )

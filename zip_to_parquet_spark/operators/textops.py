@@ -8,7 +8,7 @@ here composes from higher-order array functions (`transform`, `filter`,
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -20,6 +20,8 @@ __all__ = [
     "min_fingerprint",
     "winnow_fingerprints",
     "EN_STOPWORDS",
+    "TOPIC_LEXICONS",
+    "topic_classify",
 ]
 
 # Small closed-class marker set used by stopword stats and the language
@@ -105,3 +107,66 @@ def min_fingerprint(shingles_col: Column) -> Column:
     engines (md5 hex is canonical), robust to word order only as much as
     shingles are — which is the point."""
     return F.array_min(F.transform(shingles_col, lambda s: F.md5(s)))
+
+
+# Ordered topic lexicons for keyword-lexicon domain classification —
+# tie-break is lexicon ORDER (first wins), mirrored in the oracle's CASE.
+# Terms drawn from the fixture corpus vocabulary; production lexicons are
+# curated per taxonomy (the WebOrganizer/C4-domain-bucketing shape).
+TOPIC_LEXICONS = (
+    ("execution", ("scan", "filter", "join", "merge", "sort", "hash",
+                   "batch", "stream")),
+    ("planning", ("query", "group", "agg", "order", "window", "part",
+                  "key")),
+    ("storage", ("table", "column", "row", "line", "data", "value",
+                 "vector")),
+)
+
+
+def topic_classify(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lexicons=TOPIC_LEXICONS,
+) -> DataFrame:
+    """Keyword-lexicon topic bucketing — the cheap, fully-auditable form
+    of domain classification used to stratify corpus mixtures (each doc
+    gets per-topic occurrence counts and an argmax topic; downstream
+    mixture sampling keys on the topic the way mixture_sample_by_source
+    keys on source).
+
+    Map-only Catalyst: per topic one ``size(filter(words, in lexicon))``
+    higher-order expression — occurrence counts (duplicates kept), no
+    explode, no shuffle, runs inside the scan stage at any corpus size.
+    Argmax tie-break: ``greatest`` then first-matching lexicon in order;
+    zero hits everywhere → 'none'. Every branch mirrors into SQL
+    literally, so the key is full-value-oracle-checkable.
+    """
+    ws = words(F.col(text_col))
+
+    def in_lex(lex):
+        # A separate factory, NOT a default-arg lambda: F.filter treats a
+        # two-parameter lambda as (element, index) and would bind the
+        # index Column to the second parameter.
+        return lambda w: w.isin(*lex)
+
+    hit_cols = [
+        F.size(F.filter(ws, in_lex(lex))).cast("long").alias(f"hits_{name}")
+        for name, lex in lexicons
+    ]
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).cast("long").alias("n_tokens"),
+        *hit_cols,
+    )
+    m = F.greatest(*[F.col(f"hits_{name}") for name, _ in lexicons])
+    topic = F.when(m == 0, F.lit("none"))
+    for name, _ in lexicons:
+        topic = topic.when(F.col(f"hits_{name}") == m, F.lit(name))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        *[f"hits_{name}" for name, _ in lexicons],
+        topic.alias("topic"),
+        m.cast("long").alias("top_hits"),
+    )

@@ -38,8 +38,10 @@ from zip_to_parquet_spark.plans import temporal  # noqa: E402,F401
 #     jumbo-archive splitting in zipsource (zip_*);
 # (c) the rest of the round-4-touched files' keys (dedupe.py / pipeline.py
 #     / vectors.py file-level closure);
-# (d) remaining slots: the stalest value rows (r1-green glob_filter_names,
-#     set_except).
+# (d) the three operators NEW in round 4 (never driver-checked): the
+#     interpolated bigram LM, the lexicon topic classifier, and the
+#     integer-PageRank graph scorer — they displace the stale-row
+#     fillers, which stay pytest-oracle-verified at sf0.001.
 # Rotated out: the r2-decimal-swept relational block and r1-stale
 # relational keys re-greened by the round-3 driver row, whose files are
 # untouched since (still value-verified at sf0.001 by
@@ -95,10 +97,10 @@ set_priority([
     "multimodal_wav_roundtrip",
     "multimodal_png_roundtrip",
     "multimodal_png_resize",
-    # (d) stalest remaining driver rows
-    "glob_filter_names",
-    "set_except",
-    "scalar_string_date_extra",
+    # (d) new in round 4 — never driver-checked
+    "lm_bigram_surprisal",
+    "topic_lexicon_classify",
+    "graph_pagerank_nations",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

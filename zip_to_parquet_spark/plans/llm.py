@@ -1896,3 +1896,144 @@ def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 2
     ).select("doc_id")
     return mp4_meta(synth_mp4(spread(vids, "doc_id")))
+
+
+@query(
+    "lm_bigram_surprisal",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    toks AS (SELECT doc_id, unnest(w) AS w FROM t),
+    uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    stats AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS v FROM uni),
+    pe AS (
+      SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                      i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+        FROM t
+      )
+    ),
+    bgt AS (SELECT w1, w2, count(*) AS c12 FROM pe GROUP BY w1, w2),
+    sc AS (
+      SELECT b.w1, b.w2,
+             floor(-ln(0.9::DOUBLE * (b.c12 / u1.c)
+                       + 0.1::DOUBLE * ((u2.c + 1) / (s.total + s.v)))
+                   * 1e6)::BIGINT AS s_micro
+      FROM bgt b JOIN uni u1 ON u1.w = b.w1 JOIN uni u2 ON u2.w = b.w2,
+           stats s
+    ),
+    agg AS (
+      SELECT pe.doc_id, count(*) AS n_bigrams,
+             sum(sc.s_micro)::BIGINT AS surprisal_micro
+      FROM pe JOIN sc ON sc.w1 = pe.w1 AND sc.w2 = pe.w2
+      GROUP BY pe.doc_id
+    )
+    SELECT doc_id, n_bigrams, surprisal_micro,
+           (surprisal_micro / 1e6) / n_bigrams AS mean_surprisal
+    FROM agg
+    """,
+)
+def lm_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM surprisal per document — one Markov order up
+    from lm_surprisal_scores toward CCNet's KenLM 5-gram
+    (operators/pipeline.bigram_surprisal). Fixed 0.9/0.1 Jelinek-Mercer
+    weights against the add-one unigram backoff; integer micro-nat
+    per-TYPE scores keep the per-doc sum order-free, so the whole model —
+    both count tables, the interpolation arithmetic, the mean — is
+    value-oracle-checked."""
+    return pipeline.bigram_surprisal(_documents_spread(spark, sf_dir))
+
+
+@query(
+    "topic_lexicon_classify",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    h AS (
+      SELECT doc_id, len(w)::BIGINT AS n_tokens,
+             len(list_filter(w, x -> x IN ('scan','filter','join','merge',
+                 'sort','hash','batch','stream')))::BIGINT AS hits_execution,
+             len(list_filter(w, x -> x IN ('query','group','agg','order',
+                 'window','part','key')))::BIGINT AS hits_planning,
+             len(list_filter(w, x -> x IN ('table','column','row','line',
+                 'data','value','vector')))::BIGINT AS hits_storage
+      FROM t
+    )
+    SELECT doc_id, n_tokens, hits_execution, hits_planning, hits_storage,
+           CASE WHEN greatest(hits_execution, hits_planning, hits_storage) = 0
+                  THEN 'none'
+                WHEN hits_execution = greatest(hits_execution, hits_planning,
+                                               hits_storage)
+                  THEN 'execution'
+                WHEN hits_planning = greatest(hits_execution, hits_planning,
+                                              hits_storage)
+                  THEN 'planning'
+                ELSE 'storage' END AS topic,
+           greatest(hits_execution, hits_planning, hits_storage)::BIGINT
+             AS top_hits
+    FROM h
+    """,
+)
+def topic_lexicon_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-lexicon domain bucketing for mixture stratification
+    (operators/textops.topic_classify): per-topic occurrence counts +
+    argmax topic with lexicon-order tie-break, all map-only higher-order
+    expressions inside the scan stage. The oracle re-states every lexicon
+    and CASE branch literally."""
+    return textops.topic_classify(_documents_spread(spark, sf_dir))
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power-iteration PageRank in DuckDB: the integer-micro-unit
+    update (rank div degree per edge; teleport + 85%·sum div 100) is
+    exact in both engines, so 5 unrolled CTE stages reproduce
+    pagerank_integer bit-for-bit — no recursion, no float drift."""
+    base, tele, iters = 1_000_000, 150_000, 5
+    sql = f"""
+    WITH e AS (
+      SELECT DISTINCT c.c_nationkey AS src, sup.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier sup ON sup.s_suppkey = l.l_suppkey
+    ),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+    p0 AS (SELECT node, {base}::BIGINT AS r FROM nodes)"""
+    for i in range(iters):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS node, sum(p.r // d.d)::BIGINT AS s
+      FROM e JOIN deg d ON d.src = e.src JOIN p{i} p ON p.node = e.src
+      GROUP BY e.dst
+    ),
+    p{i + 1} AS (
+      SELECT n.node, ({tele} + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+    )"""
+    return sql + f"\n    SELECT node, r AS rank_micro FROM p{iters}"
+
+
+@query("graph_pagerank_nations", oracle=_pagerank_oracle())
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-analysis corpus scoring: PageRank over the customer-nation →
+    supplier-nation trade graph (operators/graph.pagerank_integer — the
+    host-graph quality signal of a crawl pipeline, exercised on the
+    fixture's join graph). Integer micro-unit arithmetic makes the
+    distributed in-neighbor sums order-free, so an ITERATIVE algorithm
+    gets a full value oracle (5 unrolled CTE stages). Dims broadcast into
+    the edge build; each iteration is one equi-join + one map-side-combine
+    groupBy with localCheckpoint lineage truncation."""
+    from zip_to_parquet_spark.operators.graph import pagerank_integer
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+    return pagerank_integer(edges, "src", "dst", iters=5)
