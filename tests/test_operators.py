@@ -854,3 +854,48 @@ def test_topic_classify_tiebreak_and_none(spark):
     assert got[2]["topic"] == "execution" and got[2]["top_hits"] == 1
     assert got[3]["topic"] == "none" and got[3]["top_hits"] == 0
     assert got[4]["topic"] == "storage" and got[4]["hits_storage"] == 3
+
+
+def test_span_dedup_keep_first_preserves_canonical(spark):
+    """keep='first': the canonical (lowest doc_id, position) occurrence of
+    a duplicated run survives; other copies are removed. Same corpus as
+    the remove-all test — doc 1 holds every canonical gram, so its text
+    survives verbatim while doc 2 still loses the run."""
+    boiler = "all rights reserved copyright notice terms of service apply"
+    rows = [
+        (1, "alpha bravo " + boiler + " tail1"),
+        (2, boiler + " charlie delta echo"),
+        (3, "totally unique words that appear nowhere else at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(df, span_words=3, keep="first").collect()
+    }
+    assert out[1]["clean_text"] == rows[0][1]  # canonical copy intact
+    assert out[2]["clean_text"] == "charlie delta echo"
+    assert out[1]["n_dup_grams"] == 7 and out[2]["n_dup_grams"] == 7
+    assert out[3]["clean_text"] == rows[2][1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep must be"):
+        span_dedup(df, keep="bogus")
+
+
+def test_snapshot_delta_statuses(spark):
+    from zip_to_parquet_spark.operators.pipeline import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in snapshot_delta(old, new).collect()}
+    assert got[1]["status"] == "unchanged"
+    assert got[2]["status"] == "changed"
+    assert got[3]["status"] == "removed" and got[3]["new_sha"] is None
+    assert got[4]["status"] == "added" and got[4]["old_sha"] is None
+    import hashlib
+
+    assert got[1]["old_sha"] == hashlib.sha256(b"same").hexdigest()

@@ -280,3 +280,23 @@ def test_pagerank_dims_broadcast_no_cartesian(spark):
     # And the full query must still run without a cartesian anywhere.
     full = plan_of(spark, "graph_pagerank_nations")
     assert "CartesianProduct" not in full
+
+
+def test_span_dedup_keep_first_same_scale_shape(spark):
+    # The paper-faithful variant adds ONE window shuffle on the hashed
+    # gram key; everything else inherits the remove-all shape (no
+    # cartesian, hash key never the gram string).
+    plan = plan_of(spark, "dedup_exact_spans_keep_first")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(gram" not in plan, plan
+    assert "xxhash64" in plan, plan
+    assert n_shuffles(plan) <= 10, plan
+
+
+def test_snapshot_delta_single_equi_join(spark):
+    # CDC is hashes + ONE full-outer equi-join on the id; a cartesian or
+    # nested loop means the join degenerated.
+    plan = plan_of(spark, "corpus_snapshot_delta")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -506,6 +506,7 @@ def span_dedup(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep: str = "none",
 ) -> DataFrame:
     """Exact-substring span deduplication (the scalable Spark form of
     Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -520,10 +521,18 @@ def span_dedup(
     make detection ALIGNMENT-INVARIANT: a verbatim duplicated run of
     ≥ span_words words shares all of its length-``span_words`` subruns
     wherever it sits in each document, so the whole run is removed from
-    every occurrence. (Divergence from the paper, documented: the suffix
-    array keeps one surviving occurrence; this removes all copies — the
-    aggressive boilerplate-removal variant, the right default for
-    corpus-frequency ≥ min_count spans.) Word-granular, recall-exact for
+    every occurrence. ``keep`` selects the survivor policy:
+
+    * ``"none"`` (default): remove ALL copies — the aggressive
+      boilerplate-removal variant, the right default for
+      corpus-frequency ≥ min_count spans;
+    * ``"first"``: the PAPER-faithful policy — the canonical occurrence
+      of each duplicated gram (lowest ``(doc_id, position)``) survives
+      and only the other copies are removed, so exactly one copy of a
+      duplicated run remains in the corpus (Lee et al.'s suffix array
+      keeps one occurrence the same way).
+
+    Word-granular, recall-exact for
     runs ≥ span_words; runs shorter than span_words are below the
     duplication threshold by definition.
 
@@ -541,8 +550,12 @@ def span_dedup(
     stride-1 explode is span_words× the corpus tokens — the price of
     alignment invariance; the paper's suffix array pays O(n log n)
     single-machine instead. No driver-side state, no per-row quadratic
-    expressions.
+    expressions. ``keep="first"`` adds one shuffle on the same 8-byte
+    hash key (row_number per gram — group size is the gram's corpus
+    frequency, bounded skew for any non-degenerate corpus).
     """
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be none|first, got {keep!r}")
     w = span_words
     docs = df.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("ws")
@@ -587,9 +600,17 @@ def span_dedup(
     # duplicated gram to its ≤ span_words covered positions and
     # anti-joining on (doc_id, pos) keeps every step linear in corpus
     # tokens (the same magnitude as the gram explode above).
+    dup_occurrences = flagged.filter(F.col("c") >= min_count)
+    if keep == "first":
+        from pyspark.sql.window import Window as SqlWindow
+
+        rn_w = SqlWindow.partitionBy("gh").orderBy("doc_id", "j")
+        dup_occurrences = (
+            dup_occurrences.withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") > 1)
+        )
     covered = (
-        flagged.filter(F.col("c") >= min_count)
-        .select(
+        dup_occurrences.select(
             "doc_id",
             F.explode(F.sequence(F.col("j"), F.col("j") + w - 1)).alias("pos"),
         )

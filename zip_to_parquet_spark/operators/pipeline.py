@@ -31,6 +31,7 @@ __all__ = [
     "dsir_scores",
     "unigram_surprisal",
     "bigram_surprisal",
+    "snapshot_delta",
 ]
 
 
@@ -522,4 +523,43 @@ def bigram_surprisal(
                 "mean_surprisal"
             ),
         )
+    )
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Change-data-capture between two corpus snapshots — the refresh
+    primitive of a living training corpus (monthly crawl drops, takedown
+    removals, re-extraction fixes): per document id, status ∈
+    added / removed / changed / unchanged plus both content hashes, so
+    downstream stages re-process exactly the added ∪ changed slice
+    instead of the whole corpus.
+
+    Shape: map-side sha256 content fingerprints (never ship the text),
+    one full-outer equi-join on the id — uniform key, sort-merge at TB
+    scale; bucket both snapshots on the id for shuffle-free recurring
+    refreshes (sinks.write_bucketed_table). Output is one row per id in
+    either snapshot.
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("old_sha"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("new_sha"),
+    )
+    status = (
+        F.when(F.col("old_sha").isNull(), "added")
+        .when(F.col("new_sha").isNull(), "removed")
+        .when(F.col("old_sha") == F.col("new_sha"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select("doc_id", "old_sha", "new_sha", status.alias("status"))
     )

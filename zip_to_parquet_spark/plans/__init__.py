@@ -94,13 +94,13 @@ set_priority([
     "pii_redact_counts",
     "multimodal_meta",
     "multimodal_frame_sample",
-    "multimodal_wav_roundtrip",
-    "multimodal_png_roundtrip",
     "multimodal_png_resize",
     # (d) new in round 4 — never driver-checked
     "lm_bigram_surprisal",
     "topic_lexicon_classify",
     "graph_pagerank_nations",
+    "dedup_exact_spans_keep_first",
+    "corpus_snapshot_delta",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

@@ -2037,3 +2037,111 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
     )
     return pagerank_integer(edges, "src", "dst", iters=5)
+
+
+@query(
+    "dedup_exact_spans_keep_first",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(ws) - 3 + 1, 0)))::INT AS j,
+             ws
+      FROM t
+    ),
+    sp AS (
+      SELECT doc_id, j, array_to_string(ws[j + 1 : j + 3], ' ') AS gram
+      FROM g
+    ),
+    cnt AS (SELECT gram, count(*) AS c FROM sp GROUP BY gram),
+    sp2 AS (
+      SELECT sp.doc_id, sp.j, cnt.c,
+             row_number() OVER (PARTITION BY sp.gram
+                                ORDER BY sp.doc_id, sp.j) AS rn
+      FROM sp JOIN cnt USING (gram)
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+             list(j) FILTER (WHERE c >= 2 AND rn > 1) AS starts
+      FROM sp2
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(agg.n_grams, 0) AS n_grams,
+           coalesce(agg.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(array_to_string(
+             list_filter(t.ws, (x, i) ->
+               len(list_filter(coalesce(agg.starts, []),
+                               s -> (i - 1) >= s AND (i - 1) < s + 3)) = 0),
+             ' '), '') AS clean_text
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dedup_exact_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span dedup with the PAPER's survivor policy (Lee et al. 2022 keep
+    one occurrence): the canonical occurrence of each duplicated gram —
+    lowest (doc_id, position) — survives; only the other copies are
+    removed. Closes the remove-all-copies divergence dedup_exact_spans
+    documents: that key is the boilerplate-removal variant, this one is
+    the corpus-preserving variant; both now exist and both are fully
+    value-oracle-checked including the reassembled clean_text."""
+    return span_dedup(
+        _documents_spread(spark, sf_dir), span_words=3, keep="first"
+    )
+
+
+@query(
+    "corpus_snapshot_delta",
+    oracle="""
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' updated' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+      FROM documents WHERE doc_id % 17 = 5
+    ),
+    o AS (SELECT doc_id, sha256(text) AS old_sha FROM old),
+    n AS (SELECT doc_id, sha256(text) AS new_sha FROM new)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_sha, n.new_sha,
+           CASE WHEN o.old_sha IS NULL THEN 'added'
+                WHEN n.new_sha IS NULL THEN 'removed'
+                WHEN o.old_sha = n.new_sha THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+    """,
+)
+def corpus_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus refresh CDC (operators/pipeline.snapshot_delta): diff two
+    snapshots by content hash into added/removed/changed/unchanged so a
+    recurring pipeline re-processes only the delta. The 'new' snapshot is
+    a deterministic simulated refresh of the fixture corpus — removals
+    (id % 13 = 0), in-place edits (id % 7 = 3 appends a token), and
+    arrivals (id % 17 = 5 re-ingested under a new id) — mirrored exactly
+    in the oracle, so every status branch and both hash columns are
+    value-checked."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" updated"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 5).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    from zip_to_parquet_spark.operators.pipeline import snapshot_delta
+
+    return snapshot_delta(docs, new)
