@@ -899,3 +899,122 @@ def test_snapshot_delta_statuses(spark):
     import hashlib
 
     assert got[1]["old_sha"] == hashlib.sha256(b"same").hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Round-4 analytics operators
+# ---------------------------------------------------------------------------
+def test_word_chunks_cover_every_word(spark):
+    """Chunk windows (size 32 / stride 24) tile the doc: starts advance by
+    the stride, consecutive chunks overlap by 8 words, the final chunk
+    reaches the last word, and re-concatenating chunk word ranges covers
+    1..n with no gaps."""
+    from zip_to_parquet_spark.operators.textops import word_chunks, words
+
+    rows = [(n, " ".join(f"w{i}" for i in range(1, n + 1))) for n in
+            (1, 8, 24, 31, 32, 33, 55, 56, 57, 80, 99)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        F.posexplode(word_chunks(words(F.col("text")), 32, 24)).alias(
+            "cid", "ch"
+        ),
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for n, _text in rows:
+        chunks = sorted(by_doc[n], key=lambda r: r["cid"])
+        starts = [c["ch"]["start"] for c in chunks]
+        assert starts == [1 + 24 * i for i in range(len(starts))]
+        last = chunks[-1]
+        assert last["ch"]["start"] + last["ch"]["n_chunk_tokens"] - 1 == n
+        for c in chunks:
+            assert c["ch"]["chunk_text"].split(" ")[0] == f"w{c['ch']['start']}"
+            assert len(c["ch"]["chunk_text"].split(" ")) == c["ch"]["n_chunk_tokens"]
+
+
+def test_funnel_strict_ordering_and_zero_stages(spark):
+    """Greedy fold semantics: a click at the SAME timestamp as the matched
+    view does not advance (strictly-after), later steps match the
+    earliest qualifying event, and unreached stages emit rows with 0."""
+    from zip_to_parquet_spark.operators.temporal import funnel_stage_counts
+
+    rows = [
+        # u1: full funnel, but the first click ties the view's ts exactly
+        (1, "2024-01-01 00:00:00.000001", "view"),
+        (1, "2024-01-01 00:00:00.000001", "click"),   # tie → no advance
+        (1, "2024-01-01 00:00:00.000002", "click"),   # advances
+        (1, "2024-01-01 00:00:00.000003", "purchase"),
+        # u2: purchase BEFORE any view → stops at view
+        (2, "2024-01-01 00:00:01.000000", "purchase"),
+        (2, "2024-01-01 00:00:02.000000", "view"),
+        # u3: never views
+        (3, "2024-01-01 00:00:03.000000", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["stage"]: (r["step_name"], r["users_reached"])
+        for r in funnel_stage_counts(
+            df, steps=["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {1: ("view", 2), 2: ("click", 1), 3: ("purchase", 1)}
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 (4 triangles) plus a pendant edge and a duplicate/reversed edge
+    — dedup and orientation must not change the count."""
+    from zip_to_parquet_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (2, 1), (1, 2)]  # pendant + dup + reversed dup
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert row["n_edges"] == 7  # 6 K4 edges + pendant
+    assert row["n_triangles"] == 4
+
+
+def test_word_edit_pairs_planted_near_dup(spark):
+    from zip_to_parquet_spark.operators.dedupe import word_edit_pairs
+
+    base = [f"tok{i}" for i in range(60)]
+    mutated = list(base)
+    for i in (5, 20, 40):  # 3 substitutions inside the 48-word prefix
+        mutated[i] = f"sub{i}"
+    far = [f"other{i}" for i in range(60)]
+    short = [f"s{i}" for i in range(10)]  # < 48 words → out of scope
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(mutated)),
+        (3, " ".join(far)),
+        (4, " ".join(short)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["word_edit_distance"]
+        for r in word_edit_pairs(df, prefix_words=48, max_dist=4).collect()
+    }
+    assert got == {(1, 2): 3}
+
+
+def test_curriculum_buckets_equi_depth_and_monotone(spark):
+    from zip_to_parquet_spark.operators.pipeline import curriculum_buckets
+    from zip_to_parquet_spark.schema import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = curriculum_buckets(docs, n_buckets=10).collect()
+    assert len(out) == docs.count()
+    # monotone: a doc with more tokens never lands in a lower bucket
+    pairs = sorted((r["n_tokens"], r["bucket"]) for r in out)
+    for (n1, b1), (n2, b2) in zip(pairs, pairs[1:]):
+        assert b1 <= b2
+    # equi-depth up to distinct-value granularity: every bucket nonempty
+    # and no bucket is grossly oversized
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in out)
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) <= 2 * (len(out) // 10 + 1)

@@ -300,3 +300,56 @@ def test_snapshot_delta_single_equi_join(spark):
     plan = plan_of(spark, "corpus_snapshot_delta")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_map_only(spark):
+    # In-row chunk array (textops.word_chunks) + posexplode: the RAG
+    # chunker must never shuffle.
+    plan = plan_of(spark, "text_chunk_windows")
+    assert "Exchange" not in plan
+
+
+def test_containment_join_is_equi_only(spark):
+    plan = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_single_fold_shuffle(spark):
+    # One groupBy(user) for the fold + one tiny stage rollup — a stage
+    # added to the funnel must not add a per-stage join/shuffle.
+    plan = plan_of(spark, "events_funnel")
+    assert n_shuffles(plan) <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_join_is_equi_only(spark):
+    # PassJoin candidates ride hash equi-joins on (seg_id, content);
+    # an all-pairs theta join here is the O(n²) failure mode.
+    plan = plan_of(spark, "dedup_edit_distance")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curriculum_thresholds_broadcast(spark):
+    # Bucket assignment maps each row against the broadcast one-row
+    # threshold table; no shuffle of the corpus side.
+    plan = plan_of(spark, "curriculum_quantile_order")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row thresholds crossjoin
+
+
+def test_triangle_count_equi_joins_only(spark):
+    # Wedge build + closure are node-keyed equi-joins (degree-oriented);
+    # the only nested-loop is the final 1-row × 1-row stats join.
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tfidf_idf_broadcast_under_threshold(spark):
+    # Fixture vocab is tiny → the probe confirms and the idf table
+    # broadcasts; the corpus-side tf never reshuffles for the idf join.
+    plan = plan_of(spark, "tfidf_topk_terms")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -37,6 +37,9 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "span_dedup",
+    "containment_pairs",
+    "word_edit_pairs",
+    "word_prefix_encoding",
 ]
 
 # Fixed MinHash parameters: k independent (a·h + b) mod P hashes.
@@ -699,3 +702,175 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def word_prefix_encoding(text_col: Column, prefix_words: int) -> Column:
+    """Encode the first ``prefix_words`` words as one char per word (the
+    first hex digit of each word's md5) — a 16-symbol alphabet in which
+    character edit distance IS word-level edit distance up to 1/16
+    collision leniency, computable by any engine's ``levenshtein``.
+    Deterministic and engine-portable (md5 hex is canonical)."""
+    return F.array_join(
+        F.transform(
+            F.slice(words(text_col), 1, prefix_words),
+            lambda x: F.substring(F.md5(x), 1, 1),
+        ),
+        "",
+    )
+
+
+def _passjoin_segments(length: int, n_segs: int) -> list[tuple[int, int, int]]:
+    """(seg_id, start, len) even split of a fixed-length string — PassJoin's
+    segmentation (Li, Deng, Feng 2011): any string within edit distance
+    ``n_segs - 1`` must contain at least one segment verbatim."""
+    base, rem = divmod(length, n_segs)
+    out, start = [], 1
+    for i in range(n_segs):
+        ln = base + (1 if i < rem else 0)
+        out.append((i, start, ln))
+        start += ln
+    return out
+
+
+def word_edit_pairs(
+    docs: DataFrame,
+    prefix_words: int = 48,
+    max_dist: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Word-level edit-distance near-dup join over the first
+    ``prefix_words`` words (docs shorter than the prefix are out of scope
+    — the standard prefix-window contract). Returns
+    ``(doc_a, doc_b, word_edit_distance)`` for unordered pairs with
+    distance <= ``max_dist``.
+
+    PassJoin-shaped candidates (Li, Deng, Feng, ICDE 2011): the encoding
+    splits into ``max_dist + 1`` fixed segments; by pigeonhole, any string
+    within ``max_dist`` edits contains >= 1 segment VERBATIM, at a
+    position shifted by at most ``max_dist``. Candidate generation is
+    therefore a pure equi-join on ``(seg_id, content)`` — one doc side
+    contributes its exact segments, the other its substrings at the
+    ±max_dist position window (a constant ~(d+1)(2d+1) substrings per
+    doc) — bucketed like every other candidate generator in this module,
+    never all-pairs. Exact ``levenshtein`` verify runs on candidates only,
+    so the approximation affects nothing: completeness is the pigeonhole
+    theorem, precision is the verify.
+    """
+    n_segs = max_dist + 1
+    base = (
+        docs.filter(F.size(words(F.col(text_col))) >= prefix_words)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_prefix_encoding(F.col(text_col), prefix_words).alias("enc"),
+        )
+    )
+    segs = _passjoin_segments(prefix_words, n_segs)
+    a_segs = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(sid).alias("sid"),
+                        F.substring("enc", start, ln).alias("c"),
+                    )
+                    for sid, start, ln in segs
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.sid").alias("sid"), F.col("s.c").alias("c"))
+    windows = [
+        (sid, p, ln)
+        for sid, start, ln in segs
+        for p in range(
+            max(1, start - max_dist),
+            min(prefix_words - ln + 1, start + max_dist) + 1,
+        )
+    ]
+    b_subs = base.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(sid).alias("sid"),
+                        F.substring("enc", p, ln).alias("c"),
+                    )
+                    for sid, p, ln in windows
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id_b", F.col("s.sid").alias("sid"), F.col("s.c").alias("c")
+    )
+    cand = (
+        a_segs.join(b_subs, ["sid", "c"])
+        .filter(F.col("doc_id") != F.col("doc_id_b"))
+        .select(
+            F.least("doc_id", "doc_id_b").alias("doc_a"),
+            F.greatest("doc_id", "doc_id_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ea = base.select(F.col("doc_id").alias("doc_a"), F.col("enc").alias("ea"))
+    eb = base.select(F.col("doc_id").alias("doc_b"), F.col("enc").alias("eb"))
+    return (
+        cand.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .withColumn(
+            "word_edit_distance", F.levenshtein("ea", "eb").cast("int")
+        )
+        .filter(F.col("word_edit_distance") <= max_dist)
+        .select("doc_a", "doc_b", "word_edit_distance")
+    )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    threshold: float,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Broder containment near-dup pairs: ORDERED (doc_a, doc_b) where
+    ``|sh(a) ∩ sh(b)| / |sh(a)| >= threshold`` — doc_a is (mostly)
+    contained in doc_b. The asymmetric complement to Jaccard: a short
+    quote inside a long page has low Jaccard but containment ≈ 1, which
+    is exactly the quote-/subset-duplication signal Jaccard misses
+    (Broder 1997, "On the resemblance and containment of documents").
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: inverted-index
+    equi-join on the shingle (with the optional hot-shingle df guard),
+    distinct candidates, exact set verify — never all-pairs. Both
+    directions of a pair are evaluated (containment is asymmetric);
+    docs with zero shingles match nothing (NULL containment).
+    """
+    e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            e.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        e = e.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    containment = F.try_divide(
+        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))),
+        F.size(F.col("sh_a")),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

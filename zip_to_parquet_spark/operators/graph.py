@@ -15,7 +15,67 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_integer"]
+__all__ = ["pagerank_integer", "triangle_count"]
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count over an undirected simple graph → one row
+    ``(n_edges, n_triangles)``.
+
+    Degree-ordered edge-iterator (the MapReduce-era standard, Suri &
+    Vassilvitskii WWW'11 / Cohen 2009): orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher one, build wedges by
+    joining oriented edges head-to-tail, and close each wedge against the
+    oriented edge set. Orientation makes each triangle count exactly once
+    AND bounds per-node wedge fan-out by out-degree ≤ O(√m) — the skew
+    fix that lets a power-law graph (where a hub's degree² wedge count
+    would explode an id-ordered join) survive at scale. Two equi-joins,
+    both on node keys; no cross join anywhere.
+
+    The oracle can count with the naive ``a<b<c`` 3-way self-join —
+    orientation changes the join volume, never the count.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = und.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).localCheckpoint(eager=False)
+    wedge = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("x"),
+        F.col("e1.b").alias("y"),
+        F.col("e2.b").alias("z"),
+    )
+    closer = oriented.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedge.join(closer, ["x", "z"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    return und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")).crossJoin(
+        tri
+    )
 
 
 def pagerank_integer(

@@ -32,6 +32,7 @@ __all__ = [
     "unigram_surprisal",
     "bigram_surprisal",
     "snapshot_delta",
+    "curriculum_buckets",
 ]
 
 
@@ -357,16 +358,12 @@ def dsir_scores(
 
 
 def _size_aware_side(side: DataFrame, probe: DataFrame, max_rows: int | None):
-    """Force-broadcast ``side`` only when a bounded driver probe confirms
-    ``probe`` (same cardinality) is under ``max_rows``; above it the join
-    falls back to a plain shuffle join (a 100 TB corpus's type table will
-    not fit the 8 GB broadcast limit). ``None`` skips the probe and leaves
-    the choice to AQE. The LIMIT lets the probe job stop once max_rows+1
-    rows exist — one early-terminating pass of the same groupBy."""
-    if max_rows is None:
-        return side
-    n = probe.limit(max_rows + 1).count()
-    return F.broadcast(side) if n <= max_rows else side
+    """See :func:`zip_to_parquet_spark.runtime.size_aware_side` (promoted
+    there in round 4 so retrieval's idf table shares the same guarded
+    broadcast instead of growing its own copy of the pattern)."""
+    from zip_to_parquet_spark.runtime import size_aware_side
+
+    return size_aware_side(side, probe, max_rows)
 
 
 def unigram_surprisal(
@@ -562,4 +559,67 @@ def snapshot_delta(
     return (
         o.join(n, "doc_id", "full_outer")
         .select("doc_id", "old_sha", "new_sha", status.alias("status"))
+    )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Equi-depth difficulty bucketing for curriculum-ordered training:
+    bucket documents into ``n_buckets`` quantile bins of token count
+    (easy→hard) plus a deterministic intra-bucket shuffle key. Consumers
+    ``orderBy(bucket, shuffle_key)`` — a distributed range sort, NOT a
+    global row_number window (which would funnel the corpus through one
+    partition; the sort is the scalable total order).
+
+    Exact, engine-portable quantiles with NO floating interpolation:
+    thresholds come from the cumulative distribution of DISTINCT token
+    counts — t_q = min value whose running count reaches
+    ``ceil(q·N / n_buckets)`` (integer arithmetic only, the
+    percentile_disc definition). The distinct-value table is tiny
+    relative to the corpus (bounded by max document length), so its
+    single-partition cumulative window is a constant-size step at any
+    corpus scale; the per-document bucket assignment is a map against the
+    broadcast one-row threshold array.
+    """
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    vc = d.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vc.select(
+        "n_tokens", F.sum("c").over(w).alias("cum"), F.sum("c").over(
+            Window.partitionBy()
+        ).alias("n")
+    )
+    thr = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.expr(f"({q} * n + {n_buckets - 1}) div {n_buckets}"),
+                    F.col("n_tokens"),
+                )
+            ).alias(f"t{q}")
+            for q in range(1, n_buckets)
+        ]
+    )
+    bucket = F.lit(1)
+    for q in range(1, n_buckets):
+        bucket = bucket + F.when(
+            F.col("n_tokens") > F.col(f"t{q}"), 1
+        ).otherwise(0)
+    return d.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_tokens",
+        bucket.cast("int").alias("bucket"),
+        F.md5(F.concat(F.lit("cur"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
     )

@@ -24,8 +24,71 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from zip_to_parquet_spark.operators.textops import words
+from zip_to_parquet_spark.runtime import size_aware_side
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "tfidf_topk_terms"]
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_types: int | None = 2_000_000,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the keyword-extraction /
+    feature-selection complement to :func:`bm25_topk` (which scores docs
+    for a query; this scores terms for a doc).
+
+    Determinism for oracle parity: idf is floored to integer micro-nats
+    per TERM (``floor(ln(N/df) * 1e6)``, the repo's standard trick — one
+    rounding per term type, so ``score_micro = tf * idf_micro`` is exact
+    integer arithmetic everywhere downstream), and ranking tie-breaks on
+    the term string.
+
+    Plan shape: explode → tf groupBy on (doc, term) — the natural key, one
+    shuffle proportional to corpus tokens; df is a second aggregation of
+    the already-small tf table; the one-row corpus count rides a broadcast
+    and the per-term idf table joins size-aware
+    (:func:`~zip_to_parquet_spark.runtime.size_aware_side` — a 100 TB
+    vocabulary falls back to a shuffle join on the term key instead of
+    blowing the broadcast limit). Top-k per doc is a window over the doc's
+    own terms only.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    idf_tbl = df_tbl.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        F.floor(
+            F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("idf_micro"),
+    )
+    idf_side = size_aware_side(idf_tbl, df_tbl, broadcast_max_types)
+    scored = tf.join(idf_side, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "idf_micro",
+        (F.col("tf") * F.col("idf_micro")).cast("bigint").alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "idf_micro", "score_micro", "rank")
+    )
 
 
 def bm25_topk(

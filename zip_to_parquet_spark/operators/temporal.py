@@ -22,7 +22,113 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "range_join_pairs"]
+__all__ = [
+    "asof_join",
+    "range_join_pairs",
+    "funnel_stage_counts",
+    "retention_cohorts",
+]
+
+
+def funnel_stage_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence funnel: how many users reached step 1, then step 2
+    strictly after their matched step 1, and so on (the product-analytics
+    funnel; greedy earliest-match semantics, which equals the staged
+    ``min(ts) > previous`` formulation and is what the oracle computes).
+
+    One shuffle total: events filtered to funnel steps groupBy the user,
+    each user's (few) step events fold in timestamp order through a
+    codegen'd ``aggregate`` state machine — no join per stage, no repeated
+    passes over the events table. The per-user partial lists are bounded
+    by that user's step-event count, not corpus size. The stage→count
+    rollup at the end runs over one row per user.
+
+    Returns ``(stage, step_name, users_reached)`` — one row per step,
+    ``users_reached`` counting users whose fold reached at least that
+    stage.
+    """
+    n_steps = len(steps)
+    ev = events.filter(F.col(type_col).isin(*steps)).select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col(type_col).alias("__t"),
+    )
+    per_user = ev.groupBy("__u").agg(
+        F.array_sort(F.collect_list(F.struct("__us", "__t"))).alias("__evs")
+    )
+    zero = F.struct(
+        F.lit(0).alias("stage"), F.lit(-(2**62)).cast("long").alias("last_us")
+    )
+
+    def step_fold(acc, x):
+        out = None
+        for i, name in enumerate(steps):
+            cond = (
+                (acc.getField("stage") == i)
+                & (x.getField("__t") == name)
+                & (x.getField("__us") > acc.getField("last_us"))
+            )
+            adv = F.struct(
+                F.lit(i + 1).alias("stage"),
+                x.getField("__us").alias("last_us"),
+            )
+            out = F.when(cond, adv) if out is None else out.when(cond, adv)
+        return out.otherwise(acc)
+
+    reached = per_user.select(
+        F.aggregate("__evs", zero, step_fold).getField("stage").alias("stage")
+    )
+    stage_tbl = reached.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "stage INT, step_name STRING"
+    )
+    # Left join FROM the step table so a stage nobody reached still emits
+    # its row with users_reached = 0 (count of matched, not of rows).
+    return (
+        reached.join(
+            F.broadcast(stage_tbl),
+            reached["stage"] >= stage_tbl["stage"],
+            "right",
+        )
+        .groupBy(stage_tbl["stage"].alias("stage"), "step_name")
+        .agg(F.count(reached["stage"]).cast("bigint").alias("users_reached"))
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active date, counted
+    on each later active date as a day offset — the classic growth-
+    analytics triangle.
+
+    Everything is pre-aggregated before any join: active days are
+    ``distinct (user, date)``, cohorts are a ``min`` over that, and the
+    user-keyed shuffle join runs aggregated-side × aggregated-side (never
+    raw events × raw events). All shuffles key on ``user_id`` /
+    ``(cohort_date, day_offset)`` — uniform keys at any scale.
+    """
+    days = events.select(
+        F.col(user_col).alias("__u"), F.to_date(F.col(ts_col)).alias("__d")
+    ).distinct()
+    first = days.groupBy("__u").agg(F.min("__d").alias("cohort_date"))
+    return (
+        days.join(first, "__u")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("__d"), F.col("cohort_date"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct(F.col("__u")).cast("bigint").alias("users"))
+    )
 
 
 def asof_join(

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "words",
+    "word_chunks",
     "word_shingles",
     "stopword_ratio",
     "punct_ratio",
@@ -55,6 +56,36 @@ def word_shingles(words_col: Column, n: int = 3) -> Column:
             lambda i: F.array_join(F.slice(w, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_chunks(words_col: Column, size: int = 32, stride: int = 24) -> Column:
+    """Overlapping word windows for RAG-style context chunking.
+
+    Chunk starts are ``1, 1+stride, …`` while ``start <= max(1,
+    n - (size - stride))`` — every word is covered, the final chunk may be
+    short, and a trailing start whose window would be fully contained in
+    the previous chunk is never emitted. Returns an array of structs
+    ``(start, n_chunk_tokens, chunk_text)``; callers ``posexplode`` for a
+    0-based chunk_id.
+
+    Like :func:`word_shingles` this is one codegen'd higher-order
+    expression — the chunk array lives inside the row, so chunking is
+    map-only at any corpus size (no shuffle, no Python).
+    """
+    if stride <= 0 or size < stride:
+        raise ValueError(f"need 0 < stride <= size, got {size=} {stride=}")
+    w = words_col
+    n = F.size(w)
+    last_start = F.greatest(F.lit(1), n - (size - stride))
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    return F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.least(F.lit(size), n - s + 1).alias("n_chunk_tokens"),
+            F.array_join(F.slice(w, s, size), " ").alias("chunk_text"),
+        ),
+    )
 
 
 def stopword_ratio(words_col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:

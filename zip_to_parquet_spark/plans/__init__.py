@@ -19,6 +19,7 @@ from zip_to_parquet_spark.plans import llm  # noqa: E402,F401
 from zip_to_parquet_spark.plans import zipparity  # noqa: E402,F401
 from zip_to_parquet_spark.plans import streamingq  # noqa: E402,F401
 from zip_to_parquet_spark.plans import temporal  # noqa: E402,F401
+from zip_to_parquet_spark.plans import analytics  # noqa: E402,F401
 
 # The driver's per-round correctness sweep covers the FIRST 50 registry keys.
 # Window policy (per VERDICT r2, AUTOMATED since round 4 by
@@ -86,21 +87,26 @@ set_priority([
     "pipeline_prep_recipe",
     "mixture_sample_by_source",
     "text_clean_normalize",
-    "pack_sequences",
-    "dataset_split",
-    "quality_gopher_rules",
-    "repetition_ratios",
-    "decontam_ngram_overlap",
     "pii_redact_counts",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "multimodal_png_resize",
-    # (d) new in round 4 — never driver-checked
+    # (d) new in round 4 — never driver-checked (never-verified keys
+    # outrank changed-but-previously-green ones for window slots; the
+    # displaced (c) keys — pack/split/gopher/repetition/decontam and the
+    # three multimodal stills — stay pytest-oracle-verified at sf0.001
+    # every test run, and their implementing functions are untouched by
+    # the round-4 edits to their modules)
     "lm_bigram_surprisal",
     "topic_lexicon_classify",
     "graph_pagerank_nations",
     "dedup_exact_spans_keep_first",
     "corpus_snapshot_delta",
+    "dedup_containment",
+    "tfidf_topk_terms",
+    "events_funnel",
+    "events_retention_cohort",
+    "dedup_edit_distance",
+    "curriculum_quantile_order",
+    "graph_triangle_count",
+    "format_orc_roundtrip",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

@@ -1273,16 +1273,14 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode per document; no shuffle, no Python. Chunk count =
     ceil((n-overlap)/stride) with a 1-chunk floor, so short docs emit one
     (possibly partial) chunk and consecutive chunks share the overlap."""
-    size, stride = 32, 24
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_chunks = F.greatest(
-        F.floor((F.size(toks) - (size - stride) + stride - 1) / stride).cast("int"),
-        F.lit(1),
-    )
+    # Shared chunker (textops.word_chunks, round 4): same start sequence —
+    # 1, 1+stride, … while start <= max(1, n - overlap) — so chunk count
+    # and boundaries are unchanged (ceil((n-overlap)/stride), 1-chunk
+    # floor); this key keeps its original 2-column schema.
     chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(toks, i * stride + 1, size), " "),
+        textops.word_chunks(F.split(F.col("text"), " "), size=32, stride=24),
+        lambda c: c.getField("chunk_text"),
     )
     return d.select("doc_id", F.posexplode(chunks)).select(
         "doc_id", F.col("pos").cast("int").alias("chunk_idx"), F.col("col").alias("chunk")

@@ -38,6 +38,23 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
+def size_aware_side(
+    side: DataFrame, probe: DataFrame, max_rows: int | None
+) -> DataFrame:
+    """Force-broadcast ``side`` only when a bounded driver probe confirms
+    ``probe`` (same cardinality) is under ``max_rows``; above it the join
+    falls back to a plain shuffle join (a 100 TB corpus's type table will
+    not fit the 8 GB broadcast limit). ``None`` skips the probe and leaves
+    the choice to AQE. The LIMIT lets the probe job stop once max_rows+1
+    rows exist — one early-terminating pass of the same aggregation."""
+    from pyspark.sql import functions as F
+
+    if max_rows is None:
+        return side
+    n = probe.limit(max_rows + 1).count()
+    return F.broadcast(side) if n <= max_rows else side
+
+
 def _package_zip() -> str:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
