@@ -50,6 +50,7 @@ from zip_to_parquet_spark.plans import analytics  # noqa: E402,F401
 set_priority([
     # (a) changed in round 3 without a driver row — VERDICT r3 ask #1
     "stream_tumbling_window",
+    "stream_hopping_window",  # new in round 4
     "stream_sessionize",
     "stream_stateful_totals",
     "stream_stream_join",
@@ -86,7 +87,6 @@ set_priority([
     "dsir_importance_weights",
     "pipeline_prep_recipe",
     "mixture_sample_by_source",
-    "text_clean_normalize",
     "pii_redact_counts",
     # (d) new in round 4 — never driver-checked (never-verified keys
     # outrank changed-but-previously-green ones for window slots; the

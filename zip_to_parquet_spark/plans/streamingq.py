@@ -46,6 +46,34 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_hopping_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts)
+             - (o.off * INTERVAL '30 minutes') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           (sum(value::DECIMAL(18,2)))::DOUBLE AS total_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+    GROUP BY 1, 2
+    """,
+)
+def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window streaming agg: 1-hour windows every 30
+    minutes — each event contributes to exactly window/slide = 2 windows.
+    The oracle replicates each event into its 2 hop starts
+    (time_bucket(slide) minus hop offsets; Spark hop starts are
+    epoch-aligned to the slide, and both engines' 30-minute origins
+    coincide). Complete-mode final state == the batch answer."""
+    return run_stream_to_memory(
+        windowed_counts(
+            read_events_stream(spark, sf_dir), "1 hour", slide="30 minutes"
+        ),
+        "complete",
+        "hop",
+    )
+
+
+@query(
     "stream_sessionize",
     oracle="""
     WITH flagged AS (

@@ -97,14 +97,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def windowed_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    slide: str | None = None,
 ) -> DataFrame:
     """Watermarked tumbling-window aggregation — the canonical late-data-
     tolerant streaming agg. State is keyed on (window, event_type); the
-    watermark lets Spark drop windows older than max(event time) - delay."""
+    watermark lets Spark drop windows older than max(event time) - delay.
+
+    ``slide`` < ``window`` turns this into a HOPPING window: each event
+    lands in window/slide overlapping windows (state grows by the same
+    factor — the watermark bound still caps it). Spark aligns hop starts
+    to epoch multiples of ``slide``, which the oracle mirrors with
+    ``time_bucket(slide)`` minus hop offsets (both 30-minute-aligned
+    origins)."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             # value is a 2-decimal quantity stored as double: sum exact
