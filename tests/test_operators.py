@@ -1018,3 +1018,53 @@ def test_curriculum_buckets_equi_depth_and_monotone(spark):
     sizes = Counter(r["bucket"] for r in out)
     assert set(sizes) == set(range(1, 11))
     assert max(sizes.values()) <= 2 * (len(out) // 10 + 1)
+
+
+def test_merge_upsert_semantics(spark):
+    """Upsert replaces or inserts, delete drops (including a delete of a
+    missing id — a no-op), untouched rows pass through."""
+    from zip_to_parquet_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "upsert", "b2"),   # replace
+            (4, "upsert", "d"),    # insert
+            (3, "delete", None),   # drop
+            (9, "delete", None),   # delete of missing id: no-op
+        ],
+        "doc_id long, op string, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in merge_upsert(base, changes).collect()}
+    assert got == {1: "a", 2: "b2", 4: "d"}
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, "upsert", "x")], "doc_id long, op string, nope string"
+    )
+    with _pytest.raises(ValueError, match="absent from base"):
+        merge_upsert(base, bad)
+
+
+def test_scd2_history_branches(spark):
+    from zip_to_parquet_spark.operators.joins import scd2_history
+
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, attr int"
+    )
+    new = spark.createDataFrame(
+        [(1, 10), (2, 25), (4, 40)], "k long, attr int"
+    )
+    rows = scd2_history(old, new, "k", ["attr"], as_of="2024-02-01").collect()
+    by_k: dict[int, list] = {}
+    for r in rows:
+        by_k.setdefault(r["k"], []).append(
+            (r["attr"], str(r["valid_to"]) if r["valid_to"] else None, r["is_current"])
+        )
+    assert by_k[1] == [("10", None, True)]                       # unchanged
+    assert sorted(by_k[2]) == [("20", "2024-02-01", False),      # changed
+                               ("25", None, True)]
+    assert by_k[3] == [("30", "2024-02-01", False)]              # removed
+    assert by_k[4] == [("40", None, True)]                       # added

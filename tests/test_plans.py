@@ -353,3 +353,19 @@ def test_tfidf_idf_broadcast_under_threshold(spark):
     plan = plan_of(spark, "tfidf_topk_terms")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_single_equi_join(spark):
+    # MERGE is one full-outer id join; a second exchange of the corpus
+    # side (or any nested-loop) is the regression.
+    plan = plan_of(spark, "corpus_merge_upsert")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_no_second_shuffle_after_join(spark):
+    # full-outer join then in-row version explode: the explode must not
+    # introduce another exchange.
+    plan = plan_of(spark, "dim_scd2_history")
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the version explode is in-row

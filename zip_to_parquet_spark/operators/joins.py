@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "merge_upsert", "scd2_history"]
 
 
 def salted_join(
@@ -43,3 +43,110 @@ def salted_join(
     )
     out = l.join(r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+) -> DataFrame:
+    """Warehouse MERGE INTO as a pure DataFrame plan: apply a change set
+    (``op`` ∈ 'upsert' | 'delete') to a base snapshot — upserts insert or
+    replace the payload, deletes drop the row, untouched base rows pass
+    through. The SCD type-1 refresh primitive (and the batch analog of
+    Delta/Iceberg MERGE, expressed engine-agnostically).
+
+    ONE full-outer equi-join on the id — uniform key, sort-merge at TB
+    scale; payload resolution is a map over the joined row. Bucket both
+    sides on the id (sinks.write_bucketed_table) for shuffle-free
+    recurring refreshes.
+    """
+    payload = [c for c in changes.columns if c not in (id_col, op_col)]
+    missing = [c for c in payload if c not in base.columns]
+    if missing:
+        raise ValueError(f"change payload columns absent from base: {missing}")
+    b = base.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).alias(f"__b_{c}") for c in payload],
+    )
+    c = changes.select(
+        F.col(id_col).alias("__id"),
+        F.col(op_col).alias("__op"),
+        *[F.col(cc).alias(f"__c_{cc}") for cc in payload],
+    )
+    joined = b.join(c, "__id", "full_outer")
+    keep = F.col("__op").isNull() | (F.col("__op") == "upsert")
+    return (
+        joined.filter(keep)
+        .select(
+            F.col("__id").alias(id_col),
+            *[
+                F.when(F.col("__op") == "upsert", F.col(f"__c_{cc}"))
+                .otherwise(F.col(f"__b_{cc}"))
+                .alias(cc)
+                for cc in payload
+            ],
+        )
+    )
+
+
+def scd2_history(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: list[str],
+    as_of: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: version the dimension by diffing
+    two snapshots. Per id: unchanged → one open row; changed → the old
+    version closed at ``as_of`` plus the new version open; added → new
+    open row; removed → old row closed at ``as_of``. ``valid_to`` NULL
+    means the version is current.
+
+    ONE full-outer equi-join on the id, then an in-row explode of the
+    (up to 2) versions — map-only after the join, no second shuffle.
+    The attribute comparison is null-safe (``eqNullSafe`` per column).
+    """
+    o = old.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    ).withColumn("__in_o", F.lit(True))
+    n = new.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    ).withColumn("__in_n", F.lit(True))
+    j = o.join(n, "__id", "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    in_o = F.col("__in_o").isNotNull()
+    in_n = F.col("__in_n").isNotNull()
+
+    def ver(prefix: str, valid_to):
+        return F.struct(
+            *[
+                F.col(f"__{prefix}_{c}").cast("string").alias(c)
+                for c in compare_cols
+            ],
+            valid_to.cast("date").alias("valid_to"),
+        )
+
+    closed_old = ver("o", F.lit(as_of))
+    open_old = ver("o", F.lit(None))
+    open_new = ver("n", F.lit(None))
+    versions = (
+        F.when(in_o & in_n & same, F.array(open_old))
+        .when(in_o & in_n & ~same, F.array(closed_old, open_new))
+        .when(in_o & ~in_n, F.array(closed_old))
+        .otherwise(F.array(open_new))
+    )
+    return (
+        j.select(F.col("__id").alias(id_col), F.explode(versions).alias("v"))
+        .select(
+            id_col,
+            *[F.col(f"v.{c}").alias(c) for c in compare_cols],
+            F.col("v.valid_to").alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

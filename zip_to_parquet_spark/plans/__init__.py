@@ -84,9 +84,7 @@ set_priority([
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",
-    "dsir_importance_weights",
     "pipeline_prep_recipe",
-    "mixture_sample_by_source",
     "pii_redact_counts",
     # (d) new in round 4 — never driver-checked (never-verified keys
     # outrank changed-but-previously-green ones for window slots; the
@@ -107,6 +105,8 @@ set_priority([
     "curriculum_quantile_order",
     "graph_triangle_count",
     "format_orc_roundtrip",
+    "corpus_merge_upsert",
+    "dim_scd2_history",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

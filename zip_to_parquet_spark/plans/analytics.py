@@ -24,6 +24,7 @@ from zip_to_parquet_spark.operators.dedupe import (
     word_edit_pairs,
 )
 from zip_to_parquet_spark.operators.graph import triangle_count
+from zip_to_parquet_spark.operators.joins import merge_upsert, scd2_history
 from zip_to_parquet_spark.operators.pipeline import curriculum_buckets
 from zip_to_parquet_spark.operators.retrieval import tfidf_topk_terms
 from zip_to_parquet_spark.operators.temporal import (
@@ -336,4 +337,133 @@ def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
         F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse refresh primitives: MERGE upsert + SCD2 dimension history
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_merge_upsert",
+    oracle="""
+    WITH newsnap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' updated' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+      FROM documents WHERE doc_id % 17 = 5
+    )
+    SELECT doc_id, sha256(text) AS text_sha FROM newsnap
+    """,
+)
+def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO applied to the corpus: the same deterministic refresh
+    that corpus_snapshot_delta DETECTS, here APPLIED as a change set
+    (deletes id%13=0, in-place edits id%7=3, arrivals id%17=5 under new
+    ids) through operators.joins.merge_upsert — one full-outer id join.
+    The oracle constructs the refreshed snapshot directly, so the merge
+    result is hash-checked to equal it row for row (content-hashed; the
+    text itself never needs to leave the executors)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    deletes = docs.filter(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    edits = (
+        docs.filter((F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 13 != 0))
+        .select(
+            "doc_id",
+            F.lit("upsert").alias("op"),
+            F.concat(F.col("text"), F.lit(" updated")).alias("text"),
+        )
+    )
+    inserts = docs.filter(F.col("doc_id") % 17 == 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    changes = deletes.unionByName(edits).unionByName(inserts)
+    merged = merge_upsert(docs, changes, id_col="doc_id")
+    return merged.select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("text_sha")
+    )
+
+
+@query(
+    "dim_scd2_history",
+    oracle="""
+    WITH old AS (SELECT c_custkey, c_nationkey FROM customer),
+    new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 2 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS c_nationkey
+      FROM customer WHERE c_custkey % 19 <> 0
+      UNION ALL
+      SELECT c_custkey + 500000 AS c_custkey, c_nationkey
+      FROM customer WHERE c_custkey % 23 = 7
+    ),
+    both_same AS (
+      SELECT o.c_custkey, o.c_nationkey FROM old o JOIN new n
+        USING (c_custkey) WHERE o.c_nationkey = n.c_nationkey
+    ),
+    both_diff AS (
+      SELECT o.c_custkey, o.c_nationkey AS o_nat, n.c_nationkey AS n_nat
+      FROM old o JOIN new n USING (c_custkey)
+      WHERE o.c_nationkey <> n.c_nationkey
+    ),
+    removed AS (
+      SELECT o.c_custkey, o.c_nationkey FROM old o
+      ANTI JOIN new n USING (c_custkey)
+    ),
+    added AS (
+      SELECT n.c_custkey, n.c_nationkey FROM new n
+      ANTI JOIN old o USING (c_custkey)
+    )
+    SELECT c_custkey, c_nationkey::VARCHAR AS c_nationkey,
+           NULL::DATE AS valid_to, TRUE AS is_current FROM both_same
+    UNION ALL SELECT c_custkey, o_nat::VARCHAR, DATE '2024-02-01', FALSE
+    FROM both_diff
+    UNION ALL SELECT c_custkey, n_nat::VARCHAR, NULL::DATE, TRUE
+    FROM both_diff
+    UNION ALL SELECT c_custkey, c_nationkey::VARCHAR, DATE '2024-02-01',
+    FALSE FROM removed
+    UNION ALL SELECT c_custkey, c_nationkey::VARCHAR, NULL::DATE, TRUE
+    FROM added
+    """,
+)
+def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 over the customer dimension: a
+    deterministic simulated refresh (churn id%19=0, nation moves
+    id%11=2, signups id%23=7 under new ids) versioned by
+    operators.joins.scd2_history — changed ids close their old version
+    at the as-of date and open a new one; attribute values ride as
+    strings (the version struct is type-uniform across attributes). One
+    full-outer join + in-row version explode; the oracle enumerates the
+    four branch outcomes with joins/anti-joins."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    new = (
+        cust.filter(F.col("c_custkey") % 19 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 11 == 2,
+                (F.col("c_nationkey") + 1) % 25,
+            )
+            .otherwise(F.col("c_nationkey"))
+            .alias("c_nationkey"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 23 == 7).select(
+                (F.col("c_custkey") + 500000).alias("c_custkey"),
+                "c_nationkey",
+            )
+        )
+    )
+    return scd2_history(
+        cust, new, "c_custkey", ["c_nationkey"], as_of="2024-02-01"
     )
