@@ -79,8 +79,6 @@ set_priority([
     "zip_jsonl_members",
     # (c) same-file closure of the round-4 edits
     "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_simhash",
@@ -107,6 +105,8 @@ set_priority([
     "format_orc_roundtrip",
     "corpus_merge_upsert",
     "dim_scd2_history",
+    "events_rolling_active_users",
+    "dedup_cluster_keep_best",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

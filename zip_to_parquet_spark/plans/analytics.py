@@ -467,3 +467,132 @@ def dim_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(
         cust, new, "c_custkey", ["c_nationkey"], as_of="2024-02-01"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users + quality-based dedup survivor policy
+# ---------------------------------------------------------------------------
+@query(
+    "events_rolling_active_users",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, ts::DATE d FROM events),
+    ends AS (
+      SELECT user_id, (d + (o.o::INT * INTERVAL '1 day'))::DATE AS win_end
+      FROM days CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o
+    ),
+    mx AS (SELECT max(d) AS max_d FROM days)
+    SELECT win_end, count(DISTINCT user_id)::BIGINT AS active_users
+    FROM ends, mx WHERE win_end <= mx.max_d
+    GROUP BY win_end
+    """,
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the rolling-DAU growth
+    metric). COUNT DISTINCT over a sliding frame isn't a window-function
+    frame in either engine, so both replicate each (user, day) into the
+    7 window-ends it belongs to — the hopping-window trick — then count
+    distinct per end. Shuffle keys: (user, day) distinct then win_end;
+    the one-row max-date bound rides a broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.col("ts")).alias("d")
+    ).distinct()
+    mx = days.agg(F.max("d").alias("max_d"))
+    ends = days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "d",
+    ).select("user_id", F.date_add(F.col("d"), F.col("o")).alias("win_end"))
+    return (
+        ends.crossJoin(F.broadcast(mx))
+        .filter(F.col("win_end") <= F.col("max_d"))
+        .groupBy("win_end")
+        .agg(
+            F.count_distinct(F.col("user_id"))
+            .cast("bigint")
+            .alias("active_users")
+        )
+    )
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                           i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM t
+    ),
+    e2 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM e2 a JOIN e2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b
+      WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.src, s2.v FROM reach r JOIN sym s2 ON r.dst = s2.u
+    ),
+    comps AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS comp
+      FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT c.comp, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.comp
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.comp) AS n_members
+      FROM comps c JOIN documents d USING (doc_id)
+    )
+    SELECT comp, doc_id AS survivor_doc_id,
+           n_chars::BIGINT AS survivor_n_chars,
+           n_members::BIGINT AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection by QUALITY, not id: per near-dup cluster
+    (connected components over exact j>=0.8 pairs, as dedup_clusters),
+    keep the longest document (n_chars, doc_id tie-break) — the policy
+    real pipelines use (keep the best-quality copy, not the
+    lowest-numbered one). Spark side: one aggregation with a struct
+    argmax over the components join — no window over the corpus."""
+    from zip_to_parquet_spark.operators.dedupe import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = shingle_sets(docs)
+    pairs = ngram_jaccard_pairs(sh, threshold=0.8).select("doc_a", "doc_b")
+    comps = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "comp"
+    )
+    joined = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+    best = F.max(
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("b")
+    return (
+        joined.groupBy("comp")
+        .agg(best, F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .select(
+            "comp",
+            (-F.col("b.neg_id")).cast("bigint").alias("survivor_doc_id"),
+            F.col("b.n_chars").cast("bigint").alias("survivor_n_chars"),
+            "n_members",
+        )
+    )
