@@ -1068,3 +1068,127 @@ def test_scd2_history_branches(spark):
                                ("25", None, True)]
     assert by_k[3] == [("30", "2024-02-01", False)]              # removed
     assert by_k[4] == [("40", None, True)]                       # added
+
+
+def test_merge_upsert_random_property(spark):
+    """Random base + random disjoint change set: the merge equals a plain
+    Python dict simulation, including inserts of unseen ids and deletes
+    of missing ids."""
+    import random
+
+    rnd = random.Random(41)
+    base = {i: f"t{rnd.randrange(1000)}" for i in range(200) if rnd.random() < 0.7}
+    ops = {}
+    for i in range(260):  # ids 200..259 are never in base
+        r = rnd.random()
+        if r < 0.25:
+            ops[i] = ("upsert", f"u{rnd.randrange(1000)}")
+        elif r < 0.4:
+            ops[i] = ("delete", None)
+    expected = dict(base)
+    for i, (op, txt) in ops.items():
+        if op == "upsert":
+            expected[i] = txt
+        else:
+            expected.pop(i, None)
+
+    from zip_to_parquet_spark.operators.joins import merge_upsert
+
+    bdf = spark.createDataFrame(
+        list(base.items()), "doc_id long, text string"
+    )
+    cdf = spark.createDataFrame(
+        [(i, op, txt) for i, (op, txt) in ops.items()],
+        "doc_id long, op string, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in merge_upsert(bdf, cdf).collect()}
+    assert got == expected
+
+
+def test_funnel_random_property(spark):
+    """Random event streams: the one-shuffle fold state machine equals a
+    Python greedy simulation of strict-after earliest matching."""
+    import random
+
+    rnd = random.Random(17)
+    steps = ["view", "click", "purchase"]
+    types = steps + ["error", "signup"]
+    rows = []
+    for u in range(40):
+        for _ in range(rnd.randrange(0, 25)):
+            rows.append((u, rnd.randrange(0, 10**6), rnd.choice(types)))
+    # Python greedy sim (events sorted by (us, type) like the fold's
+    # struct sort; strict > between matched stages).
+    per_user: dict[int, list] = {}
+    for u, us, t in rows:
+        per_user.setdefault(u, []).append((us, t))
+    reached = {1: 0, 2: 0, 3: 0}
+    for u, evs in per_user.items():
+        stage, last = 0, -1
+        for us, t in sorted(evs):
+            if stage < 3 and t == steps[stage] and us > last:
+                stage, last = stage + 1, us
+        for s in range(1, stage + 1):
+            reached[s] += 1
+
+    from zip_to_parquet_spark.operators.temporal import funnel_stage_counts
+
+    df = spark.createDataFrame(
+        [(u, us, t) for u, us, t in rows],
+        "user_id long, us long, event_type string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "event_type",
+    )
+    got = {
+        r["stage"]: r["users_reached"]
+        for r in funnel_stage_counts(df, steps=steps).collect()
+    }
+    assert got == reached
+
+
+def test_word_edit_pairs_random_completeness(spark):
+    """Pigeonhole completeness on random mutations: every planted pair
+    within max_dist substitutions is found with the exact distance a
+    Python Levenshtein DP computes on the same encoding."""
+    import hashlib
+    import random
+
+    rnd = random.Random(7)
+
+    def enc(ws):
+        return "".join(hashlib.md5(w.encode()).hexdigest()[0] for w in ws[:48])
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows, planted = [], {}
+    for g in range(12):
+        base = [f"g{g}w{i}" for i in range(50)]
+        mut = list(base)
+        k = rnd.randrange(0, 5)  # 0..4 substitutions
+        for pos in rnd.sample(range(48), k):
+            mut[pos] = f"g{g}m{pos}"
+        a_id, b_id = 2 * g, 2 * g + 1
+        rows += [(a_id, " ".join(base)), (b_id, " ".join(mut))]
+        d = lev(enc(base), enc(mut))
+        if d <= 4:
+            planted[(a_id, b_id)] = d
+
+    from zip_to_parquet_spark.operators.dedupe import word_edit_pairs
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["word_edit_distance"]
+        for r in word_edit_pairs(df, prefix_words=48, max_dist=4).collect()
+    }
+    # Cross-group random pairs never collide under 4 edits (16-symbol
+    # alphabet, distance ~44), so the found set == the planted set.
+    assert got == planted
