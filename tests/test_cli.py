@@ -108,3 +108,65 @@ def test_cli_skip_summary_and_simple_progress(tmp_path):
     import pyarrow.parquet as pq
 
     assert [r["name"] for r in pq.read_table(out).to_pylist()] == ["a.txt"]
+
+
+def test_cli_orc_distributed(tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    with zipfile.ZipFile(src / "a.zip", "w") as z:
+        z.writestr("one.txt", b"alpha")
+        z.writestr("two.txt", b"beta")
+    out = tmp_path / "members_orc"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "zip_to_parquet_spark.cli",
+            "-i",
+            f"{src}/*.zip",
+            "-o",
+            str(out),
+            "--distributed",
+            "--format",
+            "orc",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import pyarrow.orc as po
+
+    parts = sorted(out.glob("*.orc"))
+    assert parts, list(out.iterdir())
+    rows = {}
+    for p in parts:
+        for r in po.ORCFile(p).read().to_pylist():
+            rows[r["name"]] = r
+    assert set(rows) == {"one.txt", "two.txt"}
+    assert rows["one.txt"]["body"] == b"alpha"
+    assert rows["one.txt"]["hash"] == hashlib.sha256(b"alpha").hexdigest()
+
+
+def test_cli_orc_requires_distributed(tmp_path):
+    # Validation fires before any Spark session: fast failure, rc 2.
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "zip_to_parquet_spark.cli",
+            "-i",
+            "nope/*.zip",
+            "-o",
+            str(tmp_path / "x"),
+            "--format",
+            "orc",
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 2
+    assert "requires" in proc.stderr

@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(builder.rs:196-209) instead of standard sha256 hex",
     )
     p.add_argument("--simple", action="store_true", help="plain progress lines")
+    p.add_argument(
+        "--format",
+        choices=["parquet", "orc"],
+        default="parquet",
+        help="output format (orc requires --distributed; single-file and "
+        "stdout byte-parity modes are parquet-only)",
+    )
     return p
 
 
@@ -117,6 +124,9 @@ def main(argv: list[str] | None = None) -> int:
     if bool(args.output) == bool(args.stdout):
         print("error: exactly one of -o/--output or --stdout is required", file=sys.stderr)
         return 2
+    if args.format == "orc" and not (args.output and args.distributed):
+        print("error: --format orc requires -o/--output with --distributed", file=sys.stderr)
+        return 2
 
     from zip_to_parquet_spark.session import get_spark
     from zip_to_parquet_spark.sinks import (
@@ -152,7 +162,12 @@ def main(argv: list[str] | None = None) -> int:
             if args.stdout:
                 n = write_parquet_stdout(df, row_group_rows=args.row_group_size)
             elif args.distributed:
-                write_parquet(df, args.output, mode="overwrite")
+                if args.format == "orc":
+                    from zip_to_parquet_spark.sinks import write_orc
+
+                    write_orc(df, args.output, mode="overwrite")
+                else:
+                    write_parquet(df, args.output, mode="overwrite")
                 n = -1
             else:
                 n = write_single_parquet_file(

@@ -83,7 +83,6 @@ set_priority([
     "dedup_clusters",
     "dedup_simhash",
     "pipeline_prep_recipe",
-    "pii_redact_counts",
     # (d) new in round 4 — never driver-checked (never-verified keys
     # outrank changed-but-previously-green ones for window slots; the
     # displaced (c) keys — pack/split/gopher/repetition/decontam and the
@@ -107,6 +106,7 @@ set_priority([
     "dim_scd2_history",
     "events_rolling_active_users",
     "dedup_cluster_keep_best",
+    "mixture_rates_for_budget",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

@@ -596,3 +596,79 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture planning: per-source sampling rates for a token budget
+# ---------------------------------------------------------------------------
+_MIX_TARGETS = (("src0", 30), ("src1", 25), ("src2", 20), ("src3", 15),
+                ("src4", 10))
+# Small enough that targeted sources get FRACTIONAL rates at both test
+# scales (not all capped at 1) — the interesting regime of the planner.
+_MIX_BUDGET = 2_000  # tokens
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {w}" for s, w in _MIX_TARGETS
+) + " ELSE 0 END"
+
+
+@query(
+    "mixture_rates_for_budget",
+    oracle=f"""
+    WITH avail AS (
+      SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    plan AS (
+      SELECT source, n_tokens,
+             ({_MIX_BUDGET}::BIGINT * ({_MIX_CASE})) // 100 AS target_tokens
+      FROM avail
+    )
+    SELECT source, n_tokens AS n_tokens_avail, target_tokens,
+           least(1000000, (target_tokens * 1000000) // n_tokens)
+             AS rate_micro,
+           (n_tokens * least(1000000, (target_tokens * 1000000) // n_tokens))
+             // 1000000 AS planned_tokens
+    FROM plan
+    """,
+)
+def mixture_rates_for_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLANNING step feeding mixture_sample: given target mixture
+    weights (percent per source) and a total token budget, compute each
+    source's sampling rate — capped at 1 when the source can't fill its
+    share — and the planned token yield. ALL integer arithmetic (rates
+    in micro-units, floor division), so the plan is bit-identical on any
+    engine. One tiny per-source aggregation (map-side combined), then a
+    map over source-count rows."""
+    from zip_to_parquet_spark.operators.textops import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(words(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    target_w = F.lit(0)
+    for s, w in reversed(_MIX_TARGETS):
+        target_w = F.when(F.col("source") == s, F.lit(w)).otherwise(target_w)
+    plan = avail.select(
+        "source",
+        F.col("n_tokens").alias("n_tokens_avail"),
+        F.expr("n_tokens").alias("_n"),
+        target_w.alias("_w"),
+    ).select(
+        "source",
+        "n_tokens_avail",
+        F.expr(f"({_MIX_BUDGET}L * _w) div 100").alias("target_tokens"),
+        F.col("_n"),
+    )
+    rate = F.least(
+        F.lit(1_000_000).cast("bigint"),
+        F.expr("(target_tokens * 1000000L) div _n"),
+    )
+    return plan.select(
+        "source",
+        "n_tokens_avail",
+        "target_tokens",
+        rate.alias("rate_micro"),
+        F.expr(
+            "(_n * least(1000000L, (target_tokens * 1000000L) div _n)) div 1000000L"
+        ).alias("planned_tokens"),
+    )

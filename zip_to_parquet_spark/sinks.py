@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 
 __all__ = [
     "write_parquet",
+    "write_orc",
     "write_single_parquet_file",
     "write_parquet_stdout",
     "write_bucketed_table",
@@ -47,6 +48,19 @@ def write_parquet(
     if row_group_bytes is not None:
         writer = writer.option("parquet.block.size", str(row_group_bytes))
     writer.parquet(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    compression: str = "snappy",
+    mode: str = "error",
+) -> None:
+    """Distributed ORC write — the columnar sibling sink (same commit
+    protocol as write_parquet; format_orc_roundtrip hash-verifies the
+    read-back). Distributed-only: the reference's byte-exact single-file
+    contract (exact row-group rows) is parquet-specific and stays so."""
+    df.write.mode(mode).option("compression", compression).orc(path)
 
 
 def _stream_to_pyarrow(
