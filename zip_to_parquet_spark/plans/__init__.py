@@ -80,7 +80,6 @@ set_priority([
     # (c) same-file closure of the round-4 edits
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
-    "dedup_clusters",
     "dedup_simhash",
     "pipeline_prep_recipe",
     # (d) new in round 4 — never driver-checked (never-verified keys
@@ -107,6 +106,7 @@ set_priority([
     "events_rolling_active_users",
     "dedup_cluster_keep_best",
     "mixture_rates_for_budget",
+    "events_interval_islands",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

@@ -672,3 +672,93 @@ def mixture_rates_for_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(_n * least(1000000L, (target_tokens * 1000000L) div _n)) div 1000000L"
         ).alias("planned_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: merge overlapping per-user activity intervals
+# ---------------------------------------------------------------------------
+@query(
+    "events_interval_islands",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged
+    )
+    SELECT user_id, island_id::BIGINT AS island_id,
+           min(s)::BIGINT AS start_us, max(e)::BIGINT AS end_us,
+           count(*)::BIGINT AS n_events,
+           (max(e) - min(s))::BIGINT AS duration_us
+    FROM islands GROUP BY user_id, island_id
+    """,
+)
+def events_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each event opens a 5-minute activity interval;
+    overlapping/touching intervals of the same user merge into islands
+    (the interval-union problem behind session stitching, on-call
+    coverage, downtime merging). Standard two-window formulation — a
+    running max of prior interval ends flags island starts, a running
+    sum numbers them — ONE shuffle on user_id, both windows in the same
+    per-user sort, all integer microseconds (exact everywhere)."""
+    from pyspark.sql.window import Window as W
+
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + 300_000_000).alias("e"),
+    )
+    w_prior = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prior_max_e = F.max("e").over(w_prior)
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            prior_max_e.isNull() | (F.col("s") > prior_max_e), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("s").cast("bigint").alias("start_us"),
+        F.max("e").cast("bigint").alias("end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("e") - F.min("s")).cast("bigint").alias("duration_us"),
+    ).select(
+        "user_id",
+        F.col("island_id").cast("bigint").alias("island_id"),
+        "start_us",
+        "end_us",
+        "n_events",
+        "duration_us",
+    )
