@@ -78,7 +78,6 @@ set_priority([
     "zip_csv_members",
     "zip_jsonl_members",
     # (c) same-file closure of the round-4 edits
-    "dedup_embedding_cosine",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "pipeline_prep_recipe",
@@ -107,6 +106,7 @@ set_priority([
     "dedup_cluster_keep_best",
     "mixture_rates_for_budget",
     "events_interval_islands",
+    "window_time_range_sum",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

@@ -762,3 +762,47 @@ def events_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "duration_us",
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame (value-based, not row-based)
+# ---------------------------------------------------------------------------
+@query(
+    "window_time_range_sum",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts)::BIGINT AS us,
+           (count(*) OVER w)::BIGINT AS n_trailing_10min,
+           (sum(value::DECIMAL(18,2)) OVER w)::DOUBLE AS sum_trailing_10min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10-minute per-user totals via a RANGE window frame — the
+    VALUE-based frame (peers included, gaps respected) that the
+    rows-framed battery can't express: a row's frame is every event of
+    the same user within the last 600 s of event time, however many rows
+    that is. One user-keyed shuffle; exact DECIMAL sums cast to double
+    at the end (q1 convention); RANGE ties make the result independent
+    of intra-timestamp row order."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_10min"),
+        F.sum("v").over(w).cast("double").alias("sum_trailing_10min"),
+    )
