@@ -1192,3 +1192,46 @@ def test_word_edit_pairs_random_completeness(spark):
     # Cross-group random pairs never collide under 4 edits (16-symbol
     # alphabet, distance ~44), so the found set == the planted set.
     assert got == planted
+
+
+def test_funnel_partitioned_equals_direct(spark):
+    """The hierarchical FSM-composition funnel must equal the direct fold
+    on random streams — including a hot user whose events span many tiny
+    chunks (chunk_us small enough to force real cross-chunk
+    composition), and boundary-equal timestamps."""
+    import random
+
+    from zip_to_parquet_spark.operators.temporal import (
+        funnel_stage_counts,
+        funnel_stage_counts_partitioned,
+    )
+
+    rnd = random.Random(99)
+    steps = ["view", "click", "purchase"]
+    types = steps + ["error"]
+    rows = []
+    for u in range(25):
+        for _ in range(rnd.randrange(0, 20)):
+            rows.append((u, rnd.randrange(0, 10_000), rnd.choice(types)))
+    # hot user: 400 events across the whole range
+    for _ in range(400):
+        rows.append((999, rnd.randrange(0, 10_000), rnd.choice(types)))
+    # exact chunk-boundary timestamps (chunk_us=1000 below)
+    rows += [(7, 1000, "view"), (7, 2000, "click"), (7, 2000, "purchase"),
+             (7, 3000, "purchase")]
+    df = spark.createDataFrame(
+        rows, "user_id long, us long, event_type string"
+    ).select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "event_type"
+    )
+    direct = {
+        r["stage"]: r["users_reached"]
+        for r in funnel_stage_counts(df, steps=steps).collect()
+    }
+    parted = {
+        r["stage"]: r["users_reached"]
+        for r in funnel_stage_counts_partitioned(
+            df, steps=steps, chunk_us=1000
+        ).collect()
+    }
+    assert parted == direct

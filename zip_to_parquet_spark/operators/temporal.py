@@ -26,6 +26,7 @@ __all__ = [
     "asof_join",
     "range_join_pairs",
     "funnel_stage_counts",
+    "funnel_stage_counts_partitioned",
     "retention_cohorts",
 ]
 
@@ -225,4 +226,115 @@ def range_join_pairs(
             *[F.col(c) for c in payload],
             *[F.col(f"{c}_b") for c in payload],
         )
+    )
+
+
+def funnel_stage_counts_partitioned(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    chunk_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Skew-resilient funnel — same greedy strict-after semantics as
+    :func:`funnel_stage_counts`, computed hierarchically so no single
+    task ever materializes a power user's full event list.
+
+    The greedy fold is a finite state machine, and FSM application over
+    a TIME-ORDERED chunk of events is a function (entry stage → exit
+    stage); function composition is associative, so the fold
+    parallelizes as: (1) per (user, time-chunk), one pass computes the
+    chunk's full transition TABLE — the exit state for each of the
+    |steps|+1 possible entry stages (a constant-size vector, however
+    many events the chunk holds); (2) per user, compose the (few)
+    chunk tables in time order. Correctness of dropping ``last_us``
+    across chunks: chunking by ``floor(us / chunk_us)`` puts equal
+    timestamps in one chunk, so every event in a later chunk is
+    STRICTLY after every event in an earlier one and the cross-chunk
+    strict-after condition holds automatically; within a chunk each
+    track keeps its own in-chunk last-match time (NULL = no in-chunk
+    match yet, i.e. entry state from an earlier chunk — always
+    strictly earlier).
+
+    Shuffle profile: groupBy (user, chunk) then groupBy user. Per-task
+    state is bounded by one user's events in ONE chunk and by the
+    number of chunks — both tunable via ``chunk_us`` — where the
+    single-fold form is bounded only by the user's lifetime event
+    count (the hot-user skew killer at 100 TB).
+    """
+    n_steps = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = events.filter(F.col(type_col).isin(*steps)).select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col(type_col).alias("__t"),
+    )
+    chunked = ev.withColumn("__chunk", F.expr(f"__us div {chunk_us}L"))
+    per_chunk_events = chunked.groupBy("__u", "__chunk").agg(
+        F.array_sort(F.collect_list(F.struct("__us", "__t"))).alias("__evs")
+    )
+    # Track i (1-based element i of the array) = behavior for entry
+    # stage i-1: struct(exit int, last long). last NULL = no match yet
+    # in this chunk (entry state predates the chunk).
+    init = F.transform(
+        F.sequence(F.lit(1), F.lit(n_steps + 1)),
+        lambda i: F.struct(
+            (i - 1).cast("int").alias("exit"),
+            F.lit(None).cast("long").alias("last"),
+        ),
+    )
+
+    def step_tracks(acc, x):
+        def upd(t):
+            nxt = F.element_at(steps_arr, t.getField("exit") + 1)
+            can = (
+                (t.getField("exit") < n_steps)
+                & (x.getField("__t") == nxt)
+                & (
+                    t.getField("last").isNull()
+                    | (x.getField("__us") > t.getField("last"))
+                )
+            )
+            return F.when(
+                can,
+                F.struct(
+                    (t.getField("exit") + 1).cast("int").alias("exit"),
+                    x.getField("__us").alias("last"),
+                ),
+            ).otherwise(t)
+
+        return F.transform(acc, upd)
+
+    tables = per_chunk_events.select(
+        "__u",
+        "__chunk",
+        F.aggregate("__evs", init, step_tracks).alias("__table"),
+    )
+    # Compose chunk tables in time order: entry stage 0, each chunk maps
+    # stage s -> table[s+1].exit.
+    per_user = tables.groupBy("__u").agg(
+        F.array_sort(F.collect_list(F.struct("__chunk", "__table"))).alias(
+            "__tabs"
+        )
+    )
+    compose = F.aggregate(
+        "__tabs",
+        F.lit(0).cast("int"),
+        lambda acc, x: F.element_at(x.getField("__table"), acc + 1).getField(
+            "exit"
+        ),
+    )
+    reached = per_user.select(compose.alias("stage"))
+    stage_tbl = reached.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "stage INT, step_name STRING"
+    )
+    return (
+        reached.join(
+            F.broadcast(stage_tbl),
+            reached["stage"] >= stage_tbl["stage"],
+            "right",
+        )
+        .groupBy(stage_tbl["stage"].alias("stage"), "step_name")
+        .agg(F.count(reached["stage"]).cast("bigint").alias("users_reached"))
     )

@@ -79,7 +79,6 @@ set_priority([
     "zip_jsonl_members",
     # (c) same-file closure of the round-4 edits
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "pipeline_prep_recipe",
     # (d) new in round 4 — never driver-checked (never-verified keys
     # outrank changed-but-previously-green ones for window slots; the
@@ -107,6 +106,7 @@ set_priority([
     "mixture_rates_for_budget",
     "events_interval_islands",
     "window_time_range_sum",
+    "events_funnel_partitioned",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

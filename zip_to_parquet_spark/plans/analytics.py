@@ -117,10 +117,9 @@ def tfidf_topk_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
-
-@query(
-    "events_funnel",
-    oracle="""
+# Shared by events_funnel and events_funnel_partitioned: two physical
+# strategies, ONE semantics, hash-verified against the same SQL.
+_FUNNEL_ORACLE = """
     WITH s1 AS (
       SELECT user_id, min(ts) t1 FROM events
       WHERE event_type = 'view' GROUP BY 1
@@ -137,8 +136,10 @@ _FUNNEL_STEPS = ["view", "click", "purchase"]
            (SELECT count(*) FROM s1)::BIGINT users_reached
     UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
     UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
-    """,
-)
+    """
+
+
+@query("events_funnel", oracle=_FUNNEL_ORACLE)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase conversion funnel. The engine folds each
     user's step events through a codegen'd state machine in ONE shuffle
@@ -805,4 +806,23 @@ def window_time_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "us",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_10min"),
         F.sum("v").over(w).cast("double").alias("sum_trailing_10min"),
+    )
+
+
+@query("events_funnel_partitioned", oracle=_FUNNEL_ORACLE)
+def events_funnel_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME funnel semantics as events_funnel (identical oracle),
+    computed skew-resiliently: the greedy fold is an FSM, FSM
+    application over a time chunk is a function, function composition
+    is associative — so per-(user, day) passes build constant-size
+    transition tables and a per-user pass composes them
+    (operators.temporal.funnel_stage_counts_partitioned). No task ever
+    holds a hot user's lifetime event list; two different physical
+    strategies, one hash-verified answer."""
+    from zip_to_parquet_spark.operators.temporal import (
+        funnel_stage_counts_partitioned,
+    )
+
+    return funnel_stage_counts_partitioned(
+        load_table(spark, sf_dir, "events"), steps=_FUNNEL_STEPS
     )
