@@ -1039,6 +1039,18 @@ def test_merge_upsert_semantics(spark):
     )
     got = {r["doc_id"]: r["text"] for r in merge_upsert(base, changes).collect()}
     assert got == {1: "a", 2: "b2", 4: "d"}
+    # Base-only columns pass through for untouched AND upserted rows
+    # (NULL for inserted ids) — a narrow change feed must never destroy
+    # the wide snapshot's columns.
+    wide = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "doc_id long, text string, n_chars long",
+    )
+    wide_out = {
+        r["doc_id"]: (r["text"], r["n_chars"])
+        for r in merge_upsert(wide, changes).collect()
+    }
+    assert wide_out == {1: ("a", 10), 2: ("b2", 20), 4: ("d", None)}
     import pytest as _pytest
 
     bad = spark.createDataFrame(

@@ -104,6 +104,41 @@ def _bucket_pairs(ids: Column) -> Column:
     )
 
 
+def _shingle_candidate_pairs(
+    shingled: DataFrame,
+    max_shingle_df: int | None,
+    ordered: bool,
+) -> DataFrame:
+    """Inverted-index candidate pairs: explode shingles → (optional
+    hot-shingle df guard, the stopword-shingle skew mitigation) →
+    self-equi-join on the shingle → distinct (doc_a, doc_b).
+    ``ordered=False`` keeps unordered pairs (doc_a < doc_b, symmetric
+    metrics); ``ordered=True`` keeps both directions (asymmetric metrics
+    like containment). Shared by every exact-verify dedup variant so the
+    skew guard's semantics live in ONE place."""
+    e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            e.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        e = e.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = e.alias("a"), e.alias("b")
+    pred = (
+        F.col("a.doc_id") != F.col("b.doc_id")
+        if ordered
+        else F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    return (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(pred)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     shingled: DataFrame,
     threshold: float,
@@ -117,22 +152,7 @@ def ngram_jaccard_pairs(
     broadcasts nothing — at scale `shingled` is big on both sides, which is
     fine: it's an equi-join on doc_id.
     """
-    e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
-    if max_shingle_df is not None:
-        hot = (
-            e.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        e = e.join(F.broadcast(hot), "shingle", "left_anti")
-    a, b = e.alias("a"), e.alias("b")
-    cand = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _shingle_candidate_pairs(shingled, max_shingle_df, ordered=False)
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     # No rounding on jaccard: it is a small-denominator rational whose double
@@ -844,24 +864,7 @@ def containment_pairs(
     directions of a pair are evaluated (containment is asymmetric);
     docs with zero shingles match nothing (NULL containment).
     """
-    e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
-    if max_shingle_df is not None:
-        hot = (
-            e.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        e = e.join(F.broadcast(hot), "shingle", "left_anti")
-    a, b = e.alias("a"), e.alias("b")
-    cand = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = _shingle_candidate_pairs(shingled, max_shingle_df, ordered=True)
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     containment = F.try_divide(

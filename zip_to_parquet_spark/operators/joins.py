@@ -57,6 +57,18 @@ def merge_upsert(
     through. The SCD type-1 refresh primitive (and the batch analog of
     Delta/Iceberg MERGE, expressed engine-agnostically).
 
+    Output schema == the BASE schema: change-payload columns resolve
+    from the change row on upsert, base-only columns (present in base
+    but not in the change feed — a narrow feed refreshing a wide
+    snapshot) pass through from base and are NULL for inserted ids.
+
+    Precondition: at most ONE change row per id — duplicate change ids
+    fan out through the full-outer join (the same contract Delta/Iceberg
+    MERGE enforces as "multiple source rows matched"). Callers
+    synthesizing insert ids must draw them from an id space disjoint
+    from base (e.g. a high bit, a composite key), not a fixed offset a
+    growing corpus can collide with.
+
     ONE full-outer equi-join on the id — uniform key, sort-merge at TB
     scale; payload resolution is a map over the joined row. Bucket both
     sides on the id (sinks.write_bucketed_table) for shuffle-free
@@ -66,9 +78,10 @@ def merge_upsert(
     missing = [c for c in payload if c not in base.columns]
     if missing:
         raise ValueError(f"change payload columns absent from base: {missing}")
+    base_only = [c for c in base.columns if c != id_col and c not in payload]
     b = base.select(
         F.col(id_col).alias("__id"),
-        *[F.col(c).alias(f"__b_{c}") for c in payload],
+        *[F.col(c).alias(f"__b_{c}") for c in payload + base_only],
     )
     c = changes.select(
         F.col(id_col).alias("__id"),
@@ -77,18 +90,19 @@ def merge_upsert(
     )
     joined = b.join(c, "__id", "full_outer")
     keep = F.col("__op").isNull() | (F.col("__op") == "upsert")
-    return (
-        joined.filter(keep)
-        .select(
-            F.col("__id").alias(id_col),
-            *[
+    out_cols = []
+    for cc in base.columns:
+        if cc == id_col:
+            continue
+        if cc in payload:
+            out_cols.append(
                 F.when(F.col("__op") == "upsert", F.col(f"__c_{cc}"))
                 .otherwise(F.col(f"__b_{cc}"))
                 .alias(cc)
-                for cc in payload
-            ],
-        )
-    )
+            )
+        else:
+            out_cols.append(F.col(f"__b_{cc}").alias(cc))
+    return joined.filter(keep).select(F.col("__id").alias(id_col), *out_cols)
 
 
 def scd2_history(

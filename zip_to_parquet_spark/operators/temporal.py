@@ -54,7 +54,6 @@ def funnel_stage_counts(
     ``users_reached`` counting users whose fold reached at least that
     stage.
     """
-    n_steps = len(steps)
     ev = events.filter(F.col(type_col).isin(*steps)).select(
         F.col(user_col).alias("__u"),
         F.unix_micros(F.col(ts_col)).alias("__us"),
@@ -85,11 +84,18 @@ def funnel_stage_counts(
     reached = per_user.select(
         F.aggregate("__evs", zero, step_fold).getField("stage").alias("stage")
     )
+    return _stage_rollup(reached, steps)
+
+
+def _stage_rollup(reached: DataFrame, steps: list[str]) -> DataFrame:
+    """(stage) per user → one row per step with users_reached counts.
+    Right join FROM the (broadcast, |steps|-row) step table so a stage
+    nobody reached still emits its row with users_reached = 0 (count of
+    matched rows, not of join rows). Shared by both funnel strategies —
+    the rollup must stay identical for the shared oracle to hold."""
     stage_tbl = reached.sparkSession.createDataFrame(
         [(i + 1, s) for i, s in enumerate(steps)], "stage INT, step_name STRING"
     )
-    # Left join FROM the step table so a stage nobody reached still emits
-    # its row with users_reached = 0 (count of matched, not of rows).
     return (
         reached.join(
             F.broadcast(stage_tbl),
@@ -326,15 +332,4 @@ def funnel_stage_counts_partitioned(
         ),
     )
     reached = per_user.select(compose.alias("stage"))
-    stage_tbl = reached.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "stage INT, step_name STRING"
-    )
-    return (
-        reached.join(
-            F.broadcast(stage_tbl),
-            reached["stage"] >= stage_tbl["stage"],
-            "right",
-        )
-        .groupBy(stage_tbl["stage"].alias("stage"), "step_name")
-        .agg(F.count(reached["stage"]).cast("bigint").alias("users_reached"))
-    )
+    return _stage_rollup(reached, steps)

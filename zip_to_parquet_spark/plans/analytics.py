@@ -327,11 +327,13 @@ def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet). Exact DECIMAL sums cast to double at the end, per the q1
     convention. The ORC write is a distributed partitioned write to a
     per-sf cache dir under /tmp."""
+    from zip_to_parquet_spark.sinks import write_orc
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
     )
     path = "/tmp/z2ps_orc/" + os.path.basename(os.path.normpath(sf_dir))
-    li.write.mode("overwrite").orc(path)
+    write_orc(li, path, mode="overwrite")
     back = spark.read.orc(path)
     dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
     return back.groupBy("l_returnflag", "l_linestatus").agg(
@@ -364,6 +366,11 @@ def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     that corpus_snapshot_delta DETECTS, here APPLIED as a change set
     (deletes id%13=0, in-place edits id%7=3, arrivals id%17=5 under new
     ids) through operators.joins.merge_upsert — one full-outer id join.
+    The +1,000,000 insert-id offset is a FIXTURE construct (ids are <
+    5,000 at every checked-in sf); merge_upsert's contract requires
+    insert ids from a space disjoint from base — production callers use
+    a reserved high bit or composite key, never a fixed offset a
+    growing corpus can collide with (see the operator docstring).
     The oracle constructs the refreshed snapshot directly, so the merge
     result is hash-checked to equal it row for row (content-hashed; the
     text itself never needs to leave the executors)."""
