@@ -68,7 +68,6 @@ set_priority([
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_trained",
-    "ann_lsh_topk",
     "dedup_semantic",
     "zip_explode_hash",
     "zip_glob_members",
@@ -107,6 +106,7 @@ set_priority([
     "events_interval_islands",
     "window_time_range_sum",
     "events_funnel_partitioned",
+    "zip_federated_join",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

@@ -223,3 +223,42 @@ def zip_jsonl_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_jsonl_members(
         members, "doc_id BIGINT, source STRING, n_chars BIGINT"
     ).select("doc_id", "source", "n_chars")
+
+
+# Federation: the zipmembers Python Data Source and a parquet table in
+# ONE Catalyst plan — join on the id parsed from the member name, verify
+# the decompressed body's hash against sha256 of the parquet text, roll
+# up per source. The engine computes everything from the zip side +
+# join; the oracle knows ground truth (every member mirrors its doc, so
+# matches == docs per source) — any corruption anywhere in the zip
+# read → join → hash path breaks the count.
+@query(
+    "zip_federated_join",
+    oracle="""
+    SELECT source, count(*)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_hash_match
+    FROM documents GROUP BY source
+    """,
+)
+def zip_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zip_to_parquet_spark.schema import load_table
+
+    zm = _members(spark, sf_dir).select(
+        F.regexp_extract("name", r"doc_(\d+)\.txt", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("hash").alias("zip_hash"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.sha2(F.col("text").cast("binary"), 256).alias("pq_hash")
+    )
+    return (
+        zm.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("zip_hash") == F.col("pq_hash"), 1))
+            .cast("bigint")
+            .alias("n_hash_match"),
+        )
+    )
