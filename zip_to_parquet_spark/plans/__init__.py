@@ -67,7 +67,6 @@ set_priority([
     "ann_pq_topk",
     "ann_cosine_topk",
     "ann_ivf_topk",
-    "ann_ivf_trained",
     "dedup_semantic",
     "zip_explode_hash",
     "zip_glob_members",
@@ -107,6 +106,7 @@ set_priority([
     "window_time_range_sum",
     "events_funnel_partitioned",
     "zip_federated_join",
+    "scalar_array_battery",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

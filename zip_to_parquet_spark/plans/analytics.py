@@ -833,3 +833,57 @@ def events_funnel_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_stage_counts_partitioned(
         load_table(spark, sf_dir, "events"), steps=_FUNNEL_STEPS
     )
+
+
+# ---------------------------------------------------------------------------
+# Array/higher-order-function battery (F-surface breadth)
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_array_battery",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(list_distinct(w))::INT AS n_distinct,
+           array_to_string(list_sort(w)[1:3], ' ') AS first3_sorted,
+           w[-1] AS last_word,
+           array_to_string(list_reverse(w)[1:3], ' ') AS rev_first3,
+           list_contains(w, 'the') AS has_the,
+           list_max(w) AS max_word,
+           list_min(w) AS min_word,
+           list_sum(list_transform(range(1, len(w) + 1),
+                    i -> CASE WHEN w[i] = 'the' THEN i ELSE 0 END))::BIGINT
+             AS the_pos_sum
+    FROM t
+    """,
+)
+def scalar_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order-function battery — the in-row collection
+    surface (sort, distinct, reverse, slice, contains, min/max,
+    zip_with + sequence + aggregate) exercised together against
+    DuckDB's list functions. Map-only, whole-stage codegen; every value
+    is a string or exact integer, so the battery hash-matches with no
+    float seam."""
+    from zip_to_parquet_spark.operators.textops import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    the_pos = F.aggregate(
+        F.zip_with(
+            w,
+            F.sequence(F.lit(1), F.size(w)),
+            lambda x, i: F.when(x == "the", i).otherwise(0),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(w)).cast("int").alias("n_distinct"),
+        F.array_join(F.slice(F.array_sort(w), 1, 3), " ").alias("first3_sorted"),
+        F.element_at(w, -1).alias("last_word"),
+        F.array_join(F.slice(F.reverse(w), 1, 3), " ").alias("rev_first3"),
+        F.array_contains(w, "the").alias("has_the"),
+        F.array_max(w).alias("max_word"),
+        F.array_min(w).alias("min_word"),
+        the_pos.alias("the_pos_sum"),
+    )
