@@ -63,10 +63,8 @@ set_priority([
     "dedup_exact_spans",
     "lm_surprisal_scores",
     "multimodal_mp4_meta",
-    "multimodal_decode_features",
     "ann_pq_topk",
     "ann_cosine_topk",
-    "ann_ivf_topk",
     "dedup_semantic",
     "zip_explode_hash",
     "zip_glob_members",
@@ -107,6 +105,8 @@ set_priority([
     "events_funnel_partitioned",
     "zip_federated_join",
     "scalar_array_battery",
+    "events_timeseries_gapfill",
+    "events_minmax_scaled",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

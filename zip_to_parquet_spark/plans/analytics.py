@@ -887,3 +887,116 @@ def scalar_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(w).alias("min_word"),
         the_pos.alias("the_pos_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar densification + per-group feature scaling
+# ---------------------------------------------------------------------------
+@query(
+    "events_timeseries_gapfill",
+    oracle="""
+    WITH days AS (
+      SELECT user_id, ts::DATE d, count(*)::BIGINT n
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, min(d) lo, max(d) hi FROM days GROUP BY 1
+    ),
+    cal AS (
+      SELECT s.user_id, (s.lo + g.o::INT * INTERVAL '1 day')::DATE AS d
+      FROM spans s
+      CROSS JOIN (SELECT unnest(range(0, 60)) AS o) g
+      WHERE (s.lo + g.o::INT * INTERVAL '1 day')::DATE <= s.hi
+    )
+    SELECT cal.user_id, cal.d AS day,
+           coalesce(days.n, 0)::BIGINT AS n_events,
+           (days.n IS NULL) AS gap_filled
+    FROM cal LEFT JOIN days ON days.user_id = cal.user_id AND days.d = cal.d
+    """,
+)
+def events_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: one row per user per calendar day between
+    the user's first and last activity, zero-filled on quiet days — the
+    gap-fill step every per-entity time series needs before rolling
+    metrics. The per-user calendar is generated IN-ROW
+    (``sequence(lo, hi, interval 1 day)`` + explode — no cross join
+    against a calendar table), then one left equi-join on
+    (user, day) against the aggregated activity. The oracle bounds its
+    generator at 60 days (> the fixture's 30-day span), mirroring the
+    row-bound any production gapfill puts on pathological spans."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.groupBy(
+        "user_id", F.to_date(F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spans = days.groupBy("user_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    cal = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    act = days.select(
+        F.col("user_id").alias("__au"), F.col("d").alias("__ad"), "n"
+    )
+    return (
+        cal.join(
+            act,
+            (cal["user_id"] == act["__au"]) & (cal["day"] == act["__ad"]),
+            "left",
+        )
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+    )
+
+
+@query(
+    "events_minmax_scaled",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             (round(value * 100))::BIGINT AS cents
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, min(cents) lo, max(cents) hi
+      FROM c GROUP BY 1
+    )
+    SELECT c.event_id, c.event_type, c.cents,
+           CASE WHEN b.hi = b.lo THEN 0
+                ELSE ((c.cents - b.lo) * 1000000) // (b.hi - b.lo)
+           END::BIGINT AS scaled_micro
+    FROM c JOIN b USING (event_type)
+    """,
+)
+def events_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling in EXACT integer arithmetic:
+    values become cents, per-type bounds come from one tiny aggregation
+    (broadcast back), and the scaled feature is an integer micro-unit in
+    [0, 1e6] — no float division to drift across engines, constant
+    groups handled explicitly. The normalize-per-category step of
+    feature pipelines, with the bounds join the size-aware shape (per-
+    type table ≪ corpus)."""
+    c = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    b = c.groupBy("event_type").agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    scaled = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.expr("((cents - lo) * 1000000L) div (hi - lo)")
+        )
+        .cast("bigint")
+    )
+    return c.join(F.broadcast(b), "event_type").select(
+        "event_id", "event_type", "cents", scaled.alias("scaled_micro")
+    )
