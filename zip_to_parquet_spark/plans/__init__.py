@@ -34,15 +34,24 @@ from zip_to_parquet_spark.plans import analytics  # noqa: E402,F401
 # (b) keys new or directly changed in round 4: ann_ivfpq_topk (new IVF-PQ
 #     composition), the span-dedup hashed shuffle key, the size-aware
 #     surprisal join, the PQ sequential-sum encode + gemm validation
-#     (all ann_*), the MP4 size-variant box walker (multimodal_*), the
-#     UTC session pin in schema.load_table (events_sessionize), and the
-#     jumbo-archive splitting in zipsource (zip_*);
+#     (ann_pq/ann_cosine — the ann keys whose r4 code edits touch their
+#     path; ann_ivf_topk / ann_ivf_trained / ann_lsh_topk were later
+#     rotated OUT to make room for never-verified keys: their
+#     implementing functions are untouched by the r4 vectors.py edits
+#     and they hold r3-green driver rows), the MP4 size-variant box
+#     walker (multimodal_mp4_meta; multimodal_decode_features rotated
+#     out on the same reasoning), the UTC session pin in
+#     schema.load_table (events_sessionize), and the jumbo-archive
+#     splitting in zipsource (zip_*);
 # (c) the rest of the round-4-touched files' keys (dedupe.py / pipeline.py
-#     / vectors.py file-level closure);
-# (d) the three operators NEW in round 4 (never driver-checked): the
-#     interpolated bigram LM, the lexicon topic classifier, and the
-#     integer-PageRank graph scorer — they displace the stale-row
-#     fillers, which stay pytest-oracle-verified at sf0.001.
+#     / vectors.py file-level closure), thinned over the round as (d)
+#     grew — each key dropped had a driver-green row (r2/r3) and an
+#     implementing function untouched by the r4 edits to its module;
+# (d) operators NEW in round 4 (never driver-checked) — never-verified
+#     keys outrank changed-but-previously-green ones for window slots;
+#     displaced keys stay pytest-oracle-verified at sf0.001 (every test
+#     run) and the FULL registry was additionally parity-swept at
+#     sf0.01 by the same compare at round end.
 # Rotated out: the r2-decimal-swept relational block and r1-stale
 # relational keys re-greened by the round-3 driver row, whose files are
 # untouched since (still value-verified at sf0.001 by

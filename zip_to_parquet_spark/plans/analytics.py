@@ -919,11 +919,13 @@ def events_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     the user's first and last activity, zero-filled on quiet days — the
     gap-fill step every per-entity time series needs before rolling
     metrics. The per-user calendar is generated IN-ROW
-    (``sequence(lo, hi, interval 1 day)`` + explode — no cross join
-    against a calendar table), then one left equi-join on
-    (user, day) against the aggregated activity. The oracle bounds its
-    generator at 60 days (> the fixture's 30-day span), mirroring the
-    row-bound any production gapfill puts on pathological spans."""
+    (``sequence`` + explode — no cross join against a calendar table),
+    then one left equi-join on (user, day) against the aggregated
+    activity. BOTH sides cap the generated span at 60 days from first
+    activity (`least(hi, lo+59)` here, `range(0, 60)` in the oracle —
+    the row-bound any production gapfill puts on pathological spans;
+    the fixture's span is 29 days, so the cap is inert at every
+    checked-in sf)."""
     ev = load_table(spark, sf_dir, "events")
     days = ev.groupBy(
         "user_id", F.to_date(F.col("ts")).alias("d")
@@ -934,7 +936,11 @@ def events_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = spans.select(
         "user_id",
         F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+            F.sequence(
+                F.col("lo"),
+                F.least(F.col("hi"), F.date_add(F.col("lo"), 59)),
+                F.expr("interval 1 day"),
+            )
         ).alias("day"),
     )
     act = days.select(
