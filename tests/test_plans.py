@@ -369,3 +369,53 @@ def test_scd2_no_second_shuffle_after_join(spark):
     plan = plan_of(spark, "dim_scd2_history")
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the version explode is in-row
+
+
+def test_islands_single_user_shuffle(spark):
+    # Both windows and the island groupBy share ONE user-keyed exchange.
+    plan = plan_of(spark, "events_interval_islands")
+    assert n_shuffles(plan) <= 1
+    assert "Join" not in plan
+
+
+def test_time_range_window_single_shuffle(spark):
+    plan = plan_of(spark, "window_time_range_sum")
+    assert n_shuffles(plan) <= 1
+    assert "Join" not in plan
+
+
+def test_minmax_bounds_broadcast(spark):
+    # The per-type bounds table broadcasts back against the stream; the
+    # corpus side must not reshuffle for the bounds join.
+    plan = plan_of(spark, "events_minmax_scaled")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_shuffles(plan) <= 1
+
+
+def test_array_battery_map_only(spark):
+    plan = plan_of(spark, "scalar_array_battery")
+    assert "Exchange" not in plan
+
+
+def test_gapfill_no_cartesian_calendar(spark):
+    # The per-user calendar is generated in-row (sequence + explode),
+    # never via a cross join against a calendar table.
+    plan = plan_of(spark, "events_timeseries_gapfill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the in-row date explode
+
+
+def test_funnel_partitioned_two_level_shuffles(spark):
+    # (user, chunk) then user then the tiny stage rollup — at most 3
+    # keyed exchanges, no per-stage join, no cartesian.
+    plan = plan_of(spark, "events_funnel_partitioned")
+    assert n_shuffles(plan) <= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_federated_join_single_shuffle(spark):
+    plan = plan_of(spark, "zip_federated_join")
+    assert "CartesianProduct" not in plan
+    assert n_shuffles(plan) <= 2
