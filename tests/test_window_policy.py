@@ -122,27 +122,37 @@ def _round_commit(rnd: int) -> str | None:
     return out.splitlines()[0] if out else None
 
 
-def test_changed_keys_are_inside_driver_window():
+# Sentinel: "every file changed" — used when a round's CORRECTNESS file has
+# no owning commit (untracked / rewritten history), so we cannot know what
+# tree the driver verified.  Treating that as "nothing changed" would
+# silently waive the policy (VERDICT r4 ask #3); instead every key last
+# green in that round counts as changed, which is loud.
+_ALL_CHANGED = object()
+
+
+def compute_changed_keys() -> tuple[set[str], dict[str, int], list[str]]:
+    """(changed keys, key → last green round, registry order).
+
+    Shared by the policy test below and ``scripts/window_pin.py`` so the
+    re-pin suggestion and the test verdict can never disagree.
+    """
     from zip_to_parquet_spark.plans import all_queries
     from zip_to_parquet_spark.plans.registry import key_modules
 
     keys = list(all_queries())
-    window = set(keys[:WINDOW])
     modules = key_modules()
     closure = _import_closure()
     green = _last_green_rounds()
 
     # Changed files since each round's driver run (vs the WORKING TREE),
     # computed once per distinct round.
-    changed_since: dict[int, set[str]] = {}
+    changed_since: dict[int, object] = {}
     for rnd in set(green.values()):
         sha = _round_commit(rnd)
         changed_since[rnd] = (
-            set(
-                _git("diff", "--name-only", sha, "--", PKG).splitlines()
-            )
+            set(_git("diff", "--name-only", sha, "--", PKG).splitlines())
             if sha
-            else set()
+            else _ALL_CHANGED
         )
 
     changed: set[str] = set()
@@ -151,9 +161,19 @@ def test_changed_keys_are_inside_driver_window():
         if key not in green:
             changed.add(key)  # never had a driver row
             continue
+        since = changed_since[green[key]]
+        if since is _ALL_CHANGED:
+            changed.add(key)  # round commit unknown → assume changed (loud)
+            continue
         files = closure.get(mod_file, {mod_file})
-        if files & changed_since[green[key]]:
+        if files & since:
             changed.add(key)
+    return changed, green, keys
+
+
+def test_changed_keys_are_inside_driver_window():
+    changed, _green, keys = compute_changed_keys()
+    window = set(keys[:WINDOW])
 
     if len(changed) <= WINDOW:
         outside = sorted(changed - window)
@@ -169,6 +189,21 @@ def test_changed_keys_are_inside_driver_window():
             f"window slots hold UNCHANGED keys — swap them for changed ones: "
             f"{wasted}"
         )
+
+
+def test_missing_round_commit_marks_all_its_keys_changed(monkeypatch):
+    """VERDICT r4 ask #3: a CORRECTNESS file with no owning commit (e.g.
+    still untracked at round start) must mark every key last-green in that
+    round as CHANGED — a loud re-verify demand — never silently unchanged."""
+    import sys
+
+    mod = sys.modules[__name__]
+    monkeypatch.setattr(mod, "_round_commit", lambda rnd: None)
+    changed, green, keys = compute_changed_keys()
+    # With every round commit "missing", every key that ever went green must
+    # be flagged (never-green keys are changed by definition already).
+    assert changed == set(keys)
+    assert set(green) <= changed
 
 
 def test_window_policy_detects_plan_module_edit(tmp_path):
