@@ -70,9 +70,13 @@ def test_span_dedup_removes_cross_doc_runs(spark):
 
 
 def test_ngram_jaccard_pairs(spark, docs):
+    # Guard off: exact unguarded semantics on a tiny fixture (at n_docs=4
+    # the corpus-relative permille bound would drop every shared shingle —
+    # the guard is a corpus-scale contract, unit-tested separately below).
     sh = shingle_sets(docs)
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
-             ngram_jaccard_pairs(sh, threshold=0.1).collect()}
+             ngram_jaccard_pairs(
+                 sh, threshold=0.1, max_shingle_permille=None).collect()}
     assert pairs[(1, 2)] == 1.0
     # docs 1 and 3 differ in the last word: 9 words -> 7 shingles each,
     # 6 shared -> jaccard = 6 / (7 + 7 - 6) = 0.75
@@ -151,8 +155,40 @@ def test_minhash_and_jaccard_survive_empty_docs(spark):
            minhash_lsh_pairs(sh, threshold=0.7).collect()}
     assert lsh == {(1, 2)}
     exact = {(r["doc_a"], r["doc_b"]) for r in
-             ngram_jaccard_pairs(sh, threshold=0.1).collect()}
+             ngram_jaccard_pairs(
+                 sh, threshold=0.1, max_shingle_permille=None).collect()}
     assert exact == {(1, 2)}
+
+
+def test_hot_shingle_permille_guard_drops_stop_shingle_pairs(spark):
+    """Corpus-relative guard semantics: a pair whose ONLY shared shingle
+    exceeds the permille df bound disappears from the candidate set, while
+    pairs sharing a rare shingle keep their EXACT similarity value."""
+    from zip_to_parquet_spark.operators.dedupe import ngram_jaccard_pairs
+
+    # 20 docs all containing the stop-shingle "of the day"; docs 1/2 also
+    # share the rare "alpha bravo charlie" run.
+    rows = [(i, f"uniq{i}a uniq{i}b of the day uniq{i}c") for i in range(3, 21)]
+    rows += [
+        (1, "alpha bravo charlie delta of the day"),
+        (2, "alpha bravo charlie echo of the day"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_sets(docs)
+    # df("of the day") = 20 = 100% of docs; permille=500 → dropped. The
+    # only surviving candidate pair is (1,2) via "alpha bravo charlie",
+    # and its jaccard is still computed on the FULL shingle sets.
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(
+                 sh, threshold=0.0, max_shingle_permille=500).collect()}
+    assert set(pairs) == {(1, 2)}
+    # 5 trigrams each, 2 shared ("alpha bravo charlie", plus hot
+    # "of the day" which still counts in the verify sets) → 2/8.
+    assert math.isclose(pairs[(1, 2)], 2 / 8)
+    # Guard off: every doc pairs with every other through the stop-shingle.
+    unguarded = ngram_jaccard_pairs(
+        sh, threshold=0.0, max_shingle_permille=None).count()
+    assert unguarded == 20 * 19 // 2
 
 
 def test_multimodal_decode_dispatch(spark):

@@ -312,7 +312,25 @@ def test_chunking_is_map_only(spark):
 def test_containment_join_is_equi_only(spark):
     plan = plan_of(spark, "dedup_containment")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # The candidate self-join and verify joins must stay hash equi-joins;
+    # the only tolerated nested-loops are the broadcast 1-row n_docs stats
+    # join feeding the corpus-relative hot-shingle guard (it appears once
+    # under each alias of the candidate self-join, hence two).
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj) <= 2
+
+
+def test_exact_verify_dedup_hot_shingle_guard_on_by_default(spark):
+    # VERDICT r4 ask #2: the corpus-relative hot-shingle df guard must be
+    # ACTIVE in the registered exact-verify dedup keys — the physical plan
+    # carries a broadcast ANTI join (drop hot shingles) before the
+    # quadratic candidate self-join. Guard-off was the one surviving
+    # 100 TB scale-killer (skewed-key join on stop-shingles).
+    for key in ("dedup_ngram_jaccard", "dedup_containment"):
+        plan = plan_of(spark, key)
+        assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), (
+            f"{key}: hot-shingle broadcast anti-join guard missing:\n{plan}"
+        )
 
 
 def test_funnel_single_fold_shuffle(spark):

@@ -104,10 +104,23 @@ def _bucket_pairs(ids: Column) -> Column:
     )
 
 
+# Default hot-shingle guard: shingles present in more than this many docs
+# PER 1000 (i.e. >1 % of the corpus) are excluded from CANDIDATE generation.
+# The candidate self-join is quadratic per shingle, so one "of the"-class
+# stop-shingle shared by 1 % of a 100 TB corpus is a skewed-key join that
+# explodes exactly at scale; a pair whose ONLY shared shingles are that
+# common is noise, not duplication (recall contract: pairs must share at
+# least one shingle rarer than 1-in-100 docs — exact verify on the FULL
+# shingle sets is unchanged). Integer permille arithmetic so Spark and the
+# DuckDB oracle compare identically with no float seam.
+HOT_SHINGLE_PERMILLE = 10
+
+
 def _shingle_candidate_pairs(
     shingled: DataFrame,
     max_shingle_df: int | None,
     ordered: bool,
+    max_shingle_permille: int | None = None,
 ) -> DataFrame:
     """Inverted-index candidate pairs: explode shingles → (optional
     hot-shingle df guard, the stopword-shingle skew mitigation) →
@@ -115,15 +128,28 @@ def _shingle_candidate_pairs(
     ``ordered=False`` keeps unordered pairs (doc_a < doc_b, symmetric
     metrics); ``ordered=True`` keeps both directions (asymmetric metrics
     like containment). Shared by every exact-verify dedup variant so the
-    skew guard's semantics live in ONE place."""
+    skew guard's semantics live in ONE place.
+
+    Guards: ``max_shingle_df`` is an absolute document-frequency cap;
+    ``max_shingle_permille`` is corpus-relative (drop shingles with
+    ``df * 1000 > permille * n_docs``) so the same bound means the same
+    thing at sf0.001 and at 100 TB. Either (or both) may be set; the hot
+    set is tiny by construction (≤ 1000/permille shingles can each cover
+    > permille/1000 of doc-shingle rows), hence the broadcast anti-join."""
     e = shingled.select("doc_id", F.explode("sh").alias("shingle"))
-    if max_shingle_df is not None:
-        hot = (
-            e.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
+    if max_shingle_df is not None or max_shingle_permille is not None:
+        dfc = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        cond = F.lit(False)
+        if max_shingle_df is not None:
+            cond = cond | (F.col("df") > max_shingle_df)
+        if max_shingle_permille is not None:
+            n_docs = shingled.select(F.count(F.lit(1)).alias("n_docs"))
+            dfc = dfc.crossJoin(F.broadcast(n_docs))
+            cond = cond | (
+                F.col("df") * F.lit(1000)
+                > F.lit(max_shingle_permille) * F.col("n_docs")
+            )
+        hot = dfc.filter(cond).select("shingle")
         e = e.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = e.alias("a"), e.alias("b")
     pred = (
@@ -143,16 +169,23 @@ def ngram_jaccard_pairs(
     shingled: DataFrame,
     threshold: float,
     max_shingle_df: int | None = None,
+    max_shingle_permille: int | None = HOT_SHINGLE_PERMILLE,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via an inverted-index join on shingles.
 
-    explode → (skew-guard) → self-join on shingle → distinct candidate pair
-    → exact verify on the full shingle sets. Shuffles on `shingle` then on
-    the pair key; both keys are high-cardinality. The exact-verify join
-    broadcasts nothing — at scale `shingled` is big on both sides, which is
-    fine: it's an equi-join on doc_id.
+    explode → skew-guard (corpus-relative hot-shingle drop, ON by default
+    — see :data:`HOT_SHINGLE_PERMILLE`) → self-join on shingle → distinct
+    candidate pair → exact verify on the full shingle sets. Shuffles on
+    `shingle` then on the pair key; both keys are high-cardinality. The
+    exact-verify join broadcasts nothing — at scale `shingled` is big on
+    both sides, which is fine: it's an equi-join on doc_id. Pass
+    ``max_shingle_permille=None`` for the unguarded (quadratic-per-hot-
+    shingle) exact candidate set.
     """
-    cand = _shingle_candidate_pairs(shingled, max_shingle_df, ordered=False)
+    cand = _shingle_candidate_pairs(
+        shingled, max_shingle_df, ordered=False,
+        max_shingle_permille=max_shingle_permille,
+    )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     # No rounding on jaccard: it is a small-denominator rational whose double
@@ -850,6 +883,7 @@ def containment_pairs(
     shingled: DataFrame,
     threshold: float,
     max_shingle_df: int | None = None,
+    max_shingle_permille: int | None = HOT_SHINGLE_PERMILLE,
 ) -> DataFrame:
     """Broder containment near-dup pairs: ORDERED (doc_a, doc_b) where
     ``|sh(a) ∩ sh(b)| / |sh(a)| >= threshold`` — doc_a is (mostly)
@@ -859,12 +893,16 @@ def containment_pairs(
     (Broder 1997, "On the resemblance and containment of documents").
 
     Same scale shape as :func:`ngram_jaccard_pairs`: inverted-index
-    equi-join on the shingle (with the optional hot-shingle df guard),
-    distinct candidates, exact set verify — never all-pairs. Both
-    directions of a pair are evaluated (containment is asymmetric);
-    docs with zero shingles match nothing (NULL containment).
+    equi-join on the shingle (with the default-ON corpus-relative
+    hot-shingle guard — :data:`HOT_SHINGLE_PERMILLE`), distinct
+    candidates, exact set verify — never all-pairs. Both directions of a
+    pair are evaluated (containment is asymmetric); docs with zero
+    shingles match nothing (NULL containment).
     """
-    cand = _shingle_candidate_pairs(shingled, max_shingle_df, ordered=True)
+    cand = _shingle_candidate_pairs(
+        shingled, max_shingle_df, ordered=True,
+        max_shingle_permille=max_shingle_permille,
+    )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     containment = F.try_divide(

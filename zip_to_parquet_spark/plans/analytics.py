@@ -50,9 +50,14 @@ from zip_to_parquet_spark.schema import load_table
       FROM t
     ),
     e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    hot AS (
+      SELECT shingle FROM e GROUP BY shingle
+      HAVING count(*) * 1000 > 10 * (SELECT count(*) FROM s)
+    ),
+    eg AS (SELECT e.* FROM e ANTI JOIN hot USING (shingle)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      FROM eg a JOIN eg b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
     )
     SELECT doc_a, doc_b,
            len(list_intersect(x.sh, y.sh))::DOUBLE / len(x.sh) AS containment
@@ -536,9 +541,14 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     ),
     e2 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    hot AS (
+      SELECT shingle FROM e2 GROUP BY shingle
+      HAVING count(*) * 1000 > 10 * (SELECT count(*) FROM s)
+    ),
+    eg AS (SELECT e2.* FROM e2 ANTI JOIN hot USING (shingle)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM e2 a JOIN e2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM eg a JOIN eg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
     pairs AS (
       SELECT doc_a, doc_b FROM cand

@@ -90,6 +90,31 @@ _DUCK_SHINGLES = """
     )
 """
 
+# Guarded inverted-index candidate pairs, mirroring
+# operators.dedupe._shingle_candidate_pairs with the default-ON
+# corpus-relative hot-shingle guard (HOT_SHINGLE_PERMILLE): shingles in
+# more than permille/1000 of docs are dropped BEFORE the quadratic
+# self-join; exact verification on the full shingle sets is unchanged.
+# Integer permille arithmetic — no float seam between engines.
+
+
+def _duck_cand_guarded(ordered: bool) -> str:
+    from zip_to_parquet_spark.operators.dedupe import HOT_SHINGLE_PERMILLE
+
+    pred = "a.doc_id <> b.doc_id" if ordered else "a.doc_id < b.doc_id"
+    return f"""
+    , e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    hot AS (
+      SELECT shingle FROM e GROUP BY shingle
+      HAVING count(*) * 1000 > {HOT_SHINGLE_PERMILLE} * (SELECT count(*) FROM s)
+    ),
+    eg AS (SELECT e.* FROM e ANTI JOIN hot USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM eg a JOIN eg b ON a.shingle = b.shingle AND {pred}
+    )
+"""
+
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -108,12 +133,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=_DUCK_SHINGLES
+    + _duck_cand_guarded(ordered=False)
     + """
-    , e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    )
     SELECT doc_a, doc_b,
            len(list_intersect(x.sh, y.sh))::DOUBLE
                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
@@ -123,8 +144,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-Jaccard pairs via inverted-index join — the exact
-    complement to the MinHash path; same output, no approximation."""
+    """Exact shingle-Jaccard pairs via inverted-index join with the
+    default-ON corpus-relative hot-shingle guard (candidates must share a
+    shingle rarer than HOT_SHINGLE_PERMILLE/1000 of docs; verification on
+    the full shingle sets stays exact). The oracle applies the identical
+    df filter, so parity is by construction at any bound."""
     sh = shingle_sets(_documents_spread(spark, sf_dir))
     return ngram_jaccard_pairs(sh, threshold=0.8)
 
@@ -1213,9 +1237,14 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     ),
     e2 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    hot AS (
+      SELECT shingle FROM e2 GROUP BY shingle
+      HAVING count(*) * 1000 > 10 * (SELECT count(*) FROM s)
+    ),
+    eg AS (SELECT e2.* FROM e2 ANTI JOIN hot USING (shingle)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM e2 a JOIN e2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM eg a JOIN eg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ),
     pairs AS (
       SELECT doc_a, doc_b FROM cand
