@@ -633,6 +633,44 @@ def test_span_dedup_invariants_random_corpus(spark):
         assert out[0]["clean_text"] == "" and out[100]["clean_text"] == ""
 
 
+def test_gemm_topk_unknown_metric_raises(spark):
+    """Unknown metric must raise, never silently score as cosine."""
+    import pytest as _pytest
+
+    from zip_to_parquet_spark.operators.vectors import gemm_topk_candidates
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, v array<double>"
+    )
+    with _pytest.raises(ValueError, match="metric must be cosine|ip"):
+        gemm_topk_candidates(corpus, [2], [[0.0, 1.0]], metric="l2")
+
+
+def test_pq_encode_accumulates_squared_l2_sequentially(spark):
+    """Locks the left-to-right per-dimension accumulation contract of
+    pq_encode_udf (the bit-parity seam with DuckDB's list_distance).
+
+    The fixture discriminates summation ORDER: centroid A's squared diffs
+    are [1e16, 1 x 32] — sequential accumulation absorbs every +1 into
+    1e16 (ulp = 2, round-half-even) giving exactly 1e16, while ANY
+    blocked/pairwise scheme (numpy .sum's 8-way unrolled pairwise path)
+    sums the ones first and lands ABOVE centroid B's exact 1e16 + 16.
+    Sequential → argmin = A (code 0); pairwise → argmin = B (code 1).
+    A refactor of the explicit dd-loop to numpy .sum flips this test."""
+    from zip_to_parquet_spark.operators.vectors import pq_encode_udf
+
+    cb = [[
+        [1e8] + [1.0] * 32,          # centroid A: diffs² = 1e16, then 32×1
+        [1e8, 4.0] + [0.0] * 31,     # centroid B: diffs² = 1e16, 16, 0…
+    ]]
+    df = spark.createDataFrame(
+        [(1, [0.0] * 33)], "vec_id long, v array<double>"
+    )
+    enc = pq_encode_udf(cb)
+    code = df.select(enc("v").alias("c")).collect()[0]["c"]
+    assert list(code) == [0]
+
+
 def test_pq_encode_decode_shapes(spark):
     """PQ codes are valid indices and decode reconstructs centroid rows of
     the right dimensionality; encode is deterministic across calls."""
@@ -1094,6 +1132,40 @@ def test_merge_upsert_semantics(spark):
     )
     with _pytest.raises(ValueError, match="absent from base"):
         merge_upsert(base, bad)
+
+
+def test_merge_upsert_contract_violations_fail_loudly(spark):
+    """A typo'd op ('Upsert', 'insert', NULL) must error, not silently act
+    as a delete; a duplicate change id must error, not fan out through the
+    full-outer join (the Delta/Iceberg MERGE 'multiple source rows
+    matched' contract)."""
+    import pytest as _pytest
+
+    from zip_to_parquet_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    typo = spark.createDataFrame(
+        [(2, "Upsert", "b2")], "doc_id long, op string, text string"
+    )
+    with _pytest.raises(Exception, match="contract violation"):
+        merge_upsert(base, typo).collect()
+    null_op = spark.createDataFrame(
+        [(2, None, "b2")], "doc_id long, op string, text string"
+    )
+    with _pytest.raises(Exception, match="contract violation"):
+        merge_upsert(base, null_op).collect()
+    dup = spark.createDataFrame(
+        [(2, "upsert", "x"), (2, "upsert", "y")],
+        "doc_id long, op string, text string",
+    )
+    with _pytest.raises(Exception, match="contract violation"):
+        merge_upsert(base, dup).collect()
+    # Opt-out keeps the documented permissive behavior for callers that
+    # pre-validate their feed.
+    out = merge_upsert(base, dup, enforce_contract=False).collect()
+    assert {r["text"] for r in out if r["doc_id"] == 2} <= {"x", "y"}
 
 
 def test_scd2_history_branches(spark):

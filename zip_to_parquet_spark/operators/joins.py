@@ -50,6 +50,7 @@ def merge_upsert(
     changes: DataFrame,
     id_col: str = "doc_id",
     op_col: str = "op",
+    enforce_contract: bool = True,
 ) -> DataFrame:
     """Warehouse MERGE INTO as a pure DataFrame plan: apply a change set
     (``op`` ∈ 'upsert' | 'delete') to a base snapshot — upserts insert or
@@ -62,12 +63,18 @@ def merge_upsert(
     but not in the change feed — a narrow feed refreshing a wide
     snapshot) pass through from base and are NULL for inserted ids.
 
-    Precondition: at most ONE change row per id — duplicate change ids
-    fan out through the full-outer join (the same contract Delta/Iceberg
-    MERGE enforces as "multiple source rows matched"). Callers
-    synthesizing insert ids must draw them from an id space disjoint
-    from base (e.g. a high bit, a composite key), not a fixed offset a
-    growing corpus can collide with.
+    Precondition: at most ONE change row per id, and every change row's
+    op must be exactly 'upsert' or 'delete'. With ``enforce_contract``
+    (default), violations fail the job loudly at execution time — the
+    same behavior as Delta/Iceberg MERGE's "multiple source rows
+    matched" error — via a per-row ``raise_error`` guard: a window count
+    over the change feed's id (the feed is the small side; its exchange
+    is on the join key anyway) catches duplicate ids, and an op-domain
+    check catches typo'd ops ('Upsert', 'insert', NULL) that would
+    otherwise silently act as deletes. Callers synthesizing insert ids
+    must draw them from an id space disjoint from base (e.g. a high bit,
+    a composite key), not a fixed offset a growing corpus can collide
+    with.
 
     ONE full-outer equi-join on the id — uniform key, sort-merge at TB
     scale; payload resolution is a map over the joined row. Bucket both
@@ -88,6 +95,31 @@ def merge_upsert(
         F.col(op_col).alias("__op"),
         *[F.col(cc).alias(f"__c_{cc}") for cc in payload],
     )
+    if enforce_contract:
+        from pyspark.sql import Window
+
+        n_for_id = F.count(F.lit(1)).over(Window.partitionBy("__id"))
+        violation = F.concat(
+            F.lit("merge_upsert contract violation for id "),
+            F.col("__id").cast("string"),
+            F.lit(": op="),
+            F.coalesce(F.col("__op"), F.lit("NULL")),
+            F.lit(" (must be upsert|delete), change rows for id="),
+            F.col("__n").cast("string"),
+            F.lit(" (must be 1)"),
+        )
+        c = (
+            c.withColumn("__n", n_for_id)
+            .withColumn(
+                "__op",
+                F.when(
+                    F.col("__op").isin("upsert", "delete")
+                    & (F.col("__n") == 1),
+                    F.col("__op"),
+                ).otherwise(F.raise_error(violation)),
+            )
+            .drop("__n")
+        )
     joined = b.join(c, "__id", "full_outer")
     keep = F.col("__op").isNull() | (F.col("__op") == "upsert")
     out_cols = []

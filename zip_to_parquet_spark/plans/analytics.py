@@ -331,13 +331,19 @@ def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     second columnar format losslessly (the oracle aggregates the original
     parquet). Exact DECIMAL sums cast to double at the end, per the q1
     convention. The ORC write is a distributed partitioned write to a
-    per-sf cache dir under /tmp."""
+    per-session scratch dir under /tmp — keyed by applicationId so two
+    concurrent sessions on the same sf never overwrite each other's
+    files mid-read-back (and each session overwrites only its own
+    leftovers on re-run)."""
     from zip_to_parquet_spark.sinks import write_orc
 
+    path = (
+        f"/tmp/z2ps_orc/{spark.sparkContext.applicationId}/"
+        + os.path.basename(os.path.normpath(sf_dir))
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
     )
-    path = "/tmp/z2ps_orc/" + os.path.basename(os.path.normpath(sf_dir))
     write_orc(li, path, mode="overwrite")
     back = spark.read.orc(path)
     dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
