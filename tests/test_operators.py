@@ -160,6 +160,50 @@ def test_minhash_and_jaccard_survive_empty_docs(spark):
     assert exact == {(1, 2)}
 
 
+def test_incremental_dedup_vs_snapshot_classification(spark):
+    """Exact recrawls hit the hash index (min-id canonical match), light
+    edits classify near_dup with the best prior match, fresh text and
+    sub-n-word docs classify novel."""
+    from zip_to_parquet_spark.operators.dedupe import (
+        incremental_dedup_vs_snapshot,
+        snapshot_dedup_index,
+    )
+
+    prior = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+            (3, "completely different prior content about spark engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog today"),  # exact
+            (102, "the quick brown fox jumps over the lazy dog today extra"),  # near
+            (103, "fresh unrelated words nothing shared with history corpus"),  # novel
+            (104, "hi"),  # < n words: no shingles → novel
+        ],
+        "doc_id long, text string",
+    )
+    hash_idx, band_idx = snapshot_dedup_index(prior)
+    out = {
+        r["doc_id"]: (r["status"], r["matched_prior_id"], r["jaccard"])
+        for r in incremental_dedup_vs_snapshot(
+            new, hash_idx, band_idx, prior, threshold=0.8
+        ).collect()
+    }
+    assert out[101] == ("exact_dup", 1, None)  # min prior id wins
+    status, match, j = out[102]
+    # 10-word base → 8 trigrams; +1 word adds 1 → j = 8/9; doc 1 ties doc
+    # 2 on jaccard, min prior id breaks the tie.
+    assert (status, match) == ("near_dup", 1)
+    assert math.isclose(j, 8 / 9)
+    assert out[103] == ("novel", None, None)
+    assert out[104] == ("novel", None, None)
+    assert len(out) == 4
+
+
 def test_hot_shingle_permille_guard_drops_stop_shingle_pairs(spark):
     """Corpus-relative guard semantics: a pair whose ONLY shared shingle
     exceeds the permille df bound disappears from the candidate set, while

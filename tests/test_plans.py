@@ -320,6 +320,18 @@ def test_containment_join_is_equi_only(spark):
     assert len(bnlj) <= 2
 
 
+def test_incremental_dedup_band_join_only(spark):
+    # VERDICT r4 ask #4: the nightly incremental path must classify new
+    # docs via hash/band/id equi-joins against the persisted snapshot
+    # index — no all-pairs step anywhere in the plan.
+    plan = plan_of(spark, "dedup_incremental_vs_snapshot")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # The frozen index is read back from parquet, not recomputed inline:
+    # the scan list must include both persisted index paths.
+    assert "hash_idx" in plan and "band_idx" in plan
+
+
 def test_exact_verify_dedup_hot_shingle_guard_on_by_default(spark):
     # VERDICT r4 ask #2: the corpus-relative hot-shingle df guard must be
     # ACTIVE in the registered exact-verify dedup keys — the physical plan

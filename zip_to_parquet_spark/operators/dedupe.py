@@ -40,6 +40,8 @@ __all__ = [
     "containment_pairs",
     "word_edit_pairs",
     "word_prefix_encoding",
+    "snapshot_dedup_index",
+    "incremental_dedup_vs_snapshot",
 ]
 
 # Fixed MinHash parameters: k independent (a·h + b) mod P hashes.
@@ -915,3 +917,160 @@ def containment_pairs(
         .select("doc_a", "doc_b", containment.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def snapshot_dedup_index(
+    docs: DataFrame,
+    k: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the frozen-corpus dedup index a recurring-crawl pipeline
+    persists once per snapshot: ``(hash_idx, band_idx)``.
+
+    * ``hash_idx``  — (text_sha, prior_id): one row per distinct content
+      hash, prior_id = min doc id holding it. Exact-dup probe target.
+    * ``band_idx``  — (prior_id, band_idx, band_hash): LSH band hashes of
+      every prior doc with ≥ n words (same hash family / band encoding as
+      :func:`minhash_lsh_pairs_docs`, so recall math is unchanged).
+
+    Both are tiny relative to the corpus (no text, no shingles) and are
+    meant to be WRITTEN to storage at snapshot time, then read back by
+    each incremental batch — the nightly batch never rescans prior text
+    except for the candidate-scoped verify join.
+    """
+    hash_idx = (
+        docs.select(
+            F.col(id_col).alias("prior_id"),
+            F.sha2(F.col(text_col).cast("binary"), 256).alias("text_sha"),
+        )
+        .groupBy("text_sha")
+        .agg(F.min("prior_id").alias("prior_id"))
+    )
+    sig = minhash_band_hashes_from_text_udf(k=k, bands=bands, seed=seed, n=n)
+    band_idx = (
+        docs.select(
+            F.col(id_col).alias("prior_id"), F.col(text_col).alias("text")
+        )
+        .filter(F.size(words(F.col("text"))) >= n)
+        .select("prior_id", F.posexplode(sig("text")))
+        .select(
+            "prior_id",
+            F.col("pos").alias("band_idx"),
+            F.col("col").alias("band_hash"),
+        )
+    )
+    return hash_idx, band_idx
+
+
+def incremental_dedup_vs_snapshot(
+    new_docs: DataFrame,
+    hash_idx: DataFrame,
+    band_idx: DataFrame,
+    prior_docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classify an incoming batch against a FROZEN prior-corpus snapshot —
+    the operator a recurring-crawl training-data pipeline runs nightly.
+
+    Per new doc, one row (doc_id, status, matched_prior_id, jaccard):
+
+    * ``exact_dup`` — sha256(text) hits ``hash_idx``; matched_prior_id =
+      the index's canonical (min) prior id, jaccard NULL (not computed —
+      identity needs no similarity score).
+    * ``near_dup``  — survives the exact probe, shares an LSH band bucket
+      with a prior doc, and exact shingle-Jaccard ≥ threshold; matched =
+      the best prior doc (max jaccard, min prior_id tie-break).
+    * ``novel``     — everything else (including docs with < n words,
+      which have no shingles and can't near-match).
+
+    Scale shape: the exact probe is an equi-join on the 256-bit hash
+    (uniform key); candidates come from an equi-join of the NEW batch's
+    band hashes against the persisted band index — new-batch-sized, never
+    corpus × corpus; exact verify materializes shingles ONLY for docs on
+    candidate pairs (both sides id-equi-joins). No all-pairs step
+    anywhere, and prior text is touched only for candidate prior ids.
+    """
+    new_hashed = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.sha2(F.col(text_col).cast("binary"), 256).alias("text_sha"),
+    )
+    exact = new_hashed.join(hash_idx, "text_sha").select(
+        "doc_id",
+        F.lit("exact_dup").alias("status"),
+        F.col("prior_id").alias("matched_prior_id"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    surv = new_hashed.join(hash_idx, "text_sha", "left_anti")
+
+    sig = minhash_band_hashes_from_text_udf(k=k, bands=bands, seed=seed, n=n)
+    new_bands = (
+        surv.filter(F.size(words(F.col("text"))) >= n)
+        .select("doc_id", F.posexplode(sig("text")))
+        .select(
+            "doc_id",
+            F.col("pos").alias("band_idx"),
+            F.col("col").alias("band_hash"),
+        )
+    )
+    cand = (
+        new_bands.join(band_idx, ["band_idx", "band_hash"])
+        .select("doc_id", "prior_id")
+        .distinct()
+    )
+    sh_new = shingle_sets(
+        surv.join(cand.select("doc_id").distinct(), "doc_id"), n=n
+    ).select("doc_id", F.col("sh").alias("sh_new"))
+    sh_prior = shingle_sets(
+        prior_docs.select(
+            F.col(id_col).alias("prior_id"), F.col(text_col).alias("text")
+        ).join(cand.select("prior_id").distinct(), "prior_id"),
+        n=n,
+        id_col="prior_id",
+    ).select(F.col("doc_id").alias("prior_id"), F.col("sh").alias("sh_prior"))
+    verified = (
+        cand.join(sh_new, "doc_id")
+        .join(sh_prior, "prior_id")
+        .select(
+            "doc_id",
+            "prior_id",
+            _jaccard(F.col("sh_new"), F.col("sh_prior")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    near = (
+        verified.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard"), (-F.col("prior_id")).alias("neg_id")
+                )
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            F.lit("near_dup").alias("status"),
+            (-F.col("b.neg_id")).alias("matched_prior_id"),
+            F.col("b.jaccard").alias("jaccard"),
+        )
+    )
+    novel = (
+        surv.join(near.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit("novel").alias("status"),
+            F.lit(None).cast("long").alias("matched_prior_id"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+    )
+    return exact.unionByName(near).unionByName(novel)
