@@ -23,99 +23,86 @@ from zip_to_parquet_spark.plans import analytics  # noqa: E402,F401
 
 # The driver's per-round correctness sweep covers the FIRST 50 registry keys.
 # Window policy (per VERDICT r2, AUTOMATED since round 4 by
-# tests/test_window_policy.py): any key whose implementing code changed
+# tests/test_window_policy.py; `python scripts/window_pin.py` prints the
+# changed set and a suggested pin): any key whose implementing code changed
 # since its last green driver row must be inside the window; when more keys
 # changed than the window holds, every slot must at least be spent on a
-# changed key. Round-4 window, in order:
-# (a) the 7 keys VERDICT r3 flagged as changed-in-r3-but-rotated-out
-#     (streams.py ts dual-encoding + state-store sizing; schema.py ts
-#     normalization feeding the temporal joins) — the round-3 policy
-#     violation, fixed first;
-# (b) keys new or directly changed in round 4: ann_ivfpq_topk (new IVF-PQ
-#     composition), the span-dedup hashed shuffle key, the size-aware
-#     surprisal join, the PQ sequential-sum encode + gemm validation
-#     (ann_pq/ann_cosine — the ann keys whose r4 code edits touch their
-#     path; ann_ivf_topk / ann_ivf_trained / ann_lsh_topk were later
-#     rotated OUT to make room for never-verified keys: their
-#     implementing functions are untouched by the r4 vectors.py edits
-#     and they hold r3-green driver rows), the MP4 size-variant box
-#     walker (multimodal_mp4_meta; multimodal_decode_features rotated
-#     out on the same reasoning), the UTC session pin in
-#     schema.load_table (events_sessionize), and the jumbo-archive
-#     splitting in zipsource (zip_*);
-# (c) the rest of the round-4-touched files' keys (dedupe.py / pipeline.py
-#     / vectors.py file-level closure), thinned over the round as (d)
-#     grew — each key dropped had a driver-green row (r2/r3) and an
-#     implementing function untouched by the r4 edits to its module;
-# (d) operators NEW in round 4 (never driver-checked) — never-verified
-#     keys outrank changed-but-previously-green ones for window slots;
-#     displaced keys stay pytest-oracle-verified at sf0.001 (every test
-#     run) and the FULL registry was additionally parity-swept at
-#     sf0.01 by the same compare at round end.
-# Rotated out: the r2-decimal-swept relational block and r1-stale
-# relational keys re-greened by the round-3 driver row, whose files are
-# untouched since (still value-verified at sf0.001 by
-# tests/test_oracle_parity.py on every test run).
+# changed key. Round-5 situation: the r4 driver verified 50 keys, leaving
+# 71 whose last green row predates the r4 file churn, and the round-5
+# edits (dedupe/llm/analytics/joins) flipped most r4-green keys back to
+# changed — so every slot goes to a changed key, ordered:
+# (a) the operator NEW in round 5 (never driver-checked);
+# (b) stale keys oldest-green-round first (r1 → r2 → r3) — the rows most
+#     likely to have rotted; the exact order scripts/window_pin.py
+#     suggests, minus the five r3 slots given to (c);
+# (c) the five r4-green keys whose behavior round 5 DIRECTLY touched:
+#     the hot-shingle-guard default (dedup_containment,
+#     dedup_cluster_keep_best), the MERGE contract guard
+#     (corpus_merge_upsert), the ORC scratch isolation
+#     (format_orc_roundtrip), and the joins.py closure (dim_scd2_history)
+#     — a behavior edit outranks closure drift for a driver row.
+# Rotated out (all still value-verified at sf0.001 by
+# tests/test_oracle_parity.py on every test run, plus the round-end
+# sf0.01 full-registry sweep): the r4-window zip_*/stream_*/temporal
+# block (r4-green, functions untouched), the remaining r3 window/agg
+# tail, and r4-closure-drift keys whose implementing functions round 5
+# never edited.
 set_priority([
-    # (a) changed in round 3 without a driver row — VERDICT r3 ask #1
-    "stream_tumbling_window",
-    "stream_hopping_window",  # new in round 4
-    "stream_sessionize",
-    "stream_stateful_totals",
-    "stream_stream_join",
-    "stream_dedup_keys",
-    "join_asof_last_click",
-    "join_range_within_5min",
-    # (b) new or directly changed in round 4
-    "ann_ivfpq_topk",  # new in round 4 (faiss-IVFPQ composition)
-    "events_sessionize",
-    "dedup_exact_spans",
-    "lm_surprisal_scores",
-    "multimodal_mp4_meta",
-    "ann_pq_topk",
-    "ann_cosine_topk",
-    "dedup_semantic",
-    "zip_explode_hash",
-    "zip_glob_members",
-    "zip_count_members",
-    "zip_union_sources",
-    "zip_null_projection",
-    "zip_csv_members",
-    "zip_jsonl_members",
-    # (c) same-file closure of the round-4 edits
-    "dedup_minhash_lsh",
-    "pipeline_prep_recipe",
-    # (d) new in round 4 — never driver-checked (never-verified keys
-    # outrank changed-but-previously-green ones for window slots; the
-    # displaced (c) keys — pack/split/gopher/repetition/decontam and the
-    # three multimodal stills — stay pytest-oracle-verified at sf0.001
-    # every test run, and their implementing functions are untouched by
-    # the round-4 edits to their modules)
-    "lm_bigram_surprisal",
-    "topic_lexicon_classify",
-    "graph_pagerank_nations",
-    "dedup_exact_spans_keep_first",
-    "corpus_snapshot_delta",
+    # (a) new in round 5 — never driver-checked
+    "dedup_incremental_vs_snapshot",
+    # (b) stale, last green r1
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "scalar_string_date",
+    "agg_collect_sorted",
+    "scalar_string_date_extra",
+    "agg_approx_percentile",
+    "unpivot_part_measures",
+    # (b) stale, last green r2
+    "q1_pricing_summary",
+    "glob_filter_names",
+    "join_multiway_q5",
+    "sha256_documents",
+    "events_tumbling_window",
+    "agg_salted_skew",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_stats",
+    "text_quality_score",
+    "lang_id_heuristic",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_meta",
+    "doc_winnow_fingerprints",
+    "multimodal_frame_sample",
+    "dedup_clusters",
+    "text_chunk_windows",
+    "pack_sequences",
+    "dataset_split",
+    "quality_gopher_rules",
+    "repetition_ratios",
+    "multimodal_wav_roundtrip",
+    "multimodal_png_roundtrip",
+    "decontam_ngram_overlap",
+    "pii_redact_counts",
+    "multimodal_png_resize",
+    # (b) stale, last green r3
+    "filter_pushdown_project",
+    "join_broadcast_dim",
+    "join_shuffle_facts",
+    "join_semi",
+    "join_anti",
+    "agg_rollup",
+    "agg_cube",
+    "agg_count_distinct",
+    # (c) r4-green keys whose behavior round 5 directly changed
     "dedup_containment",
-    "tfidf_topk_terms",
-    "events_funnel",
-    "events_retention_cohort",
-    "dedup_edit_distance",
-    "curriculum_quantile_order",
-    "graph_triangle_count",
-    "format_orc_roundtrip",
-    "corpus_merge_upsert",
-    "dim_scd2_history",
-    "events_rolling_active_users",
     "dedup_cluster_keep_best",
-    "mixture_rates_for_budget",
-    "events_interval_islands",
-    "window_time_range_sum",
-    "events_funnel_partitioned",
-    "zip_federated_join",
-    "scalar_array_battery",
-    "events_timeseries_gapfill",
-    "events_minmax_scaled",
+    "corpus_merge_upsert",
+    "format_orc_roundtrip",
+    "dim_scd2_history",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]
