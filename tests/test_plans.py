@@ -449,3 +449,13 @@ def test_federated_join_single_shuffle(spark):
     plan = plan_of(spark, "zip_federated_join")
     assert "CartesianProduct" not in plan
     assert n_shuffles(plan) <= 2
+
+
+def test_zip_incremental_ingest_equi_join_scoped_extract(spark):
+    # Metadata probe joins the manifest with ONE equi-join; the only
+    # Python fan-out is the per-archive scoped extraction group
+    # (FlatMapGroupsInPandas). No all-pairs anywhere.
+    plan = plan_of(spark, "zip_incremental_ingest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan

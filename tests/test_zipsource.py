@@ -662,3 +662,48 @@ def test_small_archive_never_splits(spark, tmp_path):
     rdr = ZipMembersReader({"paths": json.dumps([zp])})
     parts = rdr.partitions()
     assert len(parts) == 1 and parts[0].start == 0 and parts[0].end is None
+
+
+def test_central_directory_scan_no_decompression(spark, tmp_path):
+    """read_zip_central_directory reports (name, crc32, sizes) straight
+    from the central directory — values must match zipfile's metadata and
+    zlib.crc32 of the original bytes, for every member, without a body or
+    hash column in sight."""
+    import zlib
+
+    from zip_to_parquet_spark.sources.zipsource import (
+        read_zip_central_directory,
+    )
+
+    members = [(f"m{i}.txt", f"payload {i} {'x' * i}".encode()) for i in range(5)]
+    p = make_zip(tmp_path / "cd.zip", members)
+    rows = {
+        r["name"]: r
+        for r in read_zip_central_directory(spark, p).collect()
+    }
+    assert set(rows) == {n for n, _ in members}
+    for name, data in members:
+        r = rows[name]
+        assert r["crc32"] == zlib.crc32(data)
+        assert r["size"] == len(data)
+        assert r["csize"] > 0
+        assert r["source"].endswith("cd.zip")
+
+
+def test_extract_member_hashes_scoped(spark, tmp_path):
+    """Only the requested (source, name) members are extracted; hashes are
+    standard sha256 hex of the decompressed bytes."""
+    from zip_to_parquet_spark.sources.zipsource import extract_member_hashes
+
+    members = [(f"m{i}.txt", f"data-{i}".encode()) for i in range(4)]
+    p = make_zip(tmp_path / "ex.zip", members)
+    want = spark.createDataFrame(
+        [(p, "m1.txt"), (p, "m3.txt")], "source string, name string"
+    )
+    got = {
+        r["name"]: r["hash"] for r in extract_member_hashes(want).collect()
+    }
+    assert got == {
+        "m1.txt": hashlib.sha256(b"data-1").hexdigest(),
+        "m3.txt": hashlib.sha256(b"data-3").hexdigest(),
+    }

@@ -50,6 +50,7 @@ from zip_to_parquet_spark.plans import analytics  # noqa: E402,F401
 set_priority([
     # (a) new in round 5 — never driver-checked
     "dedup_incremental_vs_snapshot",
+    "zip_incremental_ingest",
     # (b) stale, last green r1
     "set_union_all",
     "set_intersect",
@@ -96,7 +97,6 @@ set_priority([
     "join_anti",
     "agg_rollup",
     "agg_cube",
-    "agg_count_distinct",
     # (c) r4-green keys whose behavior round 5 directly changed
     "dedup_containment",
     "dedup_cluster_keep_best",

@@ -262,3 +262,83 @@ def zip_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_hash_match"),
         )
     )
+
+
+# Incremental ingest: central-directory CRC probe against the previous
+# run's persisted manifest — only new/changed members are decompressed.
+# The oracle derives ground truth from the modeled construction (docs
+# id%9==2 are new since the last run; id%9==5 changed content), an
+# independent path to the same (name, status, hash) rows the engine
+# reaches via crc comparison + scoped extraction.
+@query(
+    "zip_incremental_ingest",
+    oracle="""
+    SELECT printf('doc_%06d.txt', doc_id) AS name,
+           CASE WHEN doc_id % 9 = 2 THEN 'new' ELSE 'changed' END AS status,
+           sha256(text) AS hash
+    FROM documents
+    WHERE doc_id % 9 IN (2, 5)
+    """,
+)
+def zip_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly re-ingest over an archive corpus, incremental edition:
+
+    1. manifest of the PREVIOUS run — (name, crc32) — persisted to
+       parquet and read back (frozen state, same discipline as
+       dedup_incremental_vs_snapshot). Modeled here: the prior run had
+       every member except docs id%9==2 (arrived since), and docs
+       id%9==5 carried different bytes then (stale crc).
+    2. read_zip_central_directory: metadata-only scan, zero
+       decompression — (name, source, crc32) per member.
+    3. classify via ONE left equi-join on name: no manifest row → 'new';
+       crc mismatch → 'changed'; equal crc → skip (never decompressed —
+       at 100 TB the skip branch is ~all of the corpus).
+    4. extract_member_hashes: decompress + sha256 ONLY the churn,
+       one archive open per task with central-directory seeks.
+
+    Cost: O(members) metadata + O(churn bytes) decompression, vs the
+    reference's every-run full re-read (builder.rs:24-41)."""
+    import os
+
+    from zip_to_parquet_spark.sources.zipsource import (
+        extract_member_hashes,
+        read_zip_central_directory,
+    )
+
+    d = _zip_fixture_dir(sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    prior_text = F.when(
+        F.col("doc_id") % 9 == 5, F.concat(F.col("text"), F.lit("-stale"))
+    ).otherwise(F.col("text"))
+    manifest = docs.filter(F.col("doc_id") % 9 != 2).select(
+        F.format_string("doc_%06d.txt", "doc_id").alias("name"),
+        F.crc32(F.encode(prior_text, "utf-8")).alias("prior_crc"),
+    )
+    base = (
+        f"/tmp/z2ps_manifest/{spark.sparkContext.applicationId}/"
+        + os.path.basename(os.path.normpath(sf_dir))
+    )
+    manifest.write.parquet(base, mode="overwrite")
+    man = spark.read.parquet(base)
+
+    cd = read_zip_central_directory(spark, f"{d}/part*.zip")
+    classified = (
+        cd.join(man, "name", "left")
+        .filter(
+            F.col("prior_crc").isNull()
+            | (F.col("prior_crc") != F.col("crc32"))
+        )
+        .select(
+            "source",
+            "name",
+            F.when(F.col("prior_crc").isNull(), F.lit("new"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )
+    hashed = extract_member_hashes(classified)
+    return hashed.join(classified, ["source", "name"]).select(
+        "name", "status", "hash"
+    )

@@ -644,3 +644,90 @@ def count_members(
     body/hash projection pushed down."""
     df = read_zip_members(spark, patterns, member_glob, body=False, source=False, sha=False)
     return df.count()
+
+
+def read_zip_central_directory(
+    spark: SparkSession,
+    patterns: list[str] | str,
+) -> DataFrame:
+    """Metadata-only archive scan: one row per member straight from each
+    zip's CENTRAL DIRECTORY — (name, source, crc32, size, csize) — with
+    zero decompression (the directory stores CRC-32 and both sizes for
+    every member; ~50 bytes of metadata per member vs the full compressed
+    stream).
+
+    This is the probe an INCREMENTAL ingest runs first: compare
+    (name, crc32, size) against the previous run's manifest and only the
+    new/changed members ever get decompressed (see
+    :func:`extract_member_hashes`) — at 100 TB the nightly cost becomes
+    O(members) metadata + O(churn) decompression instead of O(corpus).
+    Extension beyond the reference surface (the reference re-reads every
+    member every run, builder.rs:24-41); schema is additive — the
+    reference's 4-column member schema (SURVEY §1) is untouched.
+
+    Distribution: archives hash-partition by path; per-task work is one
+    central-directory read per archive (no member-range splitting — the
+    directory of even a 65k-member archive is a few MB of metadata).
+    """
+    paths = _expand_patterns(patterns)
+    pdf = spark.createDataFrame([(p,) for p in paths], "source string")
+
+    def scan(batches):
+        import pandas as _pd
+
+        for b in batches:
+            names, sources, crcs, sizes, csizes = [], [], [], [], []
+            for path in b["source"]:
+                with zipfile.ZipFile(path) as zf:
+                    for info in zf.infolist():
+                        names.append(info.filename)
+                        sources.append(path)
+                        crcs.append(info.CRC)
+                        sizes.append(info.file_size)
+                        csizes.append(info.compress_size)
+            yield _pd.DataFrame(
+                {
+                    "name": names,
+                    "source": sources,
+                    "crc32": _pd.array(crcs, dtype="int64"),
+                    "size": _pd.array(sizes, dtype="int64"),
+                    "csize": _pd.array(csizes, dtype="int64"),
+                }
+            )
+
+    return pdf.repartition("source").mapInPandas(
+        scan, schema="name string, source string, crc32 long, size long, csize long"
+    )
+
+
+def extract_member_hashes(to_extract: DataFrame) -> DataFrame:
+    """Scoped extraction: decompress and sha256 ONLY the (source, name)
+    members listed in ``to_extract`` — the second half of an incremental
+    ingest (the first half, :func:`read_zip_central_directory`, decides
+    WHICH members changed without touching member bytes).
+
+    One applyInPandas group per archive: each task opens its archive once
+    and random-accesses just the named members (zipfile seeks straight to
+    each member's local header via the central directory — untouched
+    members are never read). Output (name, source, hash) uses the same
+    standard sha256 hex as ``read_zip_members``. Cost is O(churn bytes),
+    independent of corpus size; the groupBy key is the archive path, so
+    skew equals per-archive churn (bounded by archive size).
+    """
+    import pandas as _pd
+
+    def ex(key, pdf):
+        path = key[0]
+        hashes = []
+        with zipfile.ZipFile(path) as zf:
+            for nm in pdf["name"]:
+                hashes.append(hashlib.sha256(zf.read(nm)).hexdigest())
+        return _pd.DataFrame(
+            {"name": pdf["name"], "source": path, "hash": hashes}
+        )
+
+    return (
+        to_extract.select("source", "name")
+        .groupBy("source")
+        .applyInPandas(ex, schema="name string, source string, hash string")
+    )
