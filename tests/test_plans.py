@@ -459,3 +459,12 @@ def test_zip_incremental_ingest_equi_join_scoped_extract(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_ann_recall_eval_no_cross_join(spark):
+    # Recall eval composes the two locked ANN plans with ONE extra
+    # (q_id, n_id) equi-join — the composition must not reintroduce an
+    # all-pairs join anywhere.
+    plan = plan_of(spark, "ann_recall_eval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -51,6 +51,7 @@ set_priority([
     # (a) new in round 5 — never driver-checked
     "dedup_incremental_vs_snapshot",
     "zip_incremental_ingest",
+    "ann_recall_eval",
     # (b) stale, last green r1
     "set_union_all",
     "set_intersect",
@@ -96,7 +97,6 @@ set_priority([
     "join_semi",
     "join_anti",
     "agg_rollup",
-    "agg_cube",
     # (c) r4-green keys whose behavior round 5 directly changed
     "dedup_containment",
     "dedup_cluster_keep_best",

@@ -874,6 +874,98 @@ def _ivf_topk(
     )
 
 
+@query(
+    "ann_recall_eval",
+    oracle="""
+    WITH qset AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0
+      ORDER BY vec_id LIMIT 512
+    ),
+    truth AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                     q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                 c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN (SELECT vec_id FROM qset)
+      ) WHERE rank <= 5
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 4096
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                 c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT q_id, cent_id FROM (
+        SELECT q.vec_id AS q_id, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                 c.cent_id) AS r
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id IN (SELECT vec_id FROM qset)
+      ) WHERE r <= 2
+    ),
+    approx AS (
+      SELECT q_id, n_id FROM (
+        SELECT p.q_id, a.vec_id AS n_id,
+               row_number() OVER (PARTITION BY p.q_id ORDER BY
+                 round(list_cosine_similarity(
+                     q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 6) DESC,
+                 a.vec_id) AS rank
+        FROM probes p
+        JOIN assign a ON a.cent_id = p.cent_id
+        JOIN embeddings q ON q.vec_id = p.q_id
+        JOIN embeddings n ON n.vec_id = a.vec_id
+        WHERE a.vec_id <> p.q_id
+      ) WHERE rank <= 5
+    )
+    SELECT t.q_id, count(a.n_id)::BIGINT AS n_hits,
+           count(a.n_id)::DOUBLE / 5 AS recall_at_5
+    FROM truth t
+    LEFT JOIN approx a ON a.q_id = t.q_id AND a.n_id = t.n_id
+    GROUP BY t.q_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: per-query recall@5 of the IVF index
+    against brute-force ground truth, computed IN-PLAN — the validation
+    a pipeline runs on a sample before trusting an ANN index at corpus
+    scale (FAISS's index benchmarking loop, expressed relationally).
+
+    Both sides reuse the registered paths unchanged (gemm partial-top-k
+    brute force; sampled-codebook IVF with nprobe=2) over the SAME
+    bounded query set; recall is one (q_id, n_id) equi-join + per-query
+    count. At 100 TB the ground-truth side runs on a sampled query batch
+    (bounded by the same ORDER BY + LIMIT contract), so eval cost is
+    O(sample × corpus) GEMM — the standard price of ground truth, paid
+    once per index build, never per query."""
+    truth = ann_cosine_topk(spark, sf_dir).select("q_id", "n_id")
+    approx = (
+        ann_ivf_topk(spark, sf_dir)
+        .select(F.col("q_id").alias("a_q_id"), F.col("n_id").alias("a_n_id"))
+    )
+    hit = truth.join(
+        approx,
+        (F.col("q_id") == F.col("a_q_id")) & (F.col("n_id") == F.col("a_n_id")),
+        "left",
+    )
+    return hit.groupBy("q_id").agg(
+        F.count("a_n_id").cast("bigint").alias("n_hits"),
+        (F.count("a_n_id").cast("double") / F.lit(5)).alias("recall_at_5"),
+    )
+
+
 def _replayed_ivf_cents_values() -> str:
     """Replay the deterministic k=32 IVF codebook training in pure Python
     from the raw parquet (same crc32 sample filter, same
