@@ -1399,3 +1399,81 @@ def test_funnel_partitioned_equals_direct(spark):
         ).collect()
     }
     assert parted == direct
+
+
+# ---------------------------------------------------------------------------
+# Integer k-means (cluster_kmeans_embeddings)
+# ---------------------------------------------------------------------------
+def _kmeans_replica(vecs, k, iters, scale=1_000_000, offset=4_000_000):
+    """Pure-Python replay of operators.vectors.kmeans_integer — same
+    quantization, argmin tie-break, floor-division update, empty-cluster
+    fallback. Keep in lockstep with the operator AND the learn.py oracle."""
+    xm = [
+        [int(math.floor(float(v) * scale)) + offset for v in vec]
+        for vec in vecs
+    ]
+    cent = [list(xm[j]) for j in range(k)]  # ids 0..k-1 are the smallest
+
+    def assign(cent):
+        out = []
+        for x in xm:
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(x, c)), j)
+                for j, c in enumerate(cent)
+            )
+            out.append((best[1], best[0]))
+        return out
+
+    for _ in range(iters):
+        a = assign(cent)
+        for j in range(k):
+            members = [xm[i] for i, (cl, _) in enumerate(a) if cl == j]
+            if members:
+                cent[j] = [
+                    sum(col) // len(members) for col in zip(*members)
+                ]
+    return assign(cent)
+
+
+def test_kmeans_integer_matches_pure_python_replica(spark):
+    from zip_to_parquet_spark.operators.vectors import kmeans_integer
+
+    # Two well-separated groups + stragglers; exactly-representable floats
+    # so float32 round-trip is lossless in the replica.
+    vecs = [
+        [0.0, 0.5], [0.25, 0.5], [10.0, -2.5], [10.5, -2.0],
+        [0.125, 0.75], [9.75, -2.25], [0.5, 0.25], [10.25, -2.75],
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in kmeans_integer(df, k=2, iters=2).collect()
+    }
+    want = dict(enumerate(_kmeans_replica(vecs, k=2, iters=2)))
+    assert got == want
+    # The two planted groups must separate.
+    assert len({got[i][0] for i in (0, 1, 4, 6)}) == 1
+    assert len({got[i][0] for i in (2, 3, 5, 7)}) == 1
+    assert got[0][0] != got[2][0]
+
+
+def test_kmeans_integer_empty_cluster_keeps_previous_centroid(spark):
+    from zip_to_parquet_spark.operators.vectors import kmeans_integer
+
+    # Duplicate init vectors: in iteration 1 every point ties to cluster 0
+    # (smallest-id tie-break), so cluster 1 receives no members — the
+    # fallback must keep its previous centroid (to which the duplicate
+    # points then return, since cluster 0's mean drifted toward the
+    # outlier). The replica models exactly that trajectory.
+    vecs = [[0.0], [0.0], [5.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = kmeans_integer(df, k=2, iters=2).collect()
+    got = {r.vec_id: (r.cluster, r.dist2) for r in rows}
+    assert got == dict(enumerate(_kmeans_replica(vecs, k=2, iters=2)))
+    assert all(r.dist2 is not None for r in rows)

@@ -468,3 +468,15 @@ def test_ann_recall_eval_no_cross_join(spark):
     plan = plan_of(spark, "ann_recall_eval")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_broadcasts_centroids_no_cartesian(spark):
+    # The n×k scoring pass must ride a BROADCAST of the k-row centroid
+    # table (BroadcastNestedLoopJoin over 8 rows is the intended shape);
+    # a non-broadcast CartesianProduct here is the O(n·k) shuffle bomb.
+    plan = plan_of(spark, "cluster_kmeans_embeddings")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # Assignment argmin is a real aggregate (map-side combinable), not a
+    # global window sort over the corpus.
+    assert re.search(r"partial_min", plan) or "HashAggregate" in plan

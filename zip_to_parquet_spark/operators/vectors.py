@@ -21,6 +21,7 @@ __all__ = [
     "cosine_lsh_pairs",
     "train_ivf_codebook",
     "gemm_topk_candidates",
+    "kmeans_integer",
     "lloyds_codebook_l2",
     "train_pq_codebooks",
     "ivfpq_train_arrays",
@@ -619,4 +620,124 @@ def gemm_topk_candidates(
 
     return corpus.select(id_col, vec_col).mapInPandas(
         score, schema="q_id long, n_id long, cos_sim_raw double"
+    )
+
+
+def kmeans_integer(
+    emb,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    offset: int = 4_000_000,
+):
+    """Distributed Lloyd's k-means in exact INTEGER micro-units →
+    ``(vec_id, cluster, dist2)``.
+
+    The corpus-scale embedding-clustering primitive (the step SemDeDup /
+    topic-stratified mixture planning run first; Abbas et al. 2023 §3).
+    Unlike :func:`lloyds_codebook_l2` — which trains on a bounded
+    driver-side SAMPLE for codebooks — this clusters EVERY row, fully
+    distributed, the MLlib-KMeans execution shape: broadcast the k
+    centroids, assign map-side, re-estimate with one (cluster, dim)
+    aggregate per iteration.
+
+    Why integer: float centroid means are addition-order-dependent, so a
+    distributed float k-means never reproduces bit-for-bit across
+    partitionings or engines. Here coordinates are quantized ONCE to
+    micro-units (``floor(x·1e6) + offset``; the offset keeps every value
+    positive so integer division is floor division in Spark, DuckDB, and
+    Python alike — they disagree on negatives), distances are exact
+    integer sums (translation-invariant, so the offset cancels), and the
+    centroid update is ``sum div count`` — an exact fixed point any
+    engine replays. Ties (equal dist2) break to the smallest cluster id
+    via lexicographic struct-min.
+
+    Init: the k smallest ids' vectors (deterministic, replayable in SQL).
+    Empty clusters keep their previous centroid.
+
+    Scale shape: per iteration ONE broadcast of k·dim longs, one narrow
+    n×k scoring pass (codegen'd ``zip_with``/``aggregate``, no Python),
+    one groupBy(vec_id) argmin (map-side combinable min-struct), and one
+    groupBy(cluster, dim) sum over the posexploded n·dim rows (map-side
+    partial sums make the shuffle k·dim·n_partitions, not n·dim).
+    ``localCheckpoint`` truncates the per-iteration lineage — the same
+    iterative idiom as ``pagerank_integer``. No unbounded collect: the
+    only driver materialization is the k-row centroid table Spark
+    broadcasts.
+
+    Reference: no clustering surface exists in the 597-line zip CLI
+    (SURVEY §0); north-star LLM-pipeline extension.
+    """
+    x = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, e -> cast(floor(cast(e as double)"
+            f" * {scale}) as bigint) + {offset}L)"
+        ).alias("xm"),
+    ).localCheckpoint(eager=False)
+
+    from pyspark.sql.window import Window
+
+    # k rows only after the limit — the single-partition window is a
+    # constant-size frame, not a corpus sort (partitionBy(lit) silences
+    # Spark's no-partition warning without changing the plan's size).
+    cent = (
+        x.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (
+                F.row_number().over(
+                    Window.partitionBy(F.lit(0)).orderBy("vec_id")
+                )
+                - 1
+            ).alias("cl"),
+            F.col("xm").alias("cm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    d2 = F.expr(
+        "aggregate(zip_with(xm, cm, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, e) -> acc + e)"
+    )
+
+    def assign(cdf):
+        return (
+            x.crossJoin(F.broadcast(cdf))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(F.col("d2"), F.col("cl"))).alias("m"),
+                F.first("xm").alias("xm"),  # constant within the group
+            )
+            .select("vec_id", F.col("m.cl").alias("cl"), F.col("m.d2").alias("d2"), "xm")
+        )
+
+    for _ in range(iters):
+        sums = (
+            assign(cent)
+            .select("cl", F.posexplode("xm").alias("i", "v"))
+            .groupBy("cl", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        )
+        newc = (
+            sums.withColumn("nv", F.expr("s div cnt"))
+            .groupBy("cl")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(i, nv))),"
+                    " p -> p.nv)"
+                ).alias("cm_new")
+            )
+        )
+        cent = (
+            cent.join(newc, "cl", "left")
+            .select("cl", F.coalesce("cm_new", "cm").alias("cm"))
+            .localCheckpoint(eager=True)
+        )
+
+    return assign(cent).select(
+        "vec_id", F.col("cl").alias("cluster"), F.col("d2").alias("dist2")
     )

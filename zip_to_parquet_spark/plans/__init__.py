@@ -20,6 +20,7 @@ from zip_to_parquet_spark.plans import zipparity  # noqa: E402,F401
 from zip_to_parquet_spark.plans import streamingq  # noqa: E402,F401
 from zip_to_parquet_spark.plans import temporal  # noqa: E402,F401
 from zip_to_parquet_spark.plans import analytics  # noqa: E402,F401
+from zip_to_parquet_spark.plans import learn  # noqa: E402,F401
 
 # The driver's per-round correctness sweep covers the FIRST 50 registry keys.
 # Window policy (per VERDICT r2, AUTOMATED since round 4 by
