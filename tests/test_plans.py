@@ -480,3 +480,12 @@ def test_kmeans_broadcasts_centroids_no_cartesian(spark):
     # Assignment argmin is a real aggregate (map-side combinable), not a
     # global window sort over the corpus.
     assert re.search(r"partial_min", plan) or "HashAggregate" in plan
+
+
+def test_distilled_classifier_map_only(spark):
+    # Training happens driver-side before the plan exists; scoring + weak
+    # label are one codegen'd projection over the scan — any Exchange here
+    # means the lookup fell out of the row path.
+    plan = plan_of(spark, "quality_distill_classifier")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -24,6 +24,7 @@ __all__ = [
     "pack_greedy_contiguous",
     "train_val_test_split",
     "gopher_quality",
+    "gopher_signal_cols",
     "repetition_stats",
     "decontaminate_ngrams",
     "pii_redact",
@@ -96,16 +97,13 @@ def train_val_test_split(
     )
 
 
-def gopher_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Gopher-style document quality gate (Rae et al. 2021, §A1.1 spirit):
-    word count bounds, mean word length bounds, stopword presence. Map-only
-    Catalyst — every signal is a higher-order function over the in-row word
-    array, so the gate runs inside the scan stage at any scale.
-
-    Ratios are emitted unrounded (int/int division is bit-exact across
-    engines); the boolean verdict composes the bounds.
-    """
-    w = words(F.col(text_col))
+def gopher_signal_cols(text_col):
+    """The gate's signal columns (n_words, mean_word_len, stop_frac,
+    passes) as expressions over ``text_col`` — the ONE definition of the
+    verdict, shared by :func:`gopher_quality` and the distilled-classifier
+    weak labels (operators/classify.py). Any bound change must also change
+    the trainer's pure-Python label replica and the registered oracles."""
+    w = words(text_col)
     n = F.size(w)
     mean_len = F.aggregate(
         F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
@@ -117,6 +115,19 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         (n >= 15) & (n <= 100000) & (mean_len >= 3.0) & (mean_len <= 10.0)
         & (stop_frac > 0.0)
     )
+    return n, mean_len, stop_frac, passes
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1 spirit):
+    word count bounds, mean word length bounds, stopword presence. Map-only
+    Catalyst — every signal is a higher-order function over the in-row word
+    array, so the gate runs inside the scan stage at any scale.
+
+    Ratios are emitted unrounded (int/int division is bit-exact across
+    engines); the boolean verdict composes the bounds.
+    """
+    n, mean_len, stop_frac, passes = gopher_signal_cols(F.col(text_col))
     return df.select(
         F.col(id_col),
         n.alias("n_words"),

@@ -16,9 +16,17 @@ with no float seam.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from zip_to_parquet_spark.operators.classify import (
+    FEATURE_BUCKETS,
+    train_distilled_gate_perceptron,
+    trigram_bucket_counts_score,
+)
+from zip_to_parquet_spark.operators.pipeline import gopher_signal_cols
 from zip_to_parquet_spark.operators.vectors import kmeans_integer
 from zip_to_parquet_spark.plans.registry import query
 from zip_to_parquet_spark.schema import load_table
@@ -114,4 +122,72 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_KM_ITERS,
         scale=_KM_SCALE,
         offset=_KM_OFFSET,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distilled quality classifier (hashed-trigram integer perceptron)
+# ---------------------------------------------------------------------------
+def _distill_oracle() -> str:
+    """Computed oracle: replays the deterministic trainer (same function
+    the Spark plan calls — identical weights by construction) and restates
+    scoring + the weak-label gate in SQL. ``md5_number_lower(g) % 1024``
+    is exactly the Spark expression's little-endian low-16-bit bucket."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    w, bias, _ = train_distilled_gate_perceptron(sf_dir)
+    arr = "[" + ",".join(str(v) for v in w) + "]"
+    return f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    lab AS (
+      SELECT doc_id,
+             (len(w) >= 15 AND len(w) <= 100000
+              AND list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                  / greatest(len(w), 1) >= 3.0
+              AND list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                  / greatest(len(w), 1) <= 10.0
+              AND len(list_filter(w,
+                  x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+                  / greatest(len(w), 1) > 0.0) AS gate_pass
+      FROM t
+    ),
+    wt AS (SELECT {arr}::BIGINT[] AS arr),
+    g AS (
+      SELECT doc_id, substr(text, i, 3) AS g3
+      FROM t, UNNEST(generate_series(1, greatest(length(text) - 2, 0))) AS u(i)
+    ),
+    sc AS (
+      SELECT t.doc_id,
+             CAST(coalesce(sum(
+               arr[CAST(md5_number_lower(g.g3) % {FEATURE_BUCKETS} AS INT) + 1]
+             ), 0) + {bias} AS BIGINT) AS score
+      FROM t CROSS JOIN wt LEFT JOIN g ON g.doc_id = t.doc_id
+      GROUP BY t.doc_id
+    )
+    SELECT l.doc_id, sc.score, sc.score > 0 AS pred, l.gate_pass
+    FROM lab l JOIN sc ON sc.doc_id = l.doc_id
+    """
+
+
+@query("quality_distill_classifier", oracle=_distill_oracle)
+def quality_distill_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, fastText-style (Joulin et al. 2016;
+    the GPT-3/DCLM classifier-filter pattern): an integer perceptron over
+    hashed char-trigram counts, trained to distill the repo's Gopher rule
+    gate, scored corpus-wide in ONE map-only codegen'd expression →
+    (doc_id, score, pred, gate_pass).
+
+    Training is deterministic pure Python on a crc32-bounded ~200-doc
+    sample (operators/classify.train_distilled_gate_perceptron); both
+    this plan and the oracle inline the same weights, so scoring parity
+    is exact-integer. Weak labels ride along for in-plan evaluation —
+    pred vs gate_pass is the distillation fidelity."""
+    weights, bias, _ = train_distilled_gate_perceptron(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    score = trigram_bucket_counts_score("text", weights, bias)
+    _, _, _, passes = gopher_signal_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        score.alias("score"),
+        (score > 0).alias("pred"),
+        passes.alias("gate_pass"),
     )
