@@ -1522,3 +1522,52 @@ def test_distilled_classifier_beats_majority_baseline(spark):
     majority = max(sum(r.gate_pass for r in rows), len(fails)) / n
     assert acc >= 0.90 and acc > majority, (acc, majority)
     assert fail_recall >= 0.5, fail_recall
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (layout_zorder_files)
+# ---------------------------------------------------------------------------
+def test_zorder_interleave_expression(spark):
+    from zip_to_parquet_spark.operators.layout import zorder_value_sql
+
+    def z_py(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(
+        [(5, 3), (0, 0), (65535, 65535), (1, 0), (0, 1), (21845, 43690)],
+        "u long, d long",
+    )
+    got = [r.z for r in df.select(F.expr(zorder_value_sql("u", "d")).alias("z")).collect()]
+    want = [z_py(u, d) for u, d in [(5, 3), (0, 0), (65535, 65535), (1, 0), (0, 1), (21845, 43690)]]
+    assert got == want
+
+
+def test_zorder_files_disjoint_z_ranges_and_balance(spark):
+    from zip_to_parquet_spark.operators.layout import zorder_file_stats
+    from zip_to_parquet_spark.schema import load_table
+
+    rows = sorted(
+        zorder_file_stats(
+            load_table(spark, "/root/testdata/sf0.001", "events")
+        ).collect(),
+        key=lambda r: r.file_id,
+    )
+    assert [r.file_id for r in rows] == list(range(16))
+    # Threshold assignment ⇒ files tile the z axis without overlap.
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.max_z <= cur.min_z
+    # Sampled equi-depth ⇒ roughly balanced files (loose bound).
+    sizes = [r.n_rows for r in rows]
+    assert max(sizes) <= 4 * min(sizes), sizes
+    # The layout's point: per-file ranges are TIGHT on both dimensions —
+    # no file spans the full extent of both user and day simultaneously.
+    full_u = max(r.max_user for r in rows) - min(r.min_user for r in rows)
+    full_d = max(r.max_day for r in rows) - min(r.min_day for r in rows)
+    assert all(
+        (r.max_user - r.min_user) < full_u or (r.max_day - r.min_day) < full_d
+        for r in rows
+    )

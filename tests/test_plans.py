@@ -489,3 +489,14 @@ def test_distilled_classifier_map_only(spark):
     plan = plan_of(spark, "quality_distill_classifier")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_broadcast_thresholds_single_agg_shuffle(spark):
+    # Per-row assignment maps against the broadcast 1-row threshold array
+    # (BroadcastNestedLoopJoin is that broadcast); the only corpus-keyed
+    # shuffle is the final groupBy(file_id) rollup + the bounded sample
+    # aggregation — never a global sort/row_number over the corpus.
+    plan = plan_of(spark, "layout_zorder_files")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "GlobalLimit" not in plan

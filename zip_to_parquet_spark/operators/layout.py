@@ -1,0 +1,132 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for scan
+pruning.
+
+The 100 TB problem this solves: a table sorted on ONE column prunes scans
+only on that column's predicates. Interleaving the bits of two query
+dimensions (Morton order — the Delta Lake / Iceberg ``OPTIMIZE ZORDER BY``
+technique, after Morton 1966) gives every data file a TIGHT min/max range
+on BOTH dimensions, so either predicate prunes files at planning time.
+
+Everything here is exact integer arithmetic (div/mod bit extraction —
+no engine-specific bit intrinsics), so DuckDB replays file assignment
+bit-for-bit:
+
+* **Z-value**: low ``bits`` of each dimension, interleaved via
+  ``Σ ((a div 2^i) % 2)·4^i + ((b div 2^i) % 2)·2·4^i`` — one codegen'd
+  map-only expression.
+* **File boundaries**: equi-depth thresholds over a DETERMINISTIC
+  md5-sampled subset — the honest distributed story (Spark's
+  RangePartitioner samples too; a full-data global sort or row_number
+  would funnel the corpus through one partition). The sample is bounded
+  (~``sample_target`` rows regardless of corpus size), so its
+  cumulative-count window is a constant-size step; per-row assignment is
+  a map against the broadcast one-row threshold array — the same shape
+  as ``pipeline.curriculum_buckets``.
+
+Reference: the zip CLI has no layout surface (SURVEY §0); north-star
+extension (scan-pruning layout for the warehouse the sinks write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["zorder_value_sql", "md5_low16_sql", "zorder_file_stats"]
+
+
+def zorder_value_sql(a: str, b: str, bits: int = 16) -> str:
+    """SQL fragment (valid in Spark AND DuckDB dialects, modulo DuckDB's
+    ``//`` vs Spark's ``div`` — caller substitutes) interleaving the low
+    ``bits`` of ``a`` (even positions) and ``b`` (odd positions)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} div {2**i}) % 2) * {4**i}")
+        terms.append(f"(({b} div {2**i}) % 2) * {2 * 4**i}")
+    return " + ".join(terms)
+
+
+def md5_low16_sql(expr: str) -> str:
+    """Little-endian low 16 bits of md5(expr) as a Spark SQL fragment —
+    digest bytes 8 and 9, the value DuckDB's ``md5_number_lower(x) %
+    65536`` produces (same contract as classify.trigram_feats_py)."""
+    return (
+        f"cast(conv(substring(md5(cast({expr} as binary)), 17, 2), 16, 10) as bigint)"
+        f" + 256 * cast(conv(substring(md5(cast({expr} as binary)), 19, 2), 16, 10) as bigint)"
+    )
+
+
+def zorder_file_stats(
+    events: DataFrame,
+    n_files: int = 16,
+    bits: int = 16,
+    sample_target: int = 2000,
+) -> DataFrame:
+    """Z-order the events table on (user_id, event day) and report the
+    per-file min/max of BOTH dimensions → one row per target file
+    ``(file_id, n_rows, min_user, max_user, min_day, max_day, min_z,
+    max_z)`` — the ranges a planner would prune against.
+
+    Boundary sample: rows where ``md5_low16(event_id) % m == 0`` with
+    ``m = max(1, n div sample_target)`` — deterministic, engine-portable
+    (no RNG), and bounded, so the threshold computation never grows with
+    the corpus. Thresholds are percentile_disc-style integer mins over
+    the sample's cumulative z distribution; assignment is
+    ``Σ (z ≥ t_q)`` against the broadcast threshold row. The ``count()``
+    here is a bounded driver-side metadata job (the same contract as
+    ``vectors.deterministic_training_sample``)."""
+    n = events.count()
+    m = max(1, n // sample_target)
+    z_sql = zorder_value_sql("u", "d", bits)
+    ev = events.select(
+        F.col("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    ).select(
+        "event_id",
+        "user_id",
+        "day",
+        (F.col("user_id") % (2**bits)).alias("u"),
+        (F.col("day") % (2**bits)).alias("d"),
+    ).withColumn("z", F.expr(z_sql))
+
+    samp = ev.filter(
+        F.expr(md5_low16_sql("cast(event_id as string)")) % m == 0
+    )
+    vc = samp.groupBy("z").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("z").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vc.select(
+        "z",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("s"),
+    )
+    thr = cum.agg(
+        F.array(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum")
+                        >= F.expr(f"({q} * s + {n_files - 1}) div {n_files}"),
+                        F.col("z"),
+                    )
+                )
+                for q in range(1, n_files)
+            ]
+        ).alias("t")
+    )
+    assigned = ev.crossJoin(F.broadcast(thr)).withColumn(
+        "file_id",
+        F.expr("aggregate(t, 0, (acc, x) -> acc + if(x is not null and z >= x, 1, 0))"),
+    )
+    return assigned.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+    )

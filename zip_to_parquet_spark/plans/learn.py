@@ -27,6 +27,10 @@ from zip_to_parquet_spark.operators.classify import (
     trigram_bucket_counts_score,
 )
 from zip_to_parquet_spark.operators.pipeline import gopher_signal_cols
+from zip_to_parquet_spark.operators.layout import (
+    zorder_file_stats,
+    zorder_value_sql,
+)
 from zip_to_parquet_spark.operators.vectors import kmeans_integer
 from zip_to_parquet_spark.plans.registry import query
 from zip_to_parquet_spark.schema import load_table
@@ -191,3 +195,63 @@ def quality_distill_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (score > 0).alias("pred"),
         passes.alias("gate_pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout for two-dimensional scan pruning
+# ---------------------------------------------------------------------------
+def _zorder_oracle() -> str:
+    z_duck = zorder_value_sql("u", "d", 16).replace(" div ", " // ")
+    mins = ", ".join(
+        f"min(CASE WHEN cum >= ({q} * s + 15) // 16 THEN z END) AS t{q}"
+        for q in range(1, 16)
+    )
+    assign = " + ".join(
+        f"(CASE WHEN t{q} IS NOT NULL AND z >= t{q} THEN 1 ELSE 0 END)"
+        for q in range(1, 16)
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    ev AS (
+      SELECT event_id, user_id, day,
+             user_id % 65536 AS u, day % 65536 AS d
+      FROM base
+    ),
+    evz AS (SELECT *, {z_duck} AS z FROM ev),
+    n AS (SELECT count(*) AS n FROM events),
+    samp AS (
+      SELECT z FROM evz, n
+      WHERE (md5_number_lower(event_id::VARCHAR) % 65536)
+            % greatest(1, n // 2000) = 0
+    ),
+    vc AS (SELECT z, count(*) AS c FROM samp GROUP BY 1),
+    cum AS (
+      SELECT z, sum(c) OVER (ORDER BY z) AS cum,
+             (SELECT count(*) FROM samp) AS s
+      FROM vc
+    ),
+    thr AS (SELECT {mins} FROM cum),
+    asg AS (SELECT evz.*, ({assign}) AS file_id FROM evz CROSS JOIN thr)
+    SELECT file_id, count(*) AS n_rows,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(day) AS min_day, max(day) AS max_day,
+           min(z) AS min_z, max(z) AS max_z
+    FROM asg GROUP BY 1
+    """
+
+
+@query("layout_zorder_files", oracle=_zorder_oracle())
+def layout_zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout of events on (user_id, event day) into 16
+    target files → per-file min/max ranges of BOTH dimensions (the
+    planner-pruning ranges), via operators/layout.zorder_file_stats.
+
+    Exact-integer bit interleave + md5-sampled equi-depth boundaries, so
+    the oracle replays file assignment bit-for-bit; the per-file stats
+    SHOW the pruning win (tight user AND day ranges per file — a
+    single-column sort gives tight ranges on one dimension only)."""
+    return zorder_file_stats(load_table(spark, sf_dir, "events"))
