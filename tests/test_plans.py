@@ -500,3 +500,10 @@ def test_zorder_broadcast_thresholds_single_agg_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "GlobalLimit" not in plan
+
+
+def test_tar_pipeline_is_shuffle_free(spark):
+    # Like the zip pipeline: scan → Arrow-batched member explode →
+    # project. Any Exchange means the explode fell off the scan stage.
+    plan = plan_of(spark, "tar_explode_hash")
+    assert "Exchange" not in plan

@@ -342,3 +342,75 @@ def zip_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.join(classified, ["source", "name"]).select(
         "name", "status", "hash"
     )
+
+
+# ---------------------------------------------------------------------------
+# Tar / tar.gz ingestion (stream-only archive sibling of the zip source)
+# ---------------------------------------------------------------------------
+def _tar_fixture_dir(sf_dir: str) -> str:
+    """Deterministic tar.gz mirror of the documents table (4 archives by
+    doc_id % 4, fixed mtime, gzip mtime pinned to 0) — same
+    build-once-per-sf caching as _zip_fixture_dir."""
+    import gzip
+    import tarfile as tarmod
+
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:16]
+    out_dir = f"/tmp/z2ps_tarfix_{key}"
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+
+    import io
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    n_arch = 4
+    sinks = [io.BytesIO() for _ in range(n_arch)]
+    writers = [tarmod.open(fileobj=s, mode="w") for s in sinks]
+    try:
+        for doc_id, text in docs:
+            data = text.encode("utf-8")
+            ti = tarmod.TarInfo(f"doc_{doc_id:06d}.txt")
+            ti.size = len(data)
+            ti.mtime = 1577836800  # 2020-01-01, matches _FIXED_DATE
+            writers[doc_id % n_arch].addfile(ti, io.BytesIO(data))
+    finally:
+        for w in writers:
+            w.close()
+    for i, s in enumerate(sinks):
+        with open(os.path.join(out_dir, f"part{i}.tar.gz"), "wb") as f:
+            with gzip.GzipFile(fileobj=f, mode="wb", mtime=0) as gz:
+                gz.write(s.getvalue())
+    open(marker, "w").close()
+    return out_dir
+
+
+@query(
+    "tar_explode_hash",
+    oracle="""
+    SELECT printf('doc_%06d.txt', doc_id) AS name,
+           printf('part%d.tar.gz', doc_id % 4) AS archive,
+           sha256(text) AS hash
+    FROM documents
+    """,
+)
+def tar_explode_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar.gz ingestion parity: explode the documents-mirror tar.gz
+    archives through sources/tarsource.read_tar_members (binaryFile scan →
+    one sequential Arrow-batched pass per archive — the only access
+    pattern tar's index-less format admits) and hash-check every member
+    body against sha256(text) recomputed from the table."""
+    from zip_to_parquet_spark.sources.tarsource import read_tar_members
+
+    d = _tar_fixture_dir(sf_dir)
+    m = read_tar_members(spark, f"{d}/part*.tar.gz")
+    return m.select(
+        "name",
+        F.regexp_extract("source", "[^/]+$", 0).alias("archive"),
+        "hash",
+    )
