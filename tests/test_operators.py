@@ -1571,3 +1571,73 @@ def test_zorder_files_disjoint_z_ranges_and_balance(spark):
         (r.max_user - r.min_user) < full_u or (r.max_day - r.min_day) < full_d
         for r in rows
     )
+
+
+def test_zorder_pruning_eval_story(spark):
+    # The reason Z-order exists, asserted: a user-sorted layout prunes
+    # user probes to ~1 file but must scan (nearly) every file for day
+    # probes; the Z-layout prunes day probes strictly better while
+    # keeping user probes bounded.
+    from zip_to_parquet_spark.operators.layout import zorder_pruning_eval
+    from zip_to_parquet_spark.schema import load_table
+
+    rows = {
+        r.pred: r
+        for r in zorder_pruning_eval(
+            load_table(spark, "/root/testdata/sf0.001", "events")
+        ).collect()
+    }
+    assert len(rows) == 8
+    for q in range(4):
+        u, d = rows[f"user_q{q}"], rows[f"day_q{q}"]
+        assert u.files_usersorted <= 2, u
+        assert d.files_usersorted >= 15, d
+        assert d.files_zorder < d.files_usersorted, d
+        assert 1 <= u.files_zorder <= 16 and 1 <= d.files_zorder <= 16
+
+
+# ---------------------------------------------------------------------------
+# Trained BPE tokenization (bpe_tokenize_stats)
+# ---------------------------------------------------------------------------
+def test_bpe_replace_chain_matches_python_encoder(spark):
+    from zip_to_parquet_spark.operators.bpe import (
+        SEP,
+        bpe_encode_py,
+        bpe_replace_chain,
+        spark_delim_chars_sql,
+    )
+
+    merges = (("a", "b"), ("ab", "c"), ("d", "d"), ("ab", "ab"))
+    words = ["abcabd", "ababab", "dddd", "xyz", "a", "abcabcabc"]
+    df = spark.createDataFrame([(w,) for w in words], "wd string")
+    chain = bpe_replace_chain(spark_delim_chars_sql("wd"), merges)
+    got = {
+        r.wd: tuple(r.s.strip(SEP).split(SEP + SEP))
+        for r in df.select("wd", F.expr(chain).alias("s")).collect()
+    }
+    for w in words:
+        assert got[w] == bpe_encode_py(w, merges), (w, got[w])
+    # Ascending-rank application == greedy lowest-rank-first: 'ababab'
+    # must become (abab, ab) via rank-0 then rank-3, never (ab, abab).
+    assert got["ababab"] == ("abab", "ab")
+
+
+def test_bpe_training_deterministic_and_compressive(spark):
+    from zip_to_parquet_spark.operators.bpe import train_bpe_merges
+    from zip_to_parquet_spark.plans import all_queries
+
+    m1 = train_bpe_merges("/root/testdata/sf0.001")
+    train_bpe_merges.cache_clear()
+    m2 = train_bpe_merges("/root/testdata/sf0.001")
+    assert m1 == m2 and len(m1) == 40
+
+    rows = all_queries()["bpe_tokenize_stats"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n_chars = sum(r.n_chars for r in rows)
+    n_tokens = sum(r.n_tokens for r in rows)
+    n_words = sum(r.n_words for r in rows)
+    # Merges must actually fire (tokens ≪ chars) but can never merge
+    # across word boundaries (tokens ≥ words).
+    assert n_tokens < 0.6 * n_chars, (n_tokens, n_chars)
+    assert n_tokens >= n_words

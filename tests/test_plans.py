@@ -507,3 +507,18 @@ def test_tar_pipeline_is_shuffle_free(spark):
     # project. Any Exchange means the explode fell off the scan stage.
     plan = plan_of(spark, "tar_explode_hash")
     assert "Exchange" not in plan
+
+
+def test_layout_pruning_eval_no_cartesian(spark):
+    # Every cross join in the evaluation is a broadcast of a constant-size
+    # side (1-row thresholds/bounds, 16-row file stats, 8-row probes).
+    plan = plan_of(spark, "layout_pruning_eval")
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_single_doc_shuffle_no_python(spark):
+    # Encode is a codegen'd replace chain inside the scan stage; the only
+    # shuffle is the per-document rollup. No Python evaluator anywhere.
+    plan = plan_of(spark, "bpe_tokenize_stats")
+    assert n_shuffles(plan) <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -32,10 +32,13 @@ from zip_to_parquet_spark.plans import learn  # noqa: E402,F401
 # 71 whose last green row predates the r4 file churn, and the round-5
 # edits (dedupe/llm/analytics/joins) flipped most r4-green keys back to
 # changed — so every slot goes to a changed key, ordered:
-# (a) the operator NEW in round 5 (never driver-checked);
+# (a) operators NEW in round 5 (never driver-checked) — the incremental
+#     pair + recall eval from the first wave, then the second wave
+#     (k-means, distilled classifier, Z-order layout + its pruning eval,
+#     tar ingestion);
 # (b) stale keys oldest-green-round first (r1 → r2 → r3) — the rows most
 #     likely to have rotted; the exact order scripts/window_pin.py
-#     suggests, minus the five r3 slots given to (c);
+#     suggests, minus the r3 slots given to (a)'s second wave and (c);
 # (c) the five r4-green keys whose behavior round 5 DIRECTLY touched:
 #     the hot-shingle-guard default (dedup_containment,
 #     dedup_cluster_keep_best), the MERGE contract guard
@@ -53,6 +56,12 @@ set_priority([
     "dedup_incremental_vs_snapshot",
     "zip_incremental_ingest",
     "ann_recall_eval",
+    "cluster_kmeans_embeddings",
+    "quality_distill_classifier",
+    "layout_zorder_files",
+    "tar_explode_hash",
+    "layout_pruning_eval",
+    "bpe_tokenize_stats",
     # (b) stale, last green r1
     "set_union_all",
     "set_intersect",
@@ -91,13 +100,8 @@ set_priority([
     "decontam_ngram_overlap",
     "pii_redact_counts",
     "multimodal_png_resize",
-    # (b) stale, last green r3
-    "filter_pushdown_project",
-    "join_broadcast_dim",
-    "join_shuffle_facts",
-    "join_semi",
-    "join_anti",
-    "agg_rollup",
+    # (all r3-stale slots went to (a)'s second wave; displaced keys stay
+    # covered by the sf0.001 oracle-parity sweep on every test run)
     # (c) r4-green keys whose behavior round 5 directly changed
     "dedup_containment",
     "dedup_cluster_keep_best",

@@ -21,6 +21,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from zip_to_parquet_spark.operators.bpe import (
+    SEP as BPE_SEP,
+    bpe_replace_chain,
+    duck_delim_chars_sql,
+    spark_delim_chars_sql,
+    train_bpe_merges,
+)
 from zip_to_parquet_spark.operators.classify import (
     FEATURE_BUCKETS,
     train_distilled_gate_perceptron,
@@ -29,6 +36,7 @@ from zip_to_parquet_spark.operators.classify import (
 from zip_to_parquet_spark.operators.pipeline import gopher_signal_cols
 from zip_to_parquet_spark.operators.layout import (
     zorder_file_stats,
+    zorder_pruning_eval,
     zorder_value_sql,
 )
 from zip_to_parquet_spark.operators.vectors import kmeans_integer
@@ -255,3 +263,156 @@ def layout_zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHOW the pruning win (tight user AND day ranges per file — a
     single-column sort gives tight ranges on one dimension only)."""
     return zorder_file_stats(load_table(spark, sf_dir, "events"))
+
+
+def _zorder_pruning_oracle() -> str:
+    z_duck = zorder_value_sql("u", "d", 16).replace(" div ", " // ")
+
+    def assign(tag: str, key: str) -> str:
+        mins = ", ".join(
+            f"min(CASE WHEN cum >= ({q} * s + 15) // 16 THEN k END) AS t{q}"
+            for q in range(1, 16)
+        )
+        terms = " + ".join(
+            f"(CASE WHEN t{q} IS NOT NULL AND {key} >= t{q} THEN 1 ELSE 0 END)"
+            for q in range(1, 16)
+        )
+        return f"""
+    vc{tag} AS (SELECT {key} AS k, count(*) AS c FROM samp GROUP BY 1),
+    cum{tag} AS (
+      SELECT k, sum(c) OVER (ORDER BY k) AS cum,
+             (SELECT count(*) FROM samp) AS s
+      FROM vc{tag}
+    ),
+    thr{tag} AS (SELECT {mins} FROM cum{tag}),
+    asg{tag} AS (SELECT evz.*, ({terms}) AS file_id FROM evz CROSS JOIN thr{tag}),
+    f{tag} AS (
+      SELECT file_id, min(user_id) AS mu, max(user_id) AS xu,
+             min(day) AS md, max(day) AS xd
+      FROM asg{tag} GROUP BY 1
+    )"""
+
+    hit = (
+        "(dim = 'user' AND mu <= v AND v <= xu)"
+        " OR (dim = 'day' AND md <= v AND v <= xd)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+             epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ),
+    ev AS (
+      SELECT event_id, user_id, day,
+             user_id % 65536 AS u, day % 65536 AS d
+      FROM base
+    ),
+    evz AS (SELECT *, {z_duck} AS z FROM ev),
+    n AS (SELECT count(*) AS n FROM events),
+    samp AS (
+      SELECT z, user_id FROM evz, n
+      WHERE (md5_number_lower(event_id::VARCHAR) % 65536)
+            % greatest(1, n // 2000) = 0
+    ),{assign("z", "z")},{assign("u", "user_id")},
+    bounds AS (
+      SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+             min(day) AS mnd, max(day) AS mxd
+      FROM ev
+    ),
+    probes AS (
+      SELECT 'user_q' || CAST(q AS VARCHAR) AS pred, 'user' AS dim,
+             mnu + (q * (mxu - mnu)) // 4 AS v
+      FROM bounds, UNNEST([0, 1, 2, 3]) AS t(q)
+      UNION ALL
+      SELECT 'day_q' || CAST(q AS VARCHAR), 'day',
+             mnd + (q * (mxd - mnd)) // 4
+      FROM bounds, UNNEST([0, 1, 2, 3]) AS t(q)
+    ),
+    sz AS (
+      SELECT pred, CAST(coalesce(sum(CASE WHEN {hit} THEN 1 END), 0) AS BIGINT)
+               AS files_zorder
+      FROM probes CROSS JOIN fz GROUP BY 1
+    ),
+    su AS (
+      SELECT pred, CAST(coalesce(sum(CASE WHEN {hit} THEN 1 END), 0) AS BIGINT)
+               AS files_usersorted
+      FROM probes CROSS JOIN fu GROUP BY 1
+    )
+    SELECT sz.pred, files_zorder, files_usersorted
+    FROM sz JOIN su USING (pred)
+    """
+
+
+@query("layout_pruning_eval", oracle=_zorder_pruning_oracle())
+def layout_pruning_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-plan pruning evaluation: quartile-point probes on each dimension
+    counted against the per-file [min, max] ranges of the Z-ordered vs
+    user-sorted layouts (operators/layout.zorder_pruning_eval). The
+    measurement that justifies paying for a Z-order rewrite before
+    running one at corpus scale — companion to ann_recall_eval."""
+    return zorder_pruning_eval(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Trained BPE tokenization, applied entirely in Catalyst
+# ---------------------------------------------------------------------------
+def _bpe_oracle() -> str:
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    merges = train_bpe_merges(sf_dir)
+    chain = bpe_replace_chain(duck_delim_chars_sql("wd"), merges)
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    w AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS wd
+      FROM t
+    ),
+    wf AS (SELECT * FROM w WHERE length(wd) > 0),
+    enc AS (SELECT doc_id, pos, length(wd) AS nc, {chain} AS s FROM wf),
+    enc2 AS (
+      SELECT doc_id, pos, nc, s,
+             len(string_split(s, '{BPE_SEP}{BPE_SEP}')) AS nt
+      FROM enc
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(nc) AS BIGINT) AS n_chars,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           md5(string_agg(s, '|' ORDER BY pos)) AS tokens_md5
+    FROM enc2 GROUP BY doc_id
+    """
+
+
+@query("bpe_tokenize_stats", oracle=_bpe_oracle)
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with a REAL trained BPE (Sennrich 2016 — the
+    GPT-2/LLaMA tokenizer family): merges trained on the deterministic
+    bounded sample, encoding applied corpus-wide as a codegen'd chain of
+    anchored literal replaces (operators/bpe — no Python in the row
+    path). → (doc_id, n_words, n_chars, n_tokens, tokens_md5): the
+    tokens_md5 hash pins the EXACT segmentation, not just counts.
+
+    Shape: explode words → map-only encode → one groupBy(doc_id). The
+    oracle replays training (same function, same sample) and runs the
+    same replace chain in DuckDB."""
+    merges = train_bpe_merges(sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    chain = bpe_replace_chain(spark_delim_chars_sql("wd"), merges)
+    w = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "wd")
+    ).filter(F.length("wd") > 0)
+    enc = w.select(
+        "doc_id",
+        "pos",
+        F.length("wd").alias("nc"),
+        F.expr(chain).alias("s"),
+    ).withColumn("nt", F.expr(f"size(split(s, '{BPE_SEP}{BPE_SEP}'))"))
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("nc").cast("long").alias("n_chars"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.expr(
+            "md5(cast(concat_ws('|',"
+            " transform(array_sort(collect_list(struct(pos, s))),"
+            " p -> p.s)) as binary))"
+        ).alias("tokens_md5"),
+    )
