@@ -1641,3 +1641,22 @@ def test_bpe_training_deterministic_and_compressive(spark):
     # across word boundaries (tokens ≥ words).
     assert n_tokens < 0.6 * n_chars, (n_tokens, n_chars)
     assert n_tokens >= n_words
+
+
+# ---------------------------------------------------------------------------
+# Large-star/small-star connected components (dedup_clusters_star)
+# ---------------------------------------------------------------------------
+def test_star_cc_matches_label_propagation(spark):
+    from zip_to_parquet_spark.operators.dedupe import connected_components
+    from zip_to_parquet_spark.operators.graph import connected_components_star
+
+    # Long chain (the diameter case star-contraction exists for), a
+    # triangle, an isolated pair, and edges given in both orientations.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+             (10, 11), (11, 12), (10, 12), (20, 21), (31, 30)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = sorted((r.node, r.comp) for r in connected_components_star(df).collect())
+    prop = sorted((r.node, r.comp) for r in connected_components(df).collect())
+    assert star == prop
+    assert ([c for _, c in star if c == 1] and [c for _, c in star if c == 10]
+            and [c for _, c in star if c == 20] and [c for _, c in star if c == 30])

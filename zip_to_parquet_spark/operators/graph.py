@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_integer", "triangle_count"]
+__all__ = ["pagerank_integer", "triangle_count", "connected_components_star"]
 
 
 def triangle_count(
@@ -144,3 +144,102 @@ def pagerank_integer(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) → (node, comp), comp = min node id of the component.
+
+    Second physical strategy for the same semantics as
+    ``dedupe.connected_components`` (min-label propagation). Why it
+    exists: label propagation converges in O(diameter) rounds — fine for
+    tiny dense near-dup clusters, quadratic pain on long chains (the
+    pathological crawl-graph shape). Star operations contract the graph
+    toward a star in O(log² n) rounds REGARDLESS of diameter, each round
+    two node-keyed shuffles:
+
+    * large-star(u): every neighbor v > u links to m = min(N(u) ∪ {u});
+    * small-star(u): every neighbor v ≤ u (and u itself) links to
+      m = min(N≤(u) ∪ {u}).
+
+    Both are groupBy(u) aggregates + an emit join — map-side combinable,
+    no skew beyond the graph's own degree skew (the paper's point: a
+    high-degree hub emits edges, never materializes its whole
+    neighborhood in one task's memory... beyond the groupBy min, which
+    IS combinable). Convergence is detected by an order-free edge-set
+    fingerprint (count + sum of xxhash64), one tiny agg per round;
+    ``localCheckpoint`` truncates lineage. Output covers every node that
+    appears in an edge (same domain as the label-propagation operator).
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        """One canonical orientation (u > v) for the undirected edge set —
+        required so the convergence fingerprint is orientation-free."""
+        return (
+            df.select(
+                F.greatest(F.col("u"), F.col("v")).alias("cu"),
+                F.least(F.col("u"), F.col("v")).alias("cv"),
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .distinct()
+        )
+
+    e = canon(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+
+    def sym(df: DataFrame) -> DataFrame:
+        return df.select("u", "v").unionByName(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def large_star(df: DataFrame) -> DataFrame:
+        nb = sym(df)
+        m = (
+            nb.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        return canon(
+            nb.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        nb = sym(df).filter(F.col("v") <= F.col("u"))
+        m = nb.groupBy("u").agg(F.min("v").alias("m"))
+        linked = nb.join(m, "u")
+        return canon(
+            linked.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(linked.select("u", F.col("m").alias("v")))
+        )
+
+    def fingerprint(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    fp = fingerprint(e)
+    for _ in range(max_iter):
+        e2 = small_star(large_star(e)).localCheckpoint(eager=True)
+        fp2 = fingerprint(e2)
+        e = e2
+        if fp2 == fp:
+            break
+        fp = fp2
+
+    # Terminal star: every non-root points at its root; roots self-label.
+    nodes_to_root = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    return nodes_to_root.unionByName(roots).distinct()

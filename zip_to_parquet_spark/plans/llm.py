@@ -1453,9 +1453,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media)
 
 
-@query(
-    "dedup_clusters",
-    oracle="""
+# Shared by dedup_clusters and dedup_clusters_star: two physical
+# strategies (min-label propagation vs large-star/small-star), ONE
+# hash-verified semantics — the events_funnel / events_funnel_partitioned
+# precedent applied to graph contraction.
+_CLUSTERS_ORACLE = """
     WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     s AS (
       SELECT doc_id,
@@ -1490,8 +1492,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src AS doc_id, least(src, min(dst)) AS comp
     FROM reach GROUP BY src
-    """,
-)
+    """
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components over the exact near-dup
     pair graph (j≥0.8); comp = min doc_id of the cluster = the canonical
@@ -2399,3 +2403,22 @@ def corpus_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zip_to_parquet_spark.operators.pipeline import snapshot_delta
 
     return snapshot_delta(docs, new)
+
+
+@query("dedup_clusters_star", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering via alternating large-star/small-star
+    contraction (Kiveris et al. SoCC 2014,
+    operators/graph.connected_components_star) — the O(log² n)-round
+    algorithm whose round count does NOT depend on component diameter,
+    i.e. the strategy that survives pathological long-chain near-dup
+    graphs where min-label propagation needs O(diameter) rounds. Same
+    input pair graph and IDENTICAL oracle as dedup_clusters: two
+    physical strategies, one hash-verified semantics."""
+    from zip_to_parquet_spark.operators.graph import connected_components_star
+
+    sh = shingle_sets(_documents_spread(spark, sf_dir))
+    pairs = ngram_jaccard_pairs(sh, threshold=0.8).select("doc_a", "doc_b")
+    return connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), "comp"
+    )
