@@ -165,3 +165,37 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         deduped.select("user_id", "event_type"), "append", "dedupkeys"
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_nationkey AS nation_key, count(*) AS n_events,
+           (sum(e.value::DECIMAL(18,2)))::DOUBLE AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the remaining streaming join
+    mechanism (vs the stream-stream interval join): each micro-batch
+    joins against a STATIC broadcast dimension (no state, no watermark
+    needed on the static side — Spark re-plans the broadcast per batch,
+    which is also how slowly-changing dims get picked up on restart).
+    Events enrich with the customer's nation, then a complete-mode
+    per-nation rollup; final state == the batch join + groupBy, hence
+    the full oracle. Exact-decimal value sums (the q1 discipline)."""
+    from zip_to_parquet_spark.schema import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    dims = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = ev.join(F.broadcast(dims), ev["user_id"] == dims["c_custkey"])
+    agg = joined.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return run_stream_to_memory(agg, "complete", "enrich")
