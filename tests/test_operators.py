@@ -1660,3 +1660,31 @@ def test_star_cc_matches_label_propagation(spark):
     assert star == prop
     assert ([c for _, c in star if c == 1] and [c for _, c in star if c == 10]
             and [c for _, c in star if c == 20] and [c for _, c in star if c == 30])
+
+
+def test_cogroup_attribution_boundaries(spark):
+    from datetime import datetime
+
+    from zip_to_parquet_spark.operators.temporal import cogroup_attribution
+
+    t = lambda m, s=0: datetime(2020, 1, 1, 12, m, s)
+    purchases = spark.createDataFrame(
+        [(1, 100, t(40)), (1, 101, t(5)), (2, 200, t(30)), (3, 300, t(50))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    clicks = spark.createDataFrame(
+        [(1, t(10)), (1, t(40)),   # strictly-before only: t(40) excluded
+         (2, t(0)),                # exactly 30 min before: included
+         (9, t(49))],              # other user: ignored
+        "user_id long, ts timestamp",
+    )
+    got = {
+        r.purchase_event_id: (r.n_prior_clicks, r.attributed)
+        for r in cogroup_attribution(purchases, clicks).collect()
+    }
+    assert got == {
+        100: (1, True),   # click t10 in (t10, t40]; click at t40 excluded
+        101: (0, False),  # no click before t5
+        200: (1, True),   # click exactly window_minutes before
+        300: (0, False),  # user 3 has no clicks (empty cogroup side)
+    }

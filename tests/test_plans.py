@@ -522,3 +522,12 @@ def test_bpe_single_doc_shuffle_no_python(spark):
     plan = plan_of(spark, "bpe_tokenize_stats")
     assert n_shuffles(plan) <= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cogroup_attribution_mechanism_and_shuffles(spark):
+    # Both relations shuffle once on user_id and meet in a cogrouped
+    # Arrow task — no join blow-up, no extra exchanges.
+    plan = plan_of(spark, "cogroup_user_attribution")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert n_shuffles(plan) <= 2
+    assert "CartesianProduct" not in plan

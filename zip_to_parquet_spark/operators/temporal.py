@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "asof_join",
     "range_join_pairs",
+    "cogroup_attribution",
     "funnel_stage_counts",
     "funnel_stage_counts_partitioned",
     "retention_cohorts",
@@ -333,3 +334,70 @@ def funnel_stage_counts_partitioned(
     )
     reached = per_user.select(compose.alias("stage"))
     return _stage_rollup(reached, steps)
+
+
+def cogroup_attribution(
+    purchases,
+    clicks,
+    window_minutes: int = 30,
+):
+    """Per-user conversion attribution via COGROUPED applyInPandas → one
+    row per purchase ``(user_id, purchase_event_id, n_prior_clicks,
+    attributed)``: the count of the same user's clicks strictly before
+    the purchase and within ``window_minutes`` (the stream_stream_join
+    interval semantics, batch-side).
+
+    Exists to exercise the one Pandas-on-Spark execution mechanism the
+    library didn't yet use: ``groupBy().cogroup().applyInPandas`` — both
+    relations shuffle ONCE on the user key and arrive as per-user pandas
+    frames in the same task (Arrow both ways), the right tool when the
+    per-key logic wants imperative two-table code (attribution models,
+    reconciliation, replay) that neither a join nor a single-table UDF
+    expresses cleanly.
+
+    Scale: one user-keyed shuffle per side; a hot user's whole history
+    lands in one task — the documented trade of every cogroup/grouped-map
+    (the skew-resilient alternative when that bites is an FSM/join
+    formulation, cf. funnel_stage_counts_partitioned). Timestamp math is
+    integer microseconds on datetime64 values — exact, no float seam.
+    """
+    import pandas as pd
+
+    delta = pd.Timedelta(minutes=window_minutes)
+
+    def reconcile(pdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_event_id": pd.Series(dtype="int64"),
+                    "n_prior_clicks": pd.Series(dtype="int64"),
+                    "attributed": pd.Series(dtype="bool"),
+                }
+            )
+        cts = cdf["ts"].to_numpy() if not cdf.empty else []
+        n = []
+        for pts in pdf["ts"]:
+            n.append(
+                int(sum(1 for c in cts if c < pts and pts <= c + delta))
+            )
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].astype("int64"),
+                "purchase_event_id": pdf["event_id"].astype("int64"),
+                "n_prior_clicks": pd.Series(n, dtype="int64"),
+                "attributed": pd.Series([x > 0 for x in n], dtype="bool"),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            schema=(
+                "user_id long, purchase_event_id long,"
+                " n_prior_clicks long, attributed boolean"
+            ),
+        )
+    )

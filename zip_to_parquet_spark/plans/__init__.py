@@ -64,6 +64,7 @@ set_priority([
     "bpe_tokenize_stats",
     "dedup_clusters_star",
     "stream_static_enrich",
+    "cogroup_user_attribution",
     # (b) stale, last green r1
     "set_union_all",
     "set_intersect",
@@ -99,7 +100,6 @@ set_priority([
     "repetition_ratios",
     "multimodal_wav_roundtrip",
     "multimodal_png_roundtrip",
-    "decontam_ngram_overlap",
     # (all r3-stale slots went to (a)'s second wave; displaced keys stay
     # covered by the sf0.001 oracle-parity sweep on every test run)
     # (c) r4-green keys whose behavior round 5 directly changed

@@ -77,3 +77,37 @@ def join_range_within_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_b").alias("event_b"),
         F.col("ts_b").alias("ts_b"),
     )
+
+
+@query(
+    "cogroup_user_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.event_id AS purchase_event_id,
+           CAST(count(c.ts) AS BIGINT) AS n_prior_clicks,
+           count(c.ts) > 0 AS attributed
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts < p.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    GROUP BY 1, 2
+    """,
+)
+def cogroup_user_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase click attribution via cogrouped applyInPandas
+    (operators/temporal.cogroup_attribution): purchases and clicks
+    shuffle once on user_id and meet as per-user pandas frames — the
+    imperative two-table per-key mechanism, hash-verified against the
+    declarative interval-join oracle (same 30-minute window semantics
+    as stream_stream_join)."""
+    from zip_to_parquet_spark.operators.temporal import cogroup_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return cogroup_attribution(purchases, clicks)
