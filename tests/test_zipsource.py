@@ -707,3 +707,44 @@ def test_extract_member_hashes_scoped(spark, tmp_path):
         "m1.txt": hashlib.sha256(b"data-1").hexdigest(),
         "m3.txt": hashlib.sha256(b"data-3").hexdigest(),
     }
+
+
+# ---------------------------------------------------------------------------
+# Partitioned sink: layout, dynamic overwrite, pruning
+# ---------------------------------------------------------------------------
+def test_write_partitioned_dynamic_overwrite_and_pruning(spark, tmp_path):
+    import os
+
+    from zip_to_parquet_spark.sinks import write_partitioned
+
+    out = str(tmp_path / "part_tbl")
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id long, k string"
+    )
+    write_partitioned(df1, out, ["k"])
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("k="))
+    assert dirs == ["k=a", "k=b", "k=c"]
+    # Small-files control: one file per partition directory.
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    # Dynamic overwrite: rewriting only k=a must leave b and c intact.
+    df2 = spark.createDataFrame([(9, "a")], "id long, k string")
+    write_partitioned(df2, out, ["k"])
+    got = sorted(
+        (r.id, r.k) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(3, "b"), (4, "c"), (9, "a")]
+
+    # Read-side payoff: a partition-column filter prunes directories.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark.read.parquet(out).filter("k = 'b'").explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert re.search(r"PartitionFilters: \[.*k#\d+ = b", plan), plan

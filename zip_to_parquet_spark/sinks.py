@@ -28,6 +28,7 @@ __all__ = [
     "write_single_parquet_file",
     "write_parquet_stdout",
     "write_bucketed_table",
+    "write_partitioned",
 ]
 
 DEFAULT_ROW_GROUP_ROWS = 100  # reference default, main.rs:41-43
@@ -172,3 +173,48 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+    files_per_partition: int = 1,
+) -> None:
+    """Hive-style partitioned parquet layout (``path/col=value/...``) with
+    two 100 TB guards the naive ``partitionBy`` write lacks:
+
+    * **Small-files control**: rows are repartitioned on the partition
+      columns first (plus a bounded salt when ``files_per_partition`` > 1),
+      so each partition directory gets ``files_per_partition`` files
+      instead of one-file-per-task-per-partition — the classic
+      thousands-of-tiny-files failure that murders downstream scans and
+      the object-store listing.
+    * **Dynamic partition overwrite**: with ``dynamic=True``, overwrite
+      replaces ONLY the partitions present in ``df`` (Spark's
+      ``partitionOverwriteMode=dynamic``), the idempotent daily-backfill
+      semantics; static overwrite (the default Spark behavior) would drop
+      every other partition in the table.
+
+    Partition pruning is the read-side payoff: a filter on a partition
+    column prunes whole directories at planning time (PartitionFilters in
+    the scan node).
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        salt = F.xxhash64(*df.columns) % files_per_partition
+        dist = df.repartition(*(keys + [salt]))
+    else:
+        dist = df.repartition(*keys)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        if dynamic:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        dist.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
