@@ -1688,3 +1688,16 @@ def test_cogroup_attribution_boundaries(spark):
         200: (1, True),   # click exactly window_minutes before
         300: (0, False),  # user 3 has no clicks (empty cogroup side)
     }
+
+
+def test_kmv_estimate_within_theory_bounds(spark):
+    # KMV with k=256 has relative stderr ~1/sqrt(k) ≈ 6.3%; assert a
+    # generous 4-sigma bound so the test pins correctness, not luck.
+    from zip_to_parquet_spark.plans import all_queries
+
+    r = all_queries()["agg_kmv_distinct"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.k == 256
+    rel_err = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+    assert rel_err < 0.25, (r.est_distinct, r.exact_distinct)

@@ -531,3 +531,10 @@ def test_cogroup_attribution_mechanism_and_shuffles(spark):
     assert "FlatMapCoGroupsInPandas" in plan
     assert n_shuffles(plan) <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_topk_is_take_ordered_not_global_sort(spark):
+    # The k-smallest-hashes selection must be TakeOrdered (per-partition
+    # top-k + k-sized driver merge), never a full Sort + GlobalLimit.
+    plan = plan_of(spark, "agg_kmv_distinct")
+    assert "TakeOrderedAndProject" in plan

@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "zorder_value_sql",
     "md5_low16_sql",
+    "md5_low_bytes_sql",
     "zorder_file_stats",
     "zorder_pruning_eval",
 ]
@@ -52,14 +53,25 @@ def zorder_value_sql(a: str, b: str, bits: int = 16) -> str:
     return " + ".join(terms)
 
 
+def md5_low_bytes_sql(expr: str, n_bytes: int = 2) -> str:
+    """Little-endian low ``n_bytes`` (≤ 8) of md5(expr) as a Spark SQL
+    fragment — digest bytes 8..8+n−1, the value DuckDB's
+    ``md5_number_lower(x) % 256^n`` produces (the md5_number_lower
+    contract from classify.trigram_feats_py, widened)."""
+    assert 1 <= n_bytes <= 7  # 8 would need unsigned; 7 bytes stay in long
+    terms = []
+    for j in range(n_bytes):
+        pos = 17 + 2 * j
+        terms.append(
+            f"{256**j} * cast(conv(substring(md5(cast({expr} as binary)),"
+            f" {pos}, 2), 16, 10) as bigint)"
+        )
+    return " + ".join(terms)
+
+
 def md5_low16_sql(expr: str) -> str:
-    """Little-endian low 16 bits of md5(expr) as a Spark SQL fragment —
-    digest bytes 8 and 9, the value DuckDB's ``md5_number_lower(x) %
-    65536`` produces (same contract as classify.trigram_feats_py)."""
-    return (
-        f"cast(conv(substring(md5(cast({expr} as binary)), 17, 2), 16, 10) as bigint)"
-        f" + 256 * cast(conv(substring(md5(cast({expr} as binary)), 19, 2), 16, 10) as bigint)"
-    )
+    """Little-endian low 16 bits of md5(expr) (see md5_low_bytes_sql)."""
+    return md5_low_bytes_sql(expr, 2)
 
 
 def _events_with_z(events: DataFrame, bits: int) -> DataFrame:

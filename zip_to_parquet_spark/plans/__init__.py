@@ -65,6 +65,8 @@ set_priority([
     "dedup_clusters_star",
     "stream_static_enrich",
     "cogroup_user_attribution",
+    "set_ops_all",
+    "agg_kmv_distinct",
     # (b) stale, last green r1
     "set_union_all",
     "set_intersect",
@@ -98,8 +100,6 @@ set_priority([
     "dataset_split",
     "quality_gopher_rules",
     "repetition_ratios",
-    "multimodal_wav_roundtrip",
-    "multimodal_png_roundtrip",
     # (all r3-stale slots went to (a)'s second wave; displaced keys stay
     # covered by the sf0.001 oracle-parity sweep on every test run)
     # (c) r4-green keys whose behavior round 5 directly changed

@@ -1222,3 +1222,89 @@ def subquery_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "set_ops_all",
+    oracle="""
+    SELECT 'intersect_all' AS op, l_partkey FROM (
+      SELECT l_partkey FROM lineitem WHERE l_quantity < 25
+      INTERSECT ALL
+      SELECT l_partkey FROM lineitem WHERE l_quantity > 10
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, l_partkey FROM (
+      SELECT l_partkey FROM lineitem WHERE l_quantity < 25
+      EXCEPT ALL
+      SELECT l_partkey FROM lineitem WHERE l_quantity > 10
+    )
+    """,
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL — duplicate
+    counts min/subtract rather than collapse), completing the set-op
+    family next to the DISTINCT variants. Both are single hash
+    shuffles on the value key in Spark's physical plan (count-pair
+    aggregation), never a sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 25).select("l_partkey")
+    b = li.filter(F.col("l_quantity") > 10).select("l_partkey")
+    return (
+        a.intersectAll(b)
+        .select(F.lit("intersect_all").alias("op"), "l_partkey")
+        .unionByName(
+            a.exceptAll(b).select(F.lit("except_all").alias("op"), "l_partkey")
+        )
+    )
+
+
+@query(
+    "agg_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT md5_number_lower(l_orderkey::VARCHAR)
+               % 281474976710656 AS hv
+      FROM lineitem
+    ),
+    k AS (SELECT hv FROM h ORDER BY hv LIMIT 256),
+    t AS (SELECT CAST(max(hv) AS BIGINT) AS h_k, CAST(count(*) AS BIGINT) AS k
+          FROM k)
+    SELECT t.k, t.h_k,
+           CAST((t.k - 1) * 281474976710656 // t.h_k AS BIGINT)
+             AS est_distinct,
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+             AS exact_distinct
+    FROM t
+    """,
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002 —
+    the mergeable estimator family HLL grew out of), DETERMINISTIC by
+    construction: the sketch is the 256 smallest md5-low-48-bit hashes,
+    the estimate is exact integer arithmetic ((k−1)·2⁴⁸ div h_k), so —
+    unlike the engine-specific approx_count_distinct sketch, rows-only
+    by nature — this approximation carries a FULL cross-engine value
+    oracle. Exact distinct rides along to show the estimator's error
+    in-plan.
+
+    Scale: hash + distinct is one shuffle; the k-smallest selection is
+    TakeOrdered (per-partition top-k, then a k-sized merge on the
+    driver) — never a global sort."""
+    from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.select(
+        (F.expr(md5_low_bytes_sql("cast(l_orderkey as string)", 6))).alias("hv")
+    ).distinct()
+    k_smallest = h.orderBy("hv").limit(256)
+    sketch = k_smallest.agg(
+        F.count(F.lit(1)).alias("k"), F.max("hv").alias("h_k")
+    ).select(
+        "k",
+        "h_k",
+        F.expr("(k - 1) * 281474976710656L div h_k").alias("est_distinct"),
+    )
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return sketch.crossJoin(F.broadcast(exact))
