@@ -1701,3 +1701,25 @@ def test_kmv_estimate_within_theory_bounds(spark):
     assert r.k == 256
     rel_err = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
     assert rel_err < 0.25, (r.est_distinct, r.exact_distinct)
+
+
+def test_dq_expectations_report_shape_and_verdicts(spark):
+    from zip_to_parquet_spark.plans import all_queries
+
+    rows = {
+        r.constraint: r
+        for r in all_queries()["dq_expectations_report"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) == 6
+    assert rows["row_count_positive"].passed
+    assert rows["fk_orderkey_in_orders"].passed          # no orphans
+    assert rows["returnflag_in_domain"].passed
+    assert rows["quantity_in_1_to_50"].passed
+    assert rows["shipdate_null_fraction_micro"].passed
+    # The gate catching something real: the fixture generator does NOT
+    # key lineitem by (orderkey, linenumber) — the uniqueness check
+    # must FAIL with a positive duplicate-group count.
+    pk = rows["pk_unique_orderkey_linenumber"]
+    assert not pk.passed and pk.metric > 0

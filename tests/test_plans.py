@@ -538,3 +538,11 @@ def test_kmv_topk_is_take_ordered_not_global_sort(spark):
     # top-k + k-sized driver merge), never a full Sort + GlobalLimit.
     plan = plan_of(spark, "agg_kmv_distinct")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dq_fk_check_broadcasts_anti_join(spark):
+    # Referential integrity = LEFT ANTI join with the dimension side
+    # broadcast at fixture scale (size-aware at real scale).
+    plan = plan_of(spark, "dq_expectations_report")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+    assert "CartesianProduct" not in plan

@@ -67,6 +67,7 @@ set_priority([
     "cogroup_user_attribution",
     "set_ops_all",
     "agg_kmv_distinct",
+    "dq_expectations_report",
     # (b) stale, last green r1
     "set_union_all",
     "set_intersect",
@@ -99,7 +100,6 @@ set_priority([
     "pack_sequences",
     "dataset_split",
     "quality_gopher_rules",
-    "repetition_ratios",
     # (all r3-stale slots went to (a)'s second wave; displaced keys stay
     # covered by the sf0.001 oracle-parity sweep on every test run)
     # (c) r4-green keys whose behavior round 5 directly changed

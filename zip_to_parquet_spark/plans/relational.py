@@ -1308,3 +1308,54 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("exact_distinct")
     )
     return sketch.crossJoin(F.broadcast(exact))
+
+
+@query(
+    "dq_expectations_report",
+    oracle="""
+    SELECT 'row_count_positive' AS constraint,
+           CAST(count(*) AS BIGINT) AS metric, count(*) > 0 AS passed
+    FROM lineitem
+    UNION ALL
+    SELECT 'shipdate_null_fraction_micro',
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT),
+           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'pk_unique_orderkey_linenumber',
+           CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) = 0
+    FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'fk_orderkey_in_orders',
+           CAST(count(*) AS BIGINT), count(*) = 0
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'quantity_in_1_to_50',
+           CAST(coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_in_domain',
+           CAST(coalesce(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT),
+           coalesce(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                             THEN 1 ELSE 0 END), 0) = 0
+    FROM lineitem
+    """,
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate as ONE declarative report plan
+    (operators/dq.expectations_report): volume, null budget (exact
+    micro-fraction), PK uniqueness, FK integrity (broadcast anti join),
+    value bounds, and domain membership over the lineitem fact — the
+    checks a 100 TB warehouse runs on every load, hash-verified."""
+    from zip_to_parquet_spark.operators.dq import expectations_report
+
+    return expectations_report(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
