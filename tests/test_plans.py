@@ -546,3 +546,12 @@ def test_dq_fk_check_broadcasts_anti_join(spark):
     plan = plan_of(spark, "dq_expectations_report")
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
     assert "CartesianProduct" not in plan
+
+
+def test_udtf_chunking_mechanism(spark):
+    # The UDTF variant must actually go through the Python UDTF evaluator
+    # (mechanism coverage), stay shuffle-free like the HOF key, and both
+    # share one oracle so the hash proves mechanism-independence.
+    plan = plan_of(spark, "text_chunk_windows_udtf")
+    assert re.search(r"PythonUDTF|ArrowEvalPythonUDTF|BatchEvalPythonUDTF", plan), plan
+    assert "Exchange" not in plan

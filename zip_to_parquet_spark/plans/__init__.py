@@ -68,6 +68,7 @@ set_priority([
     "set_ops_all",
     "agg_kmv_distinct",
     "dq_expectations_report",
+    "text_chunk_windows_udtf",
     # (b) stale, last green r1
     "set_union_all",
     "set_intersect",
@@ -99,7 +100,6 @@ set_priority([
     "text_chunk_windows",
     "pack_sequences",
     "dataset_split",
-    "quality_gopher_rules",
     # (all r3-stale slots went to (a)'s second wave; displaced keys stay
     # covered by the sf0.001 oracle-parity sweep on every test run)
     # (c) r4-green keys whose behavior round 5 directly changed
