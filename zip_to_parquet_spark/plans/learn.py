@@ -107,7 +107,7 @@ def _kmeans_oracle() -> str:
         "WITH "
         + ",\n".join(ctes)
         + """
-SELECT vec_id, cl AS cluster, d2 AS dist2 FROM (
+SELECT vec_id, cl AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM (
   SELECT vec_id, cl, d2,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
   FROM df
