@@ -1723,3 +1723,58 @@ def test_dq_expectations_report_shape_and_verdicts(spark):
     # must FAIL with a positive duplicate-group count.
     pk = rows["pk_unique_orderkey_linenumber"]
     assert not pk.passed and pk.metric > 0
+
+
+def test_bpe_chain_equals_python_on_random_words(spark):
+    # Randomized (seeded) equivalence: for ANY merge table — not just
+    # trained ones — the SQL replace chain must equal the ascending-rank
+    # Python encoder on arbitrary words, including repeats and runs.
+    import random
+
+    from zip_to_parquet_spark.operators.bpe import (
+        SEP,
+        bpe_encode_py,
+        bpe_replace_chain,
+        spark_delim_chars_sql,
+    )
+
+    rng = random.Random(20260814)
+    alpha = "abcd"
+    words = ["".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+             for _ in range(40)]
+    toks = list(alpha)
+    merges = []
+    for _ in range(12):
+        a, b = rng.choice(toks), rng.choice(toks)
+        merges.append((a, b))
+        toks.append(a + b)
+    merges = tuple(merges)
+
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)],
+                               "i long, wd string")
+    chain = bpe_replace_chain(spark_delim_chars_sql("wd"), merges)
+    got = {r.i: tuple(r.s.strip(SEP).split(SEP + SEP))
+           for r in df.select("i", F.expr(chain).alias("s")).collect()}
+    for i, w in enumerate(words):
+        assert got[i] == bpe_encode_py(w, merges), (w, got[i])
+
+
+def test_star_cc_equals_label_propagation_on_random_graphs(spark):
+    import random
+
+    from zip_to_parquet_spark.operators.dedupe import connected_components
+    from zip_to_parquet_spark.operators.graph import connected_components_star
+
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        n = 40
+        edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+                 if rng.random() < 0.05]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        star = sorted((r.node, r.comp)
+                      for r in connected_components_star(df).collect())
+        prop = sorted((r.node, r.comp)
+                      for r in connected_components(df).collect())
+        assert star == prop, seed
