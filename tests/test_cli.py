@@ -170,3 +170,46 @@ def test_cli_orc_requires_distributed(tmp_path):
     )
     assert proc.returncode == 2
     assert "requires" in proc.stderr
+
+
+def test_cli_tar_input(tmp_path):
+    import hashlib
+    import io
+    import subprocess
+    import sys
+    import tarfile
+
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "tars"
+    d.mkdir()
+    with tarfile.open(d / "a.tar.gz", "w:gz") as tf:
+        for name, data in [("x.txt", b"hello"), ("y.log", b"world")]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    out = tmp_path / "out.parquet"
+    res = subprocess.run(
+        [sys.executable, "-m", "zip_to_parquet_spark.cli",
+         "-i", f"{d}/*.tar.gz", "-o", str(out),
+         "--input-format", "tar", "-g", "**/*.txt"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    t = pq.read_table(out)
+    assert t.column("name").to_pylist() == ["x.txt"]
+    assert t.column("hash").to_pylist() == [hashlib.sha256(b"hello").hexdigest()]
+
+
+def test_cli_tar_rejects_skip_mode(tmp_path):
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, "-m", "zip_to_parquet_spark.cli",
+         "-i", "x/*.tar", "-o", str(tmp_path / "o.parquet"),
+         "--input-format", "tar", "--on-error", "skip"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert res.returncode == 2
+    assert "tar" in res.stderr

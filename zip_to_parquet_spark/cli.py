@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--simple", action="store_true", help="plain progress lines")
     p.add_argument(
+        "--input-format",
+        choices=["zip", "tar"],
+        default="zip",
+        help="archive format of the inputs: zip (reference surface) or "
+        "tar/tar.gz (extension; requires default on_error/hash modes)",
+    )
+    p.add_argument(
         "--format",
         choices=["parquet", "orc"],
         default="parquet",
@@ -127,6 +134,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.format == "orc" and not (args.output and args.distributed):
         print("error: --format orc requires -o/--output with --distributed", file=sys.stderr)
         return 2
+    if args.input_format == "tar" and (args.on_error != "fail" or args.strict_hash):
+        print(
+            "error: --input-format tar supports only the default "
+            "--on-error fail / standard hash modes",
+            file=sys.stderr,
+        )
+        return 2
 
     from zip_to_parquet_spark.session import get_spark
     from zip_to_parquet_spark.sinks import (
@@ -144,17 +158,37 @@ def main(argv: list[str] | None = None) -> int:
         skip_acc = (
             spark.sparkContext.accumulator(0) if args.on_error == "skip" else None
         )
-        df = read_zip_members(
-            spark,
-            args.input,
-            member_glob=args.glob,
-            body=not args.no_body,
-            source=not args.no_source,
-            sha=not args.no_hash,
-            on_error=args.on_error,
-            strict_hash=args.strict_hash,
-            skip_counter=skip_acc,
-        )
+        if args.input_format == "tar":
+            from functools import reduce
+
+            from zip_to_parquet_spark.sources.tarsource import read_tar_members
+
+            df = reduce(
+                lambda a, b: a.unionByName(b),
+                (
+                    read_tar_members(
+                        spark,
+                        pat,
+                        member_glob=args.glob,
+                        body=not args.no_body,
+                        source=not args.no_source,
+                        sha=not args.no_hash,
+                    )
+                    for pat in args.input
+                ),
+            )
+        else:
+            df = read_zip_members(
+                spark,
+                args.input,
+                member_glob=args.glob,
+                body=not args.no_body,
+                source=not args.no_source,
+                sha=not args.no_hash,
+                on_error=args.on_error,
+                strict_hash=args.strict_hash,
+                skip_counter=skip_acc,
+            )
         import contextlib
 
         reporter = _ProgressReporter(spark) if args.simple else contextlib.nullcontext()
