@@ -74,3 +74,8 @@ def test_tar_flag_semantics_null_values_not_columns(spark, tar_dir):
     assert len(rows) == 4
     assert all(r.body is None and r.hash is None and r.source is None for r in rows)
     assert all(r.name for r in rows)
+
+
+def test_tar_empty_glob_errors_at_plan_time(spark, tmp_path):
+    with pytest.raises(ValueError, match="no input archives"):
+        read_tar_members(spark, f"{tmp_path}/nothing/*.tar")

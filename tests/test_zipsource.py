@@ -748,3 +748,27 @@ def test_write_partitioned_dynamic_overwrite_and_pruning(spark, tmp_path):
     import re
 
     assert re.search(r"PartitionFilters: \[.*k#\d+ = b", plan), plan
+
+
+def test_write_partitioned_files_per_partition_salt(spark, tmp_path):
+    import os
+
+    from zip_to_parquet_spark.sinks import write_partitioned
+
+    out = str(tmp_path / "salted_tbl")
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(200)] + [(i, "b") for i in range(200)],
+        "id long, k string",
+    )
+    write_partitioned(df, out, ["k"], files_per_partition=2)
+    for d in ("k=a", "k=b"):
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        # pmod keeps the salt domain at exactly files_per_partition —
+        # signed % would allow up to 2*n-1 files.
+        assert 1 <= len(files) <= 2, (d, files)
+    got = sorted(r.id for r in spark.read.parquet(out).filter("k='a'").collect())
+    assert got == list(range(200))

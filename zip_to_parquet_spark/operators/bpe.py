@@ -35,7 +35,6 @@ real algorithm).
 from __future__ import annotations
 
 import functools
-import zlib
 from collections import Counter
 
 __all__ = [
@@ -75,17 +74,11 @@ def train_bpe_merges(
     Deterministic, pure Python — the Spark plan and the DuckDB oracle
     both inline the resulting table, so encode parity is by
     construction."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ids = t.column("doc_id").to_pylist()
-    texts = t.column("text").to_pylist()
-    m = max(1, len(ids) // sample_target)
-    sample = sorted(
-        (i, x)
-        for i, x in zip(ids, texts)
-        if zlib.crc32(str(i).encode()) % m == 0
+    from zip_to_parquet_spark.operators.sampling import (
+        crc32_sampled_documents,
     )
+
+    sample = crc32_sampled_documents(sf_dir, sample_target)
     vocab: Counter[str] = Counter()
     for _, tx in sample:
         assert SEP not in tx, "separator collides with corpus alphabet"
@@ -120,11 +113,16 @@ def bpe_encode_py(
 
 
 def spark_delim_chars_sql(w: str) -> str:
-    """Spark SQL: word column → SEP-wrapped character sequence. The
-    length guard exists because Spark's ``sequence(1, 0)`` DESCENDS."""
+    """Spark SQL: word column → SEP-wrapped character sequence, '' for an
+    empty word. The explicit guard exists because Spark's
+    ``sequence(1, 0)`` DESCENDS (returns [1, 0]) — without it an empty
+    string would encode as four SEP bytes and count as two phantom
+    tokens."""
     return (
-        f"concat('{SEP}', array_join(transform(sequence(1, length({w})),"
+        f"case when length({w}) >= 1 then"
+        f" concat('{SEP}', array_join(transform(sequence(1, length({w})),"
         f" i -> substring({w}, i, 1)), '{SEP}{SEP}'), '{SEP}')"
+        f" else '' end"
     )
 
 

@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import functools
 import hashlib
-import zlib
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -92,17 +91,11 @@ def train_distilled_gate_perceptron(
     docs), iterated id-sorted for ``epochs`` passes. Cached per sf_dir —
     the Spark plan and the DuckDB oracle generator both call this, so
     they inline bit-identical weights by construction."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ids = t.column("doc_id").to_pylist()
-    texts = t.column("text").to_pylist()
-    m = max(1, len(ids) // sample_target)
-    sample = sorted(
-        (i, x)
-        for i, x in zip(ids, texts)
-        if zlib.crc32(str(i).encode()) % m == 0
+    from zip_to_parquet_spark.operators.sampling import (
+        crc32_sampled_documents,
     )
+
+    sample = crc32_sampled_documents(sf_dir, sample_target)
     w = [0] * buckets
     bias = 0
     for _ in range(epochs):
@@ -136,14 +129,18 @@ def trigram_bucket_counts_score(
         f"transform(sequence(1, length({text_col}) - 2),"
         f" i -> substring({text_col}, i, 3))"
     )
+    # Bind each trigram's digest ONCE (nested transform) — Catalyst does
+    # not CSE across lambda bodies, so inlining md5 into both byte
+    # extractions would hash every trigram twice in the hot path.
+    digests = f"transform({grams}, g -> md5(cast(g as binary)))"
     bucket = (
-        "cast(conv(substring(md5(cast(g as binary)), 17, 2), 16, 10) as int)"
-        " + 256 * cast(conv(substring(md5(cast(g as binary)), 19, 2), 16, 10) as int)"
+        "cast(conv(substring(h, 17, 2), 16, 10) as int)"
+        " + 256 * cast(conv(substring(h, 19, 2), 16, 10) as int)"
     )
     return F.expr(
         f"aggregate("
         f"  case when length({text_col}) >= 3 then"
-        f"    transform({grams}, g -> ({bucket}) % {buckets})"
+        f"    transform({digests}, h -> ({bucket}) % {buckets})"
         f"  else cast(array() as array<int>) end,"
         f"  {bias}L,"
         f"  (acc, b) -> acc + element_at({warr}, b + 1))"

@@ -173,9 +173,11 @@ def connected_components_star(
     high-degree hub emits edges, never materializes its whole
     neighborhood in one task's memory... beyond the groupBy min, which
     IS combinable). Convergence is detected by an order-free edge-set
-    fingerprint (count + sum of xxhash64), one tiny agg per round;
-    ``localCheckpoint`` truncates lineage. Output covers every node that
-    appears in an edge (same domain as the label-propagation operator).
+    fingerprint (count + bit_xor of xxhash64), one tiny agg per round;
+    ``localCheckpoint`` truncates lineage; non-convergence within
+    ``max_iter`` raises instead of returning a non-star (and therefore
+    corrupt) labeling. Output covers every node that appears in an edge
+    (same domain as the label-propagation operator).
     """
     def canon(df: DataFrame) -> DataFrame:
         """One canonical orientation (u > v) for the undirected edge set —
@@ -229,13 +231,21 @@ def connected_components_star(
         return (row.n, row.h)
 
     fp = fingerprint(e)
+    converged = False
     for _ in range(max_iter):
         e2 = small_star(large_star(e)).localCheckpoint(eager=True)
         fp2 = fingerprint(e2)
         e = e2
         if fp2 == fp:
+            converged = True
             break
         fp = fp2
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds; "
+            "the edge set is not yet a star and its labeling would be "
+            "corrupt — raise max_iter (O(log^2 n) rounds suffice)"
+        )
 
     # Terminal star: every non-root points at its root; roots self-label.
     nodes_to_root = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))

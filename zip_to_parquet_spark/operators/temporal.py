@@ -361,9 +361,10 @@ def cogroup_attribution(
     formulation, cf. funnel_stage_counts_partitioned). Timestamp math is
     integer microseconds on datetime64 values — exact, no float seam.
     """
+    import numpy as np
     import pandas as pd
 
-    delta = pd.Timedelta(minutes=window_minutes)
+    delta = np.timedelta64(window_minutes * 60_000_000, "us")
 
     def reconcile(pdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -375,18 +376,26 @@ def cogroup_attribution(
                     "attributed": pd.Series(dtype="bool"),
                 }
             )
-        cts = cdf["ts"].to_numpy() if not cdf.empty else []
-        n = []
-        for pts in pdf["ts"]:
-            n.append(
-                int(sum(1 for c in cts if c < pts and pts <= c + delta))
-            )
+        # Vectorized interval count: clicks in [pts − delta, pts) per
+        # purchase via two binary searches over the sorted click times —
+        # O((P+C) log C), so a hot user's task does numpy work, not an
+        # O(P·C) interpreted loop. Exact integer-microsecond datetime64
+        # comparisons; c == pts−delta included, c == pts excluded —
+        # identical to the interval-join oracle.
+        cts = np.sort(cdf["ts"].to_numpy()) if not cdf.empty else np.array(
+            [], dtype="datetime64[ns]"
+        )
+        pts = pdf["ts"].to_numpy()
+        n = (
+            np.searchsorted(cts, pts, side="left")
+            - np.searchsorted(cts, pts - delta, side="left")
+        ).astype("int64")
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"].astype("int64"),
                 "purchase_event_id": pdf["event_id"].astype("int64"),
                 "n_prior_clicks": pd.Series(n, dtype="int64"),
-                "attributed": pd.Series([x > 0 for x in n], dtype="bool"),
+                "attributed": pd.Series(n > 0, dtype="bool"),
             }
         )
 

@@ -670,11 +670,19 @@ def kmeans_integer(
     Reference: no clustering surface exists in the 597-line zip CLI
     (SURVEY §0); north-star LLM-pipeline extension.
     """
+    # Loud precondition instead of a silent contract: a coordinate below
+    # -offset/scale would quantize negative, where Spark's `div` truncates
+    # while DuckDB's `//` and Python's `//` floor — the cross-engine exact
+    # fixed point breaks. raise_error() fires task-side the moment such a
+    # value exists.
+    q = f"cast(floor(cast(e as double) * {scale}) as bigint) + {offset}L"
     x = emb.select(
         F.col(id_col).alias("vec_id"),
         F.expr(
-            f"transform({vec_col}, e -> cast(floor(cast(e as double)"
-            f" * {scale}) as bigint) + {offset}L)"
+            f"transform({vec_col}, e -> case when ({q}) < 0 then"
+            f" cast(raise_error('kmeans_integer: coordinate below"
+            f" -offset/scale; raise offset to keep floor division exact')"
+            f" as bigint) else ({q}) end)"
         ).alias("xm"),
     ).localCheckpoint(eager=False)
 

@@ -207,7 +207,9 @@ def write_partitioned(
     spark = df.sparkSession
     keys = [F.col(c) for c in partition_cols]
     if files_per_partition > 1:
-        salt = F.xxhash64(*df.columns) % files_per_partition
+        # pmod, not %: xxhash64 is signed and Spark's % keeps the sign,
+        # which would double the salt domain and the file count.
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
         dist = df.repartition(*(keys + [salt]))
     else:
         dist = df.repartition(*keys)

@@ -103,6 +103,16 @@ def read_tar_members(
                     }
                 )
 
+    # Mirror the zip source's plan-time contract (zipsource._expand_patterns):
+    # an input pattern matching nothing is an ERROR, never a silent empty
+    # output. Local filesystem paths are checked eagerly here; remote URIs
+    # (scheme://) are left to Spark's own FileNotFoundException.
+    import glob as _glob
+
+    local = pattern.split("://", 1)[-1] if pattern.startswith("file://") else pattern
+    if "://" not in local and not _glob.glob(local):
+        raise ValueError(f"no input archives match pattern: {pattern!r}")
+
     # A glob in the FILENAME rides binaryFile's pathGlobFilter against the
     # parent directory — same matches, but avoids Spark's noisy
     # FileStreamSink metadata probe on a literal glob path (it logs a
