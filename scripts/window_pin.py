@@ -72,14 +72,12 @@ def main() -> None:
         print(f"  changed since r{green[k]}: {k}")
     ok_in = sorted(changed & window)
     bad_in = sorted(window - changed)
-    out = sorted(changed - window)
     print(f"current window: {len(ok_in)} changed / {len(bad_in)} frozen slots")
-    if len(changed) <= WINDOW and out:
-        print(f"  POLICY FAIL — changed keys OUTSIDE window: {out}")
-    elif len(changed) > WINDOW and bad_in:
-        print(f"  POLICY FAIL — frozen keys WASTING window slots: {bad_in}")
-    else:
-        print("  policy OK")
+    sys.path.insert(0, str(REPO / "tests"))
+    from test_window_policy import policy_verdict
+
+    verdict = policy_verdict(changed, keys)
+    print(f"  POLICY FAIL — {verdict}" if verdict else "  policy OK")
     print("\nsuggested window (use --list for paste-ready form):")
     for i, k in enumerate(suggestion):
         tag = "new" if k not in green else f"r{green[k]}"

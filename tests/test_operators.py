@@ -1778,3 +1778,16 @@ def test_star_cc_equals_label_propagation_on_random_graphs(spark):
         prop = sorted((r.node, r.comp)
                       for r in connected_components(df).collect())
         assert star == prop, seed
+
+
+def test_hot_shingle_guard_small_corpus_no_cliff(spark):
+    # Review finding: the corpus-relative permille guard alone would mark
+    # EVERY shared shingle hot below ~200 docs (df >= 2 > n/100), silently
+    # returning zero pairs. The absolute MIN_DF floor keeps small batches
+    # working with default arguments.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(0, base), (1, base + " mu")]  # near-dup pair
+    docs += [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f") for i in range(2, 20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(shingle_sets(df), threshold=0.5).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(0, 1)]

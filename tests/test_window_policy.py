@@ -171,24 +171,34 @@ def compute_changed_keys() -> tuple[set[str], dict[str, int], list[str]]:
     return changed, green, keys
 
 
-def test_changed_keys_are_inside_driver_window():
-    changed, _green, keys = compute_changed_keys()
+def policy_verdict(changed: set[str], keys: list[str]) -> str | None:
+    """None if the window satisfies the policy, else the failure message.
+    THE verdict — shared by the test below and scripts/window_pin.py so
+    the script's OK/FAIL can never drift from what the test asserts."""
     window = set(keys[:WINDOW])
-
     if len(changed) <= WINDOW:
         outside = sorted(changed - window)
-        assert not outside, (
-            f"{len(outside)} changed key(s) outside the first-{WINDOW} driver "
-            f"window — re-pin set_priority in {PKG}/plans/__init__.py: "
-            f"{outside}"
-        )
+        if outside:
+            return (
+                f"{len(outside)} changed key(s) outside the first-{WINDOW} "
+                f"driver window — re-pin set_priority in "
+                f"{PKG}/plans/__init__.py: {outside}"
+            )
     else:
         wasted = sorted(window - changed)
-        assert not wasted, (
-            f"{len(changed)} keys changed (> window of {WINDOW}) but these "
-            f"window slots hold UNCHANGED keys — swap them for changed ones: "
-            f"{wasted}"
-        )
+        if wasted:
+            return (
+                f"{len(changed)} keys changed (> window of {WINDOW}) but "
+                f"these window slots hold UNCHANGED keys — swap them for "
+                f"changed ones: {wasted}"
+            )
+    return None
+
+
+def test_changed_keys_are_inside_driver_window():
+    changed, _green, keys = compute_changed_keys()
+    verdict = policy_verdict(changed, keys)
+    assert verdict is None, verdict
 
 
 def test_missing_round_commit_marks_all_its_keys_changed(monkeypatch):
@@ -221,3 +231,21 @@ def test_window_policy_detects_plan_module_edit(tmp_path):
     assert f"{PKG}/schema.py" in closure[llm_file]
     zip_file = _module_file(modules["zip_explode_hash"])
     assert f"{PKG}/sources/zipsource.py" in closure[zip_file]
+
+
+def test_hot_shingle_guard_sql_in_sync_across_all_oracles():
+    """Finding from the round-5 review: the hot-shingle predicate appears
+    in several oracle strings. Every occurrence must equal the ONE
+    generator in operators/dedupe.py — a constant change that forgets an
+    oracle fails here instead of as a driver hash mismatch."""
+    from zip_to_parquet_spark.operators.dedupe import duck_hot_having_sql
+    from zip_to_parquet_spark.plans import all_oracle_sql
+
+    want = duck_hot_having_sql("SELECT count(*) FROM s")
+    hits = 0
+    for name, sql in all_oracle_sql().items():
+        for line in sql.splitlines():
+            if "HAVING" in line and "1000" in line:
+                hits += 1
+                assert want in line.strip(), (name, line.strip(), want)
+    assert hits >= 5  # jaccard, containment, clusters x2, keep_best

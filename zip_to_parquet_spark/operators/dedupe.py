@@ -117,6 +117,25 @@ def _bucket_pairs(ids: Column) -> Column:
 # DuckDB oracle compare identically with no float seam.
 HOT_SHINGLE_PERMILLE = 10
 
+# Absolute floor under the corpus-relative guard: a shingle is "hot" only
+# if its df ALSO exceeds this count. Without it, tiny corpora fall off a
+# cliff — at n_docs < 2000/permille every SHARED shingle (df ≥ 2) exceeds
+# the permille bound and candidate generation silently returns zero pairs.
+# At fixture scale and above (n ≥ 500, bound ≥ 5) the floor is inactive,
+# so large-corpus semantics and all oracles are unchanged.
+HOT_SHINGLE_MIN_DF = 5
+
+
+def duck_hot_having_sql(n_docs_sql: str) -> str:
+    """The ONE DuckDB restatement of the corpus-relative hot-shingle
+    predicate (permille bound AND absolute floor) — every oracle that
+    guards a shingle self-join interpolates this, so the constants above
+    can never desync engine from oracle."""
+    return (
+        f"count(*) * 1000 > {HOT_SHINGLE_PERMILLE} * ({n_docs_sql})"
+        f" AND count(*) > {HOT_SHINGLE_MIN_DF}"
+    )
+
 
 def _shingle_candidate_pairs(
     shingled: DataFrame,
@@ -148,8 +167,11 @@ def _shingle_candidate_pairs(
             n_docs = shingled.select(F.count(F.lit(1)).alias("n_docs"))
             dfc = dfc.crossJoin(F.broadcast(n_docs))
             cond = cond | (
-                F.col("df") * F.lit(1000)
-                > F.lit(max_shingle_permille) * F.col("n_docs")
+                (
+                    F.col("df") * F.lit(1000)
+                    > F.lit(max_shingle_permille) * F.col("n_docs")
+                )
+                & (F.col("df") > HOT_SHINGLE_MIN_DF)
             )
         hot = dfc.filter(cond).select("shingle")
         e = e.join(F.broadcast(hot), "shingle", "left_anti")

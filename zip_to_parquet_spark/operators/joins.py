@@ -101,7 +101,9 @@ def merge_upsert(
         n_for_id = F.count(F.lit(1)).over(Window.partitionBy("__id"))
         violation = F.concat(
             F.lit("merge_upsert contract violation for id "),
-            F.col("__id").cast("string"),
+            # coalesce like __op: F.concat yields NULL if ANY piece is
+            # NULL, which would raise with an empty message for NULL ids.
+            F.coalesce(F.col("__id").cast("string"), F.lit("NULL")),
             F.lit(": op="),
             F.coalesce(F.col("__op"), F.lit("NULL")),
             F.lit(" (must be upsert|delete), change rows for id="),

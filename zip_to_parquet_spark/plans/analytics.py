@@ -52,7 +52,7 @@ from zip_to_parquet_spark.schema import load_table
     e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
     hot AS (
       SELECT shingle FROM e GROUP BY shingle
-      HAVING count(*) * 1000 > 10 * (SELECT count(*) FROM s)
+      HAVING count(*) * 1000 > 10 * (SELECT count(*) FROM s) AND count(*) > 5
     ),
     eg AS (SELECT e.* FROM e ANTI JOIN hot USING (shingle)),
     cand AS (
@@ -337,10 +337,9 @@ def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     leftovers on re-run)."""
     from zip_to_parquet_spark.sinks import write_orc
 
-    path = (
-        f"/tmp/z2ps_orc/{spark.sparkContext.applicationId}/"
-        + os.path.basename(os.path.normpath(sf_dir))
-    )
+    from zip_to_parquet_spark.runtime import session_scratch
+
+    path = session_scratch(spark, "z2ps_orc", sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
     )
@@ -549,7 +548,7 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
     hot AS (
       SELECT shingle FROM e2 GROUP BY shingle
-      HAVING count(*) * 1000 > 10 * (SELECT count(*) FROM s)
+      HAVING count(*) * 1000 > 10 * (SELECT count(*) FROM s) AND count(*) > 5
     ),
     eg AS (SELECT e2.* FROM e2 ANTI JOIN hot USING (shingle)),
     cand AS (

@@ -101,14 +101,14 @@ _DUCK_SHINGLES = """
 
 
 def _duck_cand_guarded(ordered: bool) -> str:
-    from zip_to_parquet_spark.operators.dedupe import HOT_SHINGLE_PERMILLE
+    from zip_to_parquet_spark.operators.dedupe import duck_hot_having_sql
 
     pred = "a.doc_id <> b.doc_id" if ordered else "a.doc_id < b.doc_id"
     return f"""
     , e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
     hot AS (
       SELECT shingle FROM e GROUP BY shingle
-      HAVING count(*) * 1000 > {HOT_SHINGLE_PERMILLE} * (SELECT count(*) FROM s)
+      HAVING {duck_hot_having_sql("SELECT count(*) FROM s")}
     ),
     eg AS (SELECT e.* FROM e ANTI JOIN hot USING (shingle)),
     cand AS (
@@ -302,10 +302,9 @@ def dedup_incremental_vs_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     newb = recrawl.unionByName(near).unionByName(novel)
 
     hash_idx, band_idx = snapshot_dedup_index(docs)
-    base = (
-        f"/tmp/z2ps_snapidx/{spark.sparkContext.applicationId}/"
-        + os.path.basename(os.path.normpath(sf_dir))
-    )
+    from zip_to_parquet_spark.runtime import session_scratch
+
+    base = session_scratch(spark, "z2ps_snapidx", sf_dir)
     hash_idx.write.parquet(base + "/hash_idx", mode="overwrite")
     band_idx.write.parquet(base + "/band_idx", mode="overwrite")
     return incremental_dedup_vs_snapshot(
@@ -1457,6 +1456,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # strategies (min-label propagation vs large-star/small-star), ONE
 # hash-verified semantics — the events_funnel / events_funnel_partitioned
 # precedent applied to graph contraction.
+from zip_to_parquet_spark.operators.dedupe import duck_hot_having_sql as _hot_sql
+
 _CLUSTERS_ORACLE = """
     WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     s AS (
@@ -1468,7 +1469,7 @@ _CLUSTERS_ORACLE = """
     e2 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
     hot AS (
       SELECT shingle FROM e2 GROUP BY shingle
-      HAVING count(*) * 1000 > 10 * (SELECT count(*) FROM s)
+      HAVING __HOT_PRED__
     ),
     eg AS (SELECT e2.* FROM e2 ANTI JOIN hot USING (shingle)),
     cand AS (
@@ -1492,7 +1493,7 @@ _CLUSTERS_ORACLE = """
     )
     SELECT src AS doc_id, least(src, min(dst)) AS comp
     FROM reach GROUP BY src
-    """
+    """.replace("__HOT_PRED__", _hot_sql("SELECT count(*) FROM s"))
 
 
 @query("dedup_clusters", oracle=_CLUSTERS_ORACLE)

@@ -316,10 +316,9 @@ def zip_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("doc_%06d.txt", "doc_id").alias("name"),
         F.crc32(F.encode(prior_text, "utf-8")).alias("prior_crc"),
     )
-    base = (
-        f"/tmp/z2ps_manifest/{spark.sparkContext.applicationId}/"
-        + os.path.basename(os.path.normpath(sf_dir))
-    )
+    from zip_to_parquet_spark.runtime import session_scratch
+
+    base = session_scratch(spark, "z2ps_manifest", sf_dir)
     manifest.write.parquet(base, mode="overwrite")
     man = spark.read.parquet(base)
 
@@ -337,6 +336,10 @@ def zip_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("changed"))
             .alias("status"),
         )
+        # Both the scoped extraction and the status re-join consume this;
+        # without the checkpoint Spark re-runs the central-directory scan
+        # (opening every archive) once per branch.
+        .localCheckpoint(eager=False)
     )
     hashed = extract_member_hashes(classified)
     return hashed.join(classified, ["source", "name"]).select(

@@ -85,3 +85,30 @@ def ensure_shipped(spark: SparkSession) -> None:
         return
     sc.addPyFile(_package_zip())
     _SHIPPED.add(key)
+
+
+def session_scratch(
+    spark: SparkSession, prefix: str, sf_dir: str, max_age_hours: int = 6
+) -> str:
+    """Per-session scratch path ``/tmp/<prefix>/<appId>/<sf-basename>`` —
+    the ONE definition of the pattern (was triplicated across plans).
+    appId keying prevents concurrent sessions on the same sf from
+    overwriting each other mid-read-back; sibling appId dirs whose mtime
+    is older than ``max_age_hours`` are pruned best-effort, so a box
+    running the driver round after round no longer accumulates one
+    scratch set per application forever."""
+    import os
+    import shutil
+    import time
+
+    root = f"/tmp/{prefix}"
+    app = spark.sparkContext.applicationId
+    try:
+        now = time.time()
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if d != app and now - os.path.getmtime(p) > max_age_hours * 3600:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    return os.path.join(root, app, os.path.basename(os.path.normpath(sf_dir)))

@@ -675,9 +675,12 @@ def read_zip_central_directory(
     def scan(batches):
         import pandas as _pd
 
+        # One output frame PER ARCHIVE: peak Python-object memory is one
+        # archive's directory, not the whole partition's (a partition can
+        # hold hundreds of 65k-member archives after repartitioning).
         for b in batches:
-            names, sources, crcs, sizes, csizes = [], [], [], [], []
             for path in b["source"]:
+                names, sources, crcs, sizes, csizes = [], [], [], [], []
                 with zipfile.ZipFile(path) as zf:
                     for info in zf.infolist():
                         names.append(info.filename)
@@ -685,15 +688,15 @@ def read_zip_central_directory(
                         crcs.append(info.CRC)
                         sizes.append(info.file_size)
                         csizes.append(info.compress_size)
-            yield _pd.DataFrame(
-                {
-                    "name": names,
-                    "source": sources,
-                    "crc32": _pd.array(crcs, dtype="int64"),
-                    "size": _pd.array(sizes, dtype="int64"),
-                    "csize": _pd.array(csizes, dtype="int64"),
-                }
-            )
+                yield _pd.DataFrame(
+                    {
+                        "name": names,
+                        "source": sources,
+                        "crc32": _pd.array(crcs, dtype="int64"),
+                        "size": _pd.array(sizes, dtype="int64"),
+                        "csize": _pd.array(csizes, dtype="int64"),
+                    }
+                )
 
     return pdf.repartition("source").mapInPandas(
         scan, schema="name string, source string, crc32 long, size long, csize long"
