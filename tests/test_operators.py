@@ -1791,3 +1791,14 @@ def test_hot_shingle_guard_small_corpus_no_cliff(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     pairs = ngram_jaccard_pairs(shingle_sets(df), threshold=0.5).collect()
     assert [(p.doc_a, p.doc_b) for p in pairs] == [(0, 1)]
+
+
+def test_sampled_percentiles_close_to_exact(spark):
+    from zip_to_parquet_spark.plans import all_queries
+
+    r = all_queries()["agg_sampled_percentiles"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_sample > 500
+    for s, e in ((r.p50_sampled, r.p50_exact), (r.p90_sampled, r.p90_exact)):
+        assert abs(s - e) / e < 0.1, (s, e)

@@ -69,6 +69,7 @@ set_priority([
     "agg_kmv_distinct",
     "dq_expectations_report",
     "text_chunk_windows_udtf",
+    "agg_sampled_percentiles",
     # (b) stale, last green r1
     "set_union_all",
     "set_intersect",
@@ -99,7 +100,6 @@ set_priority([
     "dedup_clusters",
     "text_chunk_windows",
     "pack_sequences",
-    "dataset_split",
     # (all r3-stale slots went to (a)'s second wave; displaced keys stay
     # covered by the sf0.001 oracle-parity sweep on every test run)
     # (c) r4-green keys whose behavior round 5 directly changed

@@ -1359,3 +1359,61 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "orders"),
     )
+
+
+@query(
+    "agg_sampled_percentiles",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n FROM lineitem),
+    samp AS (
+      SELECT l_extendedprice FROM lineitem, n
+      WHERE (md5_number_lower(concat_ws('|',
+               CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+               CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+               CAST(l_extendedprice AS VARCHAR))) % 65536)
+            % greatest(1, n // 2000) = 0
+    ),
+    s AS (
+      SELECT CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50_sampled,
+             CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90_sampled,
+             CAST(count(*) AS BIGINT) AS n_sample
+      FROM samp
+    ),
+    e AS (
+      SELECT CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50_exact,
+             CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90_exact
+      FROM lineitem
+    )
+    SELECT s.*, e.* FROM s CROSS JOIN e
+    """,
+)
+def agg_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SAMPLED percentiles — the quantile sibling of
+    agg_kmv_distinct: a bounded md5-hash row sample (~2000 rows at any
+    corpus size; no RNG, engine-portable) feeds the interpolated
+    percentile, with the exact values alongside for in-plan error.
+    Unlike approx_percentile's engine-specific t-digest (rows-only by
+    nature), this approximation carries a FULL cross-engine value
+    oracle. At 100 TB the exact branch is the one you drop: the sampled
+    percentile costs one scan + a ~2000-row sort."""
+    from zip_to_parquet_spark.operators.layout import md5_low16_sql
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    m = max(1, n // 2000)
+    key = (
+        "concat_ws('|', cast(l_orderkey as string),"
+        " cast(l_linenumber as string), cast(l_partkey as string),"
+        " cast(l_suppkey as string), cast(l_extendedprice as string))"
+    )
+    samp = li.filter(F.expr(md5_low16_sql(key)) % m == 0)
+    s = samp.agg(
+        F.percentile("l_extendedprice", 0.5).cast("double").alias("p50_sampled"),
+        F.percentile("l_extendedprice", 0.9).cast("double").alias("p90_sampled"),
+        F.count(F.lit(1)).alias("n_sample"),
+    )
+    e = li.agg(
+        F.percentile("l_extendedprice", 0.5).cast("double").alias("p50_exact"),
+        F.percentile("l_extendedprice", 0.9).cast("double").alias("p90_exact"),
+    )
+    return s.crossJoin(F.broadcast(e))
