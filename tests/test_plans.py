@@ -555,3 +555,24 @@ def test_udtf_chunking_mechanism(spark):
     plan = plan_of(spark, "text_chunk_windows_udtf")
     assert re.search(r"PythonUDTF|ArrowEvalPythonUDTF|BatchEvalPythonUDTF", plan), plan
     assert "Exchange" not in plan
+
+
+def test_q14_broadcast_part_exact_decimal_sums(spark):
+    plan = plan_of(spark, "q14_promo_revenue")
+    # part is the small side and must broadcast; the date band must reach
+    # the lineitem scan.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    assert any("l_shipdate" in l for l in pushed), pushed
+
+
+def test_q19_disjunction_partial_pushdown(spark):
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # Catalyst infers the part-side envelope (brand IN ... / size bounds)
+    # from the OR-of-ANDs and pushes it below the join: the part scan must
+    # carry pushed filters, not just the join key null check.
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    assert any("p_brand" in l or "p_size" in l for l in pushed), pushed

@@ -1417,3 +1417,117 @@ def agg_sampled_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", 0.9).cast("double").alias("p90_exact"),
     )
     return s.crossJoin(F.broadcast(e))
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT
+      (sum(CASE WHEN p_type = 'PROMO'
+                THEN l_extendedprice::DECIMAL(12,2)
+                     * (1 - l_discount::DECIMAL(12,2))
+                ELSE 0 END))::DOUBLE AS promo_revenue,
+      (sum(l_extendedprice::DECIMAL(12,2)
+           * (1 - l_discount::DECIMAL(12,2))))::DOUBLE AS total_revenue,
+      (sum(CASE WHEN p_type = 'PROMO'
+                THEN l_extendedprice::DECIMAL(12,2)
+                     * (1 - l_discount::DECIMAL(12,2))
+                ELSE 0 END))::DOUBLE
+        / (sum(l_extendedprice::DECIMAL(12,2)
+               * (1 - l_discount::DECIMAL(12,2))))::DOUBLE * 100
+        AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-02-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): date-banded lineitem joined to
+    part, conditional revenue share. The fixture's p_type is a flat
+    category so the PROMO test is equality, not LIKE 'PROMO%%' — same
+    plan shape (reference has no joins at all: builder.rs:1-322).
+    Scale shape: part is the small side and broadcasts; both revenue sums
+    are exact DECIMAL accumulations (order-free), cast to double only at
+    the end; the final ratio is one IEEE double division of two exact
+    doubles — deterministic on any engine. Single agg, no shuffle beyond
+    the part join's broadcast exchange."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-02-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue") * 100).alias("promo_pct"),
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT
+      count(*)::BIGINT AS n_lines,
+      (sum(l_extendedprice::DECIMAL(12,2)
+           * (1 - l_discount::DECIMAL(12,2))))::DOUBLE AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' OR p_brand = 'Brand#3')
+          AND p_size BETWEEN 1 AND 45 AND l_quantity BETWEEN 20 AND 30
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): an OR-of-ANDs predicate
+    spanning both join sides — the classic disjunctive-pushdown test.
+    Catalyst extracts the common join key, pushes the part-only
+    conjuncts' union (brand/size envelope) below the join via
+    partial-predicate inference, and broadcasts the filtered part side;
+    the mixed lineitem×part disjunction evaluates post-join. Exact
+    DECIMAL revenue, cast once at the end."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 30)
+            & q.between(10, 20)
+        )
+        | (
+            ((F.col("p_brand") == "Brand#34") | (F.col("p_brand") == "Brand#3"))
+            & F.col("p_size").between(1, 45)
+            & q.between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
