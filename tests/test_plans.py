@@ -576,3 +576,14 @@ def test_q19_disjunction_partial_pushdown(spark):
     # carry pushed filters, not just the join key null check.
     pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
     assert any("p_brand" in l or "p_size" in l for l in pushed), pushed
+
+
+def test_rrf_fusion_bounded_lists_no_cartesian(spark):
+    plan = plan_of(spark, "retrieval_rrf_fusion")
+    # Both rankers reduce to bounded top-n lists before fusion: no
+    # cartesian anywhere (the only nested-loop join is BM25's sanctioned
+    # 1-row corpus-stats broadcast), and the top-n cuts are TakeOrdered
+    # (per-partition top-k), not global sorts.
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 1

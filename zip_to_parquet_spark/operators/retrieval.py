@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 from zip_to_parquet_spark.operators.textops import words
 from zip_to_parquet_spark.runtime import size_aware_side
 
-__all__ = ["bm25_topk", "tfidf_topk_terms"]
+__all__ = ["bm25_topk", "rrf_fuse", "tfidf_topk_terms"]
 
 
 def tfidf_topk_terms(
@@ -155,3 +155,49 @@ def bm25_topk(
     top = per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    scale: int = 1_000_000_000,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of named
+    rankings → (id, rank_<name>..., rrf_micro, fused_rank).
+
+    Each input is a bounded top-n list (id, rank). The fused score is the
+    classic RRF sum Σ 1/(k0 + rank) held EXACT as integers:
+    ``scale div (k0 + rank)`` is truncating integer division of positive
+    ints — identical in any engine — so the fusion carries a full value
+    oracle (a float RRF sum would be summation-order-dependent). A doc
+    missing from a list contributes 0 (standard RRF).
+
+    Scale shape: every input is already a top-n list (bounded rows by
+    contract — the expensive ranking work happened upstream with its own
+    scale story), so the full-outer joins here are between tiny relations
+    and the final TakeOrdered is over ≤ Σn rows. No corpus-sized data
+    moves through this operator.
+    """
+    fused = None
+    contribs = []
+    for name, df in rankings.items():
+        r = df.select(
+            F.col(id_col),
+            F.col(rank_col).cast("bigint").alias(f"rank_{name}"),
+        )
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+        contribs.append(
+            F.coalesce(
+                F.expr(f"{scale} div ({k0} + rank_{name})"), F.lit(0).cast("bigint")
+            )
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    out = fused.withColumn("rrf_micro", score.cast("bigint"))
+    top = out.orderBy(F.col("rrf_micro").desc(), F.col(id_col)).limit(topk)
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col(id_col))
+    return top.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))

@@ -2455,3 +2455,103 @@ def text_chunk_windows_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_idx, c.chunk "
         "FROM z2ps_docs_udtf d, LATERAL z2ps_chunk_windows(d.text) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical BM25 + vector cosine
+# ---------------------------------------------------------------------------
+@query(
+    "retrieval_rrf_fusion",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM base),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    tf AS (
+      SELECT doc_id, t, count(*)::BIGINT AS tf
+      FROM tok WHERE t IN ('table', 'spark', 'fast')
+      GROUP BY doc_id, t
+    ),
+    dft AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+    contrib AS (
+      SELECT tf.doc_id, tf.t,
+             ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * base.dl / stats.avgdl)) AS c
+      FROM tf
+      JOIN dft USING (t)
+      JOIN base USING (doc_id)
+      CROSS JOIN stats
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             round(list_aggregate(list(c ORDER BY t), 'sum'), 6) AS score
+      FROM contrib GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, rank_lex FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT
+                 AS rank_lex
+        FROM per_doc
+      ) WHERE rank_lex <= 50
+    ),
+    sem AS (
+      SELECT doc_id, rank_sem FROM (
+        SELECT n.vec_id AS doc_id,
+               row_number() OVER (ORDER BY
+                 round(list_cosine_similarity(n.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[]), 6) DESC,
+                 n.vec_id)::BIGINT AS rank_sem
+        FROM embeddings n
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 7) q
+        WHERE n.vec_id <> 7
+      ) WHERE rank_sem <= 50
+    ),
+    fused AS (
+      SELECT doc_id, rank_lex, rank_sem,
+             (coalesce(1000000000 // (60 + rank_lex), 0)
+              + coalesce(1000000000 // (60 + rank_sem), 0))::BIGINT AS rrf_micro
+      FROM lex FULL JOIN sem USING (doc_id)
+    )
+    SELECT doc_id, rank_lex, rank_sem, rrf_micro, fused_rank FROM (
+      SELECT *,
+             row_number() OVER (ORDER BY rrf_micro DESC, doc_id)::BIGINT
+               AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 20
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the RAG-serving workhorse: fuse a lexical BM25
+    top-50 (query bag {table, spark, fast}) with a vector-cosine top-50
+    (query = doc 7's embedding) by reciprocal-rank fusion
+    (operators/retrieval.rrf_fuse). Each ranker keeps its own scale story
+    (inverted-index BM25; GEMM partial top-k cosine); fusion then joins
+    two ≤50-row lists — nothing corpus-sized moves. Integer RRF scores
+    (1e9 div (60+rank), exact in any engine) make an ensemble ranking
+    fully value-oracle-checkable end to end."""
+    from zip_to_parquet_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from zip_to_parquet_spark.operators.vectors import gemm_topk_candidates
+
+    docs = _documents_spread(spark, sf_dir)
+    lex = bm25_topk(docs, ["table", "spark", "fast"], k=50).select(
+        "doc_id", "rank"
+    )
+    emb = _embeddings_spread(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # Single bounded query: the fixture stand-in for a user query vector.
+    qvec = list(
+        emb.filter(F.col("vec_id") == 7).select("v").collect()[0][0]
+    )
+    cand = gemm_topk_candidates(emb, [7], [qvec], k=50)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("n_id"))
+    sem = (
+        cand.select("n_id", F.round(F.col("cos_sim_raw"), 6).alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select(F.col("n_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse({"lex": lex, "sem": sem}, topk=20)
