@@ -586,4 +586,4 @@ def test_rrf_fusion_bounded_lists_no_cartesian(spark):
     # (per-partition top-k), not global sorts.
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
-    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 1
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) <= 1
