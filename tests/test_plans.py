@@ -587,3 +587,11 @@ def test_rrf_fusion_bounded_lists_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) <= 1
+
+
+def test_bfs_frontier_equi_joins_only(spark):
+    plan = plan_of(spark, "graph_bfs_hops")
+    # Frontier expansion must be an equi-join on node id (shuffle or
+    # broadcast hash), never a nested loop over the edge list.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

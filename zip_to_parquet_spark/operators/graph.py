@@ -253,3 +253,63 @@ def connected_components_star(
         "comp", F.col("node")
     )
     return nodes_to_root.unionByName(roots).distinct()
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Multi-source breadth-first hop distances over an UNDIRECTED graph
+    → (node, hops), hops = min #edges from any source, capped at
+    ``max_hops`` (unreached nodes are absent).
+
+    Frontier-expansion BFS, the Pregel iteration pattern on DataFrames:
+    each round joins the current frontier against the symmetrized edge
+    list (equi-join on node id — one shuffle keyed by node), anti-joins
+    the visited set to keep only newly discovered nodes, and
+    ``localCheckpoint``s so lineage stays O(1) across rounds. Hop counts
+    are integers, so the result is exactly reproducible on any engine —
+    the oracle is a recursive CTE with the same ≤``max_hops`` bound.
+
+    Early exit when a frontier comes back empty: the check rides the
+    eager checkpoint that materializes the round anyway (no extra job).
+    The visited set is node-keyed; web-scale hub skew hits the frontier
+    join like any node-keyed shuffle — AQE skew handling applies. A
+    ``max_hops`` cap is not an optimization but part of the operator's
+    contract (k-hop neighborhoods; unbounded BFS on a crawl graph is a
+    different, component-sized question answered by
+    ``connected_components_star``).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node long, hops long"
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("node")
+    return dist

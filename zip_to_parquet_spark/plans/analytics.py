@@ -1021,3 +1021,52 @@ def events_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(F.broadcast(b), "event_type").select(
         "event_id", "event_type", "cents", scaled.alias("scaled_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS k-hop distances (graph family)
+# ---------------------------------------------------------------------------
+@query(
+    "graph_bfs_hops",
+    oracle="""
+    WITH RECURSIVE lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    walk(node, h) AS (
+      SELECT 0::BIGINT, 0
+      UNION
+      SELECT e.v, walk.h + 1
+      FROM walk JOIN e ON e.u = walk.node
+      WHERE walk.h < 4
+    )
+    SELECT node, min(h)::BIGINT AS hops FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop neighborhood: BFS hop distances from part 0 over the part
+    co-purchase graph (same edge set as graph_triangle_count), capped at
+    4 hops (operators/graph.bfs_hops). The iterative frontier-join
+    algorithm gets a FULL value oracle — integer hop counts against a
+    bounded recursive CTE — extending the repo's exact-iterative family
+    (PageRank, k-means, connected components) with traversal."""
+    from zip_to_parquet_spark.operators.graph import bfs_hops
+
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        lp.alias("a")
+        .join(lp.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return bfs_hops(edges, sources=[0], max_hops=4)
