@@ -595,3 +595,13 @@ def test_bfs_frontier_equi_joins_only(spark):
     # broadcast hash), never a nested loop over the edge list.
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corr_moments_single_shuffle_no_join(spark):
+    # The moments-matrix pattern: one scan, one map-side-combinable agg
+    # (single exchange of ten partial sums), then a constant-size
+    # projection. A join or second shuffle means the one-pass structure
+    # broke.
+    plan = plan_of(spark, "stats_corr_exact")
+    assert "Join" not in plan
+    assert n_shuffles(plan) <= 1, plan

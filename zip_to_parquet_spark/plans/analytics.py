@@ -1070,3 +1070,127 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bfs_hops(edges, sources=[0], max_hops=4)
+
+
+# ---------------------------------------------------------------------------
+# Exact correlation (integer-moment Pearson components)
+# ---------------------------------------------------------------------------
+@query(
+    "stats_corr_exact",
+    oracle="""
+    WITH m AS (
+      SELECT (l_quantity::DECIMAL(12,2) * 100)::HUGEINT  AS x1,
+             (l_extendedprice::DECIMAL(12,2) * 100)::HUGEINT AS x2,
+             (l_discount::DECIMAL(12,2) * 100)::HUGEINT  AS x3
+      FROM lineitem
+    ),
+    s AS (
+      SELECT count(*)::HUGEINT AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x3 * x3) AS s33,
+             sum(x1 * x2) AS s12, sum(x1 * x3) AS s13, sum(x2 * x3) AS s23
+      FROM m
+    ),
+    p AS (
+      SELECT 'qty_eprice' AS pair,
+             (n * s12 - s1 * s2) AS sxy,
+             (n * s11 - s1 * s1) AS sxx, (n * s22 - s2 * s2) AS syy, n
+      FROM s
+      UNION ALL
+      SELECT 'qty_discount', n * s13 - s1 * s3,
+             n * s11 - s1 * s1, n * s33 - s3 * s3, n FROM s
+      UNION ALL
+      SELECT 'eprice_discount', n * s23 - s2 * s3,
+             n * s22 - s2 * s2, n * s33 - s3 * s3, n FROM s
+    )
+    SELECT pair, n::BIGINT AS n_rows,
+           sxy::DECIMAL(38,0) AS sxy,
+           sxx::DECIMAL(38,0) AS sxx,
+           syy::DECIMAL(38,0) AS syy,
+           round(sxy::DOUBLE / sqrt(sxx::DOUBLE * syy::DOUBLE), 6) AS corr_r6
+    FROM p
+    """,
+)
+def stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation across the lineitem measure pairs with EXACT
+    integer moments: measures scale to cents (DECIMAL(12,2)×100 → int),
+    all five sums accumulate as DECIMAL(38,0) (order-free — a float
+    corr() is summation-order-dependent and can never hash-match), and
+    the covariance/variance numerators n·Σxy − Σx·Σy stay exact 128-bit
+    integers. Only the final corr coefficient touches doubles (one IEEE
+    div + sqrt of exact values, rounded to 6 — deterministic).
+
+    Scale shape: ONE pass over the fact table, one map-side-combinable
+    agg (single shuffle of ten partial sums), then a 3-row projection.
+    This is the moments-matrix pattern that computes an arbitrary k×k
+    correlation matrix in one scan at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+
+    def cents(c: str):
+        return (F.col(c).cast("decimal(12,2)") * 100).cast(d38)
+
+    m = li.select(
+        cents("l_quantity").alias("x1"),
+        cents("l_extendedprice").alias("x2"),
+        cents("l_discount").alias("x3"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x1").cast(d38).alias("s1"),
+        F.sum("x2").cast(d38).alias("s2"),
+        F.sum("x3").cast(d38).alias("s3"),
+        F.sum(F.col("x1") * F.col("x1")).cast(d38).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast(d38).alias("s22"),
+        F.sum(F.col("x3") * F.col("x3")).cast(d38).alias("s33"),
+        F.sum(F.col("x1") * F.col("x2")).cast(d38).alias("s12"),
+        F.sum(F.col("x1") * F.col("x3")).cast(d38).alias("s13"),
+        F.sum(F.col("x2") * F.col("x3")).cast(d38).alias("s23"),
+    )
+
+    def pair(name: str, sxy, sxx, syy):
+        return F.struct(
+            F.lit(name).alias("pair"),
+            sxy.cast(d38).alias("sxy"),
+            sxx.cast(d38).alias("sxx"),
+            syy.cast(d38).alias("syy"),
+        )
+
+    n = F.col("n")
+    rows = s.select(
+        n.cast("long").alias("n_rows"),
+        F.explode(
+            F.array(
+                pair(
+                    "qty_eprice",
+                    n * F.col("s12") - F.col("s1") * F.col("s2"),
+                    n * F.col("s11") - F.col("s1") * F.col("s1"),
+                    n * F.col("s22") - F.col("s2") * F.col("s2"),
+                ),
+                pair(
+                    "qty_discount",
+                    n * F.col("s13") - F.col("s1") * F.col("s3"),
+                    n * F.col("s11") - F.col("s1") * F.col("s1"),
+                    n * F.col("s33") - F.col("s3") * F.col("s3"),
+                ),
+                pair(
+                    "eprice_discount",
+                    n * F.col("s23") - F.col("s2") * F.col("s3"),
+                    n * F.col("s22") - F.col("s2") * F.col("s2"),
+                    n * F.col("s33") - F.col("s3") * F.col("s3"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return rows.select(
+        F.col("p.pair").alias("pair"),
+        "n_rows",
+        F.col("p.sxy").alias("sxy"),
+        F.col("p.sxx").alias("sxx"),
+        F.col("p.syy").alias("syy"),
+        F.round(
+            F.col("p.sxy").cast("double")
+            / F.sqrt(F.col("p.sxx").cast("double") * F.col("p.syy").cast("double")),
+            6,
+        ).alias("corr_r6"),
+    )
