@@ -605,3 +605,56 @@ def test_corr_moments_single_shuffle_no_join(spark):
     plan = plan_of(spark, "stats_corr_exact")
     assert "Join" not in plan
     assert n_shuffles(plan) <= 1, plan
+
+
+def test_q13_filter_pushdown_and_outer_join(spark):
+    # The priority exclusion must reach the orders scan (right-side
+    # pre-filter == Q13 join-condition semantics), and the outer join must
+    # keep customers with zero qualifying orders.
+    plan = plan_of(spark, "q13_order_distribution")
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    assert any("o_orderpriority" in l for l in pushed), pushed
+    assert "LeftOuter" in plan
+
+
+def test_q17_broadcast_part_prune_before_agg(spark):
+    # The brand key set must broadcast (dim prune), never shuffle-join,
+    # and the per-part aggregate runs on the pruned fact.
+    plan = plan_of(spark, "q17_small_qty_revenue")
+    assert "BroadcastHashJoin" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    assert any("p_brand" in l for l in pushed), pushed
+
+
+def test_q22_anti_join_ships_no_payload(spark):
+    plan = plan_of(spark, "q22_idle_balance")
+    assert "LeftAnti" in plan
+    # Orders side is projected to the join key only before the exchange.
+    read = [l for l in plan.splitlines() if "ReadSchema:" in l and "o_custkey" in l]
+    assert read and all("o_totalprice" not in l for l in read), read
+
+
+def test_bitmap_distinct_no_expand(spark):
+    # count(distinct) plans an Expand + double aggregation over raw keys;
+    # the bitmap formulation must NOT (its state is fixed 4 KiB bitmaps).
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    assert "Expand" not in plan
+    assert "bitmap_construct_agg" in plan or "bitmap" in plan.lower()
+
+
+def test_bloom_prefilter_applied_before_shuffle(spark):
+    # The Bloom membership test must sit in the scan-side stage (a Filter
+    # containing the xxhash64 probe), and the exactness join must be a
+    # broadcast left-semi — no fact-fact shuffle anywhere.
+    plan = plan_of(spark, "join_bloom_prefilter")
+    assert "xxhash64" in plan
+    assert re.search(r"BroadcastHashJoin.*LeftSemi", plan), plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_zscore_moments_broadcast_back(spark):
+    # 3-row stats table broadcast-joins onto the fact: no shuffle join, and
+    # only aggregate exchanges remain.
+    plan = plan_of(spark, "stats_outlier_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

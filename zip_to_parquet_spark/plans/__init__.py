@@ -21,6 +21,7 @@ from zip_to_parquet_spark.plans import streamingq  # noqa: E402,F401
 from zip_to_parquet_spark.plans import temporal  # noqa: E402,F401
 from zip_to_parquet_spark.plans import analytics  # noqa: E402,F401
 from zip_to_parquet_spark.plans import learn  # noqa: E402,F401
+from zip_to_parquet_spark.plans import tpch_deco  # noqa: E402,F401
 
 # The driver's per-round correctness sweep covers the FIRST 50 registry keys.
 # Window policy (per VERDICT r2, AUTOMATED since round 4 by
@@ -70,6 +71,18 @@ set_priority([
     "dq_expectations_report",
     "text_chunk_windows_udtf",
     "agg_sampled_percentiles",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "retrieval_rrf_fusion",
+    "graph_bfs_hops",
+    "stats_corr_exact",
+    "q13_order_distribution",
+    "q17_small_qty_revenue",
+    "q22_idle_balance",
+    "q11_important_share",
+    "agg_bitmap_distinct",
+    "join_bloom_prefilter",
+    "stats_outlier_zscore",
     # (b) stale, last green r1
     "set_union_all",
     "set_intersect",
@@ -88,20 +101,10 @@ set_priority([
     "agg_salted_skew",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_stats",
-    "text_quality_score",
-    "lang_id_heuristic",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_meta",
-    "doc_winnow_fingerprints",
-    "multimodal_frame_sample",
-    "dedup_clusters",
-    "text_chunk_windows",
-    "pack_sequences",
-    # (all r3-stale slots went to (a)'s second wave; displaced keys stay
-    # covered by the sf0.001 oracle-parity sweep on every test run)
+    # (the remaining r2-stale tail — text/multimodal/dedup-cluster keys —
+    # rotated out to make room for the round-5 third wave above; all stay
+    # covered by the sf0.001 oracle-parity sweep on every test run, and
+    # all r3-stale slots already went to (a)'s second wave)
     # (c) r4-green keys whose behavior round 5 directly changed
     "dedup_containment",
     "dedup_cluster_keep_best",

@@ -1,0 +1,474 @@
+"""Decorrelated-subquery TPC-H shapes + scale-side join/agg techniques.
+
+Round-5 additions extending the relational surface (SURVEY.md §2 extension
+block; reference scope is the zip CLI in /root/reference/src/builder.rs —
+this module is the mandated analytics extension, not reference parity):
+
+* ``q13_order_distribution``  — outer-join double aggregation (TPC-H Q13)
+* ``q17_small_qty_revenue``   — per-key scalar-AVG decorrelation (Q17)
+* ``q22_idle_balance``        — global scalar subquery + anti join (Q22)
+* ``q11_important_share``     — two-level aggregate vs global total (Q11)
+* ``agg_bitmap_distinct``     — EXACT distinct via fixed-width bitmaps
+* ``join_bloom_prefilter``    — broadcast Bloom runtime filter + exact semi
+* ``stats_outlier_zscore``    — exact integer z-score outlier gate
+
+Cross-engine exactness rules follow plans/analytics.py: money in cents
+(DECIMAL(12,2)×100 → int), big products as Spark DECIMAL(38,0) vs DuckDB
+HUGEINT, doubles only in final displayed ratios (rounded, deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.schema import load_table
+
+D38 = "decimal(38,0)"
+
+
+def _cents(c: str):
+    """Exact integer cents of a 2-decimal double column."""
+    return (F.col(c).cast("decimal(12,2)") * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13: customer order-count distribution.
+# ---------------------------------------------------------------------------
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed 0, 1, 2, … qualifying orders.
+
+    The join-condition predicate on the NULL-producing side is the Q13
+    trap: filtering orders BEFORE the left-outer join is the equivalent
+    (and pushdown-friendly) plan — customers with no qualifying orders
+    survive with c_count = 0 either way.
+
+    Scale shape: the orders-side filter pushes to the parquet scan, the
+    outer join shuffles on custkey (both sides pre-projected to 1-2
+    columns), the first aggregate reuses the join's hash partitioning
+    (no extra shuffle under AQE), and the second aggregate shuffles a
+    handful of (c_count, partial) rows. No broadcast needed: both sides
+    are fact-sized, so this is the one legitimately shuffled join here.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity-order revenue (per-part scalar AVG subquery).
+# ---------------------------------------------------------------------------
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey AS pq_partkey,
+             count(*)::BIGINT AS pq_cnt,
+             sum(l_quantity::BIGINT) AS pq_sum
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) / 7.0, 4)
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq ON pq_partkey = l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND l_quantity::BIGINT * 5 * pq_cnt < pq_sum
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost if small-quantity orders (below 20% of the
+    part's average order quantity) were not filled, for one brand.
+
+    The correlated ``l_quantity < 0.2 * (SELECT avg(...) WHERE same
+    part)`` is decorrelated by hand into a per-part (count, sum)
+    aggregate joined back on partkey — and the fractional-average
+    comparison is rewritten EXACTLY over integers:
+        qty < 0.2 * sum/cnt   ⟺   qty * 5 * cnt < sum
+    so no engine-specific double division can flip a boundary row.
+
+    Scale shape: the brand filter selects ~1/25 of parts; that key set
+    broadcasts and semi-prunes lineitem BEFORE the per-part aggregate,
+    so the heavy agg runs over the pruned fact, not the full table.
+    One broadcast + one partkey shuffle; single-row output.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty"),
+        "l_extendedprice",
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    # Prune the fact to the brand's parts before aggregating per part —
+    # the per-part (cnt, sum) is only needed for surviving parts.
+    li_b = li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey).drop(
+        "p_partkey"
+    )
+    pq = li_b.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("pq_cnt"), F.sum("qty").alias("pq_sum")
+    )
+    return (
+        li_b.join(pq, "l_partkey")
+        .filter(F.col("qty") * 5 * F.col("pq_cnt") < F.col("pq_sum"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22: idle customers with above-average balance (scalar + anti join).
+# ---------------------------------------------------------------------------
+@query(
+    "q22_idle_balance",
+    oracle="""
+    WITH pos AS (
+      SELECT sum((c_acctbal::DECIMAL(12,2) * 100)::BIGINT) AS s,
+             count(*)::BIGINT AS c
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           sum((c_acctbal::DECIMAL(12,2) * 100)::BIGINT) AS totacctbal_cents
+    FROM customer, pos
+    WHERE (c_acctbal::DECIMAL(12,2) * 100)::BIGINT * pos.c > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted to the slim schema: nationkey replaces the phone
+    country code, and "has no orders" becomes "has no orders since
+    2000-01-01" — in this fixture every customer has SOME order, so the
+    literal Q22 anti set is empty and would verify trivially): customers
+    with no recent orders whose balance exceeds the average positive
+    balance, counted per nation.
+
+    Two decorrelations in one plan: the global scalar AVG becomes a
+    1-row (sum, count) aggregate broadcast-cross-joined into the scan
+    (compare ``bal*count > sum`` — exact integers, no division), and the
+    NOT EXISTS becomes a left-anti join on custkey.
+
+    Scale shape: scalar agg is map-side-combined into one row; the anti
+    join is the only fact-fact shuffle (orders pre-projected to the join
+    key ONLY — anti joins ship no payload); final agg on a ~25-value key.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_cents")
+    )
+    pos = (
+        cust.filter(F.col("bal_cents") > 0)
+        .agg(F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    orders_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("c") > F.col("s"))
+        .join(
+            orders_keys,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("totacctbal_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11: parts whose revenue share beats a global threshold.
+# ---------------------------------------------------------------------------
+@query(
+    "q11_important_share",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             sum(((l_extendedprice::DECIMAL(12,2) * 100)::BIGINT
+                  * l_quantity::BIGINT)::HUGEINT) AS pv_val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey < 13
+      GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(pv_val) AS tv, count(*)::HUGEINT AS np FROM pv)
+    SELECT l_partkey, pv_val::BIGINT AS value_qty_cents
+    FROM pv, tot
+    WHERE pv_val * np > tv * 2
+    """,
+)
+def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: no partsupp fixture, so "stock value" is
+    price×quantity revenue from suppliers of a nation band): parts whose
+    value exceeds 2× the average part value — the HAVING-vs-global-scalar
+    shape, threshold expressed scale-independently as a multiple of the
+    average so the selectivity survives any SF.
+
+    Exactness: value accumulates as DECIMAL(38,0) cents·qty (DuckDB
+    HUGEINT); the share test ``pv·np > tv·2`` is pure 128-bit integer
+    math — no fractions. Output re-narrows to BIGINT (fits: per-part
+    value ≪ 9.2e18 at any plausible per-part row count).
+
+    Scale shape: supplier side broadcasts (dim), per-part agg is one
+    fact shuffle, the global total is a 1-row broadcast cross join back
+    onto the per-part aggregate (partkey-cardinality, already small
+    relative to the fact).
+    """
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 13)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (_cents("l_extendedprice") * F.col("l_quantity").cast("long"))
+        .cast(D38)
+        .alias("val"),
+    )
+    pv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("val").cast(D38).alias("pv_val"))
+    )
+    tot = pv.agg(
+        F.sum("pv_val").cast(D38).alias("tv"),
+        F.count(F.lit(1)).cast(D38).alias("np"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("pv_val") * F.col("np") > F.col("tv") * 2)
+        .select("l_partkey", F.col("pv_val").cast("long").alias("value_qty_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counting via fixed-width bitmaps (no OpenHashSet state).
+# ---------------------------------------------------------------------------
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_orderkey) AS distinct_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT count-distinct computed as bitmap aggregation: keys map to
+    (bucket, bit-position); per (group, bucket) a fixed 4 KiB bitmap ORs
+    map-side, then per group the bucket popcounts sum.
+
+    Why this beats ``count(distinct)`` at 100 TB: Spark plans
+    ``count(distinct)`` as a two-phase Expand/regroup whose first-phase
+    state is a per-group hash set of the raw keys — memory ∝ distinct
+    keys. The bitmap shuffle ships at most one 4 KiB value per (group,
+    bucket) REGARDLESS of row count, ORs are associative/commutative
+    (perfect partial aggregation), and popcount is free. Dense integer
+    key spaces (orderkeys, user ids) are exactly where this wins.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.bitmap_bucket_number(F.col("l_orderkey")).alias("bucket"),
+        F.bitmap_bit_position(F.col("l_orderkey")).alias("pos"),
+    )
+    per_bucket = li.groupBy("l_returnflag", "bucket").agg(
+        F.bitmap_construct_agg(F.col("pos")).alias("bm")
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("distinct_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast Bloom runtime filter ahead of an exact semi join.
+# ---------------------------------------------------------------------------
+_BLOOM_BITS = 1 << 16  # 8 KiB filter — size is FIXED, independent of data
+_BLOOM_SEEDS = (0xA5, 0x5A17, 0x3C0B)
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l_suppkey,
+           sum((l_extendedprice::DECIMAL(12,2) * 100)::BIGINT)
+             AS revenue_cents
+    FROM lineitem
+    WHERE l_suppkey IN
+          (SELECT s_suppkey FROM supplier WHERE s_nationkey < 13)
+    GROUP BY l_suppkey
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join revenue rollup with a hand-built broadcast Bloom filter
+    applied at the fact scan — the runtime-filter pattern Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` applies, made explicit.
+
+    Plan: (1) build side (suppliers of a nation band) hashes each key
+    with 3 seeded xxhash64s into a 2^16-bit filter, assembled
+    DISTRIBUTEDLY as per-64-bit-word ``bit_or`` partials; (2) the ≤1024
+    words collect to the driver (BOUNDED by the filter geometry, never
+    by data size) and re-enter the plan as an array literal; (3) the
+    probe scan drops non-members before the shuffle; (4) the exact
+    left-semi join removes Bloom false positives, so the result is
+    exactly the semi join — the filter only sheds shuffle volume.
+
+    At 100 TB the probe side is the dominant cost; a ~50%-selective key
+    filter applied pre-shuffle halves shuffle I/O for 8 KiB of broadcast
+    state. False-positive rate at m=2^16, k=3 stays <1% up to ~4k build
+    keys; beyond that, widen m (still O(KiB)) — correctness never
+    depends on it.
+    """
+    build = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 13)
+        .select("s_suppkey")
+    )
+    m = F.lit(_BLOOM_BITS)
+    positions = build.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("s_suppkey"), F.lit(seed)), m)
+                    for seed in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("pos")
+    )
+    # SQL expr: the Python shiftleft() helper only takes a literal shift
+    # amount; the SQL function accepts a column.
+    words = (
+        positions.selectExpr(
+            "CAST(pos / 64 AS BIGINT) AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS bit",
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()  # ≤ _BLOOM_BITS/64 = 1024 rows, fixed geometry bound
+    )
+    arr = [0] * (_BLOOM_BITS // 64)
+    for row in words:
+        arr[int(row["word_idx"])] = int(row["word"])
+    bloom = F.lit(arr)
+
+    def member(key):
+        checks = []
+        for seed in _BLOOM_SEEDS:
+            pos = F.pmod(F.xxhash64(key, F.lit(seed)), m)
+            word = F.element_at(bloom, (pos / 64).cast("int") + 1)
+            # getbit accepts a column bit position (the shiftleft/right
+            # Python helpers only take literal shift amounts).
+            checks.append(F.getbit(word, (pos % 64).cast("int")) == 1)
+        out = checks[0]
+        for c in checks[1:]:
+            out = out & c
+        return out
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", _cents("l_extendedprice").alias("rev_cents")
+    )
+    return (
+        li.filter(member(F.col("l_suppkey")))  # sheds rows pre-shuffle
+        .join(F.broadcast(build), li.l_suppkey == build.s_suppkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact integer z-score outlier gate (no float mean/stddev in the filter).
+# ---------------------------------------------------------------------------
+@query(
+    "stats_outlier_zscore",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             ((l_extendedprice::DECIMAL(12,2) * 100)::BIGINT)::HUGEINT AS xc
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_returnflag,
+             count(*)::HUGEINT AS n,
+             sum(xc) AS s,
+             sum(xc * xc) AS q
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag,
+           count(*) AS n_total,
+           sum(CASE WHEN (g.n * c.xc - g.s) * (g.n * c.xc - g.s)
+                         > 4 * (g.n * g.q - g.s * g.s)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM c JOIN g USING (l_returnflag)
+    GROUP BY c.l_returnflag
+    """,
+)
+def stats_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count |z| > 2 price outliers per return flag with EXACT integer
+    arithmetic: the float test (x-μ)² > 4σ² is rewritten over raw
+    moments as (n·x − S)² > 4(n·Q − S²) — every term a 128-bit integer
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT), so both engines classify
+    every boundary row identically; a float mean/stddev version can
+    never hash-match across engines.
+
+    Scale shape: one map-side-combined moments pass (3 groups × 3 sums),
+    the 3-row stats table broadcast-joins back onto the fact, and the
+    outlier count is a second single-shuffle aggregate. Two scans, zero
+    wide state — the same one-pass moments trick as stats_corr_exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", _cents("l_extendedprice").cast(D38).alias("xc")
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("xc").cast(D38).alias("s"),
+        F.sum(F.col("xc") * F.col("xc")).cast(D38).alias("q"),
+    )
+    dev = F.col("n") * F.col("xc") - F.col("s")
+    var4 = (F.col("n") * F.col("q") - F.col("s") * F.col("s")) * 4
+    return (
+        li.join(F.broadcast(g), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(dev * dev > var4, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )
