@@ -658,3 +658,24 @@ def test_zscore_moments_broadcast_back(spark):
     plan = plan_of(spark, "stats_outlier_zscore")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mapinarrow_is_map_only_after_spread(spark):
+    # Arrow-native Python map: exactly the fixture-parallelism spread
+    # exchange, then MapInArrow — no aggregation/join shuffles.
+    plan = plan_of(spark, "mapinarrow_text_metrics")
+    assert "MapInArrow" in plan
+    assert n_shuffles(plan) <= 1  # the spread() repartition only
+
+
+def test_existence_mark_plans_existence_join(spark):
+    # EXISTS in the SELECT list must plan as ExistenceJoin (a projected
+    # mark), not rewrite into union-of-semi/anti scans.
+    plan = plan_of(spark, "join_existence_mark")
+    assert "ExistenceJoin" in plan
+
+
+def test_histogram_broadcasts_bounds_no_cartesian(spark):
+    plan = plan_of(spark, "agg_histogram_equiwidth")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

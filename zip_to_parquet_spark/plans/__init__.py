@@ -83,15 +83,15 @@ set_priority([
     "agg_bitmap_distinct",
     "join_bloom_prefilter",
     "stats_outlier_zscore",
+    "mapinarrow_text_metrics",
+    "join_existence_mark",
+    "agg_histogram_equiwidth",
     # (b) stale, last green r1
     "set_union_all",
     "set_intersect",
     "set_except",
     "scalar_string_date",
     "agg_collect_sorted",
-    "scalar_string_date_extra",
-    "agg_approx_percentile",
-    "unpivot_part_measures",
     # (b) stale, last green r2
     "q1_pricing_summary",
     "glob_filter_names",

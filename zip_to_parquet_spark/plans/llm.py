@@ -2555,3 +2555,59 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_id").alias("doc_id"), "rank")
     )
     return rrf_fuse({"lex": lex, "sem": sem}, topk=20)
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow text metrics — the zero-copy Arrow-native Python mechanism.
+# ---------------------------------------------------------------------------
+@query(
+    "mapinarrow_text_metrics",
+    oracle="""
+    SELECT doc_id,
+           strlen(text)                               AS n_bytes,
+           len(string_split(text, ' '))               AS n_ws_tokens,
+           (len(text) - len(replace(text, 'e', '')))  AS n_e
+    FROM documents
+    """,
+)
+def mapinarrow_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document byte length / whitespace token count / 'e' frequency
+    computed with ``mapInArrow`` — completing the Python-integration
+    mechanism matrix (pandas_udf, mapInPandas, applyInPandas(+WithState),
+    cogroup, UDTF, and now raw Arrow batches). Unlike mapInPandas there
+    is NO Arrow→pandas materialization: pyarrow.compute kernels
+    (binary_length, split_pattern + list_value_length, count_substring)
+    run directly on the columnar buffers — the cheapest possible Python
+    seam when the logic is expressible in Arrow kernels.
+
+    Map-only plan: zero shuffles, batch size bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch. The oracle recomputes
+    all three metrics in DuckDB string functions (strlen = BYTES, like
+    binary_length; split keeps empty runs in both engines)."""
+
+    def metrics(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            # RecordBatch columns are plain Arrays (pa.table() would wrap
+            # them in ChunkedArrays, which from_arrays rejects).
+            text = batch.column(batch.schema.get_field_index("text"))
+            doc_id = batch.column(batch.schema.get_field_index("doc_id"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_id,
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")),
+                        pa.int64(),
+                    ),
+                    pc.cast(pc.count_substring(text, "e"), pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_ws_tokens", "n_e"],
+            )
+
+    docs = _documents_spread(spark, sf_dir).select("doc_id", "text")
+    return docs.mapInArrow(
+        metrics, schema="doc_id long, n_bytes long, n_ws_tokens long, n_e long"
+    )

@@ -472,3 +472,107 @@ def stats_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(dev * dev > var4, 1).otherwise(0)).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ExistenceJoin: EXISTS as a projected flag, not a filter.
+# ---------------------------------------------------------------------------
+@query(
+    "join_existence_mark",
+    oracle="""
+    SELECT c_nationkey, has_urgent, count(*) AS n_cust
+    FROM (
+      SELECT c_nationkey,
+             EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey
+                       AND o_orderpriority = '1-URGENT') AS has_urgent
+      FROM customer
+    )
+    GROUP BY c_nationkey, has_urgent
+    """,
+)
+def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS in the SELECT list (a "mark join"): every customer survives,
+    annotated with whether they ever placed an urgent order, then counted
+    per (nation, flag). Catalyst plans this as an ExistenceJoin — a
+    distinct join type from semi/anti (which FILTER; this one PROJECTS
+    the existence bit), completing the join-family surface.
+
+    Scale shape: the subquery side is pre-filtered and pre-projected to
+    the join key before the exchange (urgent orders only, one column);
+    the existence bit adds no payload. One key-partitioned join + one
+    26-ish-value aggregate."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "z2ps_cust_mark"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "z2ps_orders_mark"
+    )
+    return spark.sql(
+        """
+        SELECT c_nationkey, has_urgent, count(*) AS n_cust
+        FROM (
+          SELECT c_nationkey,
+                 EXISTS (SELECT 1 FROM z2ps_orders_mark
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT') AS has_urgent
+          FROM z2ps_cust_mark
+        )
+        GROUP BY c_nationkey, has_urgent
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram against broadcast global bounds.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_histogram_equiwidth",
+    oracle="""
+    WITH b AS (
+      SELECT min((o_totalprice::DECIMAL(12,2) * 100)::BIGINT) AS lo,
+             max((o_totalprice::DECIMAL(12,2) * 100)::BIGINT) AS hi
+      FROM orders
+    )
+    SELECT ((o_totalprice::DECIMAL(12,2) * 100)::BIGINT - lo) * 20
+             // (hi - lo + 1)                            AS bucket,
+           count(*)                                      AS n_orders,
+           min(o_totalprice)                             AS lo_price,
+           max(o_totalprice)                             AS hi_price
+    FROM orders, b
+    GROUP BY bucket
+    """,
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of order value. The global (min,
+    max) bounds come from a 1-row aggregate broadcast-cross-joined into
+    the scan; bucket assignment is PURE INTEGER math over cents —
+    ``(x−lo)·20 div (hi−lo+1)`` — so no float width can put a boundary
+    value in different buckets across engines (the +1 also pins x=hi
+    into bucket 19 without a special case).
+
+    Scale shape: two passes over the fact (bounds, then bucket counts),
+    both map-side combined; the histogram shuffle carries ≤20 groups.
+    The same plan computes any approximate-quantile-free histogram at
+    100 TB — bounds broadcast, never collected per-row."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", _cents("o_totalprice").alias("price_cents")
+    )
+    bounds = orders.agg(
+        F.min("price_cents").alias("lo"), F.max("price_cents").alias("hi")
+    )
+    return (
+        orders.crossJoin(F.broadcast(bounds))
+        # `div` is integer division on longs (Spark's `/` — like DuckDB's
+        # `/` — is float division; the oracle uses `//` to match).
+        .withColumn(
+            "bucket",
+            F.expr("((price_cents - lo) * 20) div (hi - lo + 1)"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo_price"),
+            F.max("o_totalprice").alias("hi_price"),
+        )
+    )
