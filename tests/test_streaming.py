@@ -36,3 +36,41 @@ def test_stateful_totals_is_streaming(spark, sf_dir):
     assert not out.isStreaming
     assert out.columns == ["user_id", "n_events", "total_value"]
     assert out.count() > 0
+
+
+def test_late_drop_replay_actually_drops(spark, sf_dir):
+    """The stream_watermark_late_drop key is only meaningful if the late
+    file is REALLY discarded by the watermark (not admitted and merged) —
+    assert the drop via query progress, not just final-state parity."""
+    from zip_to_parquet_spark.streaming import (
+        read_events_stream_staged,
+        windowed_counts,
+    )
+
+    ensure_shipped(spark)
+    agg = windowed_counts(read_events_stream_staged(spark, sf_dir))
+    q = (
+        agg.writeStream.trigger(availableNow=True)
+        .format("memory")
+        .queryName("late_drop_assert")
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    drops = {
+        p["batchId"]: (p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                       if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    }
+    n_inputs = {p["batchId"]: p["numInputRows"] for p in q.recentProgress}
+    # Four data batches; batch 3 (the late file) is excluded wholesale —
+    # most of it counted by the state operator's drop metric, the rest
+    # discarded by the pre-aggregation watermark filter (which has no
+    # metric; the oracle-parity test proves the full exclusion by value).
+    assert set(n_inputs) >= {0, 1, 2, 3}, n_inputs
+    assert 0 < drops[3] <= n_inputs[3], (drops, n_inputs)
+    assert all(drops.get(b, 0) == 0 for b in (0, 1, 2)), drops
+    emitted = spark.table("late_drop_assert").count()
+    admitted = sum(n_inputs.values()) - n_inputs[3]
+    # Every emitted row comes from on-time batches only.
+    assert emitted <= admitted, (emitted, admitted)

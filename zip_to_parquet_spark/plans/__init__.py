@@ -86,9 +86,9 @@ set_priority([
     "mapinarrow_text_metrics",
     "join_existence_mark",
     "agg_histogram_equiwidth",
+    "stream_watermark_late_drop",
     # (b) stale, last green r1
     "set_union_all",
-    "set_intersect",
     "set_except",
     "scalar_string_date",
     "agg_collect_sorted",

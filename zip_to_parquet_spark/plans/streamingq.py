@@ -199,3 +199,62 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
     )
     return run_stream_to_memory(agg, "complete", "enrich")
+
+
+@query(
+    "stream_watermark_late_drop",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+    ),
+    th AS (
+      SELECT mn + (mx - mn) * 6 // 10 AS t1,
+             mn + (mx - mn) * 9 // 10 AS t2,
+             mx - 600000000           AS wm   -- max event time − 10 min
+      FROM b
+    ),
+    kept AS (  -- the late file (t1 <= ts < t2) is dropped wholesale
+      SELECT e.* FROM events e, th
+      WHERE epoch_us(e.ts) < th.t1 OR epoch_us(e.ts) >= th.t2
+    )
+    SELECT time_bucket(INTERVAL '1 hour', k.ts) AS window_start,
+           k.event_type,
+           count(*) AS n_events,
+           (sum(k.value::DECIMAL(18,2)))::DOUBLE AS total_value
+    FROM kept k, th
+    -- append mode emits only windows the final watermark has closed
+    WHERE epoch_us(time_bucket(INTERVAL '1 hour', k.ts)) + 3600000000
+          <= th.wm
+    GROUP BY 1, 2
+    """,
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked aggregation over a 3-stage replay proving
+    both halves of the watermark contract on real micro-batches:
+
+    1. LATE DATA IS DROPPED: the middle 30% of the events (by time)
+       arrives two batches after the newest data, far below the
+       then-current watermark (global max − 10 min), so every row of it
+       is discarded — the oracle's ``kept`` set excludes that time band
+       entirely.
+    2. APPEND EMITS ONLY CLOSED WINDOWS: the final sink contents are the
+       windows whose end ≤ final watermark; the newest partial window
+       stays in state and never reaches the sink — the oracle's emission
+       predicate mirrors this exactly.
+
+    Window ends are hour-aligned while the watermark carries the max
+    event's sub-hour offset, so no window end ever EQUALS the watermark
+    and the ≤-vs-< eviction boundary cannot flake the hash.
+
+    Scale shape: identical to stream_tumbling_window (state keyed on
+    (window, event_type), store count pinned by run_stream_to_memory);
+    the watermark bounds state at ~1 open hour per key no matter how long
+    the stream runs — THE property that makes this viable on an unbounded
+    100 TB/day topic."""
+    from zip_to_parquet_spark.streaming import read_events_stream_staged
+
+    return run_stream_to_memory(
+        windowed_counts(read_events_stream_staged(spark, sf_dir)),
+        "append",
+        "late_drop",
+    )

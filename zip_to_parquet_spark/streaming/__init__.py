@@ -1,6 +1,7 @@
 from zip_to_parquet_spark.streaming.streams import (
     clicks_to_purchases_join,
     read_events_stream,
+    read_events_stream_staged,
     run_stream_to_memory,
     sessionized_stream,
     stateful_user_totals,

@@ -40,6 +40,7 @@ if TYPE_CHECKING:
 
 __all__ = [
     "read_events_stream",
+    "read_events_stream_staged",
     "clicks_to_purchases_join",
     "windowed_counts",
     "sessionized_stream",
@@ -291,3 +292,91 @@ def run_stream_to_memory(
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def read_events_stream_staged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Events stream replayed as FOUR deterministic micro-batches to
+    exercise watermark late-data semantics (test-harness scaffolding for
+    the production case of files arriving over time in a landing dir):
+
+    * file 0 — "on time":   ts  <  t1            (first 60% of the span)
+    * file 1 — "newer":     t2 <= ts < t3        (90–95% band)
+    * file 2 — "newest":    ts  >= t3            (last 5%)
+    * file 3 — "very late": t1 <= ts < t2        (the 60–90% band,
+                                                  arriving LAST)
+
+    with ``t1,t2,t3 = mn + (mx−mn)·{6∕10, 9∕10, 95∕100}`` computed in
+    integer MICROSECONDS from the events' (min, max) — the same
+    arithmetic a SQL oracle can reproduce exactly.
+
+    Under ``maxFilesPerTrigger=1`` + AvailableNow the files process in
+    mtime order (pinned 100 s apart). Measured Spark semantics (pinned
+    here because they are NOT the naive reading of the docs): the
+    watermark used to FILTER batch N's input is computed from data
+    through batch N−2 (one-batch update lag), while end-of-batch
+    EVICTION/emission uses data through N−1. Hence the late file must
+    trail the data that outruns it by TWO batches: batch 3's input
+    filter runs at max(file 0 ∪ file 1) − delay ≈ t3 − delay, which is
+    ≈5% of the span (≫ the 10-min delay) above every file-3 window —
+    ALL of file 3 is dropped as late. A 2- or 3-file split drops
+    nothing (verified empirically) because of that same lag.
+
+    The split files are written driver-side with pyarrow (bounded: the
+    events fixture; production never does this — real streams are files
+    arriving over time), preserving the fixture's physical ts encoding so
+    the dual NANOS/NTZ read path stays exercised.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    scratch = os.path.join(
+        "/tmp/z2ps_stream_late",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(scratch, "_SPLIT_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(scratch, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        ts = t["ts"]
+        unit = ts.type.unit if hasattr(ts.type, "unit") else None
+        # Integer µs per row (floor for ns — matches DuckDB's truncation).
+        if unit == "ns" or str(ts.type) == "int64":
+            us = pc.divide(pc.cast(ts, "int64"), 1000)
+        else:
+            us = pc.cast(pc.cast(ts, "timestamp[us]"), "int64")
+        mn = pc.min(us).as_py()
+        mx = pc.max(us).as_py()
+        t1 = mn + (mx - mn) * 6 // 10
+        t2 = mn + (mx - mn) * 9 // 10
+        t3 = mn + (mx - mn) * 95 // 100
+        splits = (
+            pc.less(us, t1),  # on time
+            pc.and_(pc.greater_equal(us, t2), pc.less(us, t3)),  # newer
+            pc.greater_equal(us, t3),  # newest (outruns the late band)
+            pc.and_(pc.greater_equal(us, t1), pc.less(us, t2)),  # late
+        )
+        for i, mask in enumerate(splits):
+            path = os.path.join(scratch, f"b{i}.parquet")
+            pq.write_table(t.filter(mask), path)
+            os.utime(path, (1_000_000 + 100 * i, 1_000_000 + 100 * i))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_dtype = dict(spark.read.parquet(scratch).dtypes)["ts"]
+    raw = (
+        spark.readStream.schema(_events_stream_schema(ts_dtype))
+        .format("parquet")
+        .option("pathGlobFilter", "b*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(scratch)
+    )
+    if ts_dtype == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return raw.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
