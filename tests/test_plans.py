@@ -679,3 +679,24 @@ def test_histogram_broadcasts_bounds_no_cartesian(spark):
     plan = plan_of(spark, "agg_histogram_equiwidth")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_null_safe_join_stays_hash_join(spark):
+    # <=> must remain an equi-joinable condition (broadcast hash join),
+    # never the nested-loop degeneration of the OR-of-IS-NULL rewrite.
+    plan = plan_of(spark, "join_null_safe")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_rank_has_no_single_partition_window(spark):
+    # The whole point: the ranking Window must be partitioned by the
+    # bucket id (hashpartitioning(pid)), never a global ORDER BY over an
+    # Exchange SinglePartition. The only SinglePartition allowed is the
+    # 1-row bounds aggregate.
+    plan = plan_of(spark, "global_rank_two_pass")
+    assert "row_number" in plan
+    assert re.search(r"hashpartitioning\(pid", plan), plan[:2000]
+    single = len(re.findall(r"Arguments: SinglePartition", plan))
+    assert single <= 1, plan[:2000]

@@ -87,9 +87,9 @@ set_priority([
     "join_existence_mark",
     "agg_histogram_equiwidth",
     "stream_watermark_late_drop",
+    "join_null_safe",
+    "global_rank_two_pass",
     # (b) stale, last green r1
-    "set_union_all",
-    "set_except",
     "scalar_string_date",
     "agg_collect_sorted",
     # (b) stale, last green r2

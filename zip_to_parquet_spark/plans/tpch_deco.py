@@ -576,3 +576,132 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM).
+# ---------------------------------------------------------------------------
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT nullif(o_orderpriority, '5-LOW') AS pri_key,
+             (o_totalprice::DECIMAL(12,2) * 100)::BIGINT AS cents
+      FROM orders
+    ),
+    d AS (SELECT DISTINCT pri_key FROM l)
+    SELECT d.pri_key, count(*) AS n_orders, sum(l.cents) AS total_cents
+    FROM l JOIN d ON l.pri_key IS NOT DISTINCT FROM d.pri_key
+    GROUP BY d.pri_key
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join: the fixture has no NULL keys, so one is
+    derived deterministically (``nullif(priority, '5-LOW')``) and joined
+    back to its distinct dimension with ``<=>`` — a plain ``=`` join
+    silently LOSES the whole NULL group (NULL = NULL is NULL); the
+    null-safe operator keeps it, and the per-key totals prove it.
+
+    Scale note: ``<=>`` stays a hash-joinable equi-condition (NULL
+    becomes an ordinary key value), so the plan is the same broadcast
+    hash join as any dim join — unlike the OR-of-IS-NULL rewrite, which
+    degenerates to a nested-loop join.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("pri_key"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    dim = orders.select("pri_key").distinct()
+    return (
+        orders.alias("l")
+        .join(
+            F.broadcast(dim.alias("d")),
+            F.col("l.pri_key").eqNullSafe(F.col("d.pri_key")),
+        )
+        .groupBy(F.col("d.pri_key").alias("pri_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("l.cents").alias("total_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed global ranking without a single-partition window.
+# ---------------------------------------------------------------------------
+@query(
+    "global_rank_two_pass",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+             AS global_rank
+    FROM orders
+    """,
+)
+def global_rank_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row numbers over the full table WITHOUT the
+    naive plan (``row_number() OVER (ORDER BY …)`` with no PARTITION BY
+    collapses the entire dataset onto ONE task — the canonical
+    scale-killer). Two-pass range-partitioned ranking instead:
+
+    1. bucket rows by a MONOTONIC range key (16 integer equi-width
+       buckets over price cents against broadcast global bounds —
+       deterministic, unlike ``repartitionByRange``'s sampled
+       boundaries, which can land differently between the offsets job
+       and the final job and mis-shift every rank; ties in price always
+       share a bucket, preserving range contiguity);
+    2. per-bucket ``row_number`` (window PARTITIONED by the bucket id —
+       parallel, state bounded per bucket);
+    3. per-bucket counts (a bucket-count-sized result, bounded by the
+       chosen geometry not by data) collect to the driver, prefix-sum
+       to offsets in global (price DESC) order, and broadcast back;
+       global_rank = offset + local rank.
+
+    Production variant: ``repartitionByRange(...).persist()`` reuses one
+    sampled partitioning for both passes (balanced but cached); exact
+    broadcast bounds are used here so the plan is deterministic without
+    caching. Either way the ranks depend only on the total order and
+    range contiguity.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", _cents("o_totalprice").alias("cents")
+    )
+    n_parts = 16
+    bounds = orders.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    ranged = orders.crossJoin(F.broadcast(bounds)).withColumn(
+        "pid", F.expr(f"((cents - lo) * {n_parts}) div (hi - lo + 1)")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pid").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    local = ranged.withColumn("local_rank", F.row_number().over(w))
+    counts = sorted(
+        (
+            (r["pid"], r["n"])
+            for r in local.groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        reverse=True,  # global order is price DESC → highest bucket first
+    )  # ≤ n_parts rows — bounded by bucket count, never by data
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_df = F.broadcast(
+        local.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, off long"
+        )
+    )
+    return (
+        local.join(off_df, "pid")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("off") + F.col("local_rank")).alias("global_rank"),
+        )
+    )
