@@ -89,8 +89,8 @@ set_priority([
     "stream_watermark_late_drop",
     "join_null_safe",
     "global_rank_two_pass",
+    "matview_incremental_refresh",
     # (b) stale, last green r1
-    "scalar_string_date",
     "agg_collect_sorted",
     # (b) stale, last green r2
     "q1_pricing_summary",

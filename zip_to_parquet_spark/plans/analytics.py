@@ -1194,3 +1194,112 @@ def stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_r6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (insert/retract delta algebra)
+# ---------------------------------------------------------------------------
+@query(
+    "matview_incremental_refresh",
+    oracle="""
+    WITH new AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' updated' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, source, 'new ' || text AS text
+      FROM documents WHERE doc_id % 17 = 5
+    )
+    SELECT source,
+           count(*)          AS n_docs,
+           sum(length(text)) AS total_chars
+    FROM new GROUP BY source
+    """,
+)
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: refresh a per-source (count, chars)
+    aggregate across a corpus snapshot change WITHOUT rescanning the new
+    snapshot into a full aggregate. The view delta is the classic
+    insert/retract multiset algebra: every v1 row whose (doc_id, sha256)
+    no longer exists retracts with weight −1, every v2 row that didn't
+    exist inserts with weight +1, unchanged rows never move; the
+    refreshed view = base ⊕ Σ(weighted deltas), dropping groups whose
+    count reaches zero.
+
+    The simulated refresh is the SAME deterministic edit set as
+    corpus_snapshot_delta (removals id%13=0, edits id%7=3, arrivals
+    id%17=5) — but the ORACLE recomputes the aggregate directly from the
+    new snapshot, so hash parity PROVES the delta algebra equals full
+    recomputation.
+
+    Scale shape: at a real 100 TB corpus the delta (crawl increment) is
+    ~1% of the base; this plan touches base-aggregate rows (group-key
+    cardinality) + 2×delta rows instead of the full corpus. Here both
+    anti-joins key on (doc_id, sha) — equi-shuffles on the change set —
+    and the final merge is a group-key-sized outer join.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.concat(F.col("text"), F.lit(" updated")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 5).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "source",
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "source",
+            F.sha2(F.col("text"), 256).alias("sha"),
+            F.length("text").cast("long").alias("chars"),
+        )
+
+    v1, v2 = keyed(docs), keyed(new)
+    retract = v1.join(v2, ["doc_id", "sha"], "left_anti").select(
+        "source", F.lit(-1).alias("w"), "chars"
+    )
+    insert = v2.join(v1, ["doc_id", "sha"], "left_anti").select(
+        "source", F.lit(1).alias("w"), "chars"
+    )
+    delta = (
+        retract.unionByName(insert)
+        .groupBy("source")
+        .agg(
+            F.sum("w").alias("d_docs"),
+            F.sum(F.col("w") * F.col("chars")).alias("d_chars"),
+        )
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+    )
+    return (
+        base.join(delta, "source", "full_outer")
+        .select(
+            "source",
+            (F.coalesce("n_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0)))
+            .alias("n_docs"),
+            (
+                F.coalesce("total_chars", F.lit(0))
+                + F.coalesce("d_chars", F.lit(0))
+            ).alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
