@@ -74,3 +74,83 @@ def test_late_drop_replay_actually_drops(spark, sf_dir):
     admitted = sum(n_inputs.values()) - n_inputs[3]
     # Every emitted row comes from on-time batches only.
     assert emitted <= admitted, (emitted, admitted)
+
+
+def test_foreachbatch_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
+    """The production sink: update-mode emissions -> foreachBatch ->
+    batch-id-partitioned parquet with dynamic overwrite. Last-writer-wins
+    read-back must equal the complete-mode final state, and a re-run on
+    the same checkpoint must process nothing (no duplicates)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from zip_to_parquet_spark.streaming import (
+        read_events_stream_staged,
+        stream_to_parquet_foreachbatch,
+        windowed_counts,
+    )
+
+    ensure_shipped(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        agg = windowed_counts(read_events_stream_staged(spark, sf_dir))
+        stream_to_parquet_foreachbatch(agg, out, ckpt)
+
+    run_once()
+
+    def read_back():
+        w = Window.partitionBy("window_start", "event_type").orderBy(
+            F.col("_batch_id").desc()
+        )
+        return (
+            spark.read.parquet(out)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("window_start", "event_type", "n_events", "total_value")
+        )
+
+    # Expected: batch aggregation over the ON-TIME split files only
+    # (b0-b2; the late b3 is dropped by the watermark in update mode —
+    # complete mode would NOT drop it, so it cannot serve as the oracle
+    # here). Same window/agg expressions as the streaming plan.
+    import os
+
+    scratch = os.path.join(
+        "/tmp/z2ps_stream_late",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ontime = spark.read.parquet(
+        *(os.path.join(scratch, f"b{i}.parquet") for i in range(3))
+    )
+    if dict(ontime.dtypes)["ts"] == "bigint":
+        ontime = ontime.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ontime = ontime.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+    expected = (
+        ontime.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+    got = {tuple(map(str, r)) for r in read_back().collect()}
+    want = {tuple(map(str, r)) for r in expected.collect()}
+    assert got == want
+    n_files_before = len(spark.read.parquet(out).inputFiles())
+
+    # Replay with the SAME checkpoint: offsets are committed, so nothing
+    # reprocesses and the sink is byte-identical (exactly-once).
+    run_once()
+    got2 = {tuple(map(str, r)) for r in read_back().collect()}
+    assert got2 == want
+    assert len(spark.read.parquet(out).inputFiles()) == n_files_before

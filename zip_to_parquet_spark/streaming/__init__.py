@@ -5,6 +5,7 @@ from zip_to_parquet_spark.streaming.streams import (
     run_stream_to_memory,
     sessionized_stream,
     stateful_user_totals,
+    stream_to_parquet_foreachbatch,
     windowed_counts,
 )
 

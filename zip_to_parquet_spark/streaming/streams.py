@@ -46,6 +46,7 @@ __all__ = [
     "sessionized_stream",
     "stateful_user_totals",
     "run_stream_to_memory",
+    "stream_to_parquet_foreachbatch",
 ]
 
 def _events_stream_schema(ts_dtype: str) -> StructType:
@@ -380,3 +381,60 @@ def read_events_stream_staged(
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return raw.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+
+
+def stream_to_parquet_foreachbatch(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_partitions: int | None = 8,
+) -> None:
+    """Production sink pattern: UPDATE-mode emissions land in parquet via
+    ``foreachBatch``, partitioned by micro-batch id with DYNAMIC partition
+    overwrite — the standard exactly-once recipe for sinks without
+    transactional MERGE:
+
+    * each batch's rows overwrite ONLY their own ``_batch_id`` partition,
+      so a replayed batch (failure between sink write and offset commit)
+      rewrites the same partition instead of appending duplicates —
+      idempotent by layout;
+    * the checkpoint makes re-runs process nothing (offsets committed);
+    * readers reconstruct current state with last-writer-wins per key
+      (max ``_batch_id``), i.e. the read side of an upsert.
+
+    With a transactional table format the body of ``write_batch`` becomes
+    a real MERGE (operators/joins.merge_upsert is the batch analog); the
+    batch-id partition trick is the format-agnostic fallback.
+    """
+    from pyspark.sql import functions as SF
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", SF.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    spark = df.sparkSession
+
+    def _drain() -> None:
+        q = (
+            df.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        q.awaitTermination()
+
+    if state_partitions is None:
+        _drain()
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        _drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
