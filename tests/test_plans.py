@@ -700,3 +700,11 @@ def test_global_rank_has_no_single_partition_window(spark):
     assert re.search(r"hashpartitioning\(pid", plan), plan[:2000]
     single = len(re.findall(r"Arguments: SinglePartition", plan))
     assert single <= 1, plan[:2000]
+
+
+def test_spatial_grid_is_equi_join_not_all_pairs(spark):
+    plan = plan_of(spark, "spatial_grid_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Candidates come from an equi-join on the cell ids.
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*\[cx", plan) or "cx" in plan

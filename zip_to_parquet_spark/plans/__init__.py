@@ -90,8 +90,8 @@ set_priority([
     "join_null_safe",
     "global_rank_two_pass",
     "matview_incremental_refresh",
+    "spatial_grid_neighbors",
     # (b) stale, last green r1
-    "agg_collect_sorted",
     # (b) stale, last green r2
     "q1_pricing_summary",
     "glob_filter_names",

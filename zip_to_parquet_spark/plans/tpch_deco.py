@@ -705,3 +705,93 @@ def global_rank_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.col("local_rank")).alias("global_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed neighbor join (spatial binning instead of all-pairs range).
+# ---------------------------------------------------------------------------
+_GRID_EPS = 20_000  # 0.02 in integer micro-units; cell size == eps
+
+
+@query(
+    "spatial_grid_neighbors",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id,
+             floor(embedding[1]::DOUBLE * 1000000)::BIGINT + 1000000 AS x,
+             floor(embedding[2]::DOUBLE * 1000000)::BIGINT + 1000000 AS y
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM p a JOIN p b
+      ON a.vec_id < b.vec_id
+     AND abs(a.x - b.x) < {_GRID_EPS}
+     AND abs(a.y - b.y) < {_GRID_EPS}
+    """,
+)
+def spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within an L∞ radius over a 2-D slice of the
+    embedding space, found by GRID BINNING: each point keys to an
+    ε-sized cell; one side replicates into its 3×3 neighborhood; a
+    plain equi-join on cell ids yields candidates; the exact distance
+    predicate verifies. The oracle is the quadratic self-join — fine
+    for DuckDB at test scale, exactly what the grid plan avoids.
+
+    Coordinates quantize to integer micro-units (floor(x·1e6), offset
+    positive so integer div == floor) — the cell assignment and the
+    distance test are pure integer math in both engines.
+
+    Scale shape: this is THE spatial-join pattern (and the geohash /
+    H3 bucketing pattern): candidate volume is density-bounded per
+    cell, the join is an equi-shuffle on cell ids (9× replication of
+    one side, constant factor), and no all-pairs comparison exists
+    anywhere. A skewed hot cell is handled like any skewed join key
+    (salting/AQE) — the plan stays equi-join-shaped."""
+    eps = _GRID_EPS
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (
+            F.floor(F.element_at("embedding", 1).cast("double") * 1000000)
+            .cast("long")
+            + 1000000
+        ).alias("x"),
+        (
+            F.floor(F.element_at("embedding", 2).cast("double") * 1000000)
+            .cast("long")
+            + 1000000
+        ).alias("y"),
+    )
+    a = pts.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.expr(f"x div {eps}").alias("cx"),
+        F.expr(f"y div {eps}").alias("cy"),
+    )
+    b = (
+        pts.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.expr(f"x div {eps}").alias("bcx"),
+            F.expr(f"y div {eps}").alias("bcy"),
+        )
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "b_id",
+            "bx",
+            "by",
+            (F.col("bcx") + F.col("dx")).alias("cx"),
+            (F.col("bcy") + F.col("dy")).alias("cy"),
+        )
+    )
+    return (
+        a.join(b, ["cx", "cy"])  # equi-join on cell ids — never all-pairs
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("ax") - F.col("bx")) < eps)
+            & (F.abs(F.col("ay") - F.col("by")) < eps)
+        )
+        .select("a_id", "b_id")
+    )
