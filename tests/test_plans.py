@@ -708,3 +708,21 @@ def test_spatial_grid_is_equi_join_not_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # Candidates come from an equi-join on the cell ids.
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*\[cx", plan) or "cx" in plan
+
+
+def test_mode_window_runs_over_counts_not_rows(spark):
+    # The rank window must consume the (group, value) count table, i.e.
+    # sit ABOVE the aggregate — a window over the raw fact would sort
+    # every row per group.
+    plan = plan_of(spark, "agg_mode_exact")
+    assert "row_number" in plan
+    # The Window's input schema carries the aggregated count column —
+    # proof it consumes the (group, value) counts, not raw fact rows.
+    m = re.search(r"\(\d+\) Window\s*\nInput \[\d+\]: \[[^\]]*\]", plan)
+    assert m and "mode_count" in m.group(0), m.group(0) if m else plan[:1500]
+
+
+def test_skew_report_single_count_shuffle_per_leg(spark):
+    plan = plan_of(spark, "skew_diagnosis_report")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan

@@ -91,12 +91,12 @@ set_priority([
     "global_rank_two_pass",
     "matview_incremental_refresh",
     "spatial_grid_neighbors",
+    "agg_mode_exact",
+    "skew_diagnosis_report",
     # (b) stale, last green r1
     # (b) stale, last green r2
     "q1_pricing_summary",
-    "glob_filter_names",
     "join_multiway_q5",
-    "sha256_documents",
     "events_tumbling_window",
     "agg_salted_skew",
     "dedup_exact",

@@ -795,3 +795,101 @@ def spatial_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group mode with deterministic tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_mode_exact",
+    oracle="""
+    SELECT l_returnflag, mode_qty, mode_count FROM (
+      SELECT l_returnflag,
+             l_quantity::BIGINT AS mode_qty,
+             count(*) AS mode_count,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY count(*) DESC, l_quantity::BIGINT
+             ) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity::BIGINT
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent quantity per return flag with a DETERMINISTIC
+    tiebreak (highest count, then smallest value) — Spark's `mode()`
+    aggregate is tie-nondeterministic, so the portable plan is
+    count-per-(group, value) + a rank-1 window over the value-distinct
+    counts. The window partitions on the group key and orders a
+    value-cardinality-sized set (≤50 quantities here), never raw rows.
+
+    Scale shape: one map-combinable shuffle to (group, value) counts —
+    cardinality = |groups|·|values|, data-independent — then a window
+    over that tiny set. The raw fact never hits a window."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("mode_qty")
+    )
+    counts = li.groupBy("l_returnflag", "mode_qty").agg(
+        F.count(F.lit(1)).alias("mode_count")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("mode_count").desc(), F.col("mode_qty")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", "mode_qty", "mode_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis report (the measurement before salting).
+# ---------------------------------------------------------------------------
+@query(
+    "skew_diagnosis_report",
+    oracle="""
+    WITH f AS (
+      SELECT 'l_orderkey' AS key_col, l_orderkey AS k FROM lineitem
+      UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ),
+    freq AS (
+      SELECT key_col, k, count(*) AS c FROM f GROUP BY key_col, k
+    )
+    SELECT key_col,
+           count(*)                     AS n_keys,
+           sum(c)                       AS n_rows,
+           max(c)                       AS max_freq,
+           max(c) * count(*) * 1000000 // sum(c) AS skew_micro
+    FROM freq GROUP BY key_col
+    """,
+)
+def skew_diagnosis_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis over the three lineitem join keys: key
+    cardinality, hottest-key frequency, and the skew ratio
+    max_freq/mean_freq in exact integer MICRO units
+    (``max·n_keys·1e6 div total`` — no float division). This is the
+    measurement a pipeline runs BEFORE choosing salting / AQE skew-join
+    thresholds; a ratio near 1e6 means uniform, orders of magnitude
+    above means a hot key.
+
+    Scale shape: one unioned scan (three projections of the same fact),
+    one map-combinable (col, key) count shuffle, then a 3-row rollup.
+    The frequency table is key-cardinality-sized; nothing is collected.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    f = None
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        part = li.select(
+            F.lit(col).alias("key_col"), F.col(col).alias("k")
+        )
+        f = part if f is None else f.unionByName(part)
+    freq = f.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("c"))
+    return freq.groupBy("key_col").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_freq"),
+        F.expr("max(c) * count(*) * 1000000 div sum(c)").alias("skew_micro"),
+    )
