@@ -726,3 +726,10 @@ def test_skew_report_single_count_shuffle_per_leg(spark):
     plan = plan_of(spark, "skew_diagnosis_report")
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_equi_join_on_bucket(spark):
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"hashpartitioning\(bucket", plan) or "bucket" in plan

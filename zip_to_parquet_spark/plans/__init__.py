@@ -93,11 +93,11 @@ set_priority([
     "spatial_grid_neighbors",
     "agg_mode_exact",
     "skew_diagnosis_report",
+    "join_interval_overlap",
     # (b) stale, last green r1
     # (b) stale, last green r2
     "q1_pricing_summary",
     "join_multiway_q5",
-    "events_tumbling_window",
     "agg_salted_skew",
     "dedup_exact",
     "dedup_ngram_jaccard",
