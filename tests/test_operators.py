@@ -1802,3 +1802,72 @@ def test_sampled_percentiles_close_to_exact(spark):
     assert r.n_sample > 500
     for s, e in ((r.p50_sampled, r.p50_exact), (r.p90_sampled, r.p90_exact)):
         assert abs(s - e) / e < 0.1, (s, e)
+
+
+def test_bloom_filter_no_false_negatives_random_keys(spark):
+    # The Bloom prefilter's correctness contract: a key the filter was
+    # built from can NEVER fail the membership test (false positives are
+    # fine — the exact semi join removes them; a false negative would
+    # silently drop real rows). Random key sets, including negatives and
+    # values far outside the fixture domain.
+    import random
+
+    from pyspark.sql import functions as F
+    from zip_to_parquet_spark.plans.tpch_deco import (
+        bloom_build_words,
+        bloom_member,
+    )
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        keys = [rng.randint(-(2**40), 2**40) for _ in range(500)]
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        arr = bloom_build_words(df, "k")
+        misses = df.filter(~bloom_member(F.col("k"), arr)).count()
+        assert misses == 0, (seed, misses)
+
+
+def test_ivm_refresh_equals_full_recompute_random_edits(spark):
+    # Property: for ARBITRARY edit sets (deletes, in-place updates,
+    # inserts, group moves), the insert/retract delta algebra must equal
+    # a full recomputation over the new snapshot.
+    import random
+
+    from pyspark.sql import functions as F
+    from zip_to_parquet_spark.operators.pipeline import ivm_refresh
+
+    for seed in (2, 9):
+        rng = random.Random(seed)
+        base = [
+            (i, f"g{rng.randint(0, 3)}", "x" * rng.randint(1, 30))
+            for i in range(60)
+        ]
+        new = []
+        for i, g, t in base:
+            r = rng.random()
+            if r < 0.2:
+                continue  # delete
+            if r < 0.4:
+                new.append((i, g, t + "!" * rng.randint(1, 5)))  # edit
+            elif r < 0.5:
+                new.append((i, f"g{rng.randint(0, 3)}", t))  # group move
+            else:
+                new.append((i, g, t))  # unchanged
+        for j in range(rng.randint(0, 10)):  # inserts
+            new.append((1000 + j, f"g{rng.randint(0, 3)}", "y" * (j + 1)))
+        schema = "doc_id long, source string, text string"
+        v1 = spark.createDataFrame(base, schema)
+        v2 = spark.createDataFrame(new, schema)
+        got = sorted(
+            tuple(r) for r in ivm_refresh(v1, v2).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in v2.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.length("text").cast("long")).alias("total_chars"),
+            )
+            .collect()
+        )
+        assert got == want, seed

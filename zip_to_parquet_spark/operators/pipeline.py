@@ -634,3 +634,69 @@ def curriculum_buckets(
             "shuffle_key"
         ),
     )
+
+
+def ivm_refresh(
+    v1: DataFrame,
+    v2: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental view maintenance of a per-``group_col`` (count, chars)
+    aggregate across a snapshot change, via insert/retract multiset
+    algebra: v1 rows whose (id, sha256(text)) vanished retract (−1), v2
+    rows that are new insert (+1), unchanged rows never move; the
+    refreshed view is base ⊕ Σ(weighted deltas), dropping zero-count
+    groups. The anti-join key includes the GROUP column — a row that
+    merely moves groups (same id, same text) must retract from the old
+    group and insert into the new one; keying on (id, sha) alone makes
+    group moves invisible (caught by the randomized pytest). Equals a full recomputation over v2 by construction (and by
+    the driver oracle + randomized pytest).
+
+    Scale shape: the anti-joins key on the change set (equi-shuffles of
+    delta size), the base aggregate is group-cardinality-sized, and the
+    new snapshot is never rescanned into a full aggregate."""
+    from pyspark.sql import functions as F
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.col(group_col).alias("_grp"),
+            F.sha2(F.col(text_col), 256).alias("_sha"),
+            F.length(text_col).cast("long").alias("_chars"),
+        )
+
+    k1, k2 = keyed(v1), keyed(v2)
+    retract = k1.join(k2, ["_id", "_grp", "_sha"], "left_anti").select(
+        "_grp", F.lit(-1).alias("_w"), "_chars"
+    )
+    insert = k2.join(k1, ["_id", "_grp", "_sha"], "left_anti").select(
+        "_grp", F.lit(1).alias("_w"), "_chars"
+    )
+    delta = (
+        retract.unionByName(insert)
+        .groupBy("_grp")
+        .agg(
+            F.sum("_w").alias("_d_docs"),
+            F.sum(F.col("_w") * F.col("_chars")).alias("_d_chars"),
+        )
+    )
+    base = k1.groupBy("_grp").agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_chars").alias("_t_chars"),
+    )
+    return (
+        base.join(delta, "_grp", "full_outer")
+        .select(
+            F.col("_grp").alias(group_col),
+            (
+                F.coalesce("_n_docs", F.lit(0)) + F.coalesce("_d_docs", F.lit(0))
+            ).alias("n_docs"),
+            (
+                F.coalesce("_t_chars", F.lit(0))
+                + F.coalesce("_d_chars", F.lit(0))
+            ).alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )

@@ -1263,43 +1263,6 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def keyed(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            "source",
-            F.sha2(F.col("text"), 256).alias("sha"),
-            F.length("text").cast("long").alias("chars"),
-        )
+    from zip_to_parquet_spark.operators.pipeline import ivm_refresh
 
-    v1, v2 = keyed(docs), keyed(new)
-    retract = v1.join(v2, ["doc_id", "sha"], "left_anti").select(
-        "source", F.lit(-1).alias("w"), "chars"
-    )
-    insert = v2.join(v1, ["doc_id", "sha"], "left_anti").select(
-        "source", F.lit(1).alias("w"), "chars"
-    )
-    delta = (
-        retract.unionByName(insert)
-        .groupBy("source")
-        .agg(
-            F.sum("w").alias("d_docs"),
-            F.sum(F.col("w") * F.col("chars")).alias("d_chars"),
-        )
-    )
-    base = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.length("text").cast("long")).alias("total_chars"),
-    )
-    return (
-        base.join(delta, "source", "full_outer")
-        .select(
-            "source",
-            (F.coalesce("n_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0)))
-            .alias("n_docs"),
-            (
-                F.coalesce("total_chars", F.lit(0))
-                + F.coalesce("d_chars", F.lit(0))
-            ).alias("total_chars"),
-        )
-        .filter(F.col("n_docs") > 0)
-    )
+    return ivm_refresh(docs, new)

@@ -326,6 +326,57 @@ _BLOOM_BITS = 1 << 16  # 8 KiB filter — size is FIXED, independent of data
 _BLOOM_SEEDS = (0xA5, 0x5A17, 0x3C0B)
 
 
+def bloom_build_words(keys: DataFrame, key_col: str) -> list[int]:
+    """Distributed Bloom-filter assembly: k seeded xxhash64 bit positions
+    per key, OR-combined into 64-bit words, collected as a fixed
+    ``_BLOOM_BITS/64``-long array (bounded by filter geometry, never by
+    data)."""
+    m = F.lit(_BLOOM_BITS)
+    positions = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), m)
+                    for seed in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("pos")
+    )
+    # SQL expr: the Python shiftleft() helper only takes a literal shift
+    # amount; the SQL function accepts a column.
+    words = (
+        positions.selectExpr(
+            "CAST(pos / 64 AS BIGINT) AS word_idx",
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS bit",
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()  # ≤ _BLOOM_BITS/64 = 1024 rows, fixed geometry bound
+    )
+    arr = [0] * (_BLOOM_BITS // 64)
+    for row in words:
+        arr[int(row["word_idx"])] = int(row["word"])
+    return arr
+
+
+def bloom_member(key, arr: list[int]):
+    """Column predicate: does ``key`` pass the filter ``arr``? Guaranteed
+    True for every key the filter was built from (no false negatives)."""
+    m = F.lit(_BLOOM_BITS)
+    bloom = F.lit(arr)
+    checks = []
+    for seed in _BLOOM_SEEDS:
+        pos = F.pmod(F.xxhash64(key, F.lit(seed)), m)
+        word = F.element_at(bloom, (pos / 64).cast("int") + 1)
+        # getbit accepts a column bit position (the shiftleft/right
+        # Python helpers only take literal shift amounts).
+        checks.append(F.getbit(word, (pos % 64).cast("int")) == 1)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
 @query(
     "join_bloom_prefilter",
     oracle="""
@@ -363,51 +414,12 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_nationkey") < 13)
         .select("s_suppkey")
     )
-    m = F.lit(_BLOOM_BITS)
-    positions = build.select(
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.col("s_suppkey"), F.lit(seed)), m)
-                    for seed in _BLOOM_SEEDS
-                ]
-            )
-        ).alias("pos")
-    )
-    # SQL expr: the Python shiftleft() helper only takes a literal shift
-    # amount; the SQL function accepts a column.
-    words = (
-        positions.selectExpr(
-            "CAST(pos / 64 AS BIGINT) AS word_idx",
-            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS bit",
-        )
-        .groupBy("word_idx")
-        .agg(F.bit_or("bit").alias("word"))
-        .collect()  # ≤ _BLOOM_BITS/64 = 1024 rows, fixed geometry bound
-    )
-    arr = [0] * (_BLOOM_BITS // 64)
-    for row in words:
-        arr[int(row["word_idx"])] = int(row["word"])
-    bloom = F.lit(arr)
-
-    def member(key):
-        checks = []
-        for seed in _BLOOM_SEEDS:
-            pos = F.pmod(F.xxhash64(key, F.lit(seed)), m)
-            word = F.element_at(bloom, (pos / 64).cast("int") + 1)
-            # getbit accepts a column bit position (the shiftleft/right
-            # Python helpers only take literal shift amounts).
-            checks.append(F.getbit(word, (pos % 64).cast("int")) == 1)
-        out = checks[0]
-        for c in checks[1:]:
-            out = out & c
-        return out
-
+    arr = bloom_build_words(build, "s_suppkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", _cents("l_extendedprice").alias("rev_cents")
     )
     return (
-        li.filter(member(F.col("l_suppkey")))  # sheds rows pre-shuffle
+        li.filter(bloom_member(F.col("l_suppkey"), arr))  # sheds pre-shuffle
         .join(F.broadcast(build), li.l_suppkey == build.s_suppkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("rev_cents").alias("revenue_cents"))
