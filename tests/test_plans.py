@@ -733,3 +733,21 @@ def test_interval_overlap_equi_join_on_bucket(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"hashpartitioning\(bucket", plan) or "bucket" in plan
+
+
+def test_skyline_prunes_before_sweep(spark):
+    # The dominance sweep must run over pruned candidates: the only
+    # nested-loop join allowed is the 1-row bounds broadcast; the final
+    # candidate join must be a broadcast hash join.
+    plan = plan_of(spark, "skyline_orders_pareto")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pmi_top50_is_take_ordered(spark):
+    # The top-50 must plan as TakeOrderedAndProject (distributed partial
+    # top-k), never Sort over a SinglePartition exchange.
+    plan = plan_of(spark, "text_collocations_pmi")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

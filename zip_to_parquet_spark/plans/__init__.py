@@ -94,11 +94,11 @@ set_priority([
     "agg_mode_exact",
     "skew_diagnosis_report",
     "join_interval_overlap",
+    "skyline_orders_pareto",
+    "text_collocations_pmi",
     # (b) stale, last green r1
     # (b) stale, last green r2
     "q1_pricing_summary",
-    "join_multiway_q5",
-    "agg_salted_skew",
     "dedup_exact",
     "dedup_ngram_jaccard",
     # (the remaining r2-stale tail — text/multimodal/dedup-cluster keys —

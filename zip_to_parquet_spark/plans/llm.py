@@ -2611,3 +2611,94 @@ def mapinarrow_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         metrics, schema="doc_id long, n_bytes long, n_ws_tokens long, n_e long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level collocation mining: PMI-scored bigrams.
+# ---------------------------------------------------------------------------
+@query(
+    "text_collocations_pmi",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    u AS (SELECT unnest(w) AS word FROM t),
+    ucnt AS (SELECT word, count(*)::BIGINT AS c FROM u GROUP BY word),
+    tot AS (SELECT count(*)::BIGINT AS n FROM u),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> array_to_string(w[i:i+1], ' '))) AS bigram
+      FROM t
+    ),
+    bcnt AS (SELECT bigram, count(*)::BIGINT AS cxy FROM bg GROUP BY bigram),
+    btot AS (SELECT sum(cxy)::BIGINT AS nb FROM bcnt),
+    scored AS (
+      SELECT string_split(bigram, ' ')[1] AS w1,
+             string_split(bigram, ' ')[2] AS w2,
+             cxy,
+             floor(ln((cxy::DOUBLE * n::DOUBLE * n::DOUBLE)
+                      / (nb::DOUBLE * cx.c::DOUBLE * cy.c::DOUBLE))
+                   * 1000000)::BIGINT AS pmi_micro
+      FROM bcnt
+      CROSS JOIN tot CROSS JOIN btot
+      JOIN ucnt cx ON cx.word = string_split(bigram, ' ')[1]
+      JOIN ucnt cy ON cy.word = string_split(bigram, ' ')[2]
+      WHERE cxy >= 5
+    )
+    SELECT w1, w2, cxy, pmi_micro FROM scored
+    ORDER BY pmi_micro DESC, w1, w2 LIMIT 50
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 bigrams by pointwise mutual information
+    PMI = ln(p(xy) / (p(x)·p(y))) over the whole corpus — the classic
+    phrase-detection signal (Church & Hanks 1990; word2vec's phrase
+    pass). All counts are exact integers; the single float seam is one
+    ln() whose argument both engines assemble with the IDENTICAL
+    left-associated double expression, floored to integer micro-nats
+    (same accepted trade as the surprisal keys). min-count 5 kills the
+    noise tail; ties break on the words themselves.
+
+    Scale shape: two exploded count aggregates (map-combinable), two
+    equi-joins of the bigram table against the unigram vocabulary (at
+    real scale the vocab side is size-aware broadcastable — the
+    surprisal keys' pattern), 1-row totals broadcast, and the top-50 is
+    a TakeOrdered partial top-k, never a global sort."""
+    docs = _documents_spread(spark, sf_dir).select(
+        F.split(F.col("text"), " ").alias("ws")
+    )
+    uni = docs.select(F.explode("ws").alias("word"))
+    ucnt = uni.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        docs.withColumn("w1s", F.expr("slice(ws, 1, size(ws) - 1)"))
+        .withColumn("w2s", F.expr("slice(ws, 2, size(ws) - 1)"))
+        .select(F.explode(F.arrays_zip("w1s", "w2s")).alias("z"))
+        .select(F.col("z.w1s").alias("w1"), F.col("z.w2s").alias("w2"))
+    )
+    bcnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    btot = bcnt.agg(F.sum("cxy").alias("nb"))
+    cx = ucnt.select(F.col("word").alias("w1"), F.col("c").alias("cx"))
+    cy = ucnt.select(F.col("word").alias("w2"), F.col("c").alias("cy"))
+    ratio = (
+        F.col("cxy").cast("double")
+        * F.col("n").cast("double")
+        * F.col("n").cast("double")
+    ) / (
+        F.col("nb").cast("double")
+        * F.col("cx").cast("double")
+        * F.col("cy").cast("double")
+    )
+    return (
+        bcnt.filter(F.col("cxy") >= 5)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "cxy",
+            F.floor(F.log(ratio) * 1000000).cast("long").alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(50)
+    )

@@ -997,3 +997,90 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             overlap.alias("overlap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (maximize price, maximize recency) via bucket dominance
+# pruning + candidate-bounded sweep.
+# ---------------------------------------------------------------------------
+@query(
+    "skyline_orders_pareto",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             (o_totalprice::DECIMAL(12,2) * 100)::BIGINT AS price_cents,
+             epoch_us(o_orderdate) AS date_us
+      FROM orders
+    )
+    SELECT a.o_orderkey, a.price_cents, a.date_us
+    FROM o a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o b
+      WHERE b.price_cents >= a.price_cents AND b.date_us >= a.date_us
+        AND (b.price_cents > a.price_cents OR b.date_us > a.date_us)
+    )
+    """,
+)
+def skyline_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline: orders no other order beats on BOTH price and
+    recency (strictly on at least one). The oracle is the textbook
+    NOT-EXISTS dominance query — quadratic, exactly what this plan
+    avoids:
+
+    1. PRUNE: points bucket by price (16 disjoint integer equi-width
+       ranges on broadcast bounds — every point in a higher bucket has
+       strictly greater price); the 16 per-bucket date maxima collect
+       (geometry-bounded) and re-enter as a literal suffix-maxima array.
+       A point dominated by ANY higher bucket's max date drops
+       map-side — expected survivors are O(buckets + skyline).
+    2. SWEEP: per-price date maxima of the survivors, one ordered window
+       over the candidate-distinct-price table (bounded by the pruned
+       candidate cardinality, NOT the input — the prune is what makes
+       this single-partition window admissible), keeping prices whose
+       max date beats every strictly-higher price's running max; ties on
+       (price, date) all survive (neither dominates).
+    """
+    from pyspark.sql.window import Window
+
+    n_b = 16
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _cents("o_totalprice").alias("price_cents"),
+        # o_orderdate arrives TIMESTAMP_NTZ; reinterpret the wall clock
+        # as UTC (load_table pins the session to UTC — same contract as
+        # the events.ts path) so unix_micros matches DuckDB's epoch_us.
+        F.unix_micros(
+            F.to_utc_timestamp(F.col("o_orderdate"), "UTC")
+        ).alias("date_us"),
+    )
+    bounds = o.agg(
+        F.min("price_cents").alias("lo"), F.max("price_cents").alias("hi")
+    )
+    ob = o.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt", F.expr(f"((price_cents - lo) * {n_b}) div (hi - lo + 1)")
+    )
+    maxima = {
+        int(r["bkt"]): int(r["d"])
+        for r in ob.groupBy("bkt").agg(F.max("date_us").alias("d")).collect()
+    }  # ≤ n_b rows — bounded by bucket count
+    suffix = [-1] * n_b  # suffix[i] = max date over buckets > i
+    run = -1
+    for i in range(n_b - 1, -1, -1):
+        suffix[i] = run
+        run = max(run, maxima.get(i, -1))
+    cand = ob.filter(
+        F.col("date_us") > F.element_at(F.lit(suffix), F.col("bkt").cast("int") + 1)
+    )
+    perp = cand.groupBy("price_cents").agg(F.max("date_us").alias("pd"))
+    w = (
+        Window.orderBy(F.col("price_cents").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky_p = perp.withColumn("prev_max", F.max("pd").over(w)).filter(
+        F.col("prev_max").isNull() | (F.col("pd") > F.col("prev_max"))
+    )
+    return (
+        cand.join(F.broadcast(sky_p), "price_cents")
+        .filter(F.col("date_us") == F.col("pd"))
+        .select("o_orderkey", "price_cents", "date_us")
+    )
