@@ -751,3 +751,17 @@ def test_pmi_top50_is_take_ordered(spark):
     plan = plan_of(spark, "text_collocations_pmi")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mad_gate_broadcasts_median_tables(spark):
+    plan = plan_of(spark, "stats_outlier_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmv_merge_is_take_ordered(spark):
+    # Every k-smallest selection (including the sketch MERGE) must be
+    # TakeOrdered, never a global Sort.
+    plan = plan_of(spark, "sketch_set_algebra")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -96,11 +96,11 @@ set_priority([
     "join_interval_overlap",
     "skyline_orders_pareto",
     "text_collocations_pmi",
+    "stats_outlier_mad",
+    "sketch_set_algebra",
     # (b) stale, last green r1
     # (b) stale, last green r2
-    "q1_pricing_summary",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     # (the remaining r2-stale tail — text/multimodal/dedup-cluster keys —
     # rotated out to make room for the round-5 third wave above; all stay
     # covered by the sf0.001 oracle-parity sweep on every test run, and

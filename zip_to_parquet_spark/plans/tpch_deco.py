@@ -1084,3 +1084,164 @@ def skyline_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("date_us") == F.col("pd"))
         .select("o_orderkey", "price_cents", "date_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median absolute deviation gate.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_outlier_mad",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, (value::DECIMAL(12,2) * 100)::BIGINT AS x
+      FROM events
+    ),
+    m1 AS (
+      SELECT event_type, quantile_cont(x, 0.5) AS med FROM c GROUP BY 1
+    ),
+    d AS (
+      SELECT c.event_type, c.x, abs(c.x - m1.med) AS dev
+      FROM c JOIN m1 USING (event_type)
+    ),
+    m2 AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1
+    )
+    SELECT d.event_type,
+           max(m1.med) AS med_cents,
+           max(m2.mad) AS mad_cents,
+           count(*) AS n_total,
+           sum(CASE WHEN d.dev > 3 * m2.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers
+    FROM d JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def stats_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate per event type: |x − median| > 3·MAD, the
+    median-absolute-deviation rule that — unlike the z-score gate —
+    a few extreme values cannot drag (mean and stddev are both
+    outlier-sensitive; medians are not). Values quantize to integer
+    cents; both medians are exact interpolated percentiles whose only
+    non-integer form is k.5 — exact in a double — so every comparison
+    is deterministic cross-engine.
+
+    Scale shape: two percentile aggregates (Spark's percentile() is a
+    single-pass per-group aggregate) with the tiny (≤5-row) median
+    tables broadcast back between them; the gate pass is the third and
+    final scan. Medians don't map-side-combine the way moments do —
+    the honest price of robustness (or swap in approx_percentile once
+    exactness stops being the contract)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", _cents("value").alias("x")
+    )
+    m1 = ev.groupBy("event_type").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    d = ev.join(F.broadcast(m1), "event_type").withColumn(
+        "dev", F.abs(F.col("x") - F.col("med"))
+    )
+    m2 = d.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(m2), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch set algebra: KMV union + inclusion-exclusion intersect.
+# ---------------------------------------------------------------------------
+@query(
+    "sketch_set_algebra",
+    oracle="""
+    WITH ha AS (
+      SELECT DISTINCT md5_number_lower(l_orderkey::VARCHAR)
+               % 281474976710656 AS hv
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    hb AS (
+      SELECT DISTINCT md5_number_lower(l_orderkey::VARCHAR)
+               % 281474976710656 AS hv
+      FROM lineitem WHERE l_returnflag = 'A'
+    ),
+    ka AS (SELECT hv FROM ha ORDER BY hv LIMIT 256),
+    kb AS (SELECT hv FROM hb ORDER BY hv LIMIT 256),
+    ku AS (SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+           ORDER BY hv LIMIT 256),
+    ea AS (SELECT CAST((count(*) - 1) * 281474976710656 // max(hv) AS BIGINT)
+             AS est FROM ka),
+    eb AS (SELECT CAST((count(*) - 1) * 281474976710656 // max(hv) AS BIGINT)
+             AS est FROM kb),
+    eu AS (SELECT CAST((count(*) - 1) * 281474976710656 // max(hv) AS BIGINT)
+             AS est FROM ku)
+    SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+           ea.est + eb.est - eu.est AS est_intersect,
+           (SELECT count(DISTINCT l_orderkey) FROM lineitem
+             WHERE l_returnflag IN ('R', 'A')) AS exact_union
+    FROM ea, eb, eu
+    """,
+)
+def sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes sketches DISTRIBUTED data structures:
+    mergeability. Two KMV sketches (256 smallest md5-low-48 hashes of
+    the 'R' and 'A' orderkey sets) merge by re-selecting the 256
+    smallest of their union — a k-sized operation independent of set
+    sizes — estimating |A∪B|; |A∩B| follows by inclusion-exclusion.
+    Every step is exact integer arithmetic on deterministic hashes, so
+    this approximation family carries a FULL value oracle (the exact
+    union rides along to show the error in-plan).
+
+    Scale shape: per-set hash+distinct shuffles, TakeOrdered k-smallest
+    (per-partition top-k, k-sized driver merge), and the merge itself
+    touches 512 rows. This is precisely how per-partition /
+    per-day sketches roll up at 100 TB without rescanning history."""
+    from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def kmv(flag: str):
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .select(
+                F.expr(
+                    md5_low_bytes_sql("cast(l_orderkey as string)", 6)
+                ).alias("hv")
+            )
+            .distinct()
+            .orderBy("hv")
+            .limit(256)
+        )
+
+    ka, kb = kmv("R"), kmv("A")
+    ku = ka.union(kb).distinct().orderBy("hv").limit(256)
+
+    def est(k, name):
+        return k.agg(
+            F.expr("(count(*) - 1) * 281474976710656L div max(hv)")
+            .cast("long")
+            .alias(name)
+        )
+
+    exact = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .agg(F.countDistinct("l_orderkey").alias("exact_union"))
+    )
+    return (
+        est(ka, "est_a")
+        .crossJoin(F.broadcast(est(kb, "est_b")))
+        .crossJoin(F.broadcast(est(ku, "est_union")))
+        .withColumn(
+            "est_intersect",
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        )
+        .crossJoin(F.broadcast(exact))
+    )
