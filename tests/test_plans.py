@@ -765,3 +765,12 @@ def test_kmv_merge_is_take_ordered(spark):
     plan = plan_of(spark, "sketch_set_algebra")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pit_join_is_equi_on_id(spark):
+    # PIT correctness at scale: the join must hash-partition on the id
+    # (validity range as post-join filter), never degenerate to a range
+    # nested-loop.
+    plan = plan_of(spark, "join_point_in_time_scd2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -98,9 +98,9 @@ set_priority([
     "text_collocations_pmi",
     "stats_outlier_mad",
     "sketch_set_algebra",
+    "join_point_in_time_scd2",
     # (b) stale, last green r1
     # (b) stale, last green r2
-    "dedup_exact",
     # (the remaining r2-stale tail — text/multimodal/dedup-cluster keys —
     # rotated out to make room for the round-5 third wave above; all stay
     # covered by the sf0.001 oracle-parity sweep on every test run, and

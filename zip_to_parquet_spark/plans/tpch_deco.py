@@ -1245,3 +1245,93 @@ def sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(exact))
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (PIT) join against a versioned SCD2-style dimension.
+# ---------------------------------------------------------------------------
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_nationkey AS nat,
+             TIMESTAMP '1000-01-01' AS vfrom, TIMESTAMP '1997-01-01' AS vto
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             (c_nationkey + CASE WHEN c_custkey % 7 = 3 THEN 1 ELSE 0 END)
+               % 25,
+             TIMESTAMP '1997-01-01', TIMESTAMP '1999-06-01'
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             (c_nationkey + CASE WHEN c_custkey % 7 = 3 THEN 1 ELSE 0 END
+                          + CASE WHEN c_custkey % 5 = 1 THEN 2 ELSE 0 END)
+               % 25,
+             TIMESTAMP '1999-06-01', TIMESTAMP '3000-01-01'
+      FROM customer
+    )
+    SELECT dim.nat AS effective_nationkey,
+           count(*) AS n_orders,
+           sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)
+             AS revenue_cents
+    FROM orders
+    JOIN dim ON dim.c_custkey = o_custkey
+            AND o_orderdate >= dim.vfrom AND o_orderdate < dim.vto
+    GROUP BY dim.nat
+    """,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every order joins the dimension VERSION that
+    was valid on its order date (a deterministic 3-version SCD2-style
+    customer history with id-mod attribute drift) — the lookup that
+    makes SCD2 histories queryable, and the classic
+    training-data-leakage guard (feature stores call it an as-of/PIT
+    join: never join tomorrow's dimension onto today's fact).
+
+    Scale shape: the join is an EQUI-join on the id with the validity
+    range as a post-join filter — correct because versions-per-id is
+    small and bounded (the SCD2 invariant), so the range predicate
+    prunes ≤2 of 3 candidate rows per match. Never a blind range join:
+    the id equi-key keeps it hash-partitioned. One shuffle + a ≤25-row
+    rollup."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    ts = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        ts("1000-01-01").alias("vfrom"),
+        ts("1997-01-01").alias("vto"),
+    )
+    drift1 = F.when(F.col("c_custkey") % 7 == 3, 1).otherwise(0)
+    drift2 = F.when(F.col("c_custkey") % 5 == 1, 2).otherwise(0)
+    v2 = cust.select(
+        "c_custkey",
+        ((F.col("c_nationkey") + drift1) % 25).alias("nat"),
+        ts("1997-01-01").alias("vfrom"),
+        ts("1999-06-01").alias("vto"),
+    )
+    v3 = cust.select(
+        "c_custkey",
+        ((F.col("c_nationkey") + drift1 + drift2) % 25).alias("nat"),
+        ts("1999-06-01").alias("vfrom"),
+        ts("3000-01-01").alias("vto"),
+    )
+    dim = v1.unionByName(v2).unionByName(v3)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", _cents("o_totalprice").alias("cents")
+    )
+    return (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.col("vfrom"))
+            & (F.col("o_orderdate") < F.col("vto"))
+        )
+        .groupBy(F.col("nat").alias("effective_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
