@@ -2702,3 +2702,49 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture entropy: diversity diagnostic for corpus composition.
+# ---------------------------------------------------------------------------
+@query(
+    "mixture_source_entropy",
+    oracle="""
+    WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents
+               GROUP BY source),
+    t AS (SELECT sum(n)::BIGINT AS total FROM c)
+    SELECT source, n,
+           n * 1000000 // total AS share_ppm,
+           floor((-1.0) * (n::DOUBLE / total::DOUBLE)
+                 * ln(n::DOUBLE / total::DOUBLE) * 1000000)::BIGINT
+             AS h_term_micro
+    FROM c CROSS JOIN t
+    """,
+)
+def mixture_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source share and Shannon-entropy contribution of the corpus
+    mixture — the diversity diagnostic read before setting mixture
+    rates (a collapsing entropy means one source is swallowing the
+    corpus). Shares are exact integer ppm; each entropy term
+    −p·ln p is floored to micro-nats PER SOURCE with the identical
+    double expression in both engines, so the total (a sum of integers)
+    is summation-order-free — summing doubles across sources would be
+    order-dependent and could never hash-match.
+
+    Scale shape: one map-combinable count shuffle, a 1-row total
+    broadcast, map-only scoring of the |sources|-row table."""
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n",
+            F.expr("n * 1000000 div total").alias("share_ppm"),
+            F.floor(F.lit(-1.0) * p * F.log(p) * 1000000)
+            .cast("long")
+            .alias("h_term_micro"),
+        )
+    )

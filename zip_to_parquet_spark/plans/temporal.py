@@ -111,3 +111,56 @@ def cogroup_user_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     return cogroup_attribution(purchases, clicks)
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS prob_ppm
+    FROM t
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event streams: per
+    user, consecutive event pairs (lag over the per-user time order),
+    counted into a |types|² matrix with row-normalized transition
+    probabilities in integer parts-per-million (``n·1e6 div row_total``
+    — no float division). The sequence-mining primitive under session
+    analysis, next-event prediction features, and bot detection
+    (improbable transition chains).
+
+    Scale shape: ONE user-keyed shuffle for the lag window (state
+    bounded per user), a map-combinable pair count, and the
+    normalization window runs over the |types|²-row matrix — value
+    cardinality, not events."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    t = seq.groupBy(
+        F.col("prev_type"), F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return t.withColumn(
+        "prob_ppm",
+        F.expr(
+            "(n * 1000000) div sum(n) OVER (PARTITION BY prev_type)"
+        ),  # exact integer div, matching the oracle's //
+    )
