@@ -1855,6 +1855,15 @@ def test_ivm_refresh_equals_full_recompute_random_edits(spark):
                 new.append((i, g, t))  # unchanged
         for j in range(rng.randint(0, 10)):  # inserts
             new.append((1000 + j, f"g{rng.randint(0, 3)}", "y" * (j + 1)))
+        # Multiset cases: duplicate rows on either side (snapshot written
+        # twice / append glitch) must maintain by multiplicity — include
+        # a GUARANTEED unchanged-row-duplicated-in-one-side case, the
+        # one a set-based anti-join provably misses.
+        base += [r for r in base[:5]]
+        new += [r for r in new[:3]]
+        base.append((5000, "g0", "stable"))
+        new.append((5000, "g0", "stable"))
+        new.append((5000, "g0", "stable"))  # c1=1, c2=2: delta must be +1
         schema = "doc_id long, source string, text string"
         v1 = spark.createDataFrame(base, schema)
         v2 = spark.createDataFrame(new, schema)

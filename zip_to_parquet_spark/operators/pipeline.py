@@ -644,47 +644,62 @@ def ivm_refresh(
     text_col: str = "text",
 ) -> DataFrame:
     """Incremental view maintenance of a per-``group_col`` (count, chars)
-    aggregate across a snapshot change, via insert/retract multiset
-    algebra: v1 rows whose (id, sha256(text)) vanished retract (−1), v2
-    rows that are new insert (+1), unchanged rows never move; the
-    refreshed view is base ⊕ Σ(weighted deltas), dropping zero-count
-    groups. The anti-join key includes the GROUP column — a row that
-    merely moves groups (same id, same text) must retract from the old
-    group and insert into the new one; keying on (id, sha) alone makes
-    group moves invisible (caught by the randomized pytest). Equals a full recomputation over v2 by construction (and by
-    the driver oracle + randomized pytest).
+    aggregate across a snapshot change, via TRUE multiset insert/retract
+    algebra: snapshots reduce to per-(id, group, sha256(text))
+    MULTIPLICITIES, and the delta per key is c₂ − c₁ — so duplicate
+    rows (a snapshot written twice, an append glitch) and group moves
+    (same id, same text, new group) both maintain correctly; the
+    refreshed view is base ⊕ Σ(count-weighted deltas), dropping
+    zero-count groups. (The earlier set-based anti-join form missed
+    both cases — each found by the randomized pytest.) Equals a full
+    recomputation over v2 by construction (and by the driver oracle +
+    randomized pytest).
 
-    Scale shape: the anti-joins key on the change set (equi-shuffles of
-    delta size), the base aggregate is group-cardinality-sized, and the
-    new snapshot is never rescanned into a full aggregate."""
+    Scale shape: one per-key count aggregate per snapshot
+    (map-combinable), ONE full-outer equi-join on the key whose output
+    is filtered to the change set before the group rollup, and the base
+    aggregate is group-cardinality-sized. The new snapshot is never
+    rescanned into a full aggregate."""
     from pyspark.sql import functions as F
 
     def keyed(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("_id"),
-            F.col(group_col).alias("_grp"),
-            F.sha2(F.col(text_col), 256).alias("_sha"),
-            F.length(text_col).cast("long").alias("_chars"),
+        return (
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(group_col).alias("_grp"),
+                F.sha2(F.col(text_col), 256).alias("_sha"),
+                F.length(text_col).cast("long").alias("_chars"),
+            )
+            .groupBy("_id", "_grp", "_sha")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                # identical across copies (same sha)
+                F.max("_chars").alias("_chars"),
+            )
         )
 
     k1, k2 = keyed(v1), keyed(v2)
-    retract = k1.join(k2, ["_id", "_grp", "_sha"], "left_anti").select(
-        "_grp", F.lit(-1).alias("_w"), "_chars"
-    )
-    insert = k2.join(k1, ["_id", "_grp", "_sha"], "left_anti").select(
-        "_grp", F.lit(1).alias("_w"), "_chars"
+    j = k1.selectExpr(
+        "_id", "_grp", "_sha", "_c AS _c1", "_chars AS _ch1"
+    ).join(
+        k2.selectExpr("_id", "_grp", "_sha", "_c AS _c2", "_chars AS _ch2"),
+        ["_id", "_grp", "_sha"],
+        "full_outer",
     )
     delta = (
-        retract.unionByName(insert)
+        j.withColumn(
+            "_dn", F.coalesce("_c2", F.lit(0)) - F.coalesce("_c1", F.lit(0))
+        )
+        .filter(F.col("_dn") != 0)  # only the change set reaches the rollup
         .groupBy("_grp")
         .agg(
-            F.sum("_w").alias("_d_docs"),
-            F.sum(F.col("_w") * F.col("_chars")).alias("_d_chars"),
+            F.sum("_dn").alias("_d_docs"),
+            F.sum(F.col("_dn") * F.coalesce("_ch1", "_ch2")).alias("_d_chars"),
         )
     )
     base = k1.groupBy("_grp").agg(
-        F.count(F.lit(1)).alias("_n_docs"),
-        F.sum("_chars").alias("_t_chars"),
+        F.sum("_c").alias("_n_docs"),
+        F.sum(F.col("_c") * F.col("_chars")).alias("_t_chars"),
     )
     return (
         base.join(delta, "_grp", "full_outer")

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zip_to_parquet_spark.operators.dedupe import (
+    duck_hot_having_sql,
     containment_pairs,
     shingle_sets,
     word_edit_pairs,
@@ -41,7 +42,7 @@ from zip_to_parquet_spark.schema import load_table
 # ---------------------------------------------------------------------------
 @query(
     "dedup_containment",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     s AS (
       SELECT doc_id,
@@ -52,7 +53,7 @@ from zip_to_parquet_spark.schema import load_table
     e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
     hot AS (
       SELECT shingle FROM e GROUP BY shingle
-      HAVING count(*) * 1000 > 10 * (SELECT count(*) FROM s) AND count(*) > 5
+      HAVING {duck_hot_having_sql('SELECT count(*) FROM s')}
     ),
     eg AS (SELECT e.* FROM e ANTI JOIN hot USING (shingle)),
     cand AS (
@@ -535,7 +536,7 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cluster_keep_best",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
@@ -548,7 +549,7 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
     hot AS (
       SELECT shingle FROM e2 GROUP BY shingle
-      HAVING count(*) * 1000 > 10 * (SELECT count(*) FROM s) AND count(*) > 5
+      HAVING {duck_hot_having_sql('SELECT count(*) FROM s')}
     ),
     eg AS (SELECT e2.* FROM e2 ANTI JOIN hot USING (shingle)),
     cand AS (
@@ -1212,8 +1213,8 @@ def stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 17 = 5
     )
     SELECT source,
-           count(*)          AS n_docs,
-           sum(length(text)) AS total_chars
+           count(*)                  AS n_docs,
+           sum(length(text))::BIGINT AS total_chars
     FROM new GROUP BY source
     """,
 )

@@ -280,7 +280,6 @@ def dedup_incremental_vs_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame
     equi-join keyed by hash/band/id; prior TEXT is read only for
     candidate prior ids; the band index is new-batch × index, never
     corpus × corpus."""
-    import os
 
     docs = _documents_spread(spark, sf_dir).select("doc_id", "text")
     off = F.lit(_SNAP_BATCH_OFFSET)

@@ -129,7 +129,8 @@ def cogroup_user_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY prev_type, event_type
     )
     SELECT prev_type, next_type, n,
-           n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS prob_ppm
+           (n * 1000000 // sum(n) OVER (PARTITION BY prev_type))::BIGINT
+             AS prob_ppm
     FROM t
     """,
 )

@@ -160,7 +160,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_nationkey,
            count(*) AS numcust,
-           sum((c_acctbal::DECIMAL(12,2) * 100)::BIGINT) AS totacctbal_cents
+           sum((c_acctbal::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
+             AS totacctbal_cents
     FROM customer, pos
     WHERE (c_acctbal::DECIMAL(12,2) * 100)::BIGINT * pos.c > pos.s
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -381,7 +382,7 @@ def bloom_member(key, arr: list[int]):
     "join_bloom_prefilter",
     oracle="""
     SELECT l_suppkey,
-           sum((l_extendedprice::DECIMAL(12,2) * 100)::BIGINT)
+           sum((l_extendedprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
              AS revenue_cents
     FROM lineitem
     WHERE l_suppkey IN
@@ -602,7 +603,8 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     ),
     d AS (SELECT DISTINCT pri_key FROM l)
-    SELECT d.pri_key, count(*) AS n_orders, sum(l.cents) AS total_cents
+    SELECT d.pri_key, count(*) AS n_orders,
+           sum(l.cents)::BIGINT AS total_cents
     FROM l JOIN d ON l.pri_key IS NOT DISTINCT FROM d.pri_key
     GROUP BY d.pri_key
     """,
@@ -872,9 +874,9 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT key_col,
            count(*)                     AS n_keys,
-           sum(c)                       AS n_rows,
+           sum(c)::BIGINT               AS n_rows,
            max(c)                       AS max_freq,
-           max(c) * count(*) * 1000000 // sum(c) AS skew_micro
+           (max(c) * count(*) * 1000000 // sum(c))::BIGINT AS skew_micro
     FROM freq GROUP BY key_col
     """,
 )
@@ -1273,7 +1275,7 @@ def sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dim.nat AS effective_nationkey,
            count(*) AS n_orders,
-           sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)
+           sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
              AS revenue_cents
     FROM orders
     JOIN dim ON dim.c_custkey = o_custkey
