@@ -772,3 +772,36 @@ def test_write_partitioned_files_per_partition_salt(spark, tmp_path):
         assert 1 <= len(files) <= 2, (d, files)
     got = sorted(r.id for r in spark.read.parquet(out).filter("k='a'").collect())
     assert got == list(range(200))
+
+
+def test_jsonl_shards_writer_atomic_roundtrip(spark, tmp_path):
+    """Python DataSource WRITER (completes the reader/streamReader/writer
+    API surface): sharded JSONL with two-phase commit. Round-trip via
+    spark.read.json must preserve the rows; the sink dir must contain
+    only finalized part files + _SUCCESS (no temp shards)."""
+    import os
+
+    from zip_to_parquet_spark.schema import load_table
+    from zip_to_parquet_spark.sources.jsonlsink import write_jsonl_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(docs.repartition(4), out)
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    parts = [f for f in files if f.startswith("part-")]
+    assert len(parts) == 4
+    assert not [f for f in files if f.startswith("_tmp_")]
+
+    back = spark.read.json(out)
+    a = {(r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect()}
+    b = {(r["doc_id"], r["lang"], r["n_chars"]) for r in back.collect()}
+    assert a == b
+
+    # Overwrite mode replaces the shard set (no stale parts linger).
+    write_jsonl_shards(docs.repartition(2), out)
+    parts2 = [f for f in sorted(os.listdir(out)) if f.startswith("part-")]
+    assert len(parts2) == 2
