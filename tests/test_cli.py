@@ -213,3 +213,45 @@ def test_cli_tar_rejects_skip_mode(tmp_path):
     )
     assert res.returncode == 2
     assert "tar" in res.stderr
+
+
+def test_cli_jsonl_output(tmp_path):
+    """--format jsonl routes through the Python DataSource writer:
+    sharded JSONL with _SUCCESS, readable back as JSON. Also: jsonl
+    without --no-body is a validation error (binary bodies have no
+    faithful JSON encoding)."""
+    import json
+    import os
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with zipfile.ZipFile(src / "a.zip", "w") as z:
+        z.writestr("one.txt", b"alpha")
+        z.writestr("two.txt", b"beta")
+    out = tmp_path / "members_jsonl"
+    base = [
+        sys.executable, "-m", "zip_to_parquet_spark.cli",
+        "-i", f"{src}/*.zip", "-o", str(out),
+        "--distributed", "--format", "jsonl",
+    ]
+    r2 = subprocess.run(
+        base, cwd=REPO, capture_output=True, text=True, timeout=120
+    )
+    assert r2.returncode == 2
+    assert "--no-body" in r2.stderr
+
+    r = subprocess.run(
+        base + ["--no-body"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = os.listdir(out)
+    assert "_SUCCESS" in files
+    rows = []
+    for f in files:
+        if f.startswith("part-"):
+            with open(out / f) as fh:
+                rows += [json.loads(line) for line in fh]
+    assert {row["name"] for row in rows} == {"one.txt", "two.txt"}
+    assert all(row["body"] is None for row in rows)
+    assert not [f for f in files if f.startswith("_tmp_")]

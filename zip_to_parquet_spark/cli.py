@@ -78,7 +78,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--format",
-        choices=["parquet", "orc"],
+        choices=["parquet", "orc", "jsonl"],
         default="parquet",
         help="output format (orc requires --distributed; single-file and "
         "stdout byte-parity modes are parquet-only)",
@@ -133,6 +133,17 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     if args.format == "orc" and not (args.output and args.distributed):
         print("error: --format orc requires -o/--output with --distributed", file=sys.stderr)
+        return 2
+    if args.format == "jsonl" and not (
+        args.output and args.distributed and args.no_body
+    ):
+        # JSONL is a text format: the binary body column has no faithful
+        # JSON encoding, so the sharded sink requires --no-body.
+        print(
+            "error: --format jsonl requires -o/--output with --distributed"
+            " and --no-body",
+            file=sys.stderr,
+        )
         return 2
     if args.input_format == "tar" and (args.on_error != "fail" or args.strict_hash):
         print(
@@ -200,6 +211,12 @@ def main(argv: list[str] | None = None) -> int:
                     from zip_to_parquet_spark.sinks import write_orc
 
                     write_orc(df, args.output, mode="overwrite")
+                elif args.format == "jsonl":
+                    from zip_to_parquet_spark.sources.jsonlsink import (
+                        write_jsonl_shards,
+                    )
+
+                    write_jsonl_shards(df, args.output)
                 else:
                     write_parquet(df, args.output, mode="overwrite")
                 n = -1
