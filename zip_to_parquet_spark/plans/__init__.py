@@ -101,6 +101,7 @@ set_priority([
     "join_point_in_time_scd2",
     "events_markov_transitions",
     "mixture_source_entropy",
+    "scan_schema_evolution",
     # (b) stale, last green r1
     # (b) stale, last green r2
     # (the remaining r2-stale tail — text/multimodal/dedup-cluster keys —
@@ -110,7 +111,6 @@ set_priority([
     # (c) r4-green keys whose behavior round 5 directly changed
     "dedup_containment",
     "dedup_cluster_keep_best",
-    "corpus_merge_upsert",
     # (format_orc_roundtrip and dim_scd2_history rotated out at the end
     # of round 5 to keep every never-driver-verified key inside the 50:
     # both were re-verified by this round's full-registry sf0.01 sweep,

@@ -1337,3 +1337,65 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution on read (mergeSchema across parquet file generations).
+# ---------------------------------------------------------------------------
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                ELSE '<pre-evolution>' END          AS priority,
+           count(*)                                 AS n_orders,
+           sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
+                                                    AS revenue_cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: half the orders are written as an
+    OLD-generation parquet file set (no priority column), half as a
+    NEW-generation set (priority added); one ``mergeSchema`` scan reads
+    both generations, with the old rows surfacing NULL for the added
+    column — exactly how a long-lived 100 TB table accretes columns
+    without rewriting history. The aggregate buckets old rows under a
+    sentinel so the evolution semantics themselves are value-checked
+    (the oracle replays the generation split from the source table).
+
+    Scale note: mergeSchema schema inference reads every file's FOOTER
+    at planning time — fine per-batch, expensive across millions of
+    files; production pins the merged schema explicitly (or uses a
+    table format's schema log) once it stabilizes. The scan itself
+    stays an ordinary parallel parquet read with pruning intact."""
+    from zip_to_parquet_spark.runtime import session_scratch
+
+    path = session_scratch(spark, "z2ps_evolve", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 0).drop(
+        "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{path}/gen=old")
+    orders.filter(F.col("o_orderkey") % 2 == 1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/gen=new")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    return (
+        merged.select(
+            F.coalesce(
+                F.col("o_orderpriority"), F.lit("<pre-evolution>")
+            ).alias("priority"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
