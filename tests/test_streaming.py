@@ -154,3 +154,58 @@ def test_foreachbatch_parquet_sink_exactly_once(spark, sf_dir, tmp_path):
     got2 = {tuple(map(str, r)) for r in read_back().collect()}
     assert got2 == want
     assert len(spark.read.parquet(out).inputFiles()) == n_files_before
+
+
+def test_transform_with_state_running_totals(spark, sf_dir):
+    """Spark 4 transformWithState (typed ValueState on RocksDB): per-user
+    totals accumulated across the 4-stage replay must equal the plain
+    batch aggregate (no watermark → nothing dropped). Skips where the
+    state-server's protobuf dependency is absent (this container); the
+    operator raises a clear gate error there, asserted below."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    from zip_to_parquet_spark.streaming import (
+        read_events_stream_staged,
+        rocksdb_state_store,
+        run_stream_to_memory,
+        tws_running_totals,
+    )
+
+    ensure_shipped(spark)
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            tws_running_totals(read_events_stream_staged(spark, sf_dir))
+        pytest.skip("google.protobuf not installed in this environment")
+
+    with rocksdb_state_store(spark):
+        out = run_stream_to_memory(
+            tws_running_totals(read_events_stream_staged(spark, sf_dir)),
+            "update",
+            "tws_totals_test",
+        )
+    got = {
+        tuple(r)
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n"), F.max("total_cents").alias("c")
+        )
+        .collect()
+    }
+    from zip_to_parquet_spark.schema import load_table
+
+    want = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -6,6 +6,8 @@ from zip_to_parquet_spark.streaming.streams import (
     sessionized_stream,
     stateful_user_totals,
     stream_to_parquet_foreachbatch,
+    rocksdb_state_store,
+    tws_running_totals,
     windowed_counts,
 )
 

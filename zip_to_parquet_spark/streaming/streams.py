@@ -47,6 +47,8 @@ __all__ = [
     "stateful_user_totals",
     "run_stream_to_memory",
     "stream_to_parquet_foreachbatch",
+    "tws_running_totals",
+    "rocksdb_state_store",
 ]
 
 def _events_stream_schema(ts_dtype: str) -> StructType:
@@ -438,3 +440,109 @@ def stream_to_parquet_foreachbatch(
         _drain()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def tws_running_totals(events: DataFrame, state_partitions: int | None = 8):
+    """Per-user running (count, cents) totals via ``transformWithState``
+    (Spark 4's successor to applyInPandasWithState: typed per-key state
+    handles — value/list/map — plus timers, REQUIRING the RocksDB state
+    store provider, whose off-heap state is also the only provider that
+    survives 100 TB-scale key cardinalities without executor heap
+    pressure).
+
+    Semantics here: a ValueState[(n, cents)] per user, updated per
+    micro-batch, emitting the post-update totals — both monotone
+    nondecreasing (event values are positive), so the FINAL state per
+    user is recoverable from an update-mode sink as the row-wise max.
+    Exact integer cents; deterministic across replays.
+
+    Call inside ``rocksdb_state_store(spark)`` — transformWithState
+    refuses the default HDFS-backed provider.
+
+    ENVIRONMENT GATE: the transformWithState state-server protocol
+    speaks protobuf; this container ships no ``google.protobuf``, so the
+    operator raises a clear ImportError here and is exercised by a
+    pytest that skips when protobuf is absent (same policy as the
+    exotic-codec multimodal stubs — the Spark-side plumbing is real and
+    complete; only the environment is missing).
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithState requires the protobuf package "
+            "(google.protobuf) for its state-server protocol; not "
+            "installed in this environment"
+        ) from exc
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState(
+                "tot", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            if self._tot.exists():
+                prev = self._tot.get()
+                n += int(prev[0])
+                cents += int(prev[1])
+            self._tot.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = events.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    ).groupBy("user_id")
+    return keyed.transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id BIGINT, n_events BIGINT, total_cents BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Pin the RocksDB state store provider for the enclosed streaming
+    query (transformWithState requires it; it is also the provider that
+    holds production-scale state off-heap). Restores the prior provider
+    after."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
