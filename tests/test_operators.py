@@ -1880,3 +1880,37 @@ def test_ivm_refresh_equals_full_recompute_random_edits(spark):
             .collect()
         )
         assert got == want, seed
+
+
+def test_bloom_empty_build_set_rejects_everything(spark):
+    # Degenerate-input contract: an empty build side yields an all-zeros
+    # filter that rejects every probe (and the downstream exact semi join
+    # agrees: empty result, not an error).
+    from pyspark.sql import functions as F
+    from zip_to_parquet_spark.plans.tpch_deco import (
+        bloom_build_words,
+        bloom_member,
+    )
+
+    empty = spark.createDataFrame([], "k long")
+    arr = bloom_build_words(empty, "k")
+    assert set(arr) == {0}
+    probe = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    assert probe.filter(bloom_member(F.col("k"), arr)).count() == 0
+
+
+def test_ivm_refresh_from_empty_base(spark):
+    # Bootstrapping: an empty prior snapshot must refresh to exactly the
+    # new snapshot's aggregate (all-insert delta, no base rows).
+    from pyspark.sql import functions as F
+    from zip_to_parquet_spark.operators.pipeline import ivm_refresh
+
+    schema = "doc_id long, source string, text string"
+    v1 = spark.createDataFrame([], schema)
+    v2 = spark.createDataFrame(
+        [(1, "a", "xx"), (2, "a", "yyy"), (3, "b", "z")], schema
+    )
+    got = sorted(tuple(r) for r in ivm_refresh(v1, v2).collect())
+    assert got == [("a", 2, 5), ("b", 1, 1)]
+    # And the reverse: everything deleted → empty view, not zero rows.
+    assert ivm_refresh(v2, v1).count() == 0

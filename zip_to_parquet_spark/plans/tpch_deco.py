@@ -364,7 +364,12 @@ def bloom_member(key, arr: list[int]):
     """Column predicate: does ``key`` pass the filter ``arr``? Guaranteed
     True for every key the filter was built from (no false negatives)."""
     m = F.lit(_BLOOM_BITS)
-    bloom = F.lit(arr)
+    # Explicit array<long>: F.lit infers array<int> when every word fits
+    # 32 bits (e.g. the empty-build all-zeros filter), and getbit then
+    # rejects positions >= 32 — the fixture only avoided this because
+    # random 64-bit words forced bigint inference (caught by the
+    # empty-build edge test).
+    bloom = F.lit(arr).cast("array<long>")
     checks = []
     for seed in _BLOOM_SEEDS:
         pos = F.pmod(F.xxhash64(key, F.lit(seed)), m)
