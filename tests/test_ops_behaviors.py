@@ -64,3 +64,46 @@ def test_observe_metrics_ride_the_job(spark):
     # The observation sees PRE-filter traffic (it rides the scan).
     assert m["rows_seen"] > n_filtered > 0
     assert m["null_qty"] == 0
+
+
+def test_aqe_coalesces_small_shuffles(spark):
+    """AQE must be live: a 32-partition shuffle over tiny data coalesces
+    at runtime (AQEShuffleRead coalesced) — the mechanism that right-
+    sizes reducer counts at 100 TB without hand-tuning
+    spark.sql.shuffle.partitions per stage."""
+    import contextlib
+    import io
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = (
+        load_table(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # AQE final plan exists only after execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "AQEShuffleRead" in plan
+    assert "coalesced" in plan.lower()
+
+
+def test_parquet_zstd_codec_roundtrip(spark, tmp_path):
+    """zstd parquet output (the modern storage-cost default) must be a
+    first-class sink option: codec recorded in the file metadata,
+    lossless round-trip."""
+    import pyarrow.parquet as pq
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    out = str(tmp_path / "zstd")
+    docs.write.option("compression", "zstd").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    a = {tuple(r) for r in docs.collect()}
+    assert {tuple(r) for r in back.collect()} == a
+    part = next(
+        p for p in os.listdir(out) if p.endswith(".parquet")
+    )
+    meta = pq.ParquetFile(os.path.join(out, part)).metadata
+    assert meta.row_group(0).column(0).compression == "ZSTD"
