@@ -774,3 +774,16 @@ def test_pit_join_is_equi_on_id(spark):
     plan = plan_of(spark, "join_point_in_time_scd2")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_is_take_ordered_map_only(spark):
+    plan = plan_of(spark, "sample_weighted_aes")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_linreg_single_moment_shuffle(spark):
+    # One map-combinable moments pass, no join, ≤1 exchange.
+    plan = plan_of(spark, "stats_groupwise_linreg")
+    assert "Join" not in plan
+    assert n_shuffles(plan) <= 1

@@ -102,6 +102,8 @@ set_priority([
     "events_markov_transitions",
     "mixture_source_entropy",
     "scan_schema_evolution",
+    "sample_weighted_aes",
+    "stats_groupwise_linreg",
     # (b) stale, last green r1
     # (b) stale, last green r2
     # (the remaining r2-stale tail — text/multimodal/dedup-cluster keys —
@@ -109,8 +111,6 @@ set_priority([
     # covered by the sf0.001 oracle-parity sweep on every test run, and
     # all r3-stale slots already went to (a)'s second wave)
     # (c) r4-green keys whose behavior round 5 directly changed
-    "dedup_containment",
-    "dedup_cluster_keep_best",
     # (format_orc_roundtrip and dim_scd2_history rotated out at the end
     # of round 5 to keep every never-driver-verified key inside the 50:
     # both were re-verified by this round's full-registry sf0.01 sweep,

@@ -1404,3 +1404,124 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling WITHOUT replacement (Efraimidis-Spirakis).
+# ---------------------------------------------------------------------------
+@query(
+    "sample_weighted_aes",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             (md5_number_lower(doc_id::VARCHAR) % 281474976710656) AS hv
+      FROM documents WHERE n_chars > 0
+    ),
+    s AS (
+      SELECT doc_id, n_chars,
+             ln((hv::DOUBLE + 1.0) / 281474976710656.0)
+               / n_chars::DOUBLE AS score
+      FROM h
+    )
+    SELECT doc_id, n_chars FROM s
+    ORDER BY score DESC, doc_id LIMIT 100
+    """,
+)
+def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006,
+    the A-ES one-pass algorithm): each item draws u ∈ (0,1] and keeps
+    key u^(1/w); the top-k keys ARE a weighted sample without
+    replacement. Used for weighted mixture draws in training-data
+    pipelines where rows must not repeat.
+
+    Determinism: u derives from the md5-low-48 hash of the id
+    ((h+1)/2^48 — never 0, so ln is finite), and the key compares as
+    ln(u)/w (monotone in u^(1/w); one ln per row with the identical
+    double expression in both engines). Same-id reruns produce the SAME
+    sample — a reproducibility property random.rand sampling can't give.
+
+    Scale shape: map-only scoring + TakeOrdered partial top-k; no
+    shuffle beyond the k-sized merge. Weights here are n_chars (longer
+    docs proportionally likelier)."""
+    from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars")
+    )
+    hv = F.expr(md5_low_bytes_sql("cast(doc_id as string)", 6))
+    score = F.log(
+        (hv.cast("double") + F.lit(1.0)) / F.lit(281474976710656.0)
+    ) / F.col("n_chars").cast("double")
+    return (
+        docs.withColumn("score", score)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact group-wise linear regression from integer moments.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_groupwise_linreg",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             (extract(hour FROM ts))::HUGEINT AS x,
+             ((value::DECIMAL(18,2) * 100)::BIGINT)::HUGEINT AS y
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type,
+           n::BIGINT AS n_rows,
+           (n * sxy - sx * sy)::DECIMAL(38,0)  AS slope_num,
+           (n * sxx - sx * sx)::DECIMAL(38,0)  AS slope_den,
+           ((n * sxy - sx * sy) * 1000000
+             // (n * sxx - sx * sx))::BIGINT   AS slope_micro
+    FROM g
+    """,
+)
+def stats_groupwise_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of event value (cents) against hour-of-day,
+    per event type, computed ENTIRELY in integers from the one-pass
+    moment sums: slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²), emitted as the
+    exact 128-bit numerator/denominator pair plus an integer-div
+    micro-slope — no float ever enters, so cross-engine parity is exact
+    by construction (the regression sibling of stats_corr_exact's
+    moments trick; at 100 TB the same single map-combinable pass fits
+    any number of per-group regressions).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast(D38).alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast(D38)
+        .alias("y"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("x").cast(D38).alias("sx"),
+        F.sum("y").cast(D38).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(D38).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(D38).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_rows"),
+        num.cast(D38).alias("slope_num"),
+        den.cast(D38).alias("slope_den"),
+        F.expr(
+            "cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+            " as long)"
+        ).alias("slope_micro"),
+    )
