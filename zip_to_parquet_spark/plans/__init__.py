@@ -104,6 +104,7 @@ set_priority([
     "scan_schema_evolution",
     "sample_weighted_aes",
     "stats_groupwise_linreg",
+    "stream_stream_left_outer",
     # (b) stale, last green r1
     # (b) stale, last green r2
     # (the remaining r2-stale tail — text/multimodal/dedup-cluster keys —

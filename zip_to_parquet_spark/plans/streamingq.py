@@ -258,3 +258,71 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         "late_drop",
     )
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+               (SELECT max(ts) FROM events WHERE event_type = 'click'),
+               (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 10 MINUTE AS w
+    ),
+    pairs AS (
+      SELECT p.user_id,
+             c.event_id AS click_event_id,  c.ts AS click_ts,
+             p.event_id AS purchase_event_id, p.ts AS purchase_ts
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND c.ts < p.ts
+       AND p.ts <= c.ts + INTERVAL '30 minutes'
+    )
+    SELECT * FROM pairs
+    UNION ALL
+    SELECT p.user_id,
+           NULL::BIGINT    AS click_event_id,
+           NULL::TIMESTAMP AS click_ts,
+           p.event_id      AS purchase_event_id,
+           p.ts            AS purchase_ts
+    FROM events p, wm
+    WHERE p.event_type = 'purchase'
+      AND p.event_id NOT IN (SELECT purchase_event_id FROM pairs)
+      AND p.ts < wm.w
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantic the inner
+    key can't show: a purchase with no qualifying click emits ONCE with
+    NULL click columns, but only after the watermark proves no future
+    click can still match it. Two empirically-pinned subtleties the
+    oracle mirrors exactly:
+
+    * the global watermark is the MIN of the two sides' own watermarks
+      (each derived from ITS stream's max event time — here the click
+      stream ends hours before the purchase stream, so the LAST CLICK
+      gates every null emission; Spark's multipleWatermarkPolicy=min
+      default);
+    * unmatched purchases NEWER than that watermark stay in join state,
+      unemitted on a bounded drain (the oracle's ``ts < wm`` predicate;
+      window ends carry microsecond offsets so the <-vs-≤ boundary
+      cannot flake).
+
+    Matched pairs are watermark-independent (emitted on match, any
+    batch). State stays bounded exactly as in the inner case: the event-
+    time bound lets Spark expire both sides' buffers."""
+    from pyspark.sql import functions as SF
+
+    from zip_to_parquet_spark.streaming.streams import (
+        clicks_to_purchases_join,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(SF.col("event_type") == "click")
+    purchases = ev.filter(SF.col("event_type") == "purchase")
+    return run_stream_to_memory(
+        clicks_to_purchases_join(clicks, purchases, how="left_outer"),
+        "append",
+        "ss_left_outer",
+    )

@@ -214,6 +214,7 @@ def clicks_to_purchases_join(
     purchases: DataFrame,
     within: str = "30 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase matches the same user's
     clicks from the preceding ``within`` window.
@@ -223,6 +224,12 @@ def clicks_to_purchases_join(
     watermark + within are dropped) — the canonical bounded-state
     stream-stream join. Inner join ⇒ append-mode emissions on a bounded
     drain equal the complete batch answer.
+
+    ``how="left_outer"`` adds the null-emission semantic: a purchase
+    with no qualifying click emits once with NULL click columns — but
+    only after the watermark passes the point where no future click
+    could still match (unmatched purchases in the final watermark
+    window stay in state, unemitted — mirrored by the key's oracle).
     """
     c = clicks.select(
         F.col("user_id").alias("c_user"),
@@ -239,7 +246,7 @@ def clicks_to_purchases_join(
         (F.col("c_user") == F.col("user_id"))
         & (F.col("click_ts") < F.col("purchase_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
-        "inner",
+        how,
     ).select(
         "user_id", "click_event_id", "click_ts", "purchase_event_id", "purchase_ts"
     )
