@@ -105,6 +105,7 @@ set_priority([
     "sample_weighted_aes",
     "stats_groupwise_linreg",
     "stream_stream_left_outer",
+    "json_variant_shredding",
     # (b) stale, last green r1
     # (b) stale, last green r2
     # (the remaining r2-stale tail — text/multimodal/dedup-cluster keys —
