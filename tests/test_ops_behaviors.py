@@ -26,9 +26,10 @@ def test_ignore_corrupt_files_salvages_good_shards(spark, tmp_path):
         f.write(b"PAR1 this is not a parquet file")
 
     import pytest
-    from py4j.protocol import Py4JJavaError
 
-    with pytest.raises(Exception):
+    # Fail-fast default: the error must actually be about the bad file
+    # (footer/parquet parse), not an incidental path/schema problem.
+    with pytest.raises(Exception, match=r"(?i)footer|parquet|corrupt"):
         spark.read.parquet(str(tmp_path / "d")).count()
 
     prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")

@@ -805,3 +805,45 @@ def test_jsonl_shards_writer_atomic_roundtrip(spark, tmp_path):
     write_jsonl_shards(docs.repartition(2), out)
     parts2 = [f for f in sorted(os.listdir(out)) if f.startswith("part-")]
     assert len(parts2) == 2
+
+
+def test_jsonl_shards_failed_overwrite_preserves_old_data(spark, tmp_path):
+    """The all-or-nothing claim under failure: an overwrite whose job
+    dies mid-write must leave the PREVIOUS dataset fully readable (no
+    plan-time delete), with temp shards swept. Also: append mode and
+    binary columns are rejected loudly."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+    from zip_to_parquet_spark.schema import load_table
+    from zip_to_parquet_spark.sources.jsonlsink import write_jsonl_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang"
+    )
+    out = str(tmp_path / "shards")
+    write_jsonl_shards(docs.repartition(3), out)
+    before = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+
+    # A poisoned second write: every task throws before finishing.
+    from pyspark.sql.functions import udf
+
+    @udf("long")
+    def boom(x):
+        raise RuntimeError("poisoned row")
+
+    with pytest.raises(Exception):
+        write_jsonl_shards(docs.withColumn("doc_id", boom("doc_id")), out)
+
+    after = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert after == before  # old shards untouched
+    assert not [f for f in os.listdir(out) if f.startswith("_tmp_")]
+    assert spark.read.json(out).count() == docs.count()
+
+    with pytest.raises(Exception, match="overwrite"):
+        write_jsonl_shards(docs, out, mode="append")
+
+    binary_df = docs.withColumn("b", F.col("lang").cast("binary"))
+    with pytest.raises(Exception, match="binary"):
+        write_jsonl_shards(binary_df, str(tmp_path / "bin"))

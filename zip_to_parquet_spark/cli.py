@@ -80,7 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--format",
         choices=["parquet", "orc", "jsonl"],
         default="parquet",
-        help="output format (orc requires --distributed; single-file and "
+        help="output format (orc requires --distributed; jsonl requires "
+        "--distributed with --no-body; single-file and "
         "stdout byte-parity modes are parquet-only)",
     )
     return p

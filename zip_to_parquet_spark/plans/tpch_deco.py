@@ -1440,6 +1440,14 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     double expression in both engines). Same-id reruns produce the SAME
     sample — a reproducibility property random.rand sampling can't give.
 
+    Accepted float seam (the idf_micro class from the round-4 advisor
+    note): JVM Math.log and DuckDB libm are each ≤1 ulp but not
+    guaranteed to round identically, so in principle two docs whose
+    scores straddle the rank-k cutoff within ~1 ulp could order
+    differently per engine. Adjacent order-statistic gaps here are
+    ~1e-4 relative (48-bit uniform hashes over thousands of docs) vs
+    1e-16 ulp — no change unless a parity flake ever appears.
+
     Scale shape: map-only scoring + TakeOrdered partial top-k; no
     shuffle beyond the k-sized merge. Weights here are n_chars (longer
     docs proportionally likelier)."""

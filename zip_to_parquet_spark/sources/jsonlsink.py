@@ -7,10 +7,12 @@ per task, written ATOMICALLY via the DSv2 commit protocol —
 
 * each task writes ``_tmp_<uuid>.jsonl`` and returns the name in its
   ``WriterCommitMessage``;
-* the driver's ``commit`` renames every temp shard to its final
-  ``part-NNNNN.jsonl`` name — a failed/retried task's orphan temp file is
-  simply never renamed (and ``abort`` sweeps temps), so the visible
-  directory is all-or-nothing;
+* the driver's ``commit`` renames every REPORTED temp shard to its final
+  ``part-<runid>-NNNNN.jsonl`` name and only THEN removes prior-run part
+  files and orphan temps — a failed job (``abort``) sweeps temps and
+  leaves the previous dataset untouched, so the visible directory really
+  is all-or-nothing (an early plan-time sweep would destroy the old data
+  on a failed overwrite — found in review);
 * rows serialize with ``sort_keys`` + compact separators, so shard bytes
   are a pure function of row content (order within a shard follows the
   task's iterator).
@@ -61,7 +63,7 @@ class JsonlShardWriter(DataSourceWriter):
                         row.asDict(recursive=True),
                         sort_keys=True,
                         separators=(",", ":"),
-                        default=str,
+                        default=_json_value,
                     )
                 )
                 f.write("\n")
@@ -69,24 +71,31 @@ class JsonlShardWriter(DataSourceWriter):
         return _ShardCommit(tmp_name=tmp, n_rows=n)
 
     def commit(self, messages) -> None:
-        # Two-phase finalize: only shards whose task REPORTED SUCCESS get
-        # their final name; orphan temps from failed attempts stay
-        # invisible to readers (and are swept below).
+        # Two-phase finalize, old data intact until here: (1) rename only
+        # the REPORTED temp shards to run-unique final names; (2) then
+        # remove prior-run part files and orphan temps; (3) stamp
+        # _SUCCESS. A crash before (2) leaves a mixed-but-readable dir
+        # without _SUCCESS; a failed job never reaches (1).
+        run_id = uuid.uuid4().hex[:8]
         named = set()
         for i, msg in enumerate(messages):
-            final = f"part-{i:05d}.jsonl"
+            final = f"part-{run_id}-{i:05d}.jsonl"
             os.replace(
                 os.path.join(self.path, msg.tmp_name),
                 os.path.join(self.path, final),
             )
             named.add(final)
         for f in os.listdir(self.path):
-            if f.startswith("_tmp_"):
+            if f == "_SUCCESS" or (
+                f.endswith(".jsonl") and f not in named
+            ):
                 os.remove(os.path.join(self.path, f))
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("")
 
     def abort(self, messages) -> None:
+        if not os.path.isdir(self.path):
+            return  # job failed before any task created the sink dir
         for f in os.listdir(self.path):
             if f.startswith("_tmp_"):
                 os.remove(os.path.join(self.path, f))
@@ -98,17 +107,37 @@ class JsonlShardsDataSource(DataSource):
         return "jsonl_shards"
 
     def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
-        w = JsonlShardWriter(self.options)
-        if overwrite and os.path.isdir(w.path):
-            for f in os.listdir(w.path):
-                if f.endswith(".jsonl") or f == "_SUCCESS":
-                    os.remove(os.path.join(w.path, f))
-        return w
+        # Overwrite-only: the commit-time swap (rename new, then remove
+        # old) IS the overwrite — no plan-time delete, so a failed job
+        # leaves the previous dataset untouched. Append would need
+        # non-clobbering shard names AND old-part retention; reject it
+        # loudly rather than half-support it.
+        if not overwrite:
+            raise ValueError(
+                "jsonl_shards supports mode='overwrite' only (append "
+                "semantics are not implemented)"
+            )
+        return JsonlShardWriter(self.options)
+
+
+def _json_value(v):
+    """Serializer for non-JSON-native values: dates/decimals stringify;
+    binary raises LOUDLY (a bytes column has no faithful JSON encoding —
+    default=str would silently write repr garbage)."""
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        raise TypeError(
+            "jsonl_shards cannot serialize binary columns; drop or "
+            "encode them (e.g. base64/hex) before writing"
+        )
+    return str(v)
 
 
 def write_jsonl_shards(df, path: str, mode: str = "overwrite") -> None:
     """Write ``df`` as atomic JSONL shards via the Python DataSource
-    writer (registers the source on the df's session, idempotent)."""
+    writer (registers the source on the df's session, idempotent).
+    Overwrite-only — see :meth:`JsonlShardsDataSource.writer`."""
+    if mode != "overwrite":
+        raise ValueError("jsonl_shards supports mode='overwrite' only")
     spark = df.sparkSession
     try:
         spark.dataSource.register(JsonlShardsDataSource)

@@ -449,7 +449,7 @@ def stream_to_parquet_foreachbatch(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def tws_running_totals(events: DataFrame, state_partitions: int | None = 8):
+def tws_running_totals(events: DataFrame):
     """Per-user running (count, cents) totals via ``transformWithState``
     (Spark 4's successor to applyInPandasWithState: typed per-key state
     handles — value/list/map — plus timers, REQUIRING the RocksDB state
