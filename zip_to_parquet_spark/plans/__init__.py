@@ -66,8 +66,6 @@ set_priority([
     "dedup_clusters_star",
     "stream_static_enrich",
     "cogroup_user_attribution",
-    "set_ops_all",
-    "agg_kmv_distinct",
     "dq_expectations_report",
     "text_chunk_windows_udtf",
     "agg_sampled_percentiles",
@@ -113,10 +111,12 @@ set_priority([
     # covered by the sf0.001 oracle-parity sweep on every test run, and
     # all r3-stale slots already went to (a)'s second wave)
     # (c) r4-green keys whose behavior round 5 directly changed
-    # (format_orc_roundtrip and dim_scd2_history rotated out at the end
-    # of round 5 to keep every never-driver-verified key inside the 50:
-    # both were re-verified by this round's full-registry sf0.01 sweep,
-    # and the ORC scratch isolation is pytest-covered.)
+    # Rotated out at round-5 close (52 never-driver-verified keys, 50
+    # slots): set_ops_all and agg_kmv_distinct (simplest semantics, both
+    # green in every full-registry sf0.01 sweep and pytest-asserted),
+    # plus the earlier r4-green rotations (format_orc_roundtrip,
+    # dim_scd2_history, dedup_containment, dedup_cluster_keep_best,
+    # corpus_merge_upsert) — all sweep-verified this round.
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]
