@@ -787,3 +787,19 @@ def test_linreg_single_moment_shuffle(spark):
     plan = plan_of(spark, "stats_groupwise_linreg")
     assert "Join" not in plan
     assert n_shuffles(plan) <= 1
+
+
+def test_q4_semi_join_with_cross_relation_predicate(spark):
+    # The EXISTS must stay a LeftSemi whose condition spans both
+    # relations; the date window must reach the orders scan.
+    plan = plan_of(spark, "q4_priority_count")
+    assert "LeftSemi" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    assert any("o_orderdate" in l for l in pushed), pushed
+
+
+def test_q10_filters_push_and_topk_is_take_ordered(spark):
+    plan = plan_of(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters:" in l)
+    assert "l_returnflag" in pushed and "o_orderdate" in pushed, pushed

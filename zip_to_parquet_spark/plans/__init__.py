@@ -66,9 +66,7 @@ set_priority([
     "dedup_clusters_star",
     "stream_static_enrich",
     "cogroup_user_attribution",
-    "dq_expectations_report",
     "text_chunk_windows_udtf",
-    "agg_sampled_percentiles",
     "q14_promo_revenue",
     "q19_disjunctive_revenue",
     "retrieval_rrf_fusion",
@@ -104,6 +102,8 @@ set_priority([
     "stats_groupwise_linreg",
     "stream_stream_left_outer",
     "json_variant_shredding",
+    "q4_priority_count",
+    "q10_returned_items",
     # (b) stale, last green r1
     # (b) stale, last green r2
     # (the remaining r2-stale tail — text/multimodal/dedup-cluster keys —

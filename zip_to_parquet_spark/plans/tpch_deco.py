@@ -1575,3 +1575,107 @@ def json_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.sum(F.when(k % 2 == 0, 1).otherwise(0)).alias("n_even_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4: order-priority checking (EXISTS semi-join + count).
+# ---------------------------------------------------------------------------
+@query(
+    "q4_priority_count",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders in a window with at least one lineitem shipped
+    after the order date, counted by priority. The correlated EXISTS
+    carries a NON-key predicate (l_shipdate > o_orderdate), so it plans
+    as a left-semi join whose condition spans both relations — the
+    shape where rewriting to IN would be wrong (the comparison needs
+    the outer row). Date filter pushes to the orders scan; the semi
+    join ships only (l_orderkey, l_shipdate); one 5-value rollup."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned-item reporting (top customers by lost revenue).
+# ---------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum((l.l_extendedprice::DECIMAL(12,2) * 100)::BIGINT
+               * (100 - (l.l_discount::DECIMAL(12,2) * 100)::BIGINT))
+             ::BIGINT AS revenue_micro
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue_micro DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: the 20 customers who returned the most revenue in a
+    half-year window — the classic fact-fact-dim reporting join with a
+    top-k. Revenue price·(1−discount) is EXACT integer micro-money
+    (cents × discount-complement-in-cents), never a float product.
+
+    Scale shape: the returnflag + date filters push to both fact scans
+    before the orderkey shuffle; customer joins on the aggregated
+    custkey side; nation broadcasts; the top-20 is TakeOrdered. This is
+    the plan AQE re-plans best (the filtered fact often shrinks below
+    the broadcast threshold at runtime)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (
+            _cents("l_extendedprice")
+            * (F.lit(100) - _cents("l_discount"))
+        ).alias("rev_micro"),
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("rev_micro").cast("long").alias("revenue_micro"))
+        .orderBy(F.col("revenue_micro").desc(), "c_custkey")
+        .limit(20)
+    )
