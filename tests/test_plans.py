@@ -803,3 +803,11 @@ def test_q10_filters_push_and_topk_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     pushed = " ".join(l for l in plan.splitlines() if "PushedFilters:" in l)
     assert "l_returnflag" in pushed and "o_orderdate" in pushed, pushed
+
+
+def test_lateral_top1_is_decorrelated(spark):
+    # The per-row LATERAL subquery must decorrelate into a set-based
+    # plan (no per-outer-row execution; no cartesian/nested-loop).
+    plan = plan_of(spark, "join_lateral_top1")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -65,7 +65,6 @@ set_priority([
     "bpe_tokenize_stats",
     "dedup_clusters_star",
     "stream_static_enrich",
-    "cogroup_user_attribution",
     "text_chunk_windows_udtf",
     "q14_promo_revenue",
     "q19_disjunctive_revenue",
@@ -104,6 +103,7 @@ set_priority([
     "json_variant_shredding",
     "q4_priority_count",
     "q10_returned_items",
+    "join_lateral_top1",
     # (b) stale, last green r1
     # (b) stale, last green r2
     # (the remaining r2-stale tail — text/multimodal/dedup-cluster keys —

@@ -1679,3 +1679,54 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue_micro").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL LATERAL correlated subquery with LIMIT (top-1 per outer row).
+# ---------------------------------------------------------------------------
+@query(
+    "join_lateral_top1",
+    oracle="""
+    SELECT o.o_orderkey, t.l_linenumber, t.cents
+    FROM orders o,
+    LATERAL (
+      SELECT l_linenumber,
+             (l_extendedprice::DECIMAL(12,2) * 100)::BIGINT AS cents
+      FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY cents DESC, l_linenumber LIMIT 1
+    ) t
+    """,
+)
+def join_lateral_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table with ORDER BY + LIMIT: the
+    priciest lineitem per order, written the way an analyst writes it —
+    and Catalyst DECORRELATES the per-row subquery into a set-based
+    plan (window/aggregate over the join) instead of executing one
+    query per outer row. The inner ordering carries a deterministic
+    tiebreak so the 1-row LIMIT is unambiguous in both engines.
+
+    Scale note: LATERAL is sugar over the groupwise-top-k shape; the
+    decorrelated plan shuffles once on the correlation key. Orders with
+    no lineitems drop out (inner lateral semantics), mirrored by
+    DuckDB's LATERAL."""
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey"
+    ).createOrReplaceTempView("z2ps_lat_orders")
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).createOrReplaceTempView("z2ps_lat_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.cents
+        FROM z2ps_lat_orders o,
+        LATERAL (
+          SELECT l_linenumber,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                      AS BIGINT) AS cents
+          FROM z2ps_lat_lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY cents DESC, l_linenumber LIMIT 1
+        ) t
+        """
+    )
