@@ -1,0 +1,145 @@
+"""Unit + plan-shape tests for the business-analytics wave
+(plans/market.py, operators/stats.py).
+
+Value parity is covered by tests/test_oracle_parity.py (all six keys carry
+full DuckDB oracles); these tests lock the DISTRIBUTED shapes — no
+single-partition windows, equi-joins only, broadcast marginals — and the
+exact-quantile operator's counting definition on hand-checkable inputs.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+from zip_to_parquet_spark.operators.stats import (
+    cumulative_value_counts,
+    quantile_disc_thresholds,
+    score_by_thresholds,
+)
+from zip_to_parquet_spark.plans import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _n_shuffles(plan: str) -> int:
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+# ---------------------------------------------------------------------------
+# operators/stats: exact quantiles by counting
+# ---------------------------------------------------------------------------
+def test_cumulative_value_counts_exact(spark):
+    df = spark.createDataFrame([(v,) for v in [5, 3, 3, 9, 1, 3]], "x long")
+    got = {
+        r["v"]: (r["cnt"], r["cum"])
+        for r in cumulative_value_counts(df, "x").collect()
+    }
+    assert got == {1: (1, 1), 3: (3, 4), 5: (1, 5), 9: (1, 6)}
+
+
+def test_quantile_thresholds_uniform(spark):
+    # 1..8, quartiles: ceil(k*8/4) = 2k → thresholds 2, 4, 6.
+    df = spark.createDataFrame([(v,) for v in range(1, 9)], "x long")
+    t = {r["k"]: r["t"] for r in quantile_disc_thresholds(df, "x").collect()}
+    assert t == {1: 2, 2: 4, 3: 6}
+
+
+def test_quantile_thresholds_skewed_and_scoring(spark):
+    # [1,1,1,10]: every quartile threshold is 1 (cum(1)=3 ≥ ceil(3n/4)=3);
+    # scoring: v=1 → bucket 1, v=10 → strictly above all three → bucket 4.
+    df = spark.createDataFrame([(1,), (1,), (1,), (10,)], "x long")
+    th = quantile_disc_thresholds(df, "x")
+    assert {r["k"]: r["t"] for r in th.collect()} == {1: 1, 2: 1, 3: 1}
+    scored = score_by_thresholds(df, "x", th, "s")
+    got = sorted((r["x"], r["s"]) for r in scored.collect())
+    assert got == [(1, 1), (1, 1), (1, 1), (10, 4)]
+
+
+def test_quantile_thresholds_match_histogram_buckets(spark):
+    # Multi-bucket path: values spread so the 16 equi-width range buckets
+    # are non-trivial; cross-check against a driver-side oracle.
+    vals = [v * v for v in range(1, 60)] + [7] * 25
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    t = {r["k"]: r["t"] for r in quantile_disc_thresholds(df, "x").collect()}
+    n = len(vals)
+    srt = sorted(vals)
+    expect = {}
+    for k in (1, 2, 3):
+        need = -(-k * n // 4)  # ceil
+        expect[k] = srt[need - 1]
+    assert t == expect
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes
+# ---------------------------------------------------------------------------
+def test_ohlc_single_shuffle_no_window(spark):
+    # min_by/max_by over the (ts,event_id) struct keep OHLC a ONE-shuffle
+    # map-side-combinable aggregate; a row_number formulation would add a
+    # per-bar sort window over the fact table.
+    plan = _plan(spark, "events_ohlc_bars")
+    assert _n_shuffles(plan) <= 1
+    assert "Window" not in plan
+
+
+def test_twa_no_cartesian_bounded_shuffles(spark):
+    # lead-window + same-key aggregate: user_id exchange(s) only.
+    plan = _plan(spark, "events_time_weighted_avg")
+    assert "CartesianProduct" not in plan
+    assert _n_shuffles(plan) <= 2
+
+
+def test_basket_pairs_equi_join_on_orderkey(spark):
+    # Pair generation must stay an equi-join on the order key (candidate
+    # volume bounded by basket size) with broadcast part-frequency sides;
+    # the only nested-loop node allowed is the broadcast 1-row global
+    # denominator.
+    plan = _plan(spark, "basket_pair_lift")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    joins = re.findall(r"^\(\d+\) (\w*Join\w*)", plan, re.M)
+    nlj = [j for j in joins if "NestedLoop" in j]
+    assert len(nlj) <= 1, f"unexpected nested-loop joins: {joins}"
+
+
+def test_rfm_no_window_in_final_plan(spark):
+    # Quartile thresholds are pre-computed by the two-pass histogram
+    # operator (separate bounded jobs); the FINAL plan must be rollup →
+    # broadcast threshold scalars → score → cell aggregate, with no
+    # single-partition ntile window anywhere.
+    plan = _plan(spark, "customer_rfm_segments")
+    assert "Window" not in plan
+    # custkey rollup + final cell aggregate + the 1-row global-max-date
+    # reduction (bounded partial-agg exchange).
+    assert _n_shuffles(plan) <= 3
+
+
+def test_weighted_median_window_over_histogram(spark):
+    # The cumsum window must consume the (flag, price) HISTOGRAM (after a
+    # partial-aggregated groupBy), not the raw fact table: the plan shows
+    # the aggregate below the window, and the totals join broadcasts.
+    plan = _plan(spark, "stats_weighted_median")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    # Histogram rollup below the window = a partial/final HashAggregate
+    # pair exists (map-side combine survived).
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
+
+
+def test_chi_square_broadcast_marginals(spark):
+    plan = _plan(spark, "stats_chi_square_cells")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,107 @@
+"""Distributed exact order statistics over integer-valued columns.
+
+Extension surface beyond the reference CLI (which has no statistics at
+all — /root/reference/src/builder.rs:1-322 is zip→parquet only): exact
+discrete quantile thresholds computed WITHOUT a single-partition global
+sort, the primitive under quantile bucketing (RFM scoring, curriculum
+tiers, spend deciles).
+
+The naive plan — ``ntile(k) OVER (ORDER BY v)`` — collapses the whole
+table onto one task. This module's plan is value-distributed:
+
+1. histogram: ``groupBy(v).count()`` — map-side combinable, output is
+   VALUE cardinality, not row cardinality;
+2. range-bucket the histogram by 16 equi-width integer buckets against
+   broadcast global [min, max] bounds (deterministic, same trick as
+   ``global_rank_two_pass`` — sampled ``repartitionByRange`` boundaries
+   could shift between jobs);
+3. per-bucket totals (≤ 16 rows) collect → prefix-sum offsets;
+4. within-bucket cumulative counts (window PARTITIONED by bucket id —
+   parallel, state bounded per bucket) + broadcast offset = exact global
+   ``count(rows ≤ v)`` for every distinct value;
+5. threshold for quantile ``q = k/d`` is the smallest v whose cumulative
+   count reaches ``ceil(k·n/d)`` — pure integer arithmetic end to end,
+   so a DuckDB oracle written over the same definition hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cumulative_value_counts(df: DataFrame, col: str, n_buckets: int = 16) -> DataFrame:
+    """Exact ``cum = count(rows with value <= v)`` for every distinct value
+    of integer column ``col``, computed with the two-pass range-bucket plan
+    described in the module doc (no single-partition window).
+
+    Returns a DataFrame ``(v long, cnt long, cum long)`` with one row per
+    distinct value."""
+    hist = df.groupBy(F.col(col).cast("long").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bounds = hist.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    ranged = hist.crossJoin(F.broadcast(bounds)).withColumn(
+        "pid", F.expr(f"((v - lo) * {n_buckets}) div (hi - lo + 1)")
+    )
+    # ≤ n_buckets rows — bounded by the chosen geometry, never by data.
+    totals = sorted(
+        (r["pid"], r["n"])
+        for r in ranged.groupBy("pid").agg(F.sum("cnt").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in totals:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "pid int, off long")
+    )
+    w = Window.partitionBy("pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ranged.withColumn("local_cum", F.sum("cnt").over(w))
+        .join(off_df, "pid")
+        .select("v", "cnt", (F.col("off") + F.col("local_cum")).alias("cum"))
+    )
+
+
+def quantile_disc_thresholds(
+    df: DataFrame, col: str, denom: int = 4, n_buckets: int = 16
+) -> DataFrame:
+    """Exact discrete quantile thresholds of integer column ``col``: for
+    each ``k in 1..denom-1`` the smallest value ``t`` with
+    ``count(rows <= t) >= ceil(k*n/denom)`` (the percentile_disc
+    definition, by counting). Returns ``(k int, t long)`` —
+    ``denom - 1`` rows, broadcastable for downstream scoring joins."""
+    cum = cumulative_value_counts(df, col, n_buckets=n_buckets)
+    n = cum.agg(F.max("cum").alias("n"))
+    ks = df.sparkSession.range(1, denom).select(F.col("id").cast("int").alias("k"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("cum") * denom >= F.col("k") * F.col("n"))
+        .groupBy("k")
+        .agg(F.min("v").alias("t"))
+    )
+
+
+def score_by_thresholds(
+    df: DataFrame, col: str, thresholds: DataFrame, out: str
+) -> DataFrame:
+    """Append 1-based quantile score ``out`` to ``df``: ``1 + #{thresholds
+    strictly below the value}``.
+
+    The thresholds table is quantile-count sized (``denom - 1`` rows) —
+    collected to literals here, a bounded driver fetch like
+    ``global_rank_two_pass``'s bucket counts. Inlining them keeps the
+    scoring a pure whole-stage-codegen projection: leaving the thresholds
+    lazy would replicate the entire two-pass histogram lineage into the
+    consumer's plan once per metric (measured: a 329-node plan for RFM vs
+    ~10 nodes with literals)."""
+    tvals = sorted((r["k"], r["t"]) for r in thresholds.collect())
+    expr = F.lit(1)
+    for _, t in tvals:
+        expr = expr + F.when(F.col(col) > F.lit(t), 1).otherwise(0)
+    return df.withColumn(out, expr.cast("int"))

@@ -1,0 +1,465 @@
+"""Business-analytics shapes: time-weighted averages, OHLC bars,
+market-basket lift, RFM quantile segmentation, weighted medians, and
+chi-square independence cells.
+
+Extension surface beyond the reference CLI (provenance: the reference is
+zip→parquet only, /root/reference/src/builder.rs:1-322 — no aggregation
+or statistics exist there; SURVEY.md §2's extension block mandates the
+analytics family). Cross-engine exactness follows the house rules
+(plans/analytics.py, plans/tpch_deco.py): 2-decimal money → integer
+cents, durations → integer microseconds/days, ratios → integer
+parts-per-million via ``div``, big products → Spark DECIMAL(38,0) vs
+DuckDB HUGEINT. No float arithmetic reaches any output column, so every
+key here carries a full DuckDB value-hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zip_to_parquet_spark.operators.stats import (
+    quantile_disc_thresholds,
+    score_by_thresholds,
+)
+from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.schema import load_table
+
+D38 = "decimal(38,0)"
+
+
+def _cents(c: str):
+    """Exact integer cents of a 2-decimal double column."""
+    return (F.col(c).cast("decimal(12,2)") * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP-style): value held until the next event.
+# ---------------------------------------------------------------------------
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             (value::DECIMAL(12,2) * 100)::BIGINT AS vc,
+             ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, vc,
+             date_diff('microsecond', ts, nts)::BIGINT AS dt_us
+      FROM s WHERE nts IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_segments,
+           sum(dt_us)::BIGINT AS total_dt_us,
+           (sum(vc::HUGEINT * dt_us) // sum(dt_us)::HUGEINT)::BIGINT
+             AS twa_cents
+    FROM seg GROUP BY user_id
+    HAVING sum(dt_us) > 0
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value``: each reading is held
+    until the user's next event, so the weight is the inter-event gap in
+    integer microseconds (the TWAP / sensor-rollup semantics — a plain
+    ``avg`` over irregular samples is biased toward bursts). The average
+    is exact integer division of exact integer sums — cents × µs fits
+    DECIMAL(38,0) far beyond 100 TB — so the DuckDB oracle hash-matches.
+
+    Scale shape: ONE user-keyed shuffle for the ``lead`` window (state
+    bounded per user), then a map-side-combinable aggregate on the same
+    key — AQE coalesces the two stages onto one exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents("value").alias("vc")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.withColumn("nts", F.lead("ts").over(w))
+        .filter(F.col("nts").isNotNull())
+        .select(
+            "user_id",
+            "vc",
+            (F.unix_micros("nts") - F.unix_micros("ts")).alias("dt_us"),
+        )
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dt_us").alias("total_dt_us"),
+            F.expr(
+                f"sum(cast(vc as {D38}) * dt_us) div sum(cast(dt_us as {D38}))"
+            ).alias("twa_cents"),
+        )
+        .filter(F.col("total_dt_us") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars (candlestick rollup) per hour × event type.
+# ---------------------------------------------------------------------------
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS bar_hour, event_type,
+             (value::DECIMAL(12,2) * 100)::BIGINT AS vc, ts, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY bar_hour, event_type
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY bar_hour, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_z
+      FROM b
+    )
+    SELECT bar_hour, event_type,
+           max(CASE WHEN rn_a = 1 THEN vc END)::BIGINT AS open_cents,
+           max(vc)::BIGINT AS high_cents,
+           min(vc)::BIGINT AS low_cents,
+           max(CASE WHEN rn_z = 1 THEN vc END)::BIGINT AS close_cents,
+           count(*) AS n_events,
+           sum(vc)::BIGINT AS vol_cents
+    FROM r GROUP BY bar_hour, event_type
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick (open/high/low/close + volume) bars per hour and event
+    type. Open/close are ``min_by``/``max_by`` over the (ts, event_id)
+    struct — a deterministic total order even under timestamp ties, which
+    a bare first()/last() cannot guarantee. The oracle states the same
+    selection via row_number; both pick the identical row.
+
+    Scale shape: a single groupBy on (hour, type) — map-side combinable
+    (min_by/max_by/min/max/sum all have partial merge), ONE shuffle of
+    bar-cardinality state, no window over the fact table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bar_hour"),
+        "event_type",
+        "ts",
+        "event_id",
+        _cents("value").alias("vc"),
+    )
+    return ev.groupBy("bar_hour", "event_type").agg(
+        F.expr("min_by(vc, struct(ts, event_id))").alias("open_cents"),
+        F.max("vc").alias("high_cents"),
+        F.min("vc").alias("low_cents"),
+        F.expr("max_by(vc, struct(ts, event_id))").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vc").alias("vol_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair lift (association mining over order baskets).
+# ---------------------------------------------------------------------------
+@query(
+    "basket_pair_lift",
+    oracle="""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM po),
+    pc AS (SELECT l_partkey, count(*)::BIGINT AS n_part FROM po GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*)::BIGINT AS n_ab
+      FROM po a JOIN po b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_ab,
+           pa.n_part AS n_a, pb.n_part AS n_b,
+           ((n_ab::HUGEINT * n.n_orders * 1000000)
+              // (pa.n_part::HUGEINT * pb.n_part))::BIGINT AS lift_ppm
+    FROM pairs
+    JOIN pc pa ON pairs.part_a = pa.l_partkey
+    JOIN pc pb ON pairs.part_b = pb.l_partkey, n
+    WHERE n_ab >= 2
+    """,
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: for every part pair
+    co-occurring in ≥2 orders, support counts and lift in integer ppm
+    (``lift = P(ab) / (P(a)P(b))`` ⇒ ``n_ab·N·1e6 div (n_a·n_b)`` —
+    exact 128-bit integer arithmetic, no float probabilities).
+
+    Scale shape: the pair generation is a self-equi-join ON THE ORDER KEY
+    — candidate volume is Σ|basket|², bounded by the max lines-per-order
+    (TPC-H: 7; this fixture: 12 → ≤66 pairs/order), never |parts|². The
+    part-frequency table is part-dimension-sized (size-aware broadcast),
+    and the scalar order count is a broadcast 1-row cross join — the
+    house pattern for global denominators."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    po = li.distinct()
+    n = po.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    pc = po.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = po.alias("a")
+    b = po.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    pa = pc.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    pb = pc.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"(cast(n_ab as {D38}) * n_orders * 1000000)"
+                f" div (cast(n_a as {D38}) * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation via distributed exact quartile thresholds.
+# ---------------------------------------------------------------------------
+def _rfm_threshold_cte(metric: str) -> str:
+    """Histogram-cumsum quartile thresholds of one per-customer metric —
+    the counting percentile_disc definition mirrored by
+    operators/stats.quantile_disc_thresholds."""
+    return f"""(
+      SELECT k, min(v) AS t
+      FROM (
+        SELECT v,
+               sum(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM (SELECT {metric} AS v, count(*) AS cnt FROM pc GROUP BY 1)
+      ), n, (VALUES (1), (2), (3)) ks(k)
+      WHERE cum * 4 >= k * n.n
+      GROUP BY k
+    )"""
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH ref AS (SELECT max(o_orderdate) AS mx FROM orders),
+    pc AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate)::DATE,
+                       (SELECT mx FROM ref)::DATE)::BIGINT AS r_days,
+             count(*)::BIGINT AS f_orders,
+             sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
+               AS m_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    n AS (SELECT count(*)::BIGINT AS n FROM pc),
+    rth AS {_rfm_threshold_cte('r_days')},
+    fth AS {_rfm_threshold_cte('f_orders')},
+    mth AS {_rfm_threshold_cte('m_cents')},
+    scored AS (
+      SELECT
+        1 + (r_days > (SELECT t FROM rth WHERE k = 1))::INT
+          + (r_days > (SELECT t FROM rth WHERE k = 2))::INT
+          + (r_days > (SELECT t FROM rth WHERE k = 3))::INT AS r_score,
+        1 + (f_orders > (SELECT t FROM fth WHERE k = 1))::INT
+          + (f_orders > (SELECT t FROM fth WHERE k = 2))::INT
+          + (f_orders > (SELECT t FROM fth WHERE k = 3))::INT AS f_score,
+        1 + (m_cents > (SELECT t FROM mth WHERE k = 1))::INT
+          + (m_cents > (SELECT t FROM mth WHERE k = 2))::INT
+          + (m_cents > (SELECT t FROM mth WHERE k = 3))::INT AS m_score,
+        m_cents
+      FROM pc
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           sum(m_cents)::BIGINT AS m_cents_total
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order,
+    against the corpus max date), Frequency (order count), Monetary
+    (lifetime spend in cents), each bucketed into exact quartiles, then
+    segment sizes and spend per (R,F,M) cell.
+
+    The quartile thresholds come from
+    ``operators/stats.quantile_disc_thresholds`` — the two-pass
+    range-bucketed histogram cumsum, NOT ``ntile() OVER (ORDER BY …)``
+    whose empty PARTITION BY collapses every customer onto one task.
+    Thresholds are integer-exact (the smallest value whose ≤-count
+    reaches ceil(k·n/4)), so the DuckDB oracle mirrors the definition
+    verbatim and hash-matches.
+
+    Scale shape: one custkey shuffle for the per-customer rollup; per
+    metric, a value-cardinality histogram + ≤16-row driver prefix sum;
+    scoring is a broadcast of nine threshold scalars onto the customer
+    table; the final cell rollup has ≤64 groups."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", _cents("o_totalprice").alias("cents")
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("mx"))
+    pc = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_od"),
+            F.count(F.lit(1)).alias("f_orders"),
+            F.sum("cents").alias("m_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            # datediff is calendar-day based (DATE subtraction) — the same
+            # semantics as the oracle's date_diff('day', …::DATE, …::DATE),
+            # and cast-safe for the fixture's TIMESTAMP_NTZ orderdate.
+            F.datediff(F.to_date("mx"), F.to_date("last_od"))
+            .cast("long")
+            .alias("r_days"),
+            "f_orders",
+            "m_cents",
+        )
+    )
+    scored = pc
+    for metric, out in (
+        ("r_days", "r_score"),
+        ("f_orders", "f_score"),
+        ("m_cents", "m_score"),
+    ):
+        th = quantile_disc_thresholds(pc, metric, denom=4)
+        scored = score_by_thresholds(scored, metric, th, out)
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("m_cents").alias("m_cents_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median over the (flag, price) histogram.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_weighted_median",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag AS flag,
+             (l_extendedprice::DECIMAL(12,2) * 100)::BIGINT AS price_cents,
+             sum(l_quantity::BIGINT)::BIGINT AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    t AS (SELECT flag, sum(w)::BIGINT AS total_weight FROM h GROUP BY flag),
+    r AS (
+      SELECT flag, price_cents,
+             sum(w) OVER (PARTITION BY flag ORDER BY price_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h
+    )
+    SELECT r.flag, t.total_weight,
+           min(price_cents)::BIGINT AS weighted_median_cents
+    FROM r JOIN t USING (flag)
+    WHERE 2 * cum >= total_weight
+    GROUP BY r.flag, t.total_weight
+    """,
+)
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest price
+    whose cumulative quantity reaches half the total — the exact discrete
+    weighted median, integer cents and integer weights throughout.
+
+    Scale shape: the cumulative sum runs over the (flag, price)
+    HISTOGRAM — value cardinality, not row cardinality — after a
+    map-side-combinable rollup of the fact table; the 3-row totals table
+    broadcast-joins back. The naive per-row window (PARTITION BY flag
+    over the raw fact) would sort a third of the corpus per task."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        _cents("l_extendedprice").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    h = li.groupBy("flag", "price_cents").agg(F.sum("q").alias("w"))
+    t = h.groupBy("flag").agg(F.sum("w").alias("total_weight"))
+    w = Window.partitionBy("flag").orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = h.withColumn("cum", F.sum("w").over(w))
+    return (
+        r.join(F.broadcast(t), "flag")
+        .filter(2 * F.col("cum") >= F.col("total_weight"))
+        .groupBy("flag", "total_weight")
+        .agg(F.min("price_cents").alias("weighted_median_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence cells (exact integer contributions).
+# ---------------------------------------------------------------------------
+@query(
+    "stats_chi_square_cells",
+    oracle="""
+    WITH o AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             count(*)::HUGEINT AS obs
+      FROM customer GROUP BY 1, 2
+    ),
+    r AS (SELECT seg, sum(obs) AS rt FROM o GROUP BY seg),
+    c AS (SELECT nat, sum(obs) AS ct FROM o GROUP BY nat),
+    n AS (SELECT sum(obs) AS n FROM o)
+    SELECT seg, nat, obs::BIGINT AS obs,
+           ((rt * ct * 1000000) // n.n)::BIGINT AS exp_ppm,
+           (((obs * n.n - rt * ct) * (obs * n.n - rt * ct) * 1000000)
+              // (n.n * rt * ct))::BIGINT AS contrib_ppm
+    FROM o JOIN r USING (seg) JOIN c USING (nat), n
+    """,
+)
+def stats_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test cells for market segment × nation:
+    observed count, expected count in ppm, and the per-cell χ² contribution
+    ``(obs − exp)²/exp`` rewritten over integers as
+    ``(obs·N − r·c)² · 1e6 div (N·r·c)`` — every term a 128-bit integer
+    (Spark DECIMAL(38,0) vs DuckDB HUGEINT), so boundary cells floor
+    identically in both engines; a float expected-count version can
+    never hash-match. Per-cell output also sidesteps float-summation
+    order entirely (the total χ² is an exact integer sum if needed).
+
+    Scale shape: one map-side-combinable cell rollup (|segments|×|nations|
+    groups), then the marginals are cell-cardinality tables —
+    broadcast joins; the scalar N is a broadcast 1-row cross join."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
+    )
+    o = cust.groupBy("seg", "nat").agg(
+        F.count(F.lit(1)).cast(D38).alias("obs")
+    )
+    r = o.groupBy("seg").agg(F.sum("obs").cast(D38).alias("rt"))
+    c = o.groupBy("nat").agg(F.sum("obs").cast(D38).alias("ct"))
+    n = o.agg(F.sum("obs").cast(D38).alias("n"))
+    return (
+        o.join(F.broadcast(r), "seg")
+        .join(F.broadcast(c), "nat")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "seg",
+            "nat",
+            F.col("obs").cast("long").alias("obs"),
+            F.expr("(rt * ct * 1000000) div n").alias("exp_ppm"),
+            F.expr(
+                "((obs * n - rt * ct) * (obs * n - rt * ct) * 1000000)"
+                " div (n * rt * ct)"
+            ).alias("contrib_ppm"),
+        )
+    )
