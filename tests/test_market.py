@@ -138,6 +138,24 @@ def test_weighted_median_window_over_histogram(spark):
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 2
 
 
+def test_rolling_anomaly_single_shuffle_range_frame(spark):
+    # Trailing-hour integer moments: one user-keyed exchange feeding a
+    # RANGE-framed Window — no join, no second shuffle.
+    plan = _plan(spark, "events_rolling_anomaly")
+    assert "Window" in plan
+    assert _n_shuffles(plan) <= 1
+    assert "Join" not in plan
+
+
+def test_dynamic_partition_pruning_reaches_fact_scan(spark):
+    # The month-dim join must inject a dynamicpruningexpression into the
+    # partitioned fact scan's PartitionFilters — DPP firing is the whole
+    # point of the key; without it the scan reads every month directory.
+    plan = _plan(spark, "join_partition_pruning_dynamic")
+    assert "dynamicpruningexpression" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_chi_square_broadcast_marginals(spark):
     plan = _plan(spark, "stats_chi_square_cells")
     assert "CartesianProduct" not in plan

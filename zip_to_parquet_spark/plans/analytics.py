@@ -355,6 +355,80 @@ def format_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dynamic partition pruning over a Hive-partitioned fact layout
+# ---------------------------------------------------------------------------
+@query(
+    "join_partition_pruning_dynamic",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT (year(o_orderdate) * 100 + month(o_orderdate))
+               AS ship_yyyymm
+      FROM orders WHERE month(o_orderdate) IN (1, 2, 3)
+    ),
+    f AS (
+      SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS ship_yyyymm,
+             (l_extendedprice::DECIMAL(12,2) * 100)::BIGINT AS cents
+      FROM lineitem
+    )
+    SELECT f.ship_yyyymm, count(*) AS n_rows,
+           sum(cents)::BIGINT AS revenue_cents
+    FROM f JOIN m USING (ship_yyyymm)
+    GROUP BY f.ship_yyyymm
+    """,
+)
+def join_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP), the flagship star-schema scan
+    optimization: the fact table lives as a Hive layout PARTITIONED BY
+    ship month (written once per session into applicationId-keyed
+    scratch via sinks.write_partitioned — small-files-controlled), and
+    the join against the filtered month dimension injects a
+    ``dynamicpruningexpression`` into the fact scan's PartitionFilters,
+    so non-qualifying month directories are never read. At 100 TB this
+    is the difference between scanning 3 months and scanning 84: the
+    dim filter prunes I/O at runtime without a manual predicate on the
+    fact. The plan test asserts the dynamic filter reached the scan;
+    the oracle computes the identical join over the unpartitioned
+    table (the layout must not change the answer)."""
+    import os as _os
+
+    from zip_to_parquet_spark.runtime import session_scratch
+    from zip_to_parquet_spark.sinks import write_partitioned
+
+    path = session_scratch(spark, "z2ps_dpp", sf_dir)
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias(
+                "ship_yyyymm"
+            ),
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        write_partitioned(li, path, ["ship_yyyymm"])
+    fact = spark.read.parquet(path)
+    months = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.month("o_orderdate").isin(1, 2, 3))
+        .select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+                "ship_yyyymm"
+            )
+        )
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(months), "ship_yyyymm")
+        # Partition-directory inference types the key as INT; the oracle's
+        # year()*100+month() is BIGINT — align (driver hash is type-aware).
+        .groupBy(F.col("ship_yyyymm").cast("long").alias("ship_yyyymm"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Warehouse refresh primitives: MERGE upsert + SCD2 dimension history
 # ---------------------------------------------------------------------------
 @query(

@@ -406,6 +406,78 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rolling anomaly gate: trailing-window integer moments per event.
+# ---------------------------------------------------------------------------
+@query(
+    "events_rolling_anomaly",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, epoch_us(ts)::BIGINT AS us,
+             (value::DECIMAL(12,2) * 100)::BIGINT AS xc
+      FROM events
+    ),
+    m AS (
+      SELECT event_id, user_id, us, xc,
+             (count(*) OVER w)::HUGEINT AS n,
+             sum(xc::HUGEINT) OVER w AS s,
+             sum(xc::HUGEINT * xc) OVER w AS q
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, us, n::BIGINT AS n_win,
+           (n >= 5 AND (n * xc - s) * (n * xc - s) > 4 * (n * q - s * s))
+             AS is_anomaly
+    FROM m
+    """,
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event anomaly flag against the user's OWN trailing hour: |z| > 2
+    over the value-based RANGE frame, with the float test (x−μ)² > 4σ²
+    rewritten over raw in-frame moments as (n·x − S)² > 4(nQ − S²) —
+    every term an exact 128-bit integer (Spark DECIMAL(38,0) vs DuckDB
+    HUGEINT), so both engines classify every boundary event identically.
+    Frames with fewer than 5 events never flag (cold-start guard). This
+    is the streaming-adjacent outlier gate (fraud/telemetry spike
+    detection) that the GLOBAL z-score key (stats_outlier_zscore) can't
+    express here: μ and σ are per-row, per-user, time-local.
+
+    Scale shape: ONE user-keyed shuffle; the RANGE frame keeps state
+    bounded by each user's events-per-hour, and peers-at-equal-timestamp
+    are in-frame on both engines, so the result is independent of
+    intra-timestamp row order."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        _cents("value").alias("xc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    m = ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        "xc",
+        F.count(F.lit(1)).over(w).cast(D38).alias("n"),
+        F.sum(F.col("xc").cast(D38)).over(w).alias("s"),
+        F.sum((F.col("xc") * F.col("xc")).cast(D38)).over(w).alias("q"),
+    )
+    dev = F.col("n") * F.col("xc") - F.col("s")
+    var4 = (F.col("n") * F.col("q") - F.col("s") * F.col("s")) * 4
+    return m.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.col("n").cast("long").alias("n_win"),
+        ((F.col("n") >= 5) & (dev * dev > var4)).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chi-square independence cells (exact integer contributions).
 # ---------------------------------------------------------------------------
 @query(
