@@ -82,6 +82,59 @@ def test_quantile_thresholds_match_histogram_buckets(spark):
     assert t == expect
 
 
+def test_multi_metric_thresholds_match_single(spark):
+    # The 3-job shared-pass operator must agree with the per-metric
+    # operator on every metric (same counting definition, different
+    # physical plan), including a constant column (degenerate bounds).
+    import random
+
+    from zip_to_parquet_spark.operators.stats import (
+        quantile_disc_thresholds_multi,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randint(-500, 500), rng.randint(0, 30), 42)
+        for _ in range(137)
+    ]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    multi = quantile_disc_thresholds_multi(df, ["a", "b", "c"], denom=4)
+    for col in ("a", "b", "c"):
+        single = {
+            r["k"]: r["t"]
+            for r in quantile_disc_thresholds(df, col, denom=4).collect()
+        }
+        assert multi[col] == single, col
+    assert multi["c"] == {1: 42, 2: 42, 3: 42}
+
+
+def test_quantile_thresholds_randomized_sweep(spark):
+    # Seeded-random sweep vs the sorted-list oracle (one test, many cases:
+    # per-example Spark jobs make per-example hypothesis too slow here).
+    # Covers negatives, heavy duplication, tiny n, wide ranges, and
+    # non-quartile denominators.
+    import random
+
+    for seed, denom in [(1, 4), (2, 4), (3, 10), (4, 2), (5, 4), (6, 100)]:
+        rng = random.Random(seed)
+        n = rng.randint(1, 300)
+        lo = -(10 ** rng.randint(1, 9))
+        hi = 10 ** rng.randint(1, 9)
+        vals = [rng.randint(lo, hi) for _ in range(n)]
+        if rng.random() < 0.5:  # duplication-heavy variant
+            vals += [vals[0]] * rng.randint(1, 200)
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = {
+            r["k"]: r["t"]
+            for r in quantile_disc_thresholds(df, "x", denom=denom).collect()
+        }
+        srt = sorted(vals)
+        expect = {
+            k: srt[-(-k * len(vals) // denom) - 1] for k in range(1, denom)
+        }
+        assert got == expect, f"seed={seed} denom={denom}"
+
+
 # ---------------------------------------------------------------------------
 # Plan shapes
 # ---------------------------------------------------------------------------
@@ -121,9 +174,12 @@ def test_rfm_no_window_in_final_plan(spark):
     # single-partition ntile window anywhere.
     plan = _plan(spark, "customer_rfm_segments")
     assert "Window" not in plan
-    # custkey rollup + final cell aggregate + the 1-row global-max-date
-    # reduction (bounded partial-agg exchange).
-    assert _n_shuffles(plan) <= 3
+    assert "CartesianProduct" not in plan
+    # The persisted per-customer rollup prints its full lineage inside the
+    # InMemoryRelation block (custkey shuffle + 1-row max-date reduction —
+    # served from cache at execution), plus the final cell aggregate.
+    assert "InMemoryRelation" in plan
+    assert _n_shuffles(plan) <= 5
 
 
 def test_weighted_median_window_over_histogram(spark):

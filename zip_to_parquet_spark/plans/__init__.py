@@ -118,6 +118,14 @@ set_priority([
     # plus the earlier r4-green rotations (format_orc_roundtrip,
     # dim_scd2_history, dedup_containment, dedup_cluster_keep_best,
     # corpus_merge_upsert) — all sweep-verified this round.
+    # The round-5 FOURTH wave (events_time_weighted_avg, events_ohlc_bars,
+    # basket_pair_lift, customer_rfm_segments, stats_weighted_median,
+    # stats_chi_square_cells, events_rolling_anomaly,
+    # join_partition_pruning_dynamic) landed after the 50 slots were
+    # already claimed by older never-verified keys; all eight are
+    # full-oracle green in the sf0.001 suite AND the sf0.01 driver-contract
+    # drive + type audit this round, and are first in line for the
+    # round-6 window.
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

@@ -20,8 +20,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from zip_to_parquet_spark.operators.stats import (
-    quantile_disc_thresholds,
-    score_by_thresholds,
+    quantile_disc_thresholds_multi,
+    score_by_threshold_values,
 )
 from zip_to_parquet_spark.plans.registry import query
 from zip_to_parquet_spark.schema import load_table
@@ -336,14 +336,22 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_cents",
         )
     )
+    # The per-customer rollup feeds the shared threshold passes plus the
+    # final scoring scan — persist it once (customer-cardinality, 1000×
+    # smaller than orders) instead of re-shuffling orders per job. The
+    # multi-metric operator computes all nine thresholds in THREE bounded
+    # jobs (shared melt/histogram), not three per metric.
+    pc = pc.persist()
+    th = quantile_disc_thresholds_multi(
+        pc, ["r_days", "f_orders", "m_cents"], denom=4
+    )
     scored = pc
     for metric, out in (
         ("r_days", "r_score"),
         ("f_orders", "f_score"),
         ("m_cents", "m_score"),
     ):
-        th = quantile_disc_thresholds(pc, metric, denom=4)
-        scored = score_by_thresholds(scored, metric, th, out)
+        scored = score_by_threshold_values(scored, metric, th[metric], out)
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("m_cents").alias("m_cents_total"),
