@@ -212,6 +212,25 @@ def test_dynamic_partition_pruning_reaches_fact_scan(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_column_profile_two_level_distinct(spark):
+    # One melted scan → per-(column,value) partial-aggregated counts →
+    # 6-group rollup; NOT six count-distinct scans (no Expand explosion,
+    # ≤2 shuffles, no join).
+    plan = _plan(spark, "scan_column_profile")
+    assert _n_shuffles(plan) <= 2
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan", plan, re.M)) == 1
+
+
+def test_ewma_single_shuffle_no_python(spark):
+    # Ordered array fold: one user-keyed shuffle, the fold is codegen'd
+    # JVM (no BatchEvalPython / ArrowEvalPython in the plan).
+    plan = _plan(spark, "events_ewma_fixed_point")
+    assert _n_shuffles(plan) <= 1
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
 def test_chi_square_broadcast_marginals(spark):
     plan = _plan(spark, "stats_chi_square_cells")
     assert "CartesianProduct" not in plan

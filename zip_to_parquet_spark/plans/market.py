@@ -486,6 +486,166 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ANALYZE-style column profiling in one melted pass.
+# ---------------------------------------------------------------------------
+@query(
+    "scan_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+           (count(*) - count(l_quantity))::BIGINT AS n_nulls,
+           count(DISTINCT l_quantity::BIGINT)::BIGINT AS ndv,
+           min(l_quantity::BIGINT)::BIGINT AS min_long,
+           max(l_quantity::BIGINT)::BIGINT AS max_long,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           (count(*) - count(l_extendedprice))::BIGINT,
+           count(DISTINCT (l_extendedprice::DECIMAL(12,2)*100)::BIGINT)::BIGINT,
+           min((l_extendedprice::DECIMAL(12,2)*100)::BIGINT)::BIGINT,
+           max((l_extendedprice::DECIMAL(12,2)*100)::BIGINT)::BIGINT,
+           NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           (count(*) - count(l_discount))::BIGINT,
+           count(DISTINCT (l_discount::DECIMAL(12,2)*100)::BIGINT)::BIGINT,
+           min((l_discount::DECIMAL(12,2)*100)::BIGINT)::BIGINT,
+           max((l_discount::DECIMAL(12,2)*100)::BIGINT)::BIGINT,
+           NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*),
+           (count(*) - count(l_shipdate))::BIGINT,
+           count(DISTINCT epoch_us(l_shipdate)::BIGINT)::BIGINT,
+           min(epoch_us(l_shipdate)::BIGINT)::BIGINT,
+           max(epoch_us(l_shipdate)::BIGINT)::BIGINT,
+           NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*),
+           (count(*) - count(l_returnflag))::BIGINT,
+           count(DISTINCT l_returnflag)::BIGINT,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           min(l_returnflag), max(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(*),
+           (count(*) - count(l_linestatus))::BIGINT,
+           count(DISTINCT l_linestatus)::BIGINT,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           min(l_linestatus), max(l_linestatus)
+    FROM lineitem
+    """,
+)
+def scan_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style column profile (rows, nulls, EXACT ndv,
+    min/max) for six lineitem columns — the statistics pass behind CBO
+    stats, data-contract drift monitors, and skew pre-flight. ONE melted
+    scan (``stack``) feeds a two-level exact-distinct: per-(column,
+    value) counts (map-side-combined, value-cardinality state) then the
+    per-column rollup — instead of six separate count-distinct scans of
+    the table (the oracle does exactly that; the melt must agree).
+    Numeric values are profiled as exact integers (cents / epoch-µs), so
+    min/max/ndv carry no float seam; strings keep their own min/max
+    columns.
+
+    Scale shape: one scan, then shuffle state is Σ per-column ndv —
+    value cardinality, never row cardinality; the final rollup is
+    6 groups."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        _cents("l_extendedprice").alias("pc"),
+        _cents("l_discount").alias("dc"),
+        F.unix_micros(F.to_timestamp("l_shipdate")).alias("sd"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    melted = li.selectExpr(
+        """stack(6,
+           'l_quantity',      q,                    cast(null as string),
+           'l_extendedprice', pc,                   cast(null as string),
+           'l_discount',      dc,                   cast(null as string),
+           'l_shipdate',      sd,                   cast(null as string),
+           'l_returnflag',    cast(null as bigint), l_returnflag,
+           'l_linestatus',    cast(null as bigint), l_linestatus
+        ) as (col_name, v_long, v_str)"""
+    )
+    per_val = melted.groupBy("col_name", "v_long", "v_str").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    is_null = F.col("v_long").isNull() & F.col("v_str").isNull()
+    return per_val.groupBy("col_name").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(is_null, F.col("n")).otherwise(0)).alias("n_nulls"),
+        F.sum(F.when(is_null, 0).otherwise(1)).cast("long").alias("ndv"),
+        F.min("v_long").alias("min_long"),
+        F.max("v_long").alias("max_long"),
+        F.min("v_str").alias("min_str"),
+        F.max("v_str").alias("max_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point EWMA per user (ordered array fold — sequential recursion
+# expressed exactly, no float).
+# ---------------------------------------------------------------------------
+@query(
+    "events_ewma_fixed_point",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list((value::DECIMAL(12,2) * 100)::BIGINT
+                  ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, len(vals)::BIGINT AS n_events,
+           list_reduce(vals, (acc, x) -> (acc * 7 + x) // 8)::BIGINT
+             AS ewma_cents
+    FROM s
+    """,
+)
+def events_ewma_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value`` with
+    α = 1/8 in FIXED-POINT integer arithmetic: ewma₀ = x₀,
+    ewmaᵢ = (7·ewmaᵢ₋₁ + xᵢ) div 8 over the (ts, event_id)-ordered
+    event sequence. EWMA is an inherently sequential recursion — not
+    map-side-combinable — so it is expressed as an ordered array fold
+    (``F.aggregate`` over the sorted per-user value array), the same
+    bounded-per-key pattern as the funnel FSM; integer division at every
+    step means DuckDB's ``list_reduce`` replays the identical fold and
+    hash-matches (a float α would diverge in the last ulp after enough
+    steps). Note the engines' integer-division conventions differ on
+    negatives (Spark ``div`` truncates toward zero, DuckDB ``//``
+    floors) — irrelevant here because cents are non-negative at every
+    step (fixture min 0.03), which keeps the fold in the agreeing
+    domain; a signed-value variant would rewrite the step as
+    ``floordiv`` on both sides.
+
+    Scale shape: ONE user-keyed shuffle; state is each user's own event
+    list (the per-user bound every sequential-semantics operator in this
+    repo accepts and documents); the fold itself is codegen'd JVM, no
+    Python."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents("value").alias("xc")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "xc"))),
+            lambda s: s["xc"],
+        ).alias("vals")
+    )
+    return per_user.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),"
+            " (acc, x) -> (acc * 7L + x) div 8)"
+        ).alias("ewma_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chi-square independence cells (exact integer contributions).
 # ---------------------------------------------------------------------------
 @query(
