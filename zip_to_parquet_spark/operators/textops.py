@@ -125,9 +125,25 @@ def winnow_fingerprints(text: Column, n: int = 8, w: int = 4) -> Column:
         seq_or_empty(F.length(text) - (n - 1)),
         lambda i: F.md5(F.substring(text, i, n)),
     )
-    mins = F.transform(
-        seq_or_empty(F.size(hashes) - (w - 1)),
-        lambda j: F.array_min(F.slice(hashes, j, w)),
+    # Sliding-window minima by span doubling (sparse-table style):
+    # ceil(log2 w) zip_with passes of least() over shifted slices —
+    # O(L·log w) with whole-array allocations, instead of the per-position
+    # O(L·w) slice+array_min (L four-element allocations) or an
+    # element_at least-chain (per-call bounds/null checks). Measured at
+    # sf0.01: 0.8 s vs 4.2 s (slice+array_min) vs 20 s (element_at).
+    m = hashes
+    span = 1
+    while span < w:
+        s = min(span, w - span)
+        sz = F.size(m)
+        m = F.zip_with(
+            F.slice(m, 1, sz - s),
+            F.slice(m, 1 + s, sz - s),
+            lambda a, b: F.least(a, b),
+        )
+        span += s
+    mins = F.when(F.size(hashes) >= w, m).otherwise(
+        F.array().cast("array<string>")
     )
     return F.array_distinct(mins)
 
