@@ -231,6 +231,29 @@ def test_ewma_single_shuffle_no_python(spark):
     assert "Join" not in plan
 
 
+def test_frozen_scratch_built_once_per_session(spark):
+    # The DPP fact layout and the snapshot dedup index are immutable per
+    # (session, sf): the second invocation must REUSE the scratch, not
+    # rewrite it (the rewrite was the measured 3× cost of the incremental
+    # dedup key). _SUCCESS mtime is the witness.
+    import os
+
+    from zip_to_parquet_spark.plans import all_queries
+
+    qs = all_queries()
+    from zip_to_parquet_spark.runtime import session_scratch
+
+    for key, tag, marker in (
+        ("join_partition_pruning_dynamic", "z2ps_dpp", "_z2ps_done"),
+        ("dedup_incremental_vs_snapshot", "z2ps_snapidx", "band_idx/_SUCCESS"),
+    ):
+        qs[key](spark, SF).write.format("noop").mode("overwrite").save()
+        path = os.path.join(session_scratch(spark, tag, SF), marker)
+        first = os.path.getmtime(path)
+        qs[key](spark, SF).write.format("noop").mode("overwrite").save()
+        assert os.path.getmtime(path) == first, f"{key} rewrote its scratch"
+
+
 def test_chi_square_broadcast_marginals(spark):
     plan = _plan(spark, "stats_chi_square_cells")
     assert "CartesianProduct" not in plan

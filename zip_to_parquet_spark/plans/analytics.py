@@ -395,7 +395,11 @@ def join_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFram
     from zip_to_parquet_spark.sinks import write_partitioned
 
     path = session_scratch(spark, "z2ps_dpp", sf_dir)
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+    # Dynamic partition overwrite emits no _SUCCESS marker — use an
+    # explicit done-file so the immutable layout is built once per
+    # (session, sf) instead of rewritten every call.
+    done = _os.path.join(path, "_z2ps_done")
+    if not _os.path.exists(done):
         li = load_table(spark, sf_dir, "lineitem").select(
             (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias(
                 "ship_yyyymm"
@@ -405,6 +409,7 @@ def join_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("cents"),
         )
         write_partitioned(li, path, ["ship_yyyymm"])
+        open(done, "w").close()
     fact = spark.read.parquet(path)
     months = (
         load_table(spark, sf_dir, "orders")
