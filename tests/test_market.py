@@ -254,6 +254,18 @@ def test_frozen_scratch_built_once_per_session(spark):
         assert os.path.getmtime(path) == first, f"{key} rewrote its scratch"
 
 
+def test_drift_bucket_rollups_before_join(spark):
+    # PSI consumes bucket-cardinality rollups (map-side combined), never
+    # raw rows: partial/final HashAggregate pairs exist, the only
+    # nested-loop joins are the two broadcast 1-row totals, and no
+    # cartesian anywhere.
+    plan = _plan(spark, "dq_distribution_drift")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4
+    joins = re.findall(r"^\(\d+\) (\w*Join\w*)", plan, re.M)
+    assert len([j for j in joins if "NestedLoop" in j]) <= 2, joins
+
+
 def test_chi_square_broadcast_marginals(spark):
     plan = _plan(spark, "stats_chi_square_cells")
     assert "CartesianProduct" not in plan

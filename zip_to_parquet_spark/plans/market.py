@@ -486,6 +486,125 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distribution drift between corpus snapshots (PSI per bucket).
+# ---------------------------------------------------------------------------
+@query(
+    "dq_distribution_drift",
+    oracle="""
+    WITH old AS (SELECT length(text)::BIGINT AS len FROM documents),
+    new AS (
+      SELECT length(CASE WHEN doc_id % 7 = 3 THEN text || ' updated'
+                         ELSE text END)::BIGINT AS len
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT length('new ' || text)::BIGINT AS len
+      FROM documents WHERE doc_id % 17 = 5
+    ),
+    ob AS (SELECT len // 100 AS bucket, count(*)::BIGINT AS n_old
+           FROM old GROUP BY 1),
+    nb AS (SELECT len // 100 AS bucket, count(*)::BIGINT AS n_new
+           FROM new GROUP BY 1),
+    j AS (
+      SELECT coalesce(ob.bucket, nb.bucket) AS bucket,
+             coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+             (SELECT sum(n_old) FROM ob)::BIGINT AS t_old,
+             (SELECT sum(n_new) FROM nb)::BIGINT AS t_new
+      FROM ob FULL OUTER JOIN nb ON ob.bucket = nb.bucket
+    )
+    SELECT bucket, n_old, n_new,
+           (n_old * 1000000 // t_old)::BIGINT AS p_ppm,
+           (n_new * 1000000 // t_new)::BIGINT AS q_ppm,
+           CASE WHEN n_old * 1000000 // t_old > 0
+                 AND n_new * 1000000 // t_new > 0 THEN
+             floor(((n_old * 1000000 // t_old)
+                    - (n_new * 1000000 // t_new))::DOUBLE / 1000000.0
+                   * ln((n_old * 1000000 // t_old)::DOUBLE
+                        / (n_new * 1000000 // t_new)::DOUBLE)
+                   * 1000000.0)::BIGINT
+           ELSE NULL END AS psi_micro
+    FROM j
+    """,
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots — the
+    drift monitor a recurring pipeline runs before retraining: document
+    lengths bucket into 100-char bins, each snapshot's bucket mass
+    becomes integer ppm (exact ``div``), and the per-bucket PSI
+    contribution (p−q)·ln(p/q) lands in integer micro-nats via the
+    repo's accepted one-floor-per-type log seam (the surprisal/BM25
+    convention — everything except the single ``ln`` is exact integer
+    arithmetic in both engines). Buckets that exist in only one snapshot
+    carry NULL psi (the epsilon-free convention) while their counts
+    still surface — the novel/vanished-mass signal itself. The 'new'
+    snapshot is the same deterministic simulated refresh as
+    corpus_snapshot_delta (removals id%13=0, edits id%7=3, arrivals
+    id%17=5), so the drift here is real, planted, and value-checked.
+
+    Scale shape: two map-side-combinable bucket rollups (bucket
+    cardinality = length-range/100, never rows), a bucket-keyed full
+    outer join, and two broadcast 1-row totals."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            F.when(
+                F.col("doc_id") % 7 == 3,
+                F.concat(F.col("text"), F.lit(" updated")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text")
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 17 == 5).select(
+                F.concat(F.lit("new "), F.col("text")).alias("text")
+            )
+        )
+    )
+    def buckets(df, out):
+        return (
+            df.select(
+                F.expr("cast(length(text) as bigint) div 100").alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ob = buckets(docs, "n_old")
+    nb = buckets(new, "n_new")
+    t_old = ob.agg(F.sum("n_old").alias("t_old"))
+    t_new = nb.agg(F.sum("n_new").alias("t_new"))
+    j = (
+        ob.join(nb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .crossJoin(F.broadcast(t_old))
+        .crossJoin(F.broadcast(t_new))
+        .select(
+            "bucket",
+            "n_old",
+            "n_new",
+            F.expr("(n_old * 1000000) div t_old").alias("p_ppm"),
+            F.expr("(n_new * 1000000) div t_new").alias("q_ppm"),
+        )
+    )
+    psi = F.when(
+        (F.col("p_ppm") > 0) & (F.col("q_ppm") > 0),
+        F.floor(
+            (F.col("p_ppm") - F.col("q_ppm")).cast("double")
+            / 1000000.0
+            * F.log(
+                F.col("p_ppm").cast("double") / F.col("q_ppm").cast("double")
+            )
+            * 1000000.0
+        ),
+    )
+    return j.withColumn("psi_micro", psi.cast("long"))
+
+
+# ---------------------------------------------------------------------------
 # ANALYZE-style column profiling in one melted pass.
 # ---------------------------------------------------------------------------
 @query(
