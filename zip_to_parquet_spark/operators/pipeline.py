@@ -534,6 +534,52 @@ def bigram_surprisal(
     )
 
 
+def simulated_refresh(docs: DataFrame) -> DataFrame:
+    """The repo's ONE deterministic simulated corpus refresh, shared by
+    every snapshot-pair query (corpus_snapshot_delta,
+    matview_incremental_refresh, dq_distribution_drift): removals
+    (doc_id % 13 = 0 dropped), in-place edits (doc_id % 7 = 3 appends
+    ' updated'), and arrivals (doc_id % 17 = 5 re-ingested under
+    doc_id + 1_000_000 with a 'new ' prefix). Keeping the edit set in
+    one function (and its SQL twin in :func:`simulated_refresh_sql`)
+    is what makes the cross-query "same planted refresh" guarantee a
+    fact rather than a convention. Columns other than doc_id/text pass
+    through unchanged."""
+    from pyspark.sql import functions as F
+
+    others = [c for c in docs.columns if c not in ("doc_id", "text")]
+    edited = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        *others,
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" updated"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    arrivals = docs.filter(F.col("doc_id") % 17 == 5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        *others,
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    return edited.unionByName(arrivals)
+
+
+def simulated_refresh_sql(extra_cols: str = "") -> str:
+    """DuckDB twin of :func:`simulated_refresh` — the body of a ``new``
+    CTE over the ``documents`` view. ``extra_cols`` is an optional
+    'col,' prefix list passed through both branches (e.g. ``"source,"``)."""
+    return f"""
+      SELECT doc_id, {extra_cols}
+             CASE WHEN doc_id % 7 = 3 THEN text || ' updated' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, {extra_cols} 'new ' || text AS text
+      FROM documents WHERE doc_id % 17 = 5
+    """
+
+
 def snapshot_delta(
     old: DataFrame,
     new: DataFrame,

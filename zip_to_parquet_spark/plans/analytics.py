@@ -27,6 +27,9 @@ from zip_to_parquet_spark.operators.dedupe import (
 from zip_to_parquet_spark.operators.graph import triangle_count
 from zip_to_parquet_spark.operators.joins import merge_upsert, scd2_history
 from zip_to_parquet_spark.operators.pipeline import curriculum_buckets
+from zip_to_parquet_spark.operators.pipeline import (
+    simulated_refresh_sql as _refresh_sql,
+)
 from zip_to_parquet_spark.operators.retrieval import tfidf_topk_terms
 from zip_to_parquet_spark.operators.temporal import (
     funnel_stage_counts,
@@ -1281,16 +1284,8 @@ def stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "matview_incremental_refresh",
-    oracle="""
-    WITH new AS (
-      SELECT doc_id, source,
-             CASE WHEN doc_id % 7 = 3 THEN text || ' updated' ELSE text END
-               AS text
-      FROM documents WHERE doc_id % 13 <> 0
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, source, 'new ' || text AS text
-      FROM documents WHERE doc_id % 17 = 5
-    )
+    oracle=f"""
+    WITH new AS ({_refresh_sql("source,")})
     SELECT source,
            count(*)                  AS n_docs,
            sum(length(text))::BIGINT AS total_chars
@@ -1319,30 +1314,12 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-joins key on (doc_id, sha) — equi-shuffles on the change set —
     and the final merge is a group-key-sized outer join.
     """
+    from zip_to_parquet_spark.operators.pipeline import (
+        ivm_refresh,
+        simulated_refresh,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    new = (
-        docs.filter(F.col("doc_id") % 13 != 0)
-        .select(
-            "doc_id",
-            "source",
-            F.when(
-                F.col("doc_id") % 7 == 3,
-                F.concat(F.col("text"), F.lit(" updated")),
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 17 == 5).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
-                "source",
-                F.concat(F.lit("new "), F.col("text")).alias("text"),
-            )
-        )
-    )
-
-    from zip_to_parquet_spark.operators.pipeline import ivm_refresh
-
-    return ivm_refresh(docs, new)
+    return ivm_refresh(docs, simulated_refresh(docs))

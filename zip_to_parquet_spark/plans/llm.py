@@ -2362,17 +2362,9 @@ def dedup_exact_spans_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_snapshot_delta",
-    oracle="""
+    oracle=f"""
     WITH old AS (SELECT doc_id, text FROM documents),
-    new AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 7 = 3 THEN text || ' updated' ELSE text END
-               AS text
-      FROM documents WHERE doc_id % 13 <> 0
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
-      FROM documents WHERE doc_id % 17 = 5
-    ),
+    new AS ({pipeline.simulated_refresh_sql()}),
     o AS (SELECT doc_id, sha256(text) AS old_sha FROM old),
     n AS (SELECT doc_id, sha256(text) AS new_sha FROM new)
     SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_sha, n.new_sha,
@@ -2392,27 +2384,13 @@ def corpus_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrivals (id % 17 = 5 re-ingested under a new id) — mirrored exactly
     in the oracle, so every status branch and both hash columns are
     value-checked."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    new = (
-        docs.filter(F.col("doc_id") % 13 != 0)
-        .select(
-            "doc_id",
-            F.when(
-                F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" updated"))
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 17 == 5).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"),
-                F.concat(F.lit("new "), F.col("text")).alias("text"),
-            )
-        )
+    from zip_to_parquet_spark.operators.pipeline import (
+        simulated_refresh,
+        snapshot_delta,
     )
-    from zip_to_parquet_spark.operators.pipeline import snapshot_delta
 
-    return snapshot_delta(docs, new)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return snapshot_delta(docs, simulated_refresh(docs))
 
 
 @query("dedup_clusters_star", oracle=_CLUSTERS_ORACLE)

@@ -488,22 +488,23 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Distribution drift between corpus snapshots (PSI per bucket).
 # ---------------------------------------------------------------------------
-@query(
-    "dq_distribution_drift",
-    oracle="""
+def _drift_oracle() -> str:
+    from zip_to_parquet_spark.operators.pipeline import simulated_refresh_sql
+
+    return f"""
     WITH old AS (SELECT length(text)::BIGINT AS len FROM documents),
-    new AS (
-      SELECT length(CASE WHEN doc_id % 7 = 3 THEN text || ' updated'
-                         ELSE text END)::BIGINT AS len
-      FROM documents WHERE doc_id % 13 <> 0
-      UNION ALL
-      SELECT length('new ' || text)::BIGINT AS len
-      FROM documents WHERE doc_id % 17 = 5
-    ),
+    refreshed AS ({simulated_refresh_sql()}),
+    new AS (SELECT length(text)::BIGINT AS len FROM refreshed),
     ob AS (SELECT len // 100 AS bucket, count(*)::BIGINT AS n_old
            FROM old GROUP BY 1),
     nb AS (SELECT len // 100 AS bucket, count(*)::BIGINT AS n_new
-           FROM new GROUP BY 1),
+           FROM new GROUP BY 1),"""
+
+
+@query(
+    "dq_distribution_drift",
+    oracle=_drift_oracle()
+    + """
     j AS (
       SELECT coalesce(ob.bucket, nb.bucket) AS bucket,
              coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
@@ -533,33 +534,25 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution (p−q)·ln(p/q) lands in integer micro-nats via the
     repo's accepted one-floor-per-type log seam (the surprisal/BM25
     convention — everything except the single ``ln`` is exact integer
-    arithmetic in both engines). Buckets that exist in only one snapshot
-    carry NULL psi (the epsilon-free convention) while their counts
-    still surface — the novel/vanished-mass signal itself. The 'new'
-    snapshot is the same deterministic simulated refresh as
-    corpus_snapshot_delta (removals id%13=0, edits id%7=3, arrivals
-    id%17=5), so the drift here is real, planted, and value-checked.
+    arithmetic in both engines). NULL psi marks buckets whose mass in
+    EITHER snapshot is absent or floors below 1 ppm — the epsilon-free
+    convention; their raw counts still surface, which IS the
+    novel/vanished-mass signal. The 'new' snapshot is
+    operators.pipeline.simulated_refresh — the same planted edit set as
+    corpus_snapshot_delta and matview_incremental_refresh, shared as ONE
+    function (and its SQL twin), so the cross-query guarantee is
+    structural, not conventional.
 
     Scale shape: two map-side-combinable bucket rollups (bucket
     cardinality = length-range/100, never rows), a bucket-keyed full
-    outer join, and two broadcast 1-row totals."""
+    outer join PERSISTED once (the totals and the final projection both
+    read the tiny cached bucket table instead of re-scanning the corpus),
+    and one broadcast 1-row totals join."""
+    from zip_to_parquet_spark.operators.pipeline import simulated_refresh
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    new = (
-        docs.filter(F.col("doc_id") % 13 != 0)
-        .select(
-            F.when(
-                F.col("doc_id") % 7 == 3,
-                F.concat(F.col("text"), F.lit(" updated")),
-            )
-            .otherwise(F.col("text"))
-            .alias("text")
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 17 == 5).select(
-                F.concat(F.lit("new "), F.col("text")).alias("text")
-            )
-        )
-    )
+    new = simulated_refresh(docs)
+
     def buckets(df, out):
         return (
             df.select(
@@ -569,26 +562,25 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias(out))
         )
 
-    ob = buckets(docs, "n_old")
-    nb = buckets(new, "n_new")
-    t_old = ob.agg(F.sum("n_old").alias("t_old"))
-    t_new = nb.agg(F.sum("n_new").alias("t_new"))
-    j = (
-        ob.join(nb, "bucket", "full_outer")
+    base = (
+        buckets(docs, "n_old")
+        .join(buckets(new, "n_new"), "bucket", "full_outer")
         .select(
             "bucket",
             F.coalesce("n_old", F.lit(0)).alias("n_old"),
             F.coalesce("n_new", F.lit(0)).alias("n_new"),
         )
-        .crossJoin(F.broadcast(t_old))
-        .crossJoin(F.broadcast(t_new))
-        .select(
-            "bucket",
-            "n_old",
-            "n_new",
-            F.expr("(n_old * 1000000) div t_old").alias("p_ppm"),
-            F.expr("(n_new * 1000000) div t_new").alias("q_ppm"),
-        )
+        .persist()  # bucket-cardinality; both consumers below reuse it
+    )
+    tot = base.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    j = base.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.expr("(n_old * 1000000) div t_old").alias("p_ppm"),
+        F.expr("(n_new * 1000000) div t_new").alias("q_ppm"),
     )
     psi = F.when(
         (F.col("p_ppm") > 0) & (F.col("q_ppm") > 0),
