@@ -122,8 +122,9 @@ set_priority([
     # basket_pair_lift, customer_rfm_segments, stats_weighted_median,
     # stats_chi_square_cells, events_rolling_anomaly,
     # join_partition_pruning_dynamic, scan_column_profile,
-    # events_ewma_fixed_point, dq_distribution_drift) landed after the 50 slots were
-    # already claimed by older never-verified keys; all eleven are
+    # events_ewma_fixed_point, dq_distribution_drift,
+    # stream_ohlc_bars) landed after the 50 slots were
+    # already claimed by older never-verified keys; all of them are
     # full-oracle green in the sf0.001 suite AND the sf0.01 driver-contract
     # drive + type audit this round, and are first in line for the
     # round-6 window.

@@ -101,9 +101,11 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # OHLC bars (candlestick rollup) per hour × event type.
 # ---------------------------------------------------------------------------
-@query(
-    "events_ohlc_bars",
-    oracle="""
+# Shared by events_ohlc_bars (batch) and stream_ohlc_bars (Structured
+# Streaming, complete mode): two physical engines, ONE hash-verified
+# semantics — the events_funnel / events_funnel_partitioned precedent
+# applied across the batch/stream boundary.
+_OHLC_ORACLE = """
     WITH b AS (
       SELECT date_trunc('hour', ts)::TIMESTAMP AS bar_hour, event_type,
              (value::DECIMAL(12,2) * 100)::BIGINT AS vc, ts, event_id
@@ -125,8 +127,10 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            sum(vc)::BIGINT AS vol_cents
     FROM r GROUP BY bar_hour, event_type
-    """,
-)
+    """
+
+
+@query("events_ohlc_bars", oracle=_OHLC_ORACLE)
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candlestick (open/high/low/close + volume) bars per hour and event
     type. Open/close are ``min_by``/``max_by`` over the (ts, event_id)
@@ -152,6 +156,53 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("vc").alias("vol_cents"),
     )
+
+
+@query("stream_ohlc_bars", oracle=_OHLC_ORACLE)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME OHLC semantics as events_ohlc_bars, computed by the
+    Structured Streaming engine: watermarked event-time tumbling windows
+    with min_by/max_by over the (ts, event_id) struct as the
+    open/close selectors INSIDE streaming state (declarative aggregates
+    merge across micro-batches, so the candlesticks are
+    incremental-update-correct, not replay-batch). Complete-mode final
+    state over the bounded fixture == the batch answer — identical
+    oracle, two engines, one hash.
+
+    Scale shape: state keyed on (window, event_type), store count pinned
+    by run_stream_to_memory; the watermark bounds open windows to ~1
+    hour per key on an unbounded topic."""
+    from zip_to_parquet_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "vc", _cents("value")
+    )
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.expr("min_by(vc, struct(ts, event_id))").alias("open_cents"),
+            F.max("vc").alias("high_cents"),
+            F.min("vc").alias("low_cents"),
+            F.expr("max_by(vc, struct(ts, event_id))").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vc").alias("vol_cents"),
+        )
+        .select(
+            F.col("w.start").alias("bar_hour"),
+            "event_type",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_events",
+            "vol_cents",
+        )
+    )
+    return run_stream_to_memory(agg, "complete", "ohlc")
 
 
 # ---------------------------------------------------------------------------
