@@ -108,6 +108,23 @@ def test_multi_metric_thresholds_match_single(spark):
     assert multi["c"] == {1: 42, 2: 42, 3: 42}
 
 
+def test_multi_metric_thresholds_reject_empty_and_all_null(spark):
+    # Degenerate inputs must fail loudly (a silent empty thresholds dict
+    # would score every row 1 downstream).
+    import pytest
+
+    from zip_to_parquet_spark.operators.stats import (
+        quantile_disc_thresholds_multi,
+    )
+
+    empty = spark.createDataFrame([], "a long")
+    with pytest.raises(ValueError, match="all-NULL/empty"):
+        quantile_disc_thresholds_multi(empty, ["a"])
+    nulls = spark.createDataFrame([(None,), (None,)], "a long")
+    with pytest.raises(ValueError, match="all-NULL/empty"):
+        quantile_disc_thresholds_multi(nulls, ["a"])
+
+
 def test_quantile_thresholds_randomized_sweep(spark):
     # Seeded-random sweep vs the sorted-list oracle (one test, many cases:
     # per-example Spark jobs make per-example hypothesis too slow here).
