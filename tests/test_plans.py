@@ -811,3 +811,13 @@ def test_lateral_top1_is_decorrelated(spark):
     plan = plan_of(spark, "join_lateral_top1")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shuffle_shards_window_is_shard_partitioned(spark):
+    # The within-shard position window must partition by shard_id — the
+    # only shuffle, state = one shard. A global ORDER BY (Exchange
+    # SinglePartition) would serialize the whole corpus through one task.
+    plan = plan_of(spark, "layout_shuffle_shards")
+    assert "row_number" in plan
+    assert re.search(r"hashpartitioning\(shard_id", plan), plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]

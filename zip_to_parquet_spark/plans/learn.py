@@ -416,3 +416,54 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " p -> p.s)) as binary))"
         ).alias("tokens_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training shuffle → shards
+# ---------------------------------------------------------------------------
+@query(
+    "layout_shuffle_shards",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             md5('shuffle-v1:' || doc_id::VARCHAR) AS skey,
+             (md5_number_lower('shuffle-v1:' || doc_id::VARCHAR) % 256)
+               ::BIGINT % 16 AS shard_id
+      FROM documents
+    )
+    SELECT doc_id, skey, shard_id,
+           row_number() OVER (PARTITION BY shard_id ORDER BY skey, doc_id)
+             AS pos
+    FROM k
+    """,
+)
+def layout_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every doc gets a
+    reproducible pseudo-random key (md5 of a salted id — bump the salt to
+    re-shuffle between epochs), a balanced shard assignment (md5 low byte
+    mod 16), and a within-shard position (row_number over the shard,
+    ordered by the random key). This is the dataset-assembly step after
+    split/pack/mix: trainers need the corpus in a shuffled, sharded,
+    byte-reproducible order, and a Fisher-Yates or rand()-orderBy shuffle
+    is neither reproducible across engines nor restartable.
+
+    Scale shape: the keying is a stateless map; the ONLY shuffle is the
+    per-shard row_number window — PARTITIONED by shard_id (state = one
+    shard, 1/16 of the corpus; shard count scales with the cluster), not
+    a single-partition global sort. Writing `partitionBy(shard_id)
+    sortBy(skey)` via the bucketed sink gives the same layout as files.
+
+    Fragment contract: the Spark low-byte expression is
+    operators/layout.md5_low_bytes_sql — the DuckDB twin is
+    ``md5_number_lower(x) % 256`` (tested across the layout family)."""
+    from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+    from pyspark.sql.window import Window
+
+    salted = "concat('shuffle-v1:', cast(doc_id as string))"
+    k = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"md5(cast({salted} as binary))").alias("skey"),
+        (F.expr(md5_low_bytes_sql(salted, 1)) % 16).alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("skey", "doc_id")
+    return k.withColumn("pos", F.row_number().over(w).cast("long"))
