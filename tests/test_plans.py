@@ -821,3 +821,49 @@ def test_shuffle_shards_window_is_shard_partitioned(spark):
     assert "row_number" in plan
     assert re.search(r"hashpartitioning\(shard_id", plan), plan[:2000]
     assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_q21_decorrelates_double_exists(spark):
+    # The EXISTS/NOT-EXISTS pair must collapse into per-order aggregates
+    # joined back on orderkey — never a nested-loop re-execution.
+    plan = plan_of(spark, "q21_waiting_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters:" in l)
+    assert "o_orderstatus" in pushed, pushed
+
+
+def test_q15_max_is_one_row_broadcast_not_sort(spark):
+    # The scalar max joins back as a broadcast of a 1-row aggregate; a
+    # global sort of the revenue relation would be the wrong plan.
+    plan = plan_of(spark, "q15_top_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2  # max row + supplier dim
+    assert "TakeOrderedAndProject" not in plan
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters:" in l)
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_q2_single_fact_pass_broadcast_dims(spark):
+    # lineitem is scanned once (the DISTINCT bridge); part/supplier legs
+    # broadcast; the correlated min decorrelates without a cross join.
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") - plan.count("lineitem.parquet") >= 0
+    assert len(re.findall(r"lineitem\.parquet", plan)) <= 1, "fact scanned twice"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "q16_supplier_variety")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan[:2000]
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters:" in l)
+    assert "p_size" in pushed or "p_brand" in pushed, pushed
+
+
+def test_q18_having_gate_reuses_one_rollup(spark):
+    # The qty rollup feeds BOTH the HAVING gate and the output column —
+    # lineitem must be scanned exactly once.
+    plan = plan_of(spark, "q18_large_orders")
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, "fact scanned twice"
+    assert "TakeOrderedAndProject" in plan

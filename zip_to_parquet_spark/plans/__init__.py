@@ -22,6 +22,7 @@ from zip_to_parquet_spark.plans import temporal  # noqa: E402,F401
 from zip_to_parquet_spark.plans import analytics  # noqa: E402,F401
 from zip_to_parquet_spark.plans import learn  # noqa: E402,F401
 from zip_to_parquet_spark.plans import tpch_deco  # noqa: E402,F401
+from zip_to_parquet_spark.plans import tpch2  # noqa: E402,F401
 from zip_to_parquet_spark.plans import market  # noqa: E402,F401
 
 # The driver's per-round correctness sweep covers the FIRST 50 registry keys.
