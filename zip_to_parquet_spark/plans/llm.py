@@ -2733,3 +2733,108 @@ def mixture_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h_term_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse re-ranking over a first-stage candidate pool
+# ---------------------------------------------------------------------------
+def _msim(a: str, b: str) -> str:
+    """DuckDB twin of operators/retrieval.micro_sim (verified exact)."""
+    return (
+        f"CAST(round(round(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 6) * 1000000) AS BIGINT)"
+    )
+
+
+def _mmr_oracle(k: int = 5, lam: int = 7) -> str:
+    """Unrolled greedy MMR as CTEs (the PageRank pattern: iterations as
+    SQL, bit-exact parity on an inherently sequential algorithm)."""
+    mu = 10 - lam
+    ctes = [
+        "q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""scored AS (
+          SELECT vec_id AS n_id, {_msim('embedding::DOUBLE[]', 'qv')} AS rel_micro
+          FROM embeddings, q WHERE vec_id <> 0
+        )""",
+        "cand AS (SELECT n_id, rel_micro FROM scored ORDER BY rel_micro DESC, n_id LIMIT 20)",
+        """candv AS (
+          SELECT c.n_id, c.rel_micro, e.embedding::DOUBLE[] AS v
+          FROM cand c JOIN embeddings e ON e.vec_id = c.n_id
+        )""",
+        f"""pairs AS (
+          SELECT a.n_id AS a_id, b.n_id AS b_id, {_msim('a.v', 'b.v')} AS psim_micro
+          FROM candv a JOIN candv b ON a.n_id <> b.n_id
+        )""",
+        f"""p1 AS (
+          SELECT n_id, rel_micro, {lam} * rel_micro AS mmr_score
+          FROM cand ORDER BY mmr_score DESC, n_id LIMIT 1
+        )""",
+        "sel1 AS (SELECT n_id FROM p1)",
+    ]
+    for i in range(2, k + 1):
+        prev = i - 1
+        ctes.append(f"""p{i} AS (
+          SELECT c.n_id, c.rel_micro,
+                 {lam} * c.rel_micro - {mu} * max(p.psim_micro) AS mmr_score
+          FROM cand c
+          JOIN pairs p ON p.a_id = c.n_id AND p.b_id IN (SELECT n_id FROM sel{prev})
+          WHERE c.n_id NOT IN (SELECT n_id FROM sel{prev})
+          GROUP BY c.n_id, c.rel_micro
+          ORDER BY mmr_score DESC, c.n_id LIMIT 1
+        )""")
+        ctes.append(
+            f"sel{i} AS (SELECT n_id FROM sel{prev} UNION ALL SELECT n_id FROM p{i})"
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS pick_order, n_id, rel_micro, mmr_score FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@query("retrieval_mmr_rerank", oracle=_mmr_oracle())
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998), the diversity pass every RAG serving stack runs between
+    retrieval and the context window: from the cosine top-20 for a query
+    (doc 0's embedding — the fixture stand-in for a user query), greedily
+    pick 5 maximizing ``0.7·relevance − 0.3·max-similarity-to-picked``.
+    All-integer scores (micro-similarities, λ in tenths — a 10×-scaled
+    monotone-identical objective), so an inherently sequential greedy
+    algorithm is value-oracle-checked bit-for-bit against unrolled SQL.
+
+    Scale shape: first-stage scoring is the distributed part (map-only
+    cosine + TakeOrdered top-20 — no corpus shuffle); the N²=380-row
+    pairwise table and the k=5 unrolled picks (1-row localCheckpoints,
+    the PageRank pattern) run on the bounded pool only. Re-ranking cost
+    is O(k·N) regardless of corpus size, by construction."""
+    from zip_to_parquet_spark.operators.retrieval import micro_sim, mmr_select
+
+    emb = _embeddings_spread(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("n_id"),
+            micro_sim(F.col("v"), F.col("qv")).alias("rel_micro"),
+            "v",
+        )
+    )
+    cand = (
+        scored.orderBy(F.col("rel_micro").desc(), "n_id")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        F.col("n_id").alias("a_id"), F.col("v").alias("av")
+    )
+    b = cand.select(F.col("n_id").alias("b_id"), F.col("v").alias("bv"))
+    pairs = (
+        a.join(F.broadcast(b), a.a_id != b.b_id)
+        .select("a_id", "b_id", micro_sim(F.col("av"), F.col("bv")).alias("psim_micro"))
+    )
+    return mmr_select(cand.select("n_id", "rel_micro"), pairs, k=5)
