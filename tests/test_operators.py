@@ -1945,3 +1945,23 @@ def test_mmr_select_rejects_bad_lambda(spark):
     pairs = spark.createDataFrame([], "a_id long, b_id long, psim_micro long")
     with pytest.raises(ValueError, match="lam_tenths"):
         mmr_select(cand, pairs, k=1, lam_tenths=11)
+
+
+def test_silhouette_overflow_headroom_and_bounds(spark):
+    # The (b2 - a2) * 1000 product must keep far away from 2^63, and
+    # every per-point score must land in [0, 1000] (a2 <= b2 by argmin).
+    from zip_to_parquet_spark.operators.vectors import kmeans_integer
+    from zip_to_parquet_spark.schema import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dm = kmeans_integer(emb, k=8, iters=3, return_distance_matrix=True)
+    mx = dm.agg(F.max("d2")).collect()[0][0]
+    assert mx * 1000 < 2**62, mx  # one spare doubling of headroom
+    from zip_to_parquet_spark.plans import all_queries
+
+    rows = all_queries()["cluster_silhouette_eval"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "no clusters"
+    for r in rows:
+        assert 0 <= r.min_sil_milli <= r.mean_sil_milli <= 1000, r

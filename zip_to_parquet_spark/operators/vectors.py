@@ -631,9 +631,13 @@ def kmeans_integer(
     vec_col: str = "embedding",
     scale: int = 1_000_000,
     offset: int = 4_000_000,
+    return_distance_matrix: bool = False,
 ):
     """Distributed Lloyd's k-means in exact INTEGER micro-units →
-    ``(vec_id, cluster, dist2)``.
+    ``(vec_id, cluster, dist2)``; with ``return_distance_matrix=True``,
+    the full n×k ``(vec_id, cl, d2)`` relation against the FINAL
+    centroids instead (one extra broadcast-scoring pass, no shuffle) —
+    the input for cluster-quality evaluation (silhouette).
 
     The corpus-scale embedding-clustering primitive (the step SemDeDup /
     topic-stratified mixture planning run first; Abbas et al. 2023 §3).
@@ -746,6 +750,12 @@ def kmeans_integer(
             .localCheckpoint(eager=True)
         )
 
+    if return_distance_matrix:
+        return (
+            x.crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .select("vec_id", "cl", "d2")
+        )
     return assign(cent).select(
         "vec_id", F.col("cl").alias("cluster"), F.col("d2").alias("dist2")
     )

@@ -52,10 +52,10 @@ _KM_SCALE = 1_000_000
 _KM_OFFSET = 4_000_000
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled-CTE replay of every Lloyd's iteration (same pattern as the
-    PageRank oracle's unrolled power steps) — exact integer parity for the
-    whole fixed point, not just the final assignment."""
+def _kmeans_ctes() -> list:
+    """The shared unrolled-CTE Lloyd's replay, ending at ``df`` (the full
+    n×k distance matrix against the final centroids). Both the assignment
+    oracle and the silhouette oracle compose on it."""
     ctes = [
         f"""x AS (
   SELECT vec_id,
@@ -103,15 +103,56 @@ def _kmeans_oracle() -> str:
   FROM xd JOIN c{_KM_ITERS} c USING (i)
   GROUP BY 1, 2
 )""")
+    return ctes
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled-CTE replay of every Lloyd's iteration (same pattern as the
+    PageRank oracle's unrolled power steps) — exact integer parity for the
+    whole fixed point, not just the final assignment."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_kmeans_ctes())
         + """
 SELECT vec_id, cl AS cluster, CAST(d2 AS BIGINT) AS dist2 FROM (
   SELECT vec_id, cl, d2,
          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
   FROM df
 ) WHERE rn = 1
+"""
+    )
+
+
+def _silhouette_oracle() -> str:
+    """Silhouette over the same replayed fixed point: per point, a2 = d2
+    to the assigned (nearest) centroid, b2 = d2 to the runner-up; the
+    per-cluster mean of ``(b2−a2)·1000 // max(a2,b2)`` (all non-negative
+    integers — a2 ≤ b2 by argmin, so floor-vs-truncate never differs)."""
+    ctes = _kmeans_ctes() + [
+        """r AS (
+  SELECT vec_id, cl, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+  FROM df
+)""",
+        """ab AS (
+  SELECT a.vec_id, a.cl AS cluster, a.d2 AS a2, b.d2 AS b2
+  FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+)""",
+        """sm AS (
+  SELECT cluster,
+         CASE WHEN greatest(a2, b2) = 0 THEN 0
+              ELSE ((b2 - a2) * 1000) // greatest(a2, b2) END AS s_milli
+  FROM ab
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT cluster, count(*)::BIGINT AS n_points,
+       CAST(sum(s_milli) // count(*) AS BIGINT) AS mean_sil_milli,
+       CAST(min(s_milli) AS BIGINT) AS min_sil_milli
+FROM sm GROUP BY cluster
 """
     )
 
@@ -134,6 +175,63 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_KM_ITERS,
         scale=_KM_SCALE,
         offset=_KM_OFFSET,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality evaluation: integer silhouette over the k-means fixed point
+# ---------------------------------------------------------------------------
+@query("cluster_silhouette_eval", oracle=_silhouette_oracle())
+def cluster_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation closing the k-means loop (the check
+    run before trusting cluster assignments for SemDeDup scoping or
+    topic-stratified mixtures): a centroid-based silhouette per point —
+    a2 = squared distance to the assigned centroid, b2 = to the
+    runner-up — summarized per cluster as the integer-milli mean and min
+    of ``(b2−a2)·1000 // max(a2,b2)`` ∈ [0, 1000]. 0 = the point sits on
+    the decision boundary (assignment untrustworthy); 1000 = the
+    runner-up is infinitely farther. All inputs are the exact-integer
+    Lloyd's fixed point, so a CLUSTER-QUALITY metric is value-oracle
+    -checked bit-for-bit — a2 ≤ b2 by argmin keeps every operand
+    non-negative, where Spark's truncating ``div`` and DuckDB's flooring
+    ``//`` agree (the same invariant the k-means offset maintains).
+
+    Scale shape: one extra broadcast-scoring pass over the final
+    centroids (map-only n×k, no shuffle — `return_distance_matrix`),
+    one groupBy(vec_id) collecting k=8 structs, one k-group rollup.
+    The ×1000 product is bounded: b2 ≤ dim·(max micro-coord)² ≈ 4e15
+    on this fixture, ×1000 ≪ 2⁶³ (pytest-pinned headroom)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dm = kmeans_integer(
+        emb,
+        k=_KM_K,
+        iters=_KM_ITERS,
+        scale=_KM_SCALE,
+        offset=_KM_OFFSET,
+        return_distance_matrix=True,
+    )
+    ab = (
+        dm.groupBy("vec_id")
+        .agg(F.expr("array_sort(collect_list(struct(d2, cl)))").alias("ds"))
+        .select(
+            F.col("ds")[0]["cl"].alias("cluster"),
+            F.col("ds")[0]["d2"].alias("a2"),
+            F.col("ds")[1]["d2"].alias("b2"),
+        )
+    )
+    s_milli = F.when(
+        F.greatest("a2", "b2") == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.expr("((b2 - a2) * 1000) div greatest(a2, b2)")
+    )
+    return (
+        ab.withColumn("s_milli", s_milli)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.expr("sum(s_milli) div count(*)").alias("mean_sil_milli"),
+            F.min("s_milli").alias("min_sil_milli"),
+        )
     )
 
 
