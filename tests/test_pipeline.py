@@ -130,3 +130,37 @@ def test_dsir_separates_target_domain(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_contrastive_negatives_contract(spark):
+    # No pick is the anchor itself or a jaccard-0.8 near-dup of it; at
+    # most 2 picks per anchor, numbered in try order; fully deterministic
+    # across runs.
+    from zip_to_parquet_spark.operators.dedupe import (
+        ngram_jaccard_pairs,
+        shingle_sets,
+    )
+    from zip_to_parquet_spark.plans import all_queries
+    from zip_to_parquet_spark.schema import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = all_queries()["contrastive_negative_pairs"](spark, sf)
+    rows = out.collect()
+    assert all(r.neg_id != r.anchor_id for r in rows)
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r.anchor_id, []).append((r.pick_no, r.try_no))
+    for picks in per_anchor.values():
+        assert len(picks) <= 2
+        assert [p for p, _ in sorted(picks)] == list(range(1, len(picks) + 1))
+    docs = load_table(spark, sf, "documents")
+    nd = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(shingle_sets(docs), threshold=0.8)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    nd |= {(b, a) for a, b in nd}
+    assert not any((r.anchor_id, r.neg_id) in nd for r in rows)
+    rows2 = all_queries()["contrastive_negative_pairs"](spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

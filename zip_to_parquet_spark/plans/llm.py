@@ -2838,3 +2838,109 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", micro_sim(F.col("av"), F.col("bv")).alias("psim_micro"))
     )
     return mmr_select(cand.select("n_id", "rel_micro"), pairs, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative sampling (anchor, negative) pairs for bi-encoder
+# training
+# ---------------------------------------------------------------------------
+_JACC = (
+    "len(list_intersect(x.sh, y.sh))::DOUBLE"
+    " / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))"
+)
+
+
+def _neg_pairs_oracle() -> str:
+    # 281474976710656 = 256^6: the md5_number_lower twin of the Spark
+    # side's md5_low_bytes_sql(salted, 6) (operators/layout.py contract).
+    return (
+        _DUCK_SHINGLES
+        + _duck_cand_guarded(ordered=False)
+        + f"""
+    , nd AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b
+      WHERE {_JACC} >= 0.8
+    ),
+    excl AS (
+      SELECT doc_a AS a, doc_b AS b FROM nd
+      UNION ALL SELECT doc_b, doc_a FROM nd
+    ),
+    nn AS (SELECT count(*) AS n FROM documents),
+    tr AS (
+      SELECT d.doc_id AS anchor_id, t.try_no,
+             CAST(md5_number_lower('neg-v1:' || d.doc_id::VARCHAR || ':'
+                                   || t.try_no::VARCHAR)
+                  % 281474976710656 AS BIGINT) % nn.n AS neg_id
+      FROM documents d, nn,
+           (SELECT unnest(generate_series(1, 4)) AS try_no) t
+    )
+    SELECT anchor_id, neg_id, try_no, pick_no FROM (
+      SELECT anchor_id, neg_id, try_no,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY try_no)
+               AS pick_no
+      FROM tr
+      WHERE neg_id <> anchor_id
+        AND NOT EXISTS (SELECT 1 FROM excl e
+                        WHERE e.a = tr.anchor_id AND e.b = tr.neg_id)
+    ) WHERE pick_no <= 2
+    """
+    )
+
+
+@query("contrastive_negative_pairs", oracle=_neg_pairs_oracle)
+def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive bi-encoder /
+    embedding training (the in-batch-negatives alternative when batches
+    are assembled offline): each anchor doc draws up to 2 negatives by
+    REJECTION sampling over 4 salted-md5 pseudo-random tries — a
+    candidate is rejected when it is the anchor itself or a
+    jaccard-verified near-duplicate of it (a near-dup "negative" would
+    be a false negative that actively corrupts the contrastive loss;
+    exclusion uses the SAME guarded candidate generation as
+    dedup_ngram_jaccard, so its contract — candidates must share a
+    non-hot shingle — carries over). Reproducible across engines and
+    restarts by construction; bump the salt for a fresh epoch.
+
+    Scale shape: try generation is a stateless map (4 rows per anchor);
+    the corpus count is a 1-row broadcast; the near-dup exclusion is an
+    anti join against the (sparse) dup-pair relation; the keep-first-2
+    window partitions by anchor — state is 4 rows. Nothing quadratic,
+    nothing collected."""
+    from pyspark.sql.window import Window
+
+    from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+
+    docs = _documents_spread(spark, sf_dir)
+    nd = ngram_jaccard_pairs(shingle_sets(docs), threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    excl = nd.select(
+        F.col("doc_a").alias("anchor_id"), F.col("doc_b").alias("neg_id")
+    ).unionAll(
+        nd.select(F.col("doc_b").alias("anchor_id"), F.col("doc_a").alias("neg_id"))
+    )
+    nrow = docs.agg(F.count(F.lit(1)).alias("n"))
+    salted = (
+        "concat('neg-v1:', cast(anchor_id as string), ':',"
+        " cast(try_no as string))"
+    )
+    tries = (
+        docs.select(F.col("doc_id").alias("anchor_id"))
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "anchor_id",
+            F.explode(F.expr("sequence(1, 4)")).alias("try_no"),
+            "n",
+        )
+        .withColumn(
+            "neg_id", F.expr(md5_low_bytes_sql(salted, 6)) % F.col("n")
+        )
+        .drop("n")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .join(excl, ["anchor_id", "neg_id"], "left_anti")
+    )
+    w = Window.partitionBy("anchor_id").orderBy("try_no")
+    return tries.withColumn("pick_no", F.row_number().over(w)).filter(
+        F.col("pick_no") <= 2
+    )
