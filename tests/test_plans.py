@@ -867,3 +867,17 @@ def test_q18_having_gate_reuses_one_rollup(spark):
     plan = plan_of(spark, "q18_large_orders")
     assert len(re.findall(r"lineitem\.parquet", plan)) == 1, "fact scanned twice"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_seasonal_naive_single_fact_scan(spark):
+    # The daily rollup materializes once; the lag-7 self-join must run
+    # over the checkpointed calendar-sized relation, not re-scan orders.
+    plan = plan_of(spark, "ts_seasonal_naive_mae")
+    assert len(re.findall(r"orders\.parquet", plan)) == 0, "fact re-scanned"
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_k_anonymity_single_scan_no_join(spark):
+    plan = plan_of(spark, "dq_k_anonymity")
+    assert len(re.findall(r"customer\.parquet", plan)) == 1
+    assert "Join" not in plan

@@ -865,3 +865,134 @@ def stats_chi_square_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contrib_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (weekly seasonality MAE)
+# ---------------------------------------------------------------------------
+@query(
+    "ts_seasonal_naive_mae",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    paired AS (
+      SELECT a.d, abs(a.rev_cents - b.rev_cents) AS abs_err
+      FROM daily a JOIN daily b ON b.d = a.d - INTERVAL 7 DAY
+    )
+    SELECT date_trunc('month', d)::TIMESTAMP AS month,
+           count(*)::BIGINT AS n_days,
+           sum(abs_err)::BIGINT AS total_abs_err_cents,
+           CAST(sum(abs_err) // count(*) AS BIGINT) AS mae_cents
+    FROM paired GROUP BY 1
+    """,
+)
+def ts_seasonal_naive_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting with the seasonal-naive baseline (forecast
+    for day d = actual of d−7), the first model every demand-forecasting
+    pipeline must beat: per month, the mean absolute error of weekly
+    persistence on daily order revenue — exact integer cents throughout
+    (MAE as floor division; both operands non-negative, so truncating
+    ``div`` and flooring ``//`` agree). Days lacking a d−7 observation
+    drop out (inner join): the backtest scores only days where the
+    baseline HAS a forecast, the standard protocol.
+
+    Scale shape: the fact collapses to a per-day rollup first (one
+    shuffle; the day relation is |calendar|, thousands of rows at any
+    corpus size), the lag-7 pairing is a self-equi-join on the derived
+    calendar key over that tiny relation, and the month rollup is
+    |calendar|/30 groups — nothing further touches the fact."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+            ).cast("long").alias("rev_cents")
+        )
+        # Materialize the |calendar|-sized rollup once: without this the
+        # self-join's two legs each re-scan the fact (plan-tested).
+        .localCheckpoint(eager=True)
+    )
+    prev = daily.select(
+        (F.col("d") + F.expr("INTERVAL 7 DAY")).alias("d"),
+        F.col("rev_cents").alias("prev_cents"),
+    )
+    return (
+        daily.join(prev, "d")
+        .select(
+            F.date_trunc("month", F.col("d")).alias("month"),
+            F.abs(F.col("rev_cents") - F.col("prev_cents")).alias("abs_err"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("abs_err").cast("long").alias("total_abs_err_cents"),
+            F.expr("sum(abs_err) div count(*)").alias("mae_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             (c_acctbal::DECIMAL(12,2) * 100)::BIGINT // 100000 AS bal_band,
+             count(*) AS gsize
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey,
+           count(*)::BIGINT AS n_groups,
+           sum(gsize)::BIGINT AS n_rows,
+           sum(CASE WHEN gsize < 5 THEN 1 ELSE 0 END)::BIGINT
+             AS risky_groups,
+           sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END)::BIGINT
+             AS risky_rows,
+           min(gsize)::BIGINT AS min_group_size
+    FROM g GROUP BY 1
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002), the release gate a governed
+    data product runs before publishing: bucket customers by the
+    quasi-identifier tuple (nation, market segment, $1000 account-balance
+    band) and report, per nation, how many quasi-identifier groups fall
+    below k=5 members and how many ROWS sit in those re-identifiable
+    groups. Every quantity is an exact integer count; the balance band
+    is integer cents floor-divided (non-negative fixture domain — the
+    positive-operand invariant the repo's integer-division keys share).
+
+    Scale shape: one groupBy over the quasi-identifier tuple (the only
+    fact-sized shuffle), then a per-nation rollup of the already
+    group-sized relation. The CASE-sums compute the risk profile in the
+    same pass — no second scan, no join."""
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)"
+                " div 100000"
+            ).alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("gsize"))
+    )
+    risky = F.col("gsize") < 5
+    return g.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("gsize").cast("long").alias("n_rows"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("long").alias("risky_groups"),
+        F.sum(F.when(risky, F.col("gsize")).otherwise(0)).cast("long")
+        .alias("risky_rows"),
+        F.min("gsize").cast("long").alias("min_group_size"),
+    )
