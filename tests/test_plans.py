@@ -881,3 +881,18 @@ def test_k_anonymity_single_scan_no_join(spark):
     plan = plan_of(spark, "dq_k_anonymity")
     assert len(re.findall(r"customer\.parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_batch_buckets_single_bucket_window_shuffle(spark):
+    # The batching window partitions by length bucket — never a global
+    # row_number — and the rollup reuses that partitioning.
+    plan = plan_of(spark, "batch_length_buckets")
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert re.search(r"hashpartitioning\(bucket", plan), plan[:2000]
+
+
+def test_topp_one_source_window_shuffle(spark):
+    # Running mass and total mass share ONE source-keyed shuffle.
+    plan = plan_of(spark, "select_token_mass_topp")
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert n_shuffles(plan) <= 1, plan[:2000]

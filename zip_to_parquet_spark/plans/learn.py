@@ -565,3 +565,132 @@ def layout_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("shard_id").orderBy("skey", "doc_id")
     return k.withColumn("pos", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed dynamic batching (padding-waste minimization)
+# ---------------------------------------------------------------------------
+@query(
+    "batch_length_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, tok, (tok + 63) // 64 AS bucket,
+             (row_number() OVER (PARTITION BY (tok + 63) // 64
+                                 ORDER BY doc_id) - 1) // 8 AS batch_no
+      FROM t
+    )
+    SELECT bucket, batch_no,
+           count(*)::BIGINT AS n_docs,
+           max(tok)::BIGINT AS max_tok,
+           sum(tok)::BIGINT AS sum_tok,
+           (max(tok) * count(*) - sum(tok))::BIGINT AS padded_tok,
+           CAST((sum(tok) * 1000) // (max(tok) * count(*)) AS BIGINT)
+             AS efficiency_permille
+    FROM b GROUP BY 1, 2
+    """,
+)
+def batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching, the inference/training-serving
+    step that decides real GPU throughput: assign each doc to a 64-token
+    length bucket, fill fixed-size batches of 8 inside each bucket (in
+    deterministic doc_id order), and report per batch the padding waste —
+    ``max_tok·n − Σtok`` — and the packing efficiency in permille. The
+    operator that shows WHY you length-bucket: batches within a bucket
+    pad to at most 63 wasted tokens per row, versus worst-case corpus
+    max-length padding with naive batching. All exact integer counts.
+
+    Scale shape: token counting is a stateless map; the only shuffle is
+    the per-bucket row_number window (state = one bucket's docs; bucket
+    count grows with the length distribution, not the corpus — and each
+    bucket's batches are independent downstream); the per-batch rollup
+    reuses the same partitioning. Efficiency division is integer
+    permille over positive operands (tok ≥ 1 — string_split of an empty
+    text still yields one element)."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("tok"),
+    )
+    b = t.withColumn("bucket", F.expr("(tok + 63) div 64")).withColumn(
+        "batch_no",
+        F.expr("cast((row_number() over (partition by (tok + 63) div 64"
+               " order by doc_id) - 1) as bigint) div 8"),
+    )
+    return b.groupBy("bucket", "batch_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("tok").alias("max_tok"),
+        F.sum("tok").cast("long").alias("sum_tok"),
+        (F.max("tok") * F.count(F.lit(1)) - F.sum("tok"))
+        .cast("long")
+        .alias("padded_tok"),
+        F.expr("(sum(tok) * 1000) div (max(tok) * count(*))").alias(
+            "efficiency_permille"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-mass top-p per-source selection
+# ---------------------------------------------------------------------------
+@query(
+    "select_token_mass_topp",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, tok,
+             sum(tok) OVER (PARTITION BY source
+                            ORDER BY tok DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(tok) OVER (PARTITION BY source) AS total
+      FROM t
+    )
+    SELECT doc_id, source, tok, CAST(cum AS BIGINT) AS cum_tok
+    FROM c
+    WHERE (cum - tok) * 10 < total * 9
+    """,
+)
+def select_token_mass_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) corpus selection per source: keep each source's
+    largest documents until 90% of its token mass is covered — the
+    budget-driven curation step between quality scoring and mixture
+    sampling (drop the long tail of snippets that cost list-processing
+    overhead but contribute no mass). Nucleus semantics: a doc is kept
+    while the mass BEFORE it is under the threshold, so the crossing doc
+    is included and every source keeps ≥ 1 doc. The p=0.9 test is exact
+    integer cross-multiplication (``(cum−tok)·10 < total·9``) — no
+    fractions, no float seam.
+
+    Scale shape: one per-source window computes BOTH the running and the
+    total mass in a single shuffle (state = one source's docs); the
+    filter is a stateless map after it. Sources are the unit of
+    parallelism — the operator scales with the corpus as long as no
+    single source dominates, the same contract as sessionization."""
+    from pyspark.sql.window import Window
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("tok"),
+    )
+    wrun = (
+        Window.partitionBy("source")
+        .orderBy(F.col("tok").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    c = t.select(
+        "doc_id",
+        "source",
+        "tok",
+        F.sum("tok").over(wrun).alias("cum"),
+        F.sum("tok").over(wall).alias("total"),
+    )
+    return c.filter(
+        (F.col("cum") - F.col("tok")) * 10 < F.col("total") * 9
+    ).select("doc_id", "source", "tok", F.col("cum").cast("long").alias("cum_tok"))
