@@ -288,3 +288,37 @@ def test_chi_square_broadcast_marginals(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    # The windowed closed form S_i = prefix_i - min(0, runmin(prefix))
+    # must equal the textbook recursion S_i = max(0, S_{i-1} + dev_i).
+    from zip_to_parquet_spark.plans import all_queries
+    from zip_to_parquet_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        ((F.col("value").cast("decimal(12,2)") * 100).cast("long") - 6000)
+        .alias("dev"),
+    ).collect()
+    seqs = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.dev)
+    expect = {}
+    for u, devs in seqs.items():
+        s, n_alarms, mx, first = 0, 0, 0, None
+        for i, d in enumerate(devs, 1):
+            s = max(0, s + d)
+            mx = max(mx, s)
+            if s > 15000:
+                n_alarms += 1
+                if first is None:
+                    first = i
+        expect[u] = (len(devs), n_alarms, mx, first)
+    got = {
+        r.user_id: (r.n_events, r.n_alarms, r.max_cusum_cents, r.first_alarm_rn)
+        for r in all_queries()["events_cusum_alarm"](spark, sf).collect()
+    }
+    assert got == expect

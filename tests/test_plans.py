@@ -896,3 +896,10 @@ def test_topp_one_source_window_shuffle(spark):
     plan = plan_of(spark, "select_token_mass_topp")
     assert "SinglePartition" not in plan, plan[:2000]
     assert n_shuffles(plan) <= 1, plan[:2000]
+
+
+def test_cusum_single_user_shuffle(spark):
+    # Both prefix windows and the rollup share one user-keyed exchange.
+    plan = plan_of(spark, "events_cusum_alarm")
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert n_shuffles(plan) <= 1, plan[:2000]

@@ -996,3 +996,86 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("risky_rows"),
         F.min("gsize").cast("long").alias("min_group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection (windowed closed form)
+# ---------------------------------------------------------------------------
+@query(
+    "events_cusum_alarm",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             (value::DECIMAL(12,2) * 100)::BIGINT - 6000 AS dev
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, ts, event_id, dev,
+             sum(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS prefix,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, rn,
+             prefix - least(0, min(prefix) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)) AS cusum
+      FROM p
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           sum(CASE WHEN cusum > 15000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_alarms,
+           max(cusum)::BIGINT AS max_cusum_cents,
+           min(CASE WHEN cusum > 15000 THEN rn END)::BIGINT
+             AS first_alarm_rn
+    FROM s GROUP BY user_id
+    """,
+)
+def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection (Page 1954) per user — the
+    sequential drift detector behind SPC dashboards and data-quality
+    monitors: Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − k)) with reference k = $60 and
+    alarm threshold h = $150, all exact integer cents. The recursion
+    LOOKS inherently sequential (like EWMA), but has a windowed closed
+    form — Sᵢ = prefixᵢ − min(0, running-min(prefix)) — so it runs as
+    TWO stacked prefix windows over one user-keyed shuffle instead of a
+    collect_list array fold: no per-user array materialization, and the
+    window state streams. No division anywhere, so negative deviations
+    are safe cross-engine (the div-convention caveat the EWMA key
+    documents does not arise).
+
+    Output per user: event count, alarm count, the CUSUM peak, and the
+    ordinal position of the first alarm (NULL when the user never
+    crosses h). Scale shape: ONE user-keyed shuffle shared by both
+    windows and the final rollup; state is a scalar per window frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", (_cents("value") - 6000).alias("dev")
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = ev.select(
+        "user_id",
+        F.sum("dev").over(wrun).alias("prefix"),
+        F.row_number().over(wseq).alias("rn"),
+    ).withColumn(
+        "runmin",
+        F.min("prefix").over(
+            Window.partitionBy("user_id").orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    s = p.select(
+        "user_id",
+        "rn",
+        (F.col("prefix") - F.least(F.lit(0), F.col("runmin"))).alias("cusum"),
+    )
+    alarm = F.col("cusum") > 15000
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarms"),
+        F.max("cusum").cast("long").alias("max_cusum_cents"),
+        F.min(F.when(alarm, F.col("rn"))).cast("long").alias("first_alarm_rn"),
+    )
