@@ -903,3 +903,20 @@ def test_cusum_single_user_shuffle(spark):
     plan = plan_of(spark, "events_cusum_alarm")
     assert "SinglePartition" not in plan, plan[:2000]
     assert n_shuffles(plan) <= 1, plan[:2000]
+
+
+def test_compaction_window_runs_over_file_inventory(spark):
+    # The only fact-sized shuffle is the per-file rollup; the global
+    # cumulative-fill window (deliberately SinglePartition — metadata-
+    # sized input) must sit ABOVE the aggregate, never over raw docs.
+    plan = plan_of(spark, "layout_compaction_plan")
+    assert len(re.findall(r"documents\.parquet", plan)) == 1
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+
+
+def test_rank_normalize_single_source_shuffle(spark):
+    plan = plan_of(spark, "quality_rank_normalize")
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert n_shuffles(plan) <= 1, plan[:2000]

@@ -694,3 +694,131 @@ def select_token_mass_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(
         (F.col("cum") - F.col("tok")) * 10 < F.col("total") * 9
     ).select("doc_id", "source", "tok", F.col("cum").cast("long").alias("cum_tok"))
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction planning (lakehouse OPTIMIZE bin packing)
+# ---------------------------------------------------------------------------
+@query(
+    "layout_compaction_plan",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id // 25 AS file_id, sum(n_chars)::BIGINT AS file_bytes
+      FROM documents GROUP BY 1
+    ),
+    c AS (
+      SELECT file_id, file_bytes,
+             (sum(file_bytes) OVER (ORDER BY file_id
+                                    ROWS UNBOUNDED PRECEDING)
+              - file_bytes) AS prev_cum
+      FROM f
+    )
+    SELECT prev_cum // 30000 AS group_id,
+           count(*)::BIGINT AS n_files,
+           sum(file_bytes)::BIGINT AS group_bytes,
+           min(file_id)::BIGINT AS first_file,
+           max(file_id)::BIGINT AS last_file
+    FROM c GROUP BY 1
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planning, the lakehouse OPTIMIZE step run
+    before query latency degrades: over the modeled file inventory (docs
+    bucketed 25-per-file with byte sizes — the per-file stats a real
+    table's metadata layer provides), assign files in id order to
+    compaction groups by cumulative fill against a 30 KB target —
+    ``group = prev_cumsum div target``, the sorted-sequential bin packing
+    Delta/Iceberg OPTIMIZE uses (each group may overshoot by one file;
+    groups stay contiguous id-ranges, which preserves any clustering the
+    ids encode). Exact integers throughout.
+
+    Scale shape: the fact collapses to the file inventory first (one
+    shuffle, |files| rows); the cumulative-fill window orders that
+    metadata-sized relation only — at a million files this is still a
+    single-executor-trivial window, and per-partition planning (group by
+    table partition before the window) removes even that if needed."""
+    f = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.expr("doc_id div 25").alias("file_id"))
+        .agg(F.sum("n_chars").cast("long").alias("file_bytes"))
+    )
+    from pyspark.sql.window import Window
+
+    # Deliberately one partition: the window input is the metadata-sized
+    # file inventory, not the fact (partitionBy(lit) silences the WindowExec
+    # warning without changing the plan — the kmeans-init idiom).
+    wc = Window.partitionBy(F.lit(0)).orderBy("file_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = f.select(
+        "file_id",
+        "file_bytes",
+        (F.sum("file_bytes").over(wc) - F.col("file_bytes")).alias("prev_cum"),
+    )
+    return (
+        c.groupBy(F.expr("prev_cum div 30000").alias("group_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("file_bytes").cast("long").alias("group_bytes"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source score calibration: integer permille rank normalization
+# ---------------------------------------------------------------------------
+@query(
+    "quality_rank_normalize",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rnk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(CASE WHEN n > 1 THEN ((rnk - 1) * 1000) // (n - 1)
+                     ELSE 0 END AS BIGINT) AS rank_permille
+    FROM r
+    """,
+)
+def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration by rank normalization: a raw
+    quality signal (here n_chars) is not comparable ACROSS sources —
+    a "long" web page and a "long" academic paper live on different
+    scales — so each doc gets its within-source percent-rank in integer
+    permille (``(rank−1)·1000 div (n−1)``, the PERCENT_RANK definition
+    made exact; single-doc sources pin to 0). Downstream mixture and
+    selection steps can then threshold uniformly ("keep every source's
+    top 30%") without per-source threshold tuning.
+
+    Scale shape: one source-keyed window shuffle computes rank and
+    group size together; the permille map is stateless. Deterministic
+    under score ties via the doc_id tie-break."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "rnk",
+            F.when(
+                F.col("n") > 1,
+                F.expr("((rnk - 1) * 1000) div (n - 1)"),
+            ).otherwise(F.lit(0)).cast("long").alias("rank_permille"),
+        )
+    )
