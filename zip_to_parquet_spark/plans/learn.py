@@ -713,7 +713,7 @@ def select_token_mass_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
               - file_bytes) AS prev_cum
       FROM f
     )
-    SELECT prev_cum // 30000 AS group_id,
+    SELECT (prev_cum // 30000)::BIGINT AS group_id,
            count(*)::BIGINT AS n_files,
            sum(file_bytes)::BIGINT AS group_bytes,
            min(file_id)::BIGINT AS first_file,
