@@ -920,3 +920,10 @@ def test_rank_normalize_single_source_shuffle(spark):
     plan = plan_of(spark, "quality_rank_normalize")
     assert "SinglePartition" not in plan, plan[:2000]
     assert n_shuffles(plan) <= 1, plan[:2000]
+
+
+def test_mom_yoy_fact_collapses_before_calendar_joins(spark):
+    # The month rollup materializes once; both calendar self-joins run
+    # over the checkpointed |months| relation, never re-scanning orders.
+    plan = plan_of(spark, "revenue_mom_yoy")
+    assert len(re.findall(r"orders\.parquet", plan)) == 0, "fact re-scanned"

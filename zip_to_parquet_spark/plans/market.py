@@ -1079,3 +1079,80 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cusum").cast("long").alias("max_cusum_cents"),
         F.min(F.when(alarm, F.col("rn"))).cast("long").alias("first_alarm_rn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period reporting: MoM and YoY revenue deltas
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_mom_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+             sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
+               AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT a.month, a.rev_cents,
+           a.rev_cents - b.rev_cents AS mom_delta_cents,
+           CASE WHEN b.rev_cents > 0
+                THEN ((a.rev_cents - b.rev_cents) * 1000) // b.rev_cents
+           END::BIGINT AS mom_delta_permille,
+           a.rev_cents - c.rev_cents AS yoy_delta_cents,
+           CASE WHEN c.rev_cents > 0
+                THEN ((a.rev_cents - c.rev_cents) * 1000) // c.rev_cents
+           END::BIGINT AS yoy_delta_permille
+    FROM m a
+    JOIN m b ON b.month = a.month - INTERVAL 1 MONTH
+    JOIN m c ON c.month = a.month - INTERVAL 12 MONTH
+    """,
+)
+def revenue_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting, the BI staple: monthly revenue with
+    month-over-month and year-over-year deltas (absolute cents and
+    integer permille). Calendar-aligned self-joins on month−1 / month−12
+    — NOT lag() over observed months, which silently compares against
+    the previous month WITH DATA instead of the previous calendar month
+    when a month is empty; months lacking either comparison drop (inner
+    join), the honest reporting convention. Permille division guards
+    zero denominators to NULL and TRUNCATES toward zero on both sides —
+    DuckDB's integer ``//`` and Spark's ``div`` share that convention
+    for integer operands (it is DOUBLE ``//`` that floors in DuckDB), so
+    a −17.75% delta reports as −177‰ in both engines.
+
+    Scale shape: the fact collapses to |calendar months| rows in one
+    shuffle; both calendar joins and the delta math run on that tiny
+    checkpointed relation."""
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(F.sum(_cents("o_totalprice")).cast("long").alias("rev_cents"))
+        .localCheckpoint(eager=True)
+    )
+
+    def shifted(n, name):
+        return m.select(
+            (F.col("month") + F.expr(f"INTERVAL {n} MONTH")).alias("month"),
+            F.col("rev_cents").alias(name),
+        )
+
+    out = (
+        m.join(shifted(1, "prev_cents"), "month")
+        .join(shifted(12, "yoy_cents"), "month")
+        .withColumn("mom_delta_cents", F.col("rev_cents") - F.col("prev_cents"))
+        .withColumn("yoy_delta_cents", F.col("rev_cents") - F.col("yoy_cents"))
+    )
+    return out.select(
+        "month",
+        "rev_cents",
+        "mom_delta_cents",
+        F.when(
+            F.col("prev_cents") > 0,
+            F.expr("(mom_delta_cents * 1000) div prev_cents"),
+        ).alias("mom_delta_permille"),
+        "yoy_delta_cents",
+        F.when(
+            F.col("yoy_cents") > 0,
+            F.expr("(yoy_delta_cents * 1000) div yoy_cents"),
+        ).alias("yoy_delta_permille"),
+    )
