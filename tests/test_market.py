@@ -322,3 +322,36 @@ def test_cusum_closed_form_matches_recursion(spark):
         for r in all_queries()["events_cusum_alarm"](spark, sf).collect()
     }
     assert got == expect
+
+
+def test_holt_matches_python_recursion(spark):
+    # Pure-Python replay of the fixed-point recursion; >> floors in
+    # Python, the JVM, and DuckDB alike (unlike integer division).
+    from zip_to_parquet_spark.plans import all_queries
+    from zip_to_parquet_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("xc"),
+    ).collect()
+    seqs = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.xc)
+    expect = {}
+    for u, xs in seqs.items():
+        l, b = xs[0], 0
+        for x in xs[1:]:
+            nl = (x + 3 * (l + b)) >> 2
+            b = (nl - l + 3 * b) >> 2
+            l = nl
+        expect[u] = (len(xs), l, b, l + b)
+    got = {
+        r.user_id: (r.n_events, r.level_cents, r.trend_cents, r.forecast_cents)
+        for r in all_queries()["events_holt_linear_trend"](spark, sf).collect()
+    }
+    assert got == expect
+    # the fixture must actually exercise a negative trend somewhere,
+    # or the floor-vs-truncate distinction is untested
+    assert any(v[2] < 0 for v in got.values()), "no negative trend in fixture"

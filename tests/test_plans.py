@@ -927,3 +927,10 @@ def test_mom_yoy_fact_collapses_before_calendar_joins(spark):
     # over the checkpointed |months| relation, never re-scanning orders.
     plan = plan_of(spark, "revenue_mom_yoy")
     assert len(re.findall(r"orders\.parquet", plan)) == 0, "fact re-scanned"
+
+
+def test_holt_single_user_shuffle_no_python(spark):
+    plan = plan_of(spark, "events_holt_linear_trend")
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert n_shuffles(plan) <= 1, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

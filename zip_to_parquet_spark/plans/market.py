@@ -1156,3 +1156,82 @@ def revenue_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(yoy_delta_cents * 1000) div yoy_cents"),
         ).alias("yoy_delta_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear trend (double exponential smoothing), exact fixed point
+# ---------------------------------------------------------------------------
+@query(
+    "events_holt_linear_trend",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT user_id, (value::DECIMAL(12,2) * 100)::BIGINT AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    h AS (
+      SELECT user_id, rn, x AS l, 0::BIGINT AS b FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn,
+             (s.x + 3 * (h.l + h.b)) >> 2 AS l,
+             (((s.x + 3 * (h.l + h.b)) >> 2) - h.l + 3 * h.b) >> 2 AS b
+      FROM h JOIN s ON s.user_id = h.user_id AND s.rn = h.rn + 1
+    )
+    SELECT user_id, rn::BIGINT AS n_events,
+           l::BIGINT AS level_cents, b::BIGINT AS trend_cents,
+           (l + b)::BIGINT AS forecast_cents
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY rn DESC) AS rr FROM h)
+    WHERE rr = 1
+    """,
+)
+def events_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend method (double exponential smoothing, Holt
+    1957) per user in exact fixed-point integers — the one-step-ahead
+    forecaster a notch above EWMA (which cannot follow a trend):
+    level lᵢ = α·xᵢ + (1−α)(lᵢ₋₁+bᵢ₋₁), trend bᵢ = β(lᵢ−lᵢ₋₁) + (1−β)bᵢ₋₁
+    with α = β = 1/4 realized as ``>> 2`` — the arithmetic right shift
+    FLOORS on negatives in both the JVM and DuckDB (measured), which
+    matters here because the trend term goes negative on declining
+    series; a ``div 4`` would truncate and diverge between a float
+    replica and the engines. Init l₁ = x₁, b₁ = 0; output the final
+    state and the one-step forecast l + b.
+
+    Two engines, two faithful realizations of one recursion: Spark runs
+    it as an ordered array fold with a STRUCT accumulator (the EWMA
+    pattern widened to two state variables); the oracle replays it as a
+    RECURSIVE CTE stepping rn → rn+1 — the first recursive-CTE oracle in
+    the registry (the iterative keys to date unrolled fixed iteration
+    counts; per-row recursion needs true recursion).
+
+    Scale shape: ONE user-keyed shuffle; per-user state is the user's
+    own ordered value array (the documented sequential-semantics bound);
+    the fold is codegen'd JVM, no Python."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", _cents("value").alias("xc")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "xc"))),
+            lambda s: s["xc"],
+        ).alias("vals")
+    )
+    return per_user.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1),"
+            " named_struct('l', element_at(vals, 1), 'b', 0L),"
+            " (acc, x) -> named_struct("
+            "   'l', shiftright(x + 3L * (acc.l + acc.b), 2),"
+            "   'b', shiftright(shiftright(x + 3L * (acc.l + acc.b), 2)"
+            "        - acc.l + 3L * acc.b, 2)))"
+        ).alias("st"),
+    ).select(
+        "user_id",
+        "n_events",
+        F.col("st.l").alias("level_cents"),
+        F.col("st.b").alias("trend_cents"),
+        (F.col("st.l") + F.col("st.b")).alias("forecast_cents"),
+    )
