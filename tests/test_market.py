@@ -355,3 +355,33 @@ def test_holt_matches_python_recursion(spark):
     # the fixture must actually exercise a negative trend somewhere,
     # or the floor-vs-truncate distinction is untested
     assert any(v[2] < 0 for v in got.values()), "no negative trend in fixture"
+
+
+def test_gini_matches_pairwise_definition(spark):
+    # The prefix-sum identity must equal the O(n^2) pairwise mean
+    # absolute difference definition: G = sum|xi-xj| / (2 n^2 mu).
+    from zip_to_parquet_spark.plans import all_queries
+    from zip_to_parquet_spark.schema import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_table(spark, sf, "customer").select(
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").alias("v"),
+    ).collect()
+    by_nat = {}
+    for r in rows:
+        by_nat.setdefault(r.c_nationkey, []).append(r.v)
+    got = {
+        r.c_nationkey: r.gini_permille
+        for r in all_queries()["stats_gini_permille"](spark, sf).collect()
+    }
+    for nat, xs in by_nat.items():
+        n, tot = len(xs), sum(xs)
+        if tot <= 0:
+            continue
+        pair = sum(abs(a - b) for a in xs for b in xs)
+        # identity numerator: 2*sum(i*x_sorted) - (n+1)*tot == pair/... :
+        # G = pair / (2 n tot); permille with truncation toward zero
+        expect = (pair * 1000) // (2 * n * tot)
+        assert got[nat] == expect, (nat, got[nat], expect)

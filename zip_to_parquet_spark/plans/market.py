@@ -1235,3 +1235,134 @@ def events_holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.b").alias("trend_cents"),
         (F.col("st.l") + F.col("st.b")).alias("forecast_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency: first view → first subsequent purchase
+# ---------------------------------------------------------------------------
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id,
+             min(e.ts) AS first_purchase
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT v.user_id,
+             date_diff('microsecond', v.first_view, p.first_purchase)::BIGINT
+               AS latency_us
+      FROM v JOIN p ON p.user_id = v.user_id
+    )
+    SELECT count(*)::BIGINT AS n_converted,
+           min(latency_us) AS min_us,
+           quantile_cont(latency_us, 0.50) AS p50_us,
+           quantile_cont(latency_us, 0.90) AS p90_us,
+           max(latency_us) AS max_us
+    FROM d
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency, the product-funnel metric funnels alone don't
+    give: for each user, microseconds from their FIRST view to their
+    first purchase AT OR AFTER it (a purchase that precedes any view is
+    not a conversion of that view — the temporal-precedence constraint
+    the funnel keys enforce, applied to latency), summarized as exact
+    min/max and interpolated p50/p90 (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, bit-verified by agg_percentiles).
+
+    Scale shape: two user-keyed min-aggregates (map-side combinable)
+    and one user-keyed equi-join — the purchase leg filters on the
+    broadcast-joinable first-view relation BEFORE its aggregate, so
+    only purchases after the view survive to shuffle; the final rollup
+    is a single 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    d = v.join(p, "user_id").select(
+        (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+        .alias("latency_us")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("latency_us").alias("min_us"),
+        F.percentile("latency_us", 0.5).alias("p50_us"),
+        F.percentile("latency_us", 0.9).alias("p90_us"),
+        F.max("latency_us").alias("max_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration coefficient per nation (sorted prefix-sum identity)
+# ---------------------------------------------------------------------------
+@query(
+    "stats_gini_permille",
+    oracle="""
+    WITH x AS (
+      SELECT c_nationkey,
+             (c_acctbal::DECIMAL(12,2) * 100)::BIGINT AS v,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY (c_acctbal::DECIMAL(12,2) * 100)
+                                         ::BIGINT, c_custkey) AS i
+      FROM customer
+    )
+    SELECT c_nationkey,
+           count(*)::BIGINT AS n,
+           sum(v)::BIGINT AS total_cents,
+           CAST(((2 * sum(i::HUGEINT * v) - (count(*)::HUGEINT + 1) * sum(v))
+                 * 1000) // (count(*)::HUGEINT * sum(v)) AS BIGINT)
+             AS gini_permille
+    FROM x GROUP BY c_nationkey
+    HAVING sum(v) > 0
+    """,
+)
+def stats_gini_permille(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient per nation over customer balances —
+    the inequality/concentration diagnostic (is 90% of the revenue in 5%
+    of the accounts?) — via the sorted prefix-sum identity
+    ``G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx)`` in exact integer permille:
+    rank-weighted sums replace the O(n²) pairwise |xᵢ−xⱼ| definition, so
+    the cost is ONE per-nation sort window plus a rollup. The numerator
+    is non-negative (rank-sorted), so truncating/flooring division
+    agree; HUGEINT/DECIMAL(38,0) carries the rank×cents products.
+
+    Scale shape: one nation-keyed window shuffle (rank within nation),
+    one same-key rollup — the two-stage shape every per-group order
+    statistic here uses. Ties rank deterministically by customer id;
+    the identity is tie-order-invariant (equal values commute)."""
+    x = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        _cents("c_acctbal").alias("v"),
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("v", "c_custkey")
+    xi = x.withColumn("i", F.row_number().over(w))
+    return (
+        xi.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").cast("long").alias("total_cents"),
+            F.expr(
+                f"cast(((2 * sum(cast(i as {D38}) * v)"
+                f" - (cast(count(*) as {D38}) + 1) * sum(v)) * 1000)"
+                f" div (cast(count(*) as {D38}) * sum(v)) as bigint)"
+            ).alias("gini_permille"),
+        )
+        .filter(F.col("total_cents") > 0)
+    )
