@@ -1965,3 +1965,39 @@ def test_silhouette_overflow_headroom_and_bounds(spark):
     assert rows, "no clusters"
     for r in rows:
         assert 0 <= r.min_sil_milli <= r.mean_sil_milli <= 1000, r
+
+
+def test_ks_statistic_matches_bruteforce(spark):
+    # Exact replica: D = sup |F1 - F2| over the union of sample points,
+    # computed brute-force from the raw samples.
+    from zip_to_parquet_spark.plans import all_queries
+    from zip_to_parquet_spark.schema import load_table
+
+    sf = "/root/testdata/sf0.001"
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    rows = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("EUROPE", "ASIA"))
+        .select(
+            (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+            .cast("long").alias("v"),
+            "r_name",
+        )
+        .collect()
+    )
+    a = sorted(x.v for x in rows if x.r_name == "EUROPE")
+    b = sorted(x.v for x in rows if x.r_name == "ASIA")
+    na, nb = len(a), len(b)
+    import bisect
+
+    best = 0
+    for v in sorted(set(a) | set(b)):
+        ca = bisect.bisect_right(a, v)
+        cb = bisect.bisect_right(b, v)
+        best = max(best, abs(ca * nb - cb * na))
+    got = all_queries()["stats_ks_statistic"](spark, sf).collect()[0]
+    assert (got.n_a, got.n_b, got.ks_scaled) == (na, nb, best)
+    assert got.ks_permille == (best * 1000) // (na * nb)

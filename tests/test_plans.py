@@ -934,3 +934,14 @@ def test_holt_single_user_shuffle_no_python(spark):
     assert "SinglePartition" not in plan, plan[:2000]
     assert n_shuffles(plan) <= 1, plan[:2000]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_aware_anti_uses_special_operator(spark):
+    # The nullable NOT IN must plan as Spark's null-aware anti join — a
+    # regular LeftAnti would return WRONG (non-empty) results. The flag
+    # is BroadcastHashJoinExec's trailing isNullAwareAntiJoin=true,
+    # printed only in the raw plan string ("LeftAnti, BuildRight, true").
+    df = all_queries()["join_null_aware_anti"](spark, SF)
+    raw = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight, true" in raw, raw[:3000]
+    assert "CartesianProduct" not in raw

@@ -1531,3 +1531,176 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-aware anti join (NOT IN over a nullable subquery)
+# ---------------------------------------------------------------------------
+@query(
+    "join_null_aware_anti",
+    oracle="""
+    SELECT 'nullable' AS variant, count(*)::BIGINT AS n_rows
+    FROM customer
+    WHERE c_nationkey NOT IN
+          (SELECT CASE WHEN s_acctbal::DECIMAL(12,2) * 100 < 100000
+                       THEN NULL ELSE s_nationkey END
+           FROM supplier)
+    UNION ALL
+    SELECT 'null_filtered', count(*)::BIGINT
+    FROM customer
+    WHERE c_nationkey NOT IN
+          (SELECT s_nationkey FROM supplier
+           WHERE s_acctbal::DECIMAL(12,2) * 100 >= 100000)
+    """,
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a NULLABLE subquery — the SQL-semantics trap a plain
+    anti join gets WRONG, shown against its safe rewrite in one result:
+    three-valued logic makes ``x NOT IN (..., NULL, ...)`` never TRUE,
+    so the 'nullable' variant (low-balance suppliers CASE-mapped to
+    NULL) counts ZERO rows the moment one NULL exists, while the
+    'null_filtered' variant (NULLs excluded before NOT IN — the rewrite
+    you almost always mean) counts the real complement. Spark plans the
+    nullable variant as its special null-aware anti join
+    (BroadcastHashJoin LeftAnti with ``isNullAwareAntiJoin=true``)
+    rather than a regular anti join — the plan test pins that physical
+    operator; DuckDB applies the same three-valued rules in the oracle.
+
+    Scale shape: both subqueries are dim-sized broadcasts; the probe
+    side streams map-only; output is two count rows."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cust.createOrReplaceTempView("z2ps_naa_cust")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "z2ps_naa_supp"
+    )
+    return spark.sql(
+        """
+        SELECT 'nullable' AS variant, count(*) AS n_rows
+        FROM z2ps_naa_cust
+        WHERE c_nationkey NOT IN
+              (SELECT CASE WHEN cast(s_acctbal AS DECIMAL(12,2)) * 100 < 100000
+                           THEN NULL ELSE s_nationkey END
+               FROM z2ps_naa_supp)
+        UNION ALL
+        SELECT 'null_filtered', count(*)
+        FROM z2ps_naa_cust
+        WHERE c_nationkey NOT IN
+              (SELECT s_nationkey FROM z2ps_naa_supp
+               WHERE cast(s_acctbal AS DECIMAL(12,2)) * 100 >= 100000)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov distance (integer cross-mult)
+# ---------------------------------------------------------------------------
+@query(
+    "stats_ks_statistic",
+    oracle="""
+    WITH a AS (
+      SELECT (c.c_acctbal::DECIMAL(12,2) * 100)::BIGINT AS v,
+             CASE WHEN r.r_name = 'EUROPE' THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN r.r_name = 'ASIA'   THEN 1 ELSE 0 END AS in_b
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name IN ('EUROPE', 'ASIA')
+    ),
+    tot AS (SELECT sum(in_a) AS na, sum(in_b) AS nb FROM a),
+    c AS (
+      SELECT v,
+             sum(in_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(in_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb,
+             row_number() OVER (ORDER BY v DESC) AS rdesc
+      FROM a
+    ),
+    steps AS (
+      -- evaluate the ECDF gap only at the TOP of each tied-value run
+      -- (rdesc picks the last row of each value group deterministically)
+      SELECT v, ca, cb FROM (
+        SELECT v, ca, cb,
+               row_number() OVER (PARTITION BY v ORDER BY ca DESC) AS rr
+        FROM c) WHERE rr = 1
+    )
+    SELECT t.na::BIGINT AS n_a, t.nb::BIGINT AS n_b,
+           max(abs(s.ca * t.nb - s.cb * t.na))::BIGINT AS ks_scaled,
+           CAST(max(abs(s.ca * t.nb - s.cb * t.na)) * 1000
+                // (t.na * t.nb) AS BIGINT) AS ks_permille
+    FROM steps s, tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def stats_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between EUROPE and
+    ASIA customers' balance distributions — the drift / A-B-test
+    statistic that complements the PSI key (PSI needs binning; KS is
+    binning-free). D = sup|F₁−F₂| evaluated in EXACT integers by
+    cross-multiplication: at each distinct value, |ca·n_b − cb·n_a| over
+    the cumulative counts — the supremum over step points of the scaled
+    ECDF gap, never a float CDF. Output: sample sizes, the scaled
+    supremum, and D in truncated permille.
+
+    Tie handling: both ECDFs are right-continuous, so the gap is
+    evaluated once per distinct value AT the top of its tied run (both
+    cumulative counts at their post-run values — the rr=1 dedup), which
+    is exactly sup|F₁−F₂| for step functions sharing jump points.
+
+    Scale shape: dims broadcast onto the probe; ONE global-order window
+    over the merged sample (the same deliberate choice as the exact
+    weighted-median key — for sharded scale, range-partition the value
+    axis first and take the per-range max; the supremum distributes)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("EUROPE", "ASIA")
+    )
+    a = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+            .cast("long").alias("v"),
+            F.when(F.col("r_name") == "EUROPE", 1).otherwise(0).alias("in_a"),
+            F.when(F.col("r_name") == "ASIA", 1).otherwise(0).alias("in_b"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = a.select(
+        "v",
+        F.sum("in_a").over(wcum).alias("ca"),
+        F.sum("in_b").over(wcum).alias("cb"),
+    )
+    steps = (
+        cum.withColumn(
+            "rr",
+            F.row_number().over(
+                Window.partitionBy("v").orderBy(F.col("ca").desc())
+            ),
+        )
+        .filter(F.col("rr") == 1)
+        .drop("rr")
+    )
+    tot = a.agg(
+        F.sum("in_a").alias("na"), F.sum("in_b").alias("nb")
+    )
+    return (
+        steps.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            ).cast("long").alias("ks_scaled"),
+        )
+        .select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            "ks_scaled",
+            F.expr("(ks_scaled * 1000) div (na * nb)").alias("ks_permille"),
+        )
+    )
