@@ -2001,3 +2001,35 @@ def test_ks_statistic_matches_bruteforce(spark):
     got = all_queries()["stats_ks_statistic"](spark, sf).collect()[0]
     assert (got.n_a, got.n_b, got.ks_scaled) == (na, nb, best)
     assert got.ks_permille == (best * 1000) // (na * nb)
+
+
+def test_mannwhitney_matches_bruteforce_auc(spark):
+    # U counts (a > b) pairs plus half the (a == b) ties; doubled U must
+    # equal the brute-force pair count exactly.
+    from zip_to_parquet_spark.plans import all_queries
+    from zip_to_parquet_spark.schema import load_table
+
+    sf = "/root/testdata/sf0.001"
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    rows = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("EUROPE", "ASIA"))
+        .select(
+            (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+            .cast("long").alias("v"),
+            "r_name",
+        )
+        .collect()
+    )
+    a = [x.v for x in rows if x.r_name == "EUROPE"]
+    b = [x.v for x in rows if x.r_name == "ASIA"]
+    u2 = sum(2 for x in a for y in b if x > y) + sum(
+        1 for x in a for y in b if x == y
+    )
+    got = all_queries()["stats_mannwhitney_u"](spark, sf).collect()[0]
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert got.u2_a == u2
+    assert got.u2_a + got.u2_b == 2 * len(a) * len(b)

@@ -1704,3 +1704,182 @@ def stats_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(ks_scaled * 1000) div (na * nb)").alias("ks_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact Mann–Whitney U via doubled midranks (tie-safe integers)
+# ---------------------------------------------------------------------------
+@query(
+    "stats_mannwhitney_u",
+    oracle="""
+    WITH a AS (
+      SELECT (c.c_acctbal::DECIMAL(12,2) * 100)::BIGINT AS v,
+             CASE WHEN r.r_name = 'EUROPE' THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN r.r_name = 'ASIA'   THEN 1 ELSE 0 END AS in_b
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name IN ('EUROPE', 'ASIA')
+    ),
+    g AS (
+      SELECT v, sum(in_a) AS ca, sum(in_b) AS cb, count(*) AS cnt
+      FROM a GROUP BY v
+    ),
+    w AS (
+      SELECT v, ca, cb, cnt,
+             sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt
+               AS cum_before
+      FROM g
+    ),
+    t AS (
+      SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+             sum(ca * (2 * (cum_before + 1) + cnt - 1))::BIGINT AS r2a
+      FROM w
+    )
+    SELECT na AS n_a, nb AS n_b,
+           (r2a - na * (na + 1))::BIGINT AS u2_a,
+           (2 * na * nb - (r2a - na * (na + 1)))::BIGINT AS u2_b,
+           CAST(((r2a - na * (na + 1)) * 1000) // (2 * na * nb) AS BIGINT)
+             AS auc_permille
+    FROM t
+    """,
+)
+def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) between EUROPE and ASIA
+    customer balances — the nonparametric location test next to the KS
+    key, and U/(n_a·n_b) is exactly the AUC of "does an A-row outrank a
+    B-row". Ties are the float trap: textbook midranks are half-integers,
+    so every rank here is DOUBLED — a tied run over ranks [s, s+c−1] has
+    doubled midrank 2s + c − 1, an integer — and the identities pick up a
+    factor of two (U₂ᴬ = R₂ᴬ − n_a(n_a+1); U₂ᴬ + U₂ᴮ = 2·n_a·n_b, which
+    the output exposes for the reader to check). AUC reports in truncated
+    permille.
+
+    Scale shape: one groupBy(v) collapses the sample to distinct values
+    BEFORE the ranking window (|distinct values| rows, not |rows|), then
+    one cumulative window and a 1-row reduce — same deliberate
+    global-window choice as the KS key, same range-partition escape
+    hatch at shard scale."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("EUROPE", "ASIA")
+    )
+    a = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+            .cast("long").alias("v"),
+            F.when(F.col("r_name") == "EUROPE", 1).otherwise(0).alias("in_a"),
+            F.when(F.col("r_name") == "ASIA", 1).otherwise(0).alias("in_b"),
+        )
+    )
+    g = a.groupBy("v").agg(
+        F.sum("in_a").alias("ca"),
+        F.sum("in_b").alias("cb"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    wcum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = g.withColumn(
+        "cum_before", F.sum("cnt").over(wcum) - F.col("cnt")
+    )
+    t = w.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(
+            F.col("ca") * (2 * (F.col("cum_before") + 1) + F.col("cnt") - 1)
+        ).cast("long").alias("r2a"),
+    )
+    return t.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        (F.col("r2a") - F.col("na") * (F.col("na") + 1)).alias("u2_a"),
+        (
+            2 * F.col("na") * F.col("nb")
+            - (F.col("r2a") - F.col("na") * (F.col("na") + 1))
+        ).alias("u2_b"),
+        F.expr("((r2a - na * (na + 1)) * 1000) div (2 * na * nb)").alias(
+            "auc_permille"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)
+                         ::VARCHAR, 1, 1) AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+    tot AS (SELECT sum(n) AS t FROM obs),
+    exp AS (
+      SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+                            (6, 67), (7, 58), (8, 51), (9, 46))
+             AS e(digit, benford_permille)
+    )
+    SELECT e.digit::BIGINT AS digit,
+           coalesce(o.n, 0)::BIGINT AS n,
+           CAST(coalesce(o.n, 0) * 1000 // tot.t AS BIGINT)
+             AS obs_permille,
+           e.benford_permille::BIGINT AS benford_permille,
+           CAST(abs(coalesce(o.n, 0) * 1000 // tot.t - e.benford_permille)
+                AS BIGINT) AS abs_dev_permille
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit, tot
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    fabricated-data screen auditors run (natural multiplicative amounts
+    follow P(d) = log₁₀(1 + 1/d); uniform or hand-entered numbers
+    don't): observed first-significant-digit shares vs the Benford
+    expectation in integer permille, with the per-digit absolute
+    deviation. The expectation is inlined as integer constants
+    (301‰ … 46‰ — floor(log10(1+1/d)·1000)), so no transcendental
+    function runs in either engine. (The fixture's uniform-ish totals
+    DEVIATE from Benford — the audit firing is itself the test.)
+
+    Scale shape: first digit is a stateless map (leading char of the
+    integer cents — cents > 0 so no sign/zero edge), one 9-group
+    aggregate, the 9-row expectation joined broadcast; the total is a
+    1-row broadcast."""
+    d = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    ).select(
+        F.substring(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long").cast("string"),
+            1, 1,
+        ).cast("long").alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    exp = spark.createDataFrame(
+        [(1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+         (6, 67), (7, 58), (8, 51), (9, 46)],
+        "digit long, benford_permille long",
+    )
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.expr("coalesce(n, 0) * 1000 div t").alias("obs_permille"),
+            "benford_permille",
+            F.abs(
+                F.expr("coalesce(n, 0) * 1000 div t")
+                - F.col("benford_permille")
+            ).cast("long").alias("abs_dev_permille"),
+        )
+    )
