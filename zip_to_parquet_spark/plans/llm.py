@@ -880,15 +880,13 @@ def _ivf_topk(
     )
 
 
-@query(
-    "ann_recall_eval",
-    oracle="""
+_ANN_EVAL_CTES = """
     WITH qset AS (
       SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0
       ORDER BY vec_id LIMIT 512
     ),
     truth AS (
-      SELECT q_id, n_id FROM (
+      SELECT q_id, n_id, rank FROM (
         SELECT q.vec_id AS q_id, c.vec_id AS n_id,
                row_number() OVER (
                  PARTITION BY q.vec_id
@@ -923,7 +921,7 @@ def _ivf_topk(
       ) WHERE r <= 2
     ),
     approx AS (
-      SELECT q_id, n_id FROM (
+      SELECT q_id, n_id, rank FROM (
         SELECT p.q_id, a.vec_id AS n_id,
                row_number() OVER (PARTITION BY p.q_id ORDER BY
                  round(list_cosine_similarity(
@@ -936,7 +934,12 @@ def _ivf_topk(
         WHERE a.vec_id <> p.q_id
       ) WHERE rank <= 5
     )
-    SELECT t.q_id, count(a.n_id)::BIGINT AS n_hits,
+"""
+
+
+@query(
+    "ann_recall_eval",
+    oracle=_ANN_EVAL_CTES + """    SELECT t.q_id, count(a.n_id)::BIGINT AS n_hits,
            count(a.n_id)::DOUBLE / 5 AS recall_at_5
     FROM truth t
     LEFT JOIN approx a ON a.q_id = t.q_id AND a.n_id = t.n_id
@@ -2943,4 +2946,78 @@ def contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("anchor_id").orderBy("try_no")
     return tries.withColumn("pick_no", F.row_number().over(w)).filter(
         F.col("pick_no") <= 2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-aware ANN index evaluation: NDCG@5
+# ---------------------------------------------------------------------------
+@query(
+    "ann_ndcg_eval",
+    oracle=_ANN_EVAL_CTES
+    + """
+    SELECT q.q_id,
+           coalesce(sum((6 - t.rank) *
+             CASE a.rank WHEN 1 THEN 1000 WHEN 2 THEN 630 WHEN 3 THEN 500
+                         WHEN 4 THEN 430 WHEN 5 THEN 386 END), 0)::BIGINT
+             AS dcg_milli,
+           CAST(coalesce(sum((6 - t.rank) *
+             CASE a.rank WHEN 1 THEN 1000 WHEN 2 THEN 630 WHEN 3 THEN 500
+                         WHEN 4 THEN 430 WHEN 5 THEN 386 END), 0)
+             * 1000 // 10266 AS BIGINT) AS ndcg_permille
+    FROM (SELECT DISTINCT q_id FROM truth) q
+    LEFT JOIN approx a ON a.q_id = q.q_id
+    LEFT JOIN truth t ON t.q_id = a.q_id AND t.n_id = a.n_id
+    GROUP BY q.q_id
+    """,
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware index evaluation: NDCG@5 of the IVF index against
+    brute-force ground truth — recall@k (ann_recall_eval) says WHETHER
+    the true neighbors surface; NDCG says whether they surface IN ORDER,
+    which is what a retrieval user experiences. Graded relevance comes
+    from the truth rank (grade 6−r: the true nearest is worth 5, the
+    5th worth 1); position discounts are the 1/log₂(i+1) weights
+    INLINED as integer milli constants (1000, 630, 500, 430, 386), so
+    no logarithm runs in either engine. Every query's ideal DCG is the
+    same constant (grades 5..1 in order → 10266 milli), so
+    NDCG = DCG·1000 div 10266 in exact integer permille.
+
+    Scale shape: both legs reuse the registered paths over the same
+    bounded query set (the recall key's contract); the judgment is one
+    (q_id, n_id) equi-join and a per-query rollup — queries with zero
+    overlap still appear (left join from the truth query set), scoring
+    0, not vanishing."""
+    truth = ann_cosine_topk(spark, sf_dir).select(
+        F.col("q_id").alias("t_q_id"),
+        F.col("n_id").alias("t_n_id"),
+        (6 - F.col("rank")).alias("grade"),
+    )
+    approx = ann_ivf_topk(spark, sf_dir).select(
+        F.col("q_id").alias("a_q_id"),
+        F.col("n_id").alias("a_n_id"),
+        F.expr(
+            "case rank when 1 then 1000 when 2 then 630 when 3 then 500"
+            " when 4 then 430 when 5 then 386 end"
+        ).alias("w_milli"),
+    )
+    qset = truth.select(F.col("t_q_id").alias("qq")).distinct()
+    scored = (
+        qset.join(approx, F.col("qq") == F.col("a_q_id"), "left")
+        .join(
+            truth,
+            (F.col("a_q_id") == F.col("t_q_id"))
+            & (F.col("a_n_id") == F.col("t_n_id")),
+            "left",
+        )
+        .select(
+            "qq",
+            (F.col("grade") * F.col("w_milli")).alias("contrib"),
+        )
+    )
+    return scored.groupBy(F.col("qq").alias("q_id")).agg(
+        F.coalesce(F.sum("contrib"), F.lit(0)).cast("long").alias("dcg_milli"),
+        F.expr(
+            "cast(coalesce(sum(contrib), 0) * 1000 div 10266 as bigint)"
+        ).alias("ndcg_permille"),
     )
