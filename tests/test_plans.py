@@ -945,3 +945,50 @@ def test_null_aware_anti_uses_special_operator(spark):
     raw = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti, BuildRight, true" in raw, raw[:3000]
     assert "CartesianProduct" not in raw
+
+
+def test_anova_single_fact_pass(spark):
+    # ONE pass over orders: the per-group moments shuffle is the only
+    # corpus-sized exchange; everything downstream runs on 5 group rows
+    # (1-row broadcast stats, never a re-scan of the fact).
+    plan = plan_of(spark, "stats_anova_f")
+    assert len(re.findall(r"orders\.parquet", plan)) <= 1, "fact re-scanned"
+    assert "CartesianProduct" not in plan
+
+
+def test_acf_prunes_to_timestamp_and_joins_on_index(spark):
+    # The corpus scan reads ONLY ts (day index is derived, no other
+    # column survives pruning), and the lag pairing is an equi-join on
+    # the day index — never a cartesian over the series.
+    plan = plan_of(spark, "ts_autocorrelation")
+    for line in plan.splitlines():
+        if "ReadSchema:" in line and "events" in plan:
+            assert "props" not in line and "user_id" not in line, line
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan[:2000]
+
+
+def test_fk_audit_broadcasts_parents_and_prunes_children(spark):
+    # Every parent key set rides a broadcast; child scans are pruned to
+    # the FK column only (an audit that reads full fact rows is wrong).
+    plan = plan_of(spark, "dq_referential_integrity")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    li_reads = [
+        l for l in plan.splitlines()
+        if "ReadSchema:" in l and "l_orderkey" in l or
+           "ReadSchema:" in l and "l_partkey" in l
+    ]
+    for line in li_reads:
+        assert "l_extendedprice" not in line, line
+
+
+def test_kcenter_iterations_are_checkpoint_flat(spark):
+    # Each greedy iteration localCheckpoints, so the returned plan is a
+    # union of materialized 1-row picks — no exchange, no lineage tower,
+    # no corpus re-scan at collect time.
+    plan = plan_of(spark, "select_coreset_kcenter")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,444 @@
+"""Scientific / data-science battery: one-way ANOVA, autocorrelation,
+referential-integrity audit, and greedy k-center coreset selection.
+
+Four operator families the existing registry did not yet cover:
+hypothesis testing across >2 groups (ANOVA F — the k-sample extension of
+the existing two-sample Mann-Whitney/KS keys), time-series dependence
+diagnostics (the ACF every forecasting pipeline plots before model
+selection), cross-table FK data-quality auditing, and diversity-driven
+training-data selection (k-center coresets, Sener & Savarese 2018).
+
+House determinism rules throughout: exact integer/decimal moments
+(DECIMAL(38,0) ↔ HUGEINT), quantization via truncating integer division
+(Spark ``div`` and DuckDB ``//`` both truncate toward zero — verified
+parity including negatives), micro-unit cosine similarities via the
+``micro_sim`` contract, and ties broken on ascending ids.
+
+Reference provenance: the reference CLI (/root/reference/src/builder.rs)
+has no analytics surface; these keys extend the mandated
+training-data-pipeline family on the synthetic fixture tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.runtime import spread
+from zip_to_parquet_spark.schema import load_table
+
+D38 = "decimal(38,0)"
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA (exact fixed-point F statistic)
+# ---------------------------------------------------------------------------
+@query(
+    "stats_anova_f",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS prio,
+             (o_totalprice::DECIMAL(12,2) * 100)::HUGEINT AS x
+      FROM orders
+    ),
+    g AS (
+      SELECT prio, count(*)::HUGEINT AS n_g, sum(x) AS s_g,
+             sum(x * x) AS q_g
+      FROM m GROUP BY prio
+    ),
+    g2 AS (
+      SELECT prio, n_g, s_g, q_g, (s_g * 1000) // n_g AS mean_milli FROM g
+    ),
+    tot AS (
+      SELECT sum(n_g) AS n, sum(s_g) AS s, count(*) AS k FROM g2
+    ),
+    tot2 AS (SELECT n, k, (s * 1000) // n AS gm_milli FROM tot),
+    ss AS (
+      SELECT sum(g2.n_g * (g2.mean_milli - tot2.gm_milli)
+                        * (g2.mean_milli - tot2.gm_milli)) AS ssb,
+             sum(g2.q_g * 1000000
+                 - g2.n_g * g2.mean_milli * g2.mean_milli) AS ssw,
+             max(tot2.n) AS n, max(tot2.k) AS k
+      FROM g2, tot2
+    ),
+    fin AS (
+      SELECT ssb, ssw, n, k,
+             (ssb * (n - k) * 1000) // (ssw * (k - 1)) AS f_permille
+      FROM ss
+    )
+    SELECT g2.prio, g2.n_g::BIGINT AS n_rows, g2.s_g::BIGINT AS sum_cents,
+           g2.mean_milli::BIGINT AS mean_cents_milli,
+           fin.ssb::DECIMAL(38,0) AS ssb_cents2_p6,
+           fin.ssw::DECIMAL(38,0) AS ssw_cents2_p6,
+           fin.f_permille::BIGINT AS f_permille,
+           fin.n::BIGINT AS n_total, fin.k::BIGINT AS k_groups
+    FROM g2, fin
+    """,
+)
+def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across the five order priorities on order value —
+    the k-sample hypothesis test completing the repo's testing family
+    (chi-square independence, Mann-Whitney, KS are all ≤2-sample).
+
+    Exactness contract: measures scale to integer cents; group means
+    quantize to MILLI-cents by truncating division (``div`` ↔ ``//``, a
+    DEFINED deterministic quantity — a float mean can never hash-match);
+    the between/within sums of squares are then exact 128-bit integers
+    over those quantized means (1e6-scaled cents², DECIMAL(38,0) ↔
+    HUGEINT), and F itself lands as exact integer permille. The ≤1e-3
+    cent mean quantization is the documented trade for bit-parity.
+
+    Scale shape: ONE map-side-combinable pass over the fact table (three
+    partial sums per group, 5 groups), a 5-row rollup, and a broadcast
+    of the two 1-row stats tables back onto the group rows. The same
+    plan computes ANOVA over millions of groups at 100 TB — the
+    per-group pass is the only corpus-sized stage."""
+    m = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast(D38)
+        .alias("x"),
+    )
+    g = m.groupBy("prio").agg(
+        F.count(F.lit(1)).cast(D38).alias("n_g"),
+        F.sum("x").cast(D38).alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).cast(D38).alias("q_g"),
+    )
+    # 5 rows, referenced three times (group output, grand totals, SS
+    # rollup): checkpoint so the fact table is scanned exactly once.
+    g2 = g.withColumn(
+        "mean_milli", F.expr("(s_g * 1000) div n_g")
+    ).localCheckpoint(eager=True)
+    tot = g2.agg(
+        F.sum("n_g").cast(D38).alias("n"),
+        F.sum("s_g").cast(D38).alias("s"),
+        F.count(F.lit(1)).cast(D38).alias("k"),
+    ).withColumn("gm_milli", F.expr("(s * 1000) div n"))
+    ss = (
+        g2.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "n_g * (cast(mean_milli as decimal(38,0)) - gm_milli)"
+                    " * (cast(mean_milli as decimal(38,0)) - gm_milli)"
+                )
+            )
+            .cast(D38)
+            .alias("ssb"),
+            F.sum(
+                F.expr(
+                    "q_g * 1000000"
+                    " - n_g * cast(mean_milli as decimal(38,0)) * mean_milli"
+                )
+            )
+            .cast(D38)
+            .alias("ssw"),
+            F.max("n").alias("n"),
+            F.max("k").alias("k"),
+        )
+        .withColumn(
+            "f_permille", F.expr("(ssb * (n - k) * 1000) div (ssw * (k - 1))")
+        )
+    )
+    return g2.crossJoin(F.broadcast(ss)).select(
+        "prio",
+        F.col("n_g").cast("long").alias("n_rows"),
+        F.col("s_g").cast("long").alias("sum_cents"),
+        F.col("mean_milli").cast("long").alias("mean_cents_milli"),
+        F.col("ssb").alias("ssb_cents2_p6"),
+        F.col("ssw").alias("ssw_cents2_p6"),
+        F.col("f_permille").cast("long").alias("f_permille"),
+        F.col("n").cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("k_groups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function (exact integer ACF at lags 1..5)
+# ---------------------------------------------------------------------------
+@query(
+    "ts_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS i, count(*)::HUGEINT AS x
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT count(*)::HUGEINT AS n, sum(x) AS s, sum(x * x) AS q
+      FROM daily
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5])::HUGEINT AS lag),
+    pair AS (
+      SELECT l.lag, count(*)::HUGEINT AS m_k, sum(a.x * b.x) AS c_k,
+             sum(a.x) AS h_k, sum(b.x) AS t_k
+      FROM daily a JOIN lags l ON true
+      JOIN daily b ON b.i = a.i + l.lag
+      GROUP BY l.lag
+    )
+    SELECT p.lag::BIGINT AS lag, p.m_k::BIGINT AS n_pairs,
+           ((st.n * st.n * p.c_k - st.n * st.s * (p.h_k + p.t_k)
+             + p.m_k * st.s * st.s) * 1000000
+            // (st.n * st.n * st.q - st.n * st.s * st.s))::BIGINT
+             AS acf_ppm
+    FROM pair p, st
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1-5 — the dependence diagnostic (Box & Jenkins) run before any
+    forecasting-model choice; complements the repo's EWMA / Holt /
+    seasonal-naive keys with the tool that justifies them.
+
+    Exactness: days come from tz-free integer arithmetic on epoch
+    micros (``unix_micros div 86.4e9`` ↔ ``epoch_us // 86.4e9`` — no
+    session-timezone seam); counts are integers, so the mean-centered
+    ACF numerator/denominator clear denominators exactly —
+    ``N²·Σx_t·x_{t+k} − N·S·(head+tail) + (N−k)·S²`` over
+    DECIMAL(38,0)/HUGEINT — and the coefficient lands as integer ppm
+    (numerator may be negative: both engines' integer division truncates
+    toward zero, verified parity). Gapped days pair by INDEX distance
+    (equi-join on ``i + k``), not row adjacency, in both engines.
+
+    Scale shape: one groupBy to the daily grain (the only corpus-sized
+    shuffle), then everything runs on the tiny series: a 5-way
+    lag-replicated self-equi-join and a broadcast 1-row moment table.
+    Same plan at any corpus size; the series length, not the corpus,
+    bounds the join."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast(D38).alias("x"))
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("x").cast(D38).alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast(D38).alias("q"),
+    )
+    lags = spark.range(1, 6).select(F.col("id").cast(D38).alias("lag"))
+    a = daily.select(F.col("i").alias("ai"), F.col("x").alias("ax"))
+    b = daily.select(F.col("i").alias("bi"), F.col("x").alias("bx"))
+    pair = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bi") == F.col("ai") + F.col("lag").cast("long"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast(D38).alias("m_k"),
+            F.sum(F.col("ax") * F.col("bx")).cast(D38).alias("c_k"),
+            F.sum("ax").cast(D38).alias("h_k"),
+            F.sum("bx").cast(D38).alias("t_k"),
+        )
+    )
+    return pair.crossJoin(F.broadcast(st)).select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("m_k").cast("long").alias("n_pairs"),
+        F.expr(
+            "((n * n * c_k - n * s * (h_k + t_k) + m_k * s * s) * 1000000)"
+            " div (n * n * q - n * s * s)"
+        )
+        .cast("long")
+        .alias("acf_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan detection across the schema)
+# ---------------------------------------------------------------------------
+_FK_RELATIONS = [
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for name, child, key, parent, pkey in _FK_RELATIONS:
+        parts.append(f"""
+    SELECT '{name}' AS relation,
+           count(*)::BIGINT AS n_child,
+           count(*) FILTER (p.k IS NULL)::BIGINT AS n_orphans,
+           count(DISTINCT c.{key}) FILTER (p.k IS NULL)::BIGINT
+             AS n_orphan_keys,
+           CAST(count(p.k) * 1000 // count(*) AS BIGINT) AS match_permille
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) p
+      ON c.{key} = p.k""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dq_referential_integrity", oracle=_fk_oracle())
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the schema:
+    per relationship, child rows, orphan rows (FK value absent from the
+    parent key set — NULL FKs count as orphans, the strict DQ reading),
+    distinct orphan key values, and the match rate in exact integer
+    permille. The cross-TABLE completion of the repo's data-quality
+    family (dq_expectations_report audits columns within one table; this
+    audits edges between tables) — the check every warehouse load gate
+    runs before exposing a snapshot.
+
+    Scale shape: one LEFT join + single-pass rollup per edge; dimension
+    key sets (nation, region, part, supplier, customer at this schema's
+    ratios) broadcast, and the one fact-fact edge
+    (lineitem→orders) is an equi-join on the natural key both tables
+    already shuffle on everywhere else — bucket both on the orderkey
+    (sinks.write_bucketed_table) and the audit is shuffle-free. The
+    seven per-edge audits are independent Spark jobs sharing scans."""
+    out: DataFrame | None = None
+    for name, child, key, parent, pkey in _FK_RELATIONS:
+        c = load_table(spark, sf_dir, child).select(F.col(key).alias("ck"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        joined = c.join(F.broadcast(p), c.ck == p.k, "left")
+        row = joined.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.count_if(F.col("k").isNull()).cast("long").alias("n_orphans"),
+            F.count_distinct(
+                F.when(F.col("k").isNull(), F.col("ck"))
+            )
+            .cast("long")
+            .alias("n_orphan_keys"),
+            F.expr("count(k) * 1000 div count(*)")
+            .cast("long")
+            .alias("match_permille"),
+        ).select(
+            "relation", "n_child", "n_orphans", "n_orphan_keys", "match_permille"
+        )
+        out = row if out is None else out.unionAll(row)
+    assert out is not None
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection over embeddings
+# ---------------------------------------------------------------------------
+def _msim(a: str, b: str) -> str:
+    """DuckDB twin of operators/retrieval.micro_sim (the repo's verified
+    cross-engine cosine-micro contract)."""
+    return (
+        f"CAST(round(round(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 6) * 1000000) AS BIGINT)"
+    )
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "s1 AS (SELECT v FROM e WHERE vec_id = 0)",
+        f"""d1 AS (
+          SELECT e.vec_id, 1000000 - {_msim('e.v', 's1.v')} AS dmin, e.v
+          FROM e, s1 WHERE e.vec_id <> 0
+        )""",
+    ]
+    for i in range(2, k + 1):
+        prev = i - 1
+        ctes.append(
+            f"p{i} AS (SELECT vec_id, dmin, v FROM d{prev}"
+            f" ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(f"""d{i} AS (
+              SELECT d.vec_id,
+                     least(d.dmin, 1000000 - {_msim('d.v', 'p.v')}) AS dmin,
+                     d.v
+              FROM d{prev} d, p{i} p WHERE d.vec_id <> p.vec_id
+            )""")
+    unions = ["SELECT 1::BIGINT AS pick_order, 0::BIGINT AS vec_id,"
+              " 1000000::BIGINT AS dmin_micro"]
+    unions += [
+        f"SELECT {i}::BIGINT, vec_id, dmin FROM p{i}" for i in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(unions)
+
+
+@query("select_coreset_kcenter", oracle=_kcenter_oracle())
+def select_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal;
+    Gonzalez 1985, applied to training-data selection by Sener &
+    Savarese 2018): from seed vec 0, iteratively pick the embedding
+    farthest (max-min cosine distance) from everything picked so far —
+    the diversity-maximizing counterpart of the similarity-driven
+    selection keys (SemDeDup prunes redundancy; this SELECTS coverage).
+    k=6 picks; distances in exact micro units via the ``micro_sim``
+    contract, ties break on ascending vec_id, so the inherently
+    sequential greedy trace is value-oracle-checked against unrolled SQL
+    bit-for-bit (the seed row reports the 1e6 distance ceiling).
+
+    Scale shape: the classic k-pass algorithm — each iteration is one
+    MAP-ONLY pass updating the running min-distance column against the
+    single newly-picked center (broadcast 1-row), plus a TakeOrdered(1)
+    argmax; k passes total, no shuffle of the corpus, lineage kept flat
+    with per-iteration localCheckpoints (the PageRank pattern). At 1000
+    executors each pass is embarrassingly parallel; cost is O(k·N·dim)
+    — the published lower bound for greedy k-center."""
+    from zip_to_parquet_spark.operators.retrieval import micro_sim
+
+    k = 6
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seed = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("cv"))
+    d = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(seed))
+        .select(
+            "vec_id",
+            (F.lit(1000000) - micro_sim(F.col("v"), F.col("cv"))).alias("dmin"),
+            "v",
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = [
+        emb.sparkSession.range(1)
+        .select(
+            F.lit(1).cast("long").alias("pick_order"),
+            F.lit(0).cast("long").alias("vec_id"),
+            F.lit(1000000).cast("long").alias("dmin_micro"),
+        )
+    ]
+    for i in range(2, k + 1):
+        p = (
+            d.orderBy(F.col("dmin").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(
+            p.select(
+                F.lit(i).cast("long").alias("pick_order"),
+                "vec_id",
+                F.col("dmin").cast("long").alias("dmin_micro"),
+            )
+        )
+        if i < k:
+            pv = p.select(
+                F.col("vec_id").alias("pid"), F.col("v").alias("cv")
+            )
+            d = (
+                d.crossJoin(F.broadcast(pv))
+                .filter(F.col("vec_id") != F.col("pid"))
+                .select(
+                    "vec_id",
+                    F.least(
+                        F.col("dmin"),
+                        F.lit(1000000) - micro_sim(F.col("v"), F.col("cv")),
+                    ).alias("dmin"),
+                    "v",
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out
