@@ -992,3 +992,44 @@ def test_kcenter_iterations_are_checkpoint_flat(spark):
     plan = plan_of(spark, "select_coreset_kcenter")
     assert "Exchange" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    # The top-64 vocab is vocab-sized by construction: it must ride a
+    # broadcast mark-join (TakeOrdered, not a global sort, produces it).
+    plan = plan_of(spark, "tokenizer_vocab_coverage")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lexical_diversity_join_free(spark):
+    # Pure two-level rollup: tokenize shuffle + doc rollup, no join of
+    # any kind and no corpus-global stage.
+    plan = plan_of(spark, "text_lexical_diversity")
+    assert "Join" not in plan, plan[:2000]
+    assert "SinglePartition" not in plan
+
+
+def test_rolling_median_windows_the_daily_grain(spark):
+    # The RANGE-frame window runs over the daily rollup (series-sized),
+    # never over raw orders rows: exactly one fact scan feeding an
+    # aggregate BEFORE the window.
+    plan = plan_of(spark, "ts_rolling_median")
+    assert len(re.findall(r"orders\.parquet", plan)) == 1, "fact re-scanned"
+    # Operator ids number leaf-to-root: the rollup must execute first.
+    agg_id = int(re.search(r"\((\d+)\) HashAggregate", plan).group(1))
+    win_id = int(re.search(r"\((\d+)\) Window", plan).group(1))
+    assert agg_id < win_id, plan[:1500]
+
+
+def test_theil_sen_pairs_run_on_checkpointed_series(spark):
+    # The O(D^2) pair join must consume the checkpointed daily series,
+    # not re-derive it from the fact table per side.
+    plan = plan_of(spark, "stats_theil_sen_daily")
+    assert "orders.parquet" not in plan, "pair join re-scans the fact"
+
+
+def test_zipf_regression_runs_on_checkpointed_vocab(spark):
+    plan = plan_of(spark, "stats_zipf_fit")
+    assert "documents.parquet" not in plan, "moments re-scan the corpus"

@@ -442,3 +442,377 @@ def select_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage (OOV-rate diagnostics)
+# ---------------------------------------------------------------------------
+@query(
+    "tokenizer_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    vocab AS (
+      SELECT word FROM tok GROUP BY word
+      ORDER BY count(*) DESC, word LIMIT 64
+    )
+    SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           count(*) FILTER (v.word IS NULL)::BIGINT AS n_oov,
+           CAST(count(*) FILTER (v.word IS NULL) * 1000 // count(*) AS BIGINT)
+             AS oov_permille
+    FROM tok t LEFT JOIN vocab v ON t.word = v.word
+    GROUP BY t.doc_id
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage diagnostics for a fixed-size tokenizer: train
+    a top-64 frequency vocabulary on the corpus (ties break on the word,
+    the repo's ranking rule), then report each document's token count,
+    out-of-vocabulary token count, and OOV rate in exact integer
+    permille — the coverage audit run before freezing any tokenizer,
+    since a vocab that leaves whole sources >X‰ OOV shreds them into
+    bytes at training time.
+
+    Scale shape: tokenize → one (word) rollup for the vocab (map-side
+    combinable; top-64 via TakeOrdered, no global sort materialized) →
+    the vocab is vocab-sized by construction, so it BROADCASTS to mark
+    tokens in place → one (doc_id) rollup. Two corpus-sized shuffles,
+    both on natural keys."""
+    from zip_to_parquet_spark.operators.textops import words
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(words(F.col("text"))).alias("word")
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(64)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).cast("long").alias("n_oov"),
+            F.expr("count_if(in_vocab is null) * 1000 div count(*)")
+            .cast("long")
+            .alias("oov_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (type-token ratio, hapax legomena)
+# ---------------------------------------------------------------------------
+@query(
+    "text_lexical_diversity",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, word, count(*)::BIGINT AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      GROUP BY doc_id, word
+    )
+    SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_types,
+           count(*) FILTER (cnt = 1)::BIGINT AS n_hapax,
+           CAST(count(*) * 1000 // sum(cnt) AS BIGINT) AS ttr_permille
+    FROM tf GROUP BY doc_id
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals per document: token count, type
+    count, hapax legomena (words occurring exactly once in the doc), and
+    the type-token ratio in exact integer permille. Low TTR flags
+    keyword-stuffed / template spam; a hapax share far off the corpus
+    norm flags gibberish — standard pretraining quality-gate features
+    (complements quality_gopher_rules' length/stopword gates with the
+    vocabulary-shape axis).
+
+    Scale shape: one (doc_id, word) rollup — the natural tokenize
+    shuffle, map-side combinable — then a (doc_id) rollup of the
+    already-small tf table. No joins, no broadcast, nothing
+    corpus-global."""
+    from zip_to_parquet_spark.operators.textops import words
+
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return tf.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.count_if(F.col("cnt") == 1).cast("long").alias("n_hapax"),
+        F.expr("count(*) * 1000 div sum(cnt)").cast("long").alias("ttr_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median (±3-day RANGE frame, gap-aware)
+# ---------------------------------------------------------------------------
+@query(
+    "ts_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+               AS i,
+             sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT i, rev_cents,
+             list_sort(list(rev_cents) OVER (
+               ORDER BY i RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS s
+      FROM daily
+    )
+    SELECT i AS day_idx, rev_cents, len(s)::BIGINT AS n_window,
+           CASE WHEN len(s) % 2 = 1 THEN 2 * s[(len(s) + 1) // 2]
+                ELSE s[len(s) // 2] + s[len(s) // 2 + 1]
+           END::BIGINT AS med_cents_doubled
+    FROM w
+    """,
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of daily order revenue over a ±3-day VALUE
+    RANGE frame — the robust-smoothing counterpart of the moving-average
+    keys (a median shrugs off the single-day spikes that drag a mean;
+    it's the standard pre-step before outlier-rate alarms). The frame is
+    a value range on the tz-free epoch-day index, so calendar gaps
+    shrink the window instead of leaking distant days in (row-frame
+    semantics would be wrong on sparse series). The median is exact in
+    DOUBLED cents (odd window → 2·mid; even → sum of the two mids — the
+    repo's Mann-Whitney doubled-midrank trick), so no engine ever halves
+    an odd integer.
+
+    Scale shape: one corpus-sized rollup to the daily grain, then the
+    ordered RANGE window runs over the series (series-sized, single
+    ordered partition — bounded by calendar length, not corpus; at
+    multi-entity scale this same window would partition by the entity
+    key). The frame holds ≤7 values, so sorting inside the frame is
+    O(1) per row."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+            .cast("long")
+            .alias("i"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("i")
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = Window.orderBy("i").rangeBetween(-3, 3)
+    return daily.select(
+        F.col("i").alias("day_idx"),
+        "rev_cents",
+        F.sort_array(F.collect_list("rev_cents").over(w)).alias("s"),
+    ).select(
+        "day_idx",
+        "rev_cents",
+        F.size("s").cast("long").alias("n_window"),
+        F.expr(
+            "cast(CASE WHEN size(s) % 2 = 1"
+            " THEN 2 * element_at(s, cast((size(s) + 1) / 2 as int))"
+            " ELSE element_at(s, cast(size(s) / 2 as int))"
+            "      + element_at(s, cast(size(s) / 2 as int) + 1) END as bigint)"
+        ).alias("med_cents_doubled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+@query(
+    "stats_theil_sen_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+               AS i,
+             sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
+               AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT ((b.rev_cents - a.rev_cents) * 1000) // (b.i - a.i) AS slope,
+             a.i AS ai, b.i AS bi
+      FROM daily a JOIN daily b ON b.i > a.i
+    ),
+    ranked AS (
+      SELECT slope, row_number() OVER (ORDER BY slope, ai, bi) AS rn,
+             count(*) OVER () AS n_p
+      FROM slopes
+    )
+    SELECT (SELECT count(*) FROM daily)::BIGINT AS n_days,
+           max(n_p)::BIGINT AS n_pairs,
+           (sum(CASE WHEN rn = (n_p + 1) // 2 THEN slope ELSE 0 END)
+            + sum(CASE WHEN rn = n_p // 2 + 1 THEN slope ELSE 0 END))::BIGINT
+             AS med_slope_milli_doubled
+    FROM ranked
+    """,
+)
+def stats_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator on daily order revenue: the
+    median of all pairwise slopes ``(rev_j − rev_i)/(j − i)`` — up to
+    ~29% outlier days cannot move it, unlike the least-squares slope
+    (stats_groupwise_linreg's estimator). Slopes quantize to exact
+    integer milli-cents/day by truncating division (negative slopes:
+    both engines truncate toward zero — verified parity), and the median
+    reports DOUBLED (odd count → 2·mid, even → sum of two mids) so it
+    stays an exact integer.
+
+    Scale shape: the corpus collapses to the daily grain first (one
+    rollup — the only corpus-sized stage); the O(D²) pair join runs on
+    the series only (D days → D(D−1)/2 integer rows), which is the
+    published Theil-Sen cost and is BOUNDED by calendar length, never
+    corpus size. The median rank scan is one ordered window over those
+    pairs."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+            .cast("long")
+            .alias("i"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("i")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(F.col("i").alias("ai"), F.col("rev").alias("ra"))
+    b = daily.select(F.col("i").alias("bi"), F.col("rev").alias("rb"))
+    slopes = (
+        a.join(b, F.col("bi") > F.col("ai"))
+        .select(
+            F.expr("((rb - ra) * 1000) div (bi - ai)").alias("slope"),
+            "ai",
+            "bi",
+        )
+    )
+    ranked = slopes.select(
+        "slope",
+        F.row_number()
+        .over(Window.orderBy("slope", "ai", "bi"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_p"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    med = ranked.agg(
+        F.max("n_p").cast("long").alias("n_pairs"),
+        (
+            F.sum(
+                F.when(F.col("rn") == (F.col("n_p") + 1) / 2, F.col("slope"))
+                .otherwise(0)
+            )
+            + F.sum(
+                F.when(
+                    F.col("rn") == F.floor(F.col("n_p") / 2) + 1, F.col("slope")
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("med_slope_milli_doubled"),
+    )
+    return n_days.crossJoin(F.broadcast(med))
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (corpus-health diagnostic)
+# ---------------------------------------------------------------------------
+@query(
+    "stats_zipf_fit",
+    oracle="""
+    WITH freq AS (
+      SELECT word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+      FROM freq
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(rank) * 1000000) AS HUGEINT) AS lr,
+             CAST(floor(ln(cnt) * 1000000) AS HUGEINT) AS lf
+      FROM ranked
+    ),
+    s AS (
+      SELECT count(*)::HUGEINT AS n, sum(lr) AS sx, sum(lf) AS sy,
+             sum(lr * lr) AS sxx, sum(lr * lf) AS sxy
+      FROM pts
+    )
+    SELECT n::BIGINT AS n_types,
+           (SELECT sum(cnt) FROM freq)::BIGINT AS n_tokens,
+           ((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx))::BIGINT
+             AS zipf_slope_permille
+    FROM s
+    """,
+)
+def stats_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: the
+    least-squares slope of log-frequency against log-rank — natural text
+    sits near −1; a slope far off flags synthetic, boilerplate-heavy, or
+    truncated corpora (the corpus-level health check next to the
+    per-document quality gates). Logs quantize to integer micro-nats
+    per TYPE (``floor(ln·1e6)``, the surprisal keys' one-rounding-per-
+    type contract), the regression moments are then exact 128-bit
+    integers, and the slope lands as integer permille (negative:
+    truncation parity holds).
+
+    Scale shape: one vocabulary rollup (map-side combinable — the only
+    corpus-sized stage), one ordered rank window over the type table,
+    one 1-row moment aggregate. The rank window is vocabulary-sized; at
+    a 100 TB corpus the vocabulary is still tiny relative to tokens."""
+    from pyspark.sql.window import Window
+
+    from zip_to_parquet_spark.operators.textops import words
+
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    ranked = freq.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "word"))
+        .alias("rank"),
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * 1000000)
+        .cast(D38)
+        .alias("lr"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1000000)
+        .cast(D38)
+        .alias("lf"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("lr").cast(D38).alias("sx"),
+        F.sum("lf").cast(D38).alias("sy"),
+        F.sum(F.col("lr") * F.col("lr")).cast(D38).alias("sxx"),
+        F.sum(F.col("lr") * F.col("lf")).cast(D38).alias("sxy"),
+    )
+    n_tokens = freq.agg(F.sum("cnt").cast("long").alias("n_tokens"))
+    return s.crossJoin(F.broadcast(n_tokens)).select(
+        F.col("n").cast("long").alias("n_types"),
+        "n_tokens",
+        F.expr("((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx)")
+        .cast("long")
+        .alias("zipf_slope_permille"),
+    )
