@@ -1033,3 +1033,28 @@ def test_theil_sen_pairs_run_on_checkpointed_series(spark):
 def test_zipf_regression_runs_on_checkpointed_vocab(spark):
     plan = plan_of(spark, "stats_zipf_fit")
     assert "documents.parquet" not in plan, "moments re-scan the corpus"
+
+
+def test_kaplan_meier_folds_over_day_grain(spark):
+    # The survival fold and risk window run on the checkpointed subject
+    # table's day rollup — never back over raw events.
+    plan = plan_of(spark, "stats_kaplan_meier")
+    assert "events.parquet" not in plan, "curve re-scans the corpus"
+    assert "CartesianProduct" not in plan
+
+
+def test_linkpred_wedge_join_is_equi_and_topk(spark):
+    # Candidate scoring is the degree-bounded wedge equi-join (the
+    # triangle-count shape); existing edges leave via an equi anti-join;
+    # top-20 is TakeOrdered, not a global sort.
+    plan = plan_of(spark, "graph_jaccard_linkpred")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "lineitem.parquet" not in plan, "edge set re-derived per leg"
+
+
+def test_poisson_replicate_is_map_only(spark):
+    plan = plan_of(spark, "sample_poisson_replicate")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Generate" in plan  # the sequence-explode

@@ -816,3 +816,314 @@ def stats_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("zipf_slope_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (right-censored time-to-conversion)
+# ---------------------------------------------------------------------------
+@query(
+    "stats_kaplan_meier",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, ts, event_type FROM events
+    ),
+    fv AS (
+      SELECT user_id, min(ts) AS v0 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT e.user_id, min(e.ts) AS p0
+      FROM ev e JOIN fv ON fv.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.v0
+      GROUP BY e.user_id
+    ),
+    la AS (SELECT user_id, max(ts) AS tl FROM ev GROUP BY user_id),
+    subj AS (
+      SELECT fv.user_id,
+             (epoch_us(coalesce(fp.p0, la.tl)) - epoch_us(fv.v0))
+               // 86400000000 AS dur,
+             CASE WHEN fp.p0 IS NULL THEN 0 ELSE 1 END AS evt
+      FROM fv JOIN la ON la.user_id = fv.user_id
+      LEFT JOIN fp ON fp.user_id = fv.user_id
+    ),
+    roll AS (
+      SELECT dur AS day, sum(evt)::BIGINT AS d,
+             sum(1 - evt)::BIGINT AS c
+      FROM subj GROUP BY dur
+    ),
+    risk AS (
+      SELECT day, d,
+             (SELECT count(*) FROM subj)
+               - coalesce(sum(d + c) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM roll
+    ),
+    evd AS (
+      SELECT day, n_risk, d, row_number() OVER (ORDER BY day) AS idx
+      FROM risk WHERE d >= 1
+    ),
+    km AS (
+      SELECT idx, day, n_risk, d,
+             (1000000 * (n_risk - d)) // n_risk AS s
+      FROM evd WHERE idx = 1
+      UNION ALL
+      SELECT e.idx, e.day, e.n_risk, e.d,
+             (km.s * (e.n_risk - e.d)) // e.n_risk
+      FROM km JOIN evd e ON e.idx = km.idx + 1
+    )
+    SELECT day::BIGINT AS t_day, n_risk::BIGINT AS n_risk,
+           d::BIGINT AS n_events, s::BIGINT AS surv_ppm
+    FROM km
+    """,
+)
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of time-to-conversion WITH right
+    censoring — the estimator events_time_to_convert cannot replace:
+    users who never purchase are not dropped (that biases latency low)
+    but counted at risk until their last observed event. Subjects enter
+    at first view; an event is the first purchase at/after it; duration
+    quantizes to whole days. S(t) steps by the product-limit recurrence
+    ``s ← s·(n_t − d_t)/n_t`` in exact integer ppm (truncating division
+    both engines), checked bit-for-bit against a recursive-CTE replay —
+    the PageRank pattern applied to survival analysis.
+
+    Scale shape: three user-keyed rollups and one user equi-join build
+    the subject table (corpus-sized, map-side combinable); everything
+    after runs on the DAY-grain table (calendar-bounded): one cumsum
+    window for risk sets and a sequential fold over event days only.
+    The fold is O(event-days²) via prefix slices — event days are
+    hundreds, not corpus rows."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v0"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("v0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p0"))
+    )
+    la = ev.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    subj = (
+        fv.join(la, "user_id")
+        .join(fp, "user_id", "left")
+        .select(
+            F.expr(
+                "(unix_micros(coalesce(p0, tl)) - unix_micros(v0))"
+                " div 86400000000"
+            ).alias("dur"),
+            F.when(F.col("p0").isNull(), 0).otherwise(1).alias("evt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    roll = subj.groupBy(F.col("dur").alias("day")).agg(
+        F.sum("evt").cast("long").alias("d"),
+        F.sum(1 - F.col("evt")).cast("long").alias("c"),
+    )
+    total = subj.agg(F.count(F.lit(1)).cast("long").alias("n_subj"))
+    cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    evd = (
+        roll.crossJoin(F.broadcast(total))
+        .select(
+            "day",
+            "d",
+            (
+                F.col("n_subj")
+                - F.coalesce(
+                    F.sum(F.col("d") + F.col("c")).over(cum), F.lit(0)
+                )
+            ).alias("n_risk"),
+        )
+        .filter(F.col("d") >= 1)
+    )
+    arr = evd.agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "n_risk", "d"))
+        ).alias("a")
+    )
+    return arr.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(a)), i -> struct("
+                " a[i-1].day AS t_day, a[i-1].n_risk AS n_risk,"
+                " a[i-1].d AS n_events,"
+                " aggregate(slice(a, 1, i), 1000000L,"
+                "   (acc, x) -> (acc * (x.n_risk - x.d)) div x.n_risk)"
+                "   AS surv_ppm))"
+            )
+        ).alias("r")
+    ).select("r.t_day", "r.n_risk", "r.n_events", "r.surv_ppm")
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor Jaccard over the co-purchase graph
+# ---------------------------------------------------------------------------
+@query(
+    "graph_jaccard_linkpred",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey u, b.l_partkey v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM und GROUP BY u),
+    cn AS (
+      SELECT a.u AS x, b.u AS y, count(*)::BIGINT AS common
+      FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+      GROUP BY a.u, b.u
+    ),
+    nonedge AS (
+      SELECT cn.x, cn.y, cn.common FROM cn
+      LEFT JOIN e ON e.u = cn.x AND e.v = cn.y
+      WHERE e.u IS NULL
+    ),
+    scored AS (
+      SELECT n.x, n.y, n.common,
+             (n.common * 1000) // (dx.deg + dy.deg - n.common)
+               AS jaccard_permille
+      FROM nonedge n
+      JOIN deg dx ON dx.node = n.x
+      JOIN deg dy ON dy.node = n.y
+    )
+    SELECT x AS u, y AS v, common AS n_common, jaccard_permille
+    FROM scored
+    ORDER BY jaccard_permille DESC, u, v LIMIT 20
+    """,
+)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor Jaccard (Liben-Nowell &
+    Kleinberg 2003) on the part co-purchase graph (the same edge set as
+    graph_triangle_count/graph_bfs_hops): score every NON-adjacent pair
+    sharing ≥1 neighbor by ``|N(u)∩N(v)| / |N(u)∪N(v)|`` in exact
+    integer permille and return the top 20 predicted links — the
+    "customers also bought" candidate generator, and the graph family's
+    inference member next to its counting (triangles), traversal (BFS),
+    and centrality (PageRank) keys.
+
+    Scale shape: the wedge join on the shared-neighbor key is the
+    degree-bounded Σdeg² pattern triangle counting already locks;
+    existing edges drop out via one equi anti-join; degrees are a
+    node-sized broadcast; top-20 is TakeOrdered, never a global sort.
+    All equi-joins — skew on celebrity nodes is the documented
+    trade-off shared with the triangle key."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        lp.alias("a")
+        .join(lp.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    cn = (
+        und.alias("x")
+        .join(und.alias("y"), F.col("x.v") == F.col("y.v"))
+        .filter(F.col("x.u") < F.col("y.u"))
+        .groupBy(F.col("x.u").alias("cu"), F.col("y.u").alias("cv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    nonedge = cn.join(
+        e, (e.u == cn.cu) & (e.v == cn.cv), "left_anti"
+    )
+    dx = deg.select(F.col("node").alias("cu"), F.col("deg").alias("du"))
+    dy = deg.select(F.col("node").alias("cv"), F.col("deg").alias("dv"))
+    scored = (
+        nonedge.join(F.broadcast(dx), "cu")
+        .join(F.broadcast(dy), "cv")
+        .select(
+            F.col("cu").alias("u"),
+            F.col("cv").alias("v"),
+            "n_common",
+            F.expr("(n_common * 1000) div (du + dv - n_common)").alias(
+                "jaccard_permille"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard_permille").desc(), "u", "v"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson replication (repeat-aware mixture upsampling)
+# ---------------------------------------------------------------------------
+# floor(P(X<=j) * 2^24) for Poisson(λ=1), j = 0..5 — the inverse-CDF
+# table inlined as integers so no exp() runs in either engine.
+_POIS1_CDF_24 = [6171992, 12343985, 15429982, 16458647, 16715813, 16767247]
+
+
+def _pois_case(v: str) -> str:
+    branches = " ".join(
+        f"WHEN {v} < {t} THEN {j}" for j, t in enumerate(_POIS1_CDF_24)
+    )
+    return f"CASE {branches} ELSE 6 END"
+
+
+@query(
+    "sample_poisson_replicate",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source,
+             md5_number_lower('pois' || doc_id::VARCHAR)::HUGEINT % 16777216
+               AS v
+      FROM documents
+    ),
+    k AS (SELECT doc_id, source, {_pois_case('v')} AS k FROM u)
+    SELECT doc_id, source, unnest(range(1, k + 1))::BIGINT AS copy_no
+    FROM k WHERE k >= 1
+    """,
+)
+def sample_poisson_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson(1) replication sampling — the repeat-aware
+    upsampling step of multi-epoch data mixing (Muennighoff et al. 2023
+    style repeating): each document draws k ~ Poisson(1) COPIES from an
+    inverse-CDF table over a content-keyed md5 uniform, so the sample is
+    reproducible row-for-row across runs, engines, and retries (no RNG
+    state, no seed plumbing — the md5_number_lower contract the sampling
+    and shard-assignment keys already share). The CDF lands inlined as
+    2²⁴-scaled integer thresholds: no exp() evaluates at query time.
+    k=0 docs drop (downsampling), k≥2 docs emit numbered copies
+    (upsampling) — exactly the mixture-rate semantics
+    mixture_rates_for_budget plans, applied per-row.
+
+    Scale shape: map-only — hash, CASE lookup, sequence-explode; no
+    shuffle, no state, embarrassingly parallel at any corpus size."""
+    from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+
+    v = md5_low_bytes_sql("concat('pois', cast(doc_id as string))", 3)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.expr(_pois_case(f"({v})")).alias("k"),
+        )
+        .filter(F.col("k") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1L, cast(k as bigint))")).alias(
+                "copy_no"
+            ),
+        )
+    )
