@@ -1058,3 +1058,11 @@ def test_poisson_replicate_is_map_only(spark):
     plan = plan_of(spark, "sample_poisson_replicate")
     assert "Exchange" not in plan, plan[:2000]
     assert "Generate" in plan  # the sequence-explode
+
+
+def test_confusion_eval_adds_reduce_not_shuffle(spark):
+    # Evaluation rides the classifier's map-only scoring pass: no join,
+    # and the only exchange is the 1-row final reduce.
+    plan = plan_of(spark, "quality_classifier_confusion")
+    assert "Join" not in plan, plan[:2000]
+    assert n_shuffles(plan) <= 1, plan[:2000]

@@ -822,3 +822,84 @@ def quality_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0)).cast("long").alias("rank_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: confusion matrix + precision/recall/F1
+# ---------------------------------------------------------------------------
+def _confusion_oracle() -> str:
+    """Computed oracle: the distilled-classifier replay wrapped as a CTE,
+    rolled up to the confusion matrix with exact-permille metrics. F1
+    uses the single-division identity 2tp/(2tp+fp+fn) so no rounded
+    precision/recall feeds a second rounding."""
+    return f"""
+    WITH scored AS ({_distill_oracle()})
+    SELECT sum(CASE WHEN pred AND gate_pass THEN 1 ELSE 0 END)::BIGINT AS tp,
+           sum(CASE WHEN pred AND NOT gate_pass THEN 1 ELSE 0 END)::BIGINT AS fp,
+           sum(CASE WHEN NOT pred AND gate_pass THEN 1 ELSE 0 END)::BIGINT AS fn,
+           sum(CASE WHEN NOT pred AND NOT gate_pass THEN 1 ELSE 0 END)::BIGINT AS tn,
+           CAST(sum(CASE WHEN pred = gate_pass THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS accuracy_permille,
+           CAST(sum(CASE WHEN pred AND gate_pass THEN 1 ELSE 0 END) * 1000
+                // nullif(sum(CASE WHEN pred THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS precision_permille,
+           CAST(sum(CASE WHEN pred AND gate_pass THEN 1 ELSE 0 END) * 1000
+                // nullif(sum(CASE WHEN gate_pass THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS recall_permille,
+           CAST(sum(CASE WHEN pred AND gate_pass THEN 1 ELSE 0 END) * 2000
+                // nullif(sum(CASE WHEN pred AND gate_pass THEN 1 ELSE 0 END) * 2
+                          + sum(CASE WHEN pred AND NOT gate_pass THEN 1 ELSE 0 END)
+                          + sum(CASE WHEN NOT pred AND gate_pass THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS f1_permille
+    FROM scored
+    """
+
+
+@query("quality_classifier_confusion", oracle=_confusion_oracle)
+def quality_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification-eval metrics for the distilled quality classifier:
+    confusion matrix against the Gopher-gate weak labels plus accuracy /
+    precision / recall / F1 in exact integer permille — closing the
+    evaluation family across all three learning tasks the repo trains
+    (ranking → ann_recall_eval/ann_ndcg_eval, clustering →
+    cluster_silhouette_eval, classification → here). F1 computes by the
+    single-division identity ``2tp/(2tp+fp+fn)`` — never from already-
+    rounded precision/recall, which would double-quantize. Degenerate
+    denominators (no positive predictions / labels) yield NULL, not a
+    crash, in both engines (``nullif`` guard).
+
+    Scale shape: rides quality_distill_classifier's map-only corpus
+    scoring pass, then ONE map-side-combinable 1-row rollup — evaluation
+    adds a reduce, not a shuffle."""
+    scored = quality_distill_classifier(spark, sf_dir)
+    p, g = F.col("pred"), F.col("gate_pass")
+    tp = F.sum(F.when(p & g, 1).otherwise(0))
+    fp = F.sum(F.when(p & ~g, 1).otherwise(0))
+    fn = F.sum(F.when(~p & g, 1).otherwise(0))
+    tn = F.sum(F.when(~p & ~g, 1).otherwise(0))
+    return scored.agg(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        F.expr(
+            "cast(sum(CASE WHEN pred = gate_pass THEN 1 ELSE 0 END) * 1000"
+            " div count(*) as bigint)"
+        ).alias("accuracy_permille"),
+        F.expr(
+            "cast(sum(CASE WHEN pred AND gate_pass THEN 1 ELSE 0 END) * 1000"
+            " div nullif(sum(CASE WHEN pred THEN 1 ELSE 0 END), 0) as bigint)"
+        ).alias("precision_permille"),
+        F.expr(
+            "cast(sum(CASE WHEN pred AND gate_pass THEN 1 ELSE 0 END) * 1000"
+            " div nullif(sum(CASE WHEN gate_pass THEN 1 ELSE 0 END), 0)"
+            " as bigint)"
+        ).alias("recall_permille"),
+        F.expr(
+            "cast(sum(CASE WHEN pred AND gate_pass THEN 1 ELSE 0 END) * 2000"
+            " div nullif(sum(CASE WHEN pred AND gate_pass THEN 1 ELSE 0 END) * 2"
+            "   + sum(CASE WHEN pred AND NOT gate_pass THEN 1 ELSE 0 END)"
+            "   + sum(CASE WHEN NOT pred AND gate_pass THEN 1 ELSE 0 END), 0)"
+            " as bigint)"
+        ).alias("f1_permille"),
+    )
