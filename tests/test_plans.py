@@ -1044,14 +1044,16 @@ def test_kaplan_meier_folds_over_day_grain(spark):
 
 
 def test_linkpred_wedge_join_is_equi_and_topk(spark):
-    # Candidate scoring is the degree-bounded wedge equi-join (the
-    # triangle-count shape); existing edges leave via an equi anti-join;
-    # top-20 is TakeOrdered, not a global sort.
+    # Candidate scoring is the wedge equi-join; the hub-center guard
+    # (ON by default) must appear as a broadcast anti-join on the
+    # center before the quadratic self-join; existing edges leave via
+    # an equi anti-join; top-20 is TakeOrdered, not a global sort. The
+    # only nested-loop allowed is the 1-row node-count broadcast.
     plan = plan_of(spark, "graph_jaccard_linkpred")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "lineitem.parquet" not in plan, "edge set re-derived per leg"
+    assert len(re.findall(r"LeftAnti", plan)) >= 2, plan[:2000]
 
 
 def test_poisson_replicate_is_map_only(spark):

@@ -977,9 +977,18 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
     deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM und GROUP BY u),
+    nn AS (SELECT count(*) AS n_nodes FROM deg),
+    hub AS (
+      SELECT node FROM deg, nn
+      WHERE deg > 64 AND deg * 1000 > 250 * nn.n_nodes
+    ),
+    undg AS (
+      SELECT und.u, und.v FROM und
+      LEFT JOIN hub ON hub.node = und.v WHERE hub.node IS NULL
+    ),
     cn AS (
       SELECT a.u AS x, b.u AS y, count(*)::BIGINT AS common
-      FROM und a JOIN und b ON a.v = b.v AND a.u < b.u
+      FROM undg a JOIN undg b ON a.v = b.v AND a.u < b.u
       GROUP BY a.u, b.u
     ),
     nonedge AS (
@@ -1011,11 +1020,18 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     and centrality (PageRank) keys.
 
     Scale shape: the wedge join on the shared-neighbor key is the
-    degree-bounded Σdeg² pattern triangle counting already locks;
-    existing edges drop out via one equi anti-join; degrees are a
-    node-sized broadcast; top-20 is TakeOrdered, never a global sort.
-    All equi-joins — skew on celebrity nodes is the documented
-    trade-off shared with the triangle key."""
+    Σdeg² candidate bound inherent to exact common-neighbor counting —
+    and because that is quadratic PER CENTER, hub centers are guarded
+    OFF by default (deg > 64 AND deg > 250‰ of nodes — the dedup
+    family's corpus-relative-plus-floor guard shape, mirrored in the
+    oracle and exercised live at sf0.001 where the fixture graph is
+    dense). Recall contract: a pair whose ONLY common neighbors are
+    hubs is missed — the same trade every production "also bought"
+    candidate generator makes, since hub-mediated pairs score near-zero
+    Jaccard anyway (the union term stays the TRUE degree sum: scoring
+    uses unguarded degrees). Existing edges drop out via one equi
+    anti-join; degrees are a node-sized broadcast; top-20 is
+    TakeOrdered, never a global sort."""
     lp = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1034,10 +1050,20 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
+    ).localCheckpoint(eager=True)
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    hub = (
+        deg.crossJoin(F.broadcast(n_nodes))
+        .filter(
+            (F.col("deg") > 64)
+            & (F.col("deg") * 1000 > 250 * F.col("n_nodes"))
+        )
+        .select(F.col("node").alias("v"))
     )
+    undg = und.join(F.broadcast(hub), "v", "left_anti")
     cn = (
-        und.alias("x")
-        .join(und.alias("y"), F.col("x.v") == F.col("y.v"))
+        undg.alias("x")
+        .join(undg.alias("y"), F.col("x.v") == F.col("y.v"))
         .filter(F.col("x.u") < F.col("y.u"))
         .groupBy(F.col("x.u").alias("cu"), F.col("y.u").alias("cv"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
