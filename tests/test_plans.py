@@ -1068,3 +1068,14 @@ def test_confusion_eval_adds_reduce_not_shuffle(spark):
     plan = plan_of(spark, "quality_classifier_confusion")
     assert "Join" not in plan, plan[:2000]
     assert n_shuffles(plan) <= 1, plan[:2000]
+
+
+def test_cms_build_is_one_cell_rollup(spark):
+    # The sketch build must aggregate to (row, bucket) cells — partial
+    # aggregation into <=4096 cells per partition is the whole point of
+    # CMS on a cluster. Probes ride broadcasts; no cartesian beyond the
+    # 4-row replication broadcast.
+    plan = plan_of(spark, "sketch_count_min")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"documents\.parquet", plan)) <= 2
+    assert "BroadcastHashJoin" in plan

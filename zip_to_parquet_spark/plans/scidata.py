@@ -1153,3 +1153,102 @@ def sample_poisson_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (deterministic, with measured overcount)
+# ---------------------------------------------------------------------------
+def _cms_hash_duck(r: str, w: str) -> str:
+    return f"CAST(md5_number_lower('cms' || {r}::VARCHAR || '|' || {w}) % 1024 AS BIGINT)"
+
+
+@query(
+    "sketch_count_min",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+      SELECT r, {_cms_hash_duck('r', 'word')} AS bucket,
+             count(*)::BIGINT AS cnt
+      FROM tok, rows_ GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT word, count(*)::BIGINT AS exact_count FROM tok
+      GROUP BY word ORDER BY exact_count DESC, word LIMIT 10
+    ),
+    probes AS (
+      SELECT e.word, e.exact_count, r.r,
+             {_cms_hash_duck('r.r', 'e.word')} AS bucket
+      FROM exact e, rows_ r
+    )
+    SELECT p.word, max(p.exact_count) AS exact_count,
+           min(c.cnt)::BIGINT AS est_count,
+           (min(c.cnt) - max(p.exact_count))::BIGINT AS overcount
+    FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+    GROUP BY p.word
+    """,
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) built
+    DETERMINISTICALLY — d=4 hash rows × w=1024 buckets keyed by the
+    md5_number_lower contract, so the sketch (and therefore every
+    estimate) is bit-identical across engines, runs, and retries — then
+    evaluated in-plan: the top-10 exact token counts against their CMS
+    point estimates, with the per-key overcount (CMS never
+    undercounts; ``overcount ≥ 0`` is the structural guarantee). The
+    sketch-family sibling of agg_kmv_distinct (distinct-count) and
+    sketch_set_algebra (set ops) for the remaining question: per-key
+    frequency under bounded memory — the d·w integer grid is the
+    fixed-size state a 100 TB stream compresses into.
+
+    Scale shape: tokenize → replicate ×4 (map) → ONE (row, bucket)
+    rollup, map-side combinable into ≤4096 cells per partition — the
+    sketch build IS a partial aggregate, which is the whole point of
+    CMS on a cluster: partitions build local sketches and the shuffle
+    merges 4096-cell grids, never token streams. The probe side is 40
+    broadcast rows joined against the cell grid."""
+    from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+
+    def bucket_sql(r_expr: str, w_expr: str) -> str:
+        h = md5_low_bytes_sql(
+            f"concat('cms', cast({r_expr} as string), '|', {w_expr})", 2
+        )
+        return f"({h}) % 1024"
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.col("text"), " ")
+        ).alias("word")
+    )
+    rows4 = spark.range(4).select(F.col("id").alias("r"))
+    cells = (
+        tok.crossJoin(F.broadcast(rows4))
+        .select("r", F.expr(bucket_sql("r", "word")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    exact = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "word")
+        .limit(10)
+    )
+    probes = exact.crossJoin(F.broadcast(rows4)).select(
+        "word",
+        "exact_count",
+        "r",
+        F.expr(bucket_sql("r", "word")).alias("bucket"),
+    )
+    return (
+        cells.join(F.broadcast(probes), ["r", "bucket"])
+        .groupBy("word")
+        .agg(
+            F.max("exact_count").alias("exact_count"),
+            F.min("cnt").cast("long").alias("est_count"),
+            (F.min("cnt") - F.max("exact_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
