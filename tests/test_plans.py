@@ -1079,3 +1079,13 @@ def test_cms_build_is_one_cell_rollup(spark):
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"documents\.parquet", plan)) <= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_runs_test_windows_the_daily_grain(spark):
+    # Both lag windows run over the daily rollup, not raw orders: the
+    # rollup's HashAggregate executes before the first Window.
+    plan = plan_of(spark, "stats_runs_test")
+    assert len(re.findall(r"orders\.parquet", plan)) == 1, "fact re-scanned"
+    agg_id = int(re.search(r"\((\d+)\) HashAggregate", plan).group(1))
+    win_id = int(re.search(r"\((\d+)\) Window", plan).group(1))
+    assert agg_id < win_id, plan[:1500]

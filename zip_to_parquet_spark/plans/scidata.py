@@ -1252,3 +1252,109 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Runs test for randomness (Wald-Wolfowitz) on daily revenue direction
+# ---------------------------------------------------------------------------
+@query(
+    "stats_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+               AS i,
+             sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
+               AS rev
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT i, rev - lag(rev) OVER (ORDER BY i) AS diff FROM daily
+    ),
+    s AS (
+      SELECT i, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+      FROM d WHERE diff IS NOT NULL AND diff <> 0
+    ),
+    r AS (
+      SELECT sgn, CASE WHEN lag(sgn) OVER (ORDER BY i) IS NULL
+                       OR lag(sgn) OVER (ORDER BY i) <> sgn
+                  THEN 1 ELSE 0 END AS new_run
+      FROM s
+    )
+    SELECT sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+           sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_down,
+           sum(new_run)::BIGINT AS n_runs,
+           CAST(1000 + (2000 * sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                             * sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END))
+                       // count(*) AS BIGINT) AS exp_runs_milli,
+           CAST(sum(new_run) * 1000
+                - (1000 + (2000 * sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                                * sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END))
+                          // count(*)) AS BIGINT) AS excess_runs_milli
+    FROM r
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the daily-revenue direction sequence:
+    count maximal runs of consecutive up/down days and compare with the
+    randomness expectation ``E[R] = 1 + 2·n₊·n₋/(n₊+n₋)`` in exact
+    integer milli — too few runs flags trending, too many flags
+    mean-reverting oscillation. The randomness diagnostic the
+    forecasting keys (EWMA, Holt, seasonal-naive) assume checked rather
+    than assumed; zero-change days drop per the standard treatment.
+
+    Exactness: revenue diffs are integer cents; signs, run boundaries
+    (lag ≠ current), and the expectation are all integer arithmetic —
+    no distribution function evaluates in either engine.
+
+    Scale shape: one corpus-sized rollup to the daily grain, then two
+    ordered lag windows over the calendar-bounded series (the
+    theil-sen/rolling-median contract: series-sized ordered windows,
+    entity-partitioned in a multi-entity deployment) and a 1-row
+    reduce."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+            .cast("long")
+            .alias("i"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("i")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    w = Window.orderBy("i")
+    d = daily.select("i", (F.col("rev") - F.lag("rev").over(w)).alias("diff"))
+    s = d.filter(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "i", F.when(F.col("diff") > 0, 1).otherwise(-1).alias("sgn")
+    )
+    r = s.select(
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w).isNull() | (F.lag("sgn").over(w) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    n_up = F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+    n_down = F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+    return r.agg(
+        n_up.cast("long").alias("n_up"),
+        n_down.cast("long").alias("n_down"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+        F.expr(
+            "cast(1000 + (2000 * sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)"
+            " * sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)) div count(*)"
+            " as bigint)"
+        ).alias("exp_runs_milli"),
+        F.expr(
+            "cast(sum(new_run) * 1000 - (1000 +"
+            " (2000 * sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)"
+            " * sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)) div count(*))"
+            " as bigint)"
+        ).alias("excess_runs_milli"),
+    )
