@@ -130,6 +130,17 @@ set_priority([
     # full-oracle green in the sf0.001 suite AND the sf0.01 driver-contract
     # drive + type audit this round, and are first in line for the
     # round-6 window.
+    # The round-5 FIFTH wave (plans/scidata.py: stats_anova_f,
+    # ts_autocorrelation, dq_referential_integrity,
+    # select_coreset_kcenter, tokenizer_vocab_coverage,
+    # text_lexical_diversity, ts_rolling_median, stats_theil_sen_daily,
+    # stats_zipf_fit, stats_kaplan_meier, graph_jaccard_linkpred,
+    # sample_poisson_replicate, sketch_count_min, stats_runs_test; plus
+    # ann_ndcg_eval and quality_classifier_confusion) follows the same
+    # rule: outside the already-claimed window, every key verified by
+    # the fresh-process driver-contract drive at sf0.01 + the sf0.001
+    # suite + the type audit this session, queued behind the fourth
+    # wave for round-6 slots.
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]
