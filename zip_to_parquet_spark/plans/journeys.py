@@ -1,0 +1,517 @@
+"""User-journey & document-analysis wave: multi-touch attribution,
+session path mining, readability grading, seasonal decomposition, and
+two-factor exact OLS.
+
+Five operator families the registry did not yet cover: conversion-credit
+assignment across prior touchpoints (the marketing-attribution staple —
+distinct from the funnel keys, which count stage reachability, and the
+Markov key, which models transitions), ordered session-path frequency
+mining (the "top user journeys" report), Flesch–Kincaid-style
+readability scoring (a named text-quality metric the Gopher-rule and
+quality-score keys don't compute), classical additive seasonal
+decomposition by centered moving average (the trend/seasonal split the
+forecast keys consume), and multiple linear regression via exact normal
+equations (the two-predictor extension of ``stats_groupwise_linreg``).
+
+House determinism rules throughout (see plans/analytics.py): money →
+integer cents, ratios → integer milli/micro via truncating ``div``
+(Spark ``div`` and DuckDB ``//`` both truncate toward zero, verified
+including negatives), big products → Spark DECIMAL(38,0) ↔ DuckDB
+HUGEINT, ties broken on ids. No float arithmetic reaches any output
+column, so every key carries a full DuckDB value-hash oracle.
+
+Reference provenance: the reference CLI (/root/reference/src/builder.rs
+:1-322) has no analytics surface; these keys extend the mandated
+training-data/analytics pipeline families on the fixture tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.schema import load_table
+
+D38 = "decimal(38,0)"
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution: split each conversion's credit evenly
+# across its prior touches inside a lookback window.
+# ---------------------------------------------------------------------------
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS t_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT c.conv_id, t.t_id, t.t_type, t.t_ts
+      FROM conv c JOIN touch t ON c.user_id = t.user_id
+      WHERE t.t_ts < c.conv_ts AND t.t_ts >= c.conv_ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+      SELECT t_type,
+             CASE WHEN row_number() OVER
+                         (PARTITION BY conv_id
+                          ORDER BY t_ts DESC, t_id DESC) = 1
+                  THEN 1000 - (count(*) OVER (PARTITION BY conv_id) - 1)
+                             * (1000 // count(*) OVER (PARTITION BY conv_id))
+                  ELSE 1000 // count(*) OVER (PARTITION BY conv_id)
+             END AS credit
+      FROM j
+    )
+    SELECT t_type AS event_type,
+           count(*)::BIGINT AS touches,
+           sum(credit)::BIGINT AS credit_milli
+    FROM credited GROUP BY t_type
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (even-split) multi-touch attribution: every ``purchase`` is a
+    conversion worth 1000 credit-milli, divided evenly across that user's
+    ``view``/``click`` touches in the strict 7-day lookback before it;
+    the integer-division remainder goes to the most recent touch (ties on
+    event_id) so each conversion's credit sums to exactly 1000. Rolled up
+    by touch type — the channel-credit report.
+
+    Exactness: timestamps compare at native microsecond precision; the
+    per-conversion split is pure integer arithmetic (``1000 div n``
+    truncates identically in both engines), so credit conservation and
+    the rollup are bit-exact.
+
+    Scale shape: an equi-join on user_id (per-user fanout is bounded by
+    one user's 7-day activity — never a cross join; AQE handles hot
+    users), then two windows both partitioned by conversion id (same
+    shuffle key) and one 2-row rollup. No corpus-sized window, no
+    collect."""
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    j = conv.join(touch, "user_id").filter(
+        (F.col("t_ts") < F.col("conv_ts"))
+        & (F.col("t_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    wn = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id").desc()
+    )
+    n = F.count(F.lit(1)).over(wn)
+    base = F.expr("1000").cast("long")
+    share = F.expr(f"{1000} div __n")
+    credited = j.select(
+        "t_type", n.alias("__n"), F.row_number().over(wr).alias("__rn")
+    ).select(
+        "t_type",
+        F.when(
+            F.col("__rn") == 1,
+            base - (F.col("__n") - 1) * share,
+        )
+        .otherwise(share)
+        .alias("credit"),
+    )
+    return credited.groupBy(F.col("t_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("touches"),
+        F.sum("credit").cast("long").alias("credit_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: top-20 event-type journeys (first 4 steps).
+# ---------------------------------------------------------------------------
+@query(
+    "events_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    ranked AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER
+               (PARTITION BY user_id, session_id
+                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 4
+      GROUP BY user_id, session_id
+    )
+    SELECT path, count(*)::BIGINT AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journeys: 30-minute-gap sessionization (the
+    ``events_sessionize`` idiom — lag → flag → running sum, one shuffle
+    on user_id shared by all three window steps), then each session's
+    path is its first four event types in time order joined with ``>``,
+    counted across sessions. The "common user journeys" report that
+    funnels (fixed stage order) and Markov transitions (memoryless
+    pairs) don't give.
+
+    Exactness: path assembly is ordered string concatenation with
+    (ts, event_id) tie-breaks; counts are integers; the final top-20 is
+    totally ordered by (count DESC, path ASC) — paths are unique after
+    the group-by, so the cut is deterministic.
+
+    Scale shape: all three windows and the path group-by partition by
+    user_id(, session_id) — one shuffle; the path-frequency rollup keys
+    on path strings whose cardinality is bounded by |event_type|^4
+    (here ≤ 5^4), so the global top-20 sort is on a tiny aggregate,
+    the two-pass topk contract."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    wrn = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(wrn))
+    paths = (
+        ranked.filter(F.col("rn") <= 4)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flesch–Kincaid-style readability grading in integer milli.
+# ---------------------------------------------------------------------------
+@query(
+    "text_readability_fk",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+               AS sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+               AS syllables
+      FROM documents
+    ),
+    g AS (
+      SELECT source, words, sentences, syllables,
+             (390 * words) // sentences
+               + (11800 * syllables) // greatest(words, 1)
+               - 15590 AS grade_milli
+      FROM m
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(words)::BIGINT AS total_words,
+           sum(syllables)::BIGINT AS total_syllables,
+           (sum(grade_milli) // count(*))::BIGINT AS avg_grade_milli
+    FROM g GROUP BY source
+    """,
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade-level readability, the named text-quality
+    metric (Kincaid et al. 1975): ``0.39·(words/sentence) +
+    11.8·(syllables/word) − 15.59``, computed per document in exact
+    integer milli (syllables ≈ vowel-group count, the standard cheap
+    heuristic) and averaged per source. Complements the ratio-based
+    ``text_quality_score`` and Gopher gates with the formula corpus
+    curators actually quote. The fixture corpus has no sentence
+    punctuation, so ``greatest(sentences, 1)`` treats each document as
+    one sentence — the guard, not an assumption, and it is exercised.
+
+    Exactness: the three token counters are non-overlapping regex match
+    counts over simple ASCII classes (identical RE semantics in Spark's
+    Java regex and DuckDB's RE2); the grade and the per-source mean use
+    truncating integer division only.
+
+    Scale shape: map-only per-document scoring inside the scan stage
+    (no UDF — ``regexp_count`` is codegen'd), then one partial-agg
+    group-by on the low-cardinality source key."""
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    m = d.select(
+        "source",
+        F.regexp_count(lowered, F.lit("[a-z]+")).cast("long").alias("words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.regexp_count(lowered, F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("syllables"),
+    )
+    g = m.withColumn(
+        "grade_milli",
+        F.expr(
+            "(390 * words) div sentences"
+            " + (11800 * syllables) div greatest(words, 1) - 15590"
+        ),
+    )
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("total_words"),
+        F.sum("syllables").cast("long").alias("total_syllables"),
+        F.expr("sum(grade_milli) div count(*)")
+        .cast("long")
+        .alias("avg_grade_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classical additive seasonal decomposition by centered moving average.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_ma_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+               AS i,
+             sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS rev
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT i, rev,
+             sum(rev) OVER w AS s7,
+             count(*) OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY i ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    d AS (
+      SELECT i % 7 AS weekday_idx, rev - s7 // 7 AS detrended
+      FROM t WHERE c7 = 7
+    )
+    SELECT weekday_idx,
+           count(*)::BIGINT AS n_days,
+           (sum(detrended) // count(*))::BIGINT AS seasonal_cents
+    FROM d GROUP BY weekday_idx
+    """,
+)
+def ts_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the ``decompose`` every
+    stats package ships): centered 7-row moving-average trend over the
+    observed daily-revenue series, detrend, then the weekly seasonal
+    component as the per-weekday mean of the detrended values — the
+    trend/seasonal split the seasonal-naive and Holt forecast keys
+    consume. Edge rows without a full 7-row window are excluded (the
+    textbook treatment); the fixture's few missing days make this a
+    rows-window over the observed series, the same contract as
+    ``ts_rolling_median``.
+
+    Exactness: revenue is integer cents; trend is ``sum div 7`` and the
+    seasonal mean ``sum div n`` — truncating division toward zero in
+    both engines, including negative detrended values (the pinned
+    div-parity rule); weekday is ``epoch_day % 7`` (positive), not a
+    locale-dependent dayofweek.
+
+    Scale shape: one corpus-sized rollup to the daily grain, then one
+    ordered 7-row window over the calendar-bounded series (entity-
+    partitioned in a multi-series deployment) and a 7-row group-by."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+            .cast("long")
+            .alias("i"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("i")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    w = Window.orderBy("i").rowsBetween(-3, 3)
+    t = daily.select(
+        "i",
+        "rev",
+        F.sum("rev").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("c7"),
+    )
+    d = t.filter(F.col("c7") == 7).select(
+        F.expr("i % 7").alias("weekday_idx"),
+        F.expr("rev - s7 div 7").alias("detrended"),
+    )
+    return d.groupBy("weekday_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("sum(detrended) div count(*)")
+        .cast("long")
+        .alias("seasonal_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-predictor OLS by exact normal equations (Cramer's rule).
+# ---------------------------------------------------------------------------
+@query(
+    "stats_ols_two_factor",
+    oracle="""
+    WITH per_order AS (
+      SELECT l.l_orderkey,
+             (((o.o_totalprice::DECIMAL(12,2) * 100)::BIGINT) // 100)::BIGINT
+               AS y,
+             count(*)::BIGINT AS x1,
+             sum(l.l_quantity::BIGINT)::BIGINT AS x2
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_orderkey, o.o_totalprice
+    ),
+    s AS (
+      SELECT count(*)::HUGEINT AS n,
+             sum(x1)::HUGEINT AS sx1, sum(x2)::HUGEINT AS sx2,
+             sum(y)::HUGEINT AS sy,
+             sum(x1 * x1)::HUGEINT AS sx11,
+             sum(x2 * x2)::HUGEINT AS sx22,
+             sum(x1 * x2)::HUGEINT AS sx12,
+             sum(x1 * y)::HUGEINT AS sx1y,
+             sum(x2 * y)::HUGEINT AS sx2y
+      FROM per_order
+    ),
+    m AS (
+      SELECT n, sx1, sx2, sy,
+             n * sx11 - sx1 * sx1 AS a11,
+             n * sx22 - sx2 * sx2 AS a22,
+             n * sx12 - sx1 * sx2 AS a12,
+             n * sx1y - sx1 * sy AS b1,
+             n * sx2y - sx2 * sy AS b2
+      FROM s
+    )
+    SELECT n::BIGINT AS n_orders,
+           ((1000000 * (a22 * b1 - a12 * b2))
+              // (a11 * a22 - a12 * a12))::BIGINT AS beta1_micro,
+           ((1000000 * (a11 * b2 - a12 * b1))
+              // (a11 * a22 - a12 * a12))::BIGINT AS beta2_micro,
+           ((1000000 * sy
+             - ((1000000 * (a22 * b1 - a12 * b2))
+                  // (a11 * a22 - a12 * a12)) * sx1
+             - ((1000000 * (a11 * b2 - a12 * b1))
+                  // (a11 * a22 - a12 * a12)) * sx2)
+              // n)::BIGINT AS intercept_micro
+    FROM m
+    """,
+)
+def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression with two predictors by exact normal
+    equations: regress order value (whole currency units) on line count
+    and total quantity, solving the 2×2 system via Cramer's rule on
+    integer moment sums — the multi-factor extension of
+    ``stats_groupwise_linreg`` (which is single-predictor). Slopes and
+    intercept come out in micro-units via one truncating division each,
+    so both engines floor the same rationals. Orders with no lineitems
+    (257 in the fixture) are outside the sample by the inner join.
+
+    Exactness: all nine moment sums are exact integers; the normal-
+    equation determinants multiply in Spark DECIMAL(38,0) ↔ DuckDB
+    HUGEINT. Magnitude envelope: |1e6·(a·b)| ≤ ~1e35 at sf0.1
+    (documented headroom to DECIMAL(38)); at sf≥1 the same plan needs
+    group-scoped regressions (per region/segment) to stay in range —
+    the per-group variant is exactly ``stats_groupwise_linreg``'s
+    shape.
+
+    Scale shape: one equi-join lineitem⋈orders on the order key, one
+    partial-agg rollup to per-order rows, then a single 9-sum reduce to
+    one row — no window, no collect, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "cast(cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)"
+            " div 100 as bigint)"
+        ).alias("y"),
+    )
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x1"),
+            F.sum("qty").cast("long").alias("x2"),
+        )
+    )
+    s = per_order.agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("x1").cast(D38).alias("sx1"),
+        F.sum("x2").cast(D38).alias("sx2"),
+        F.sum("y").cast(D38).alias("sy"),
+        F.sum(F.expr("x1 * x1")).cast(D38).alias("sx11"),
+        F.sum(F.expr("x2 * x2")).cast(D38).alias("sx22"),
+        F.sum(F.expr("x1 * x2")).cast(D38).alias("sx12"),
+        F.sum(F.expr("x1 * y")).cast(D38).alias("sx1y"),
+        F.sum(F.expr("x2 * y")).cast(D38).alias("sx2y"),
+    )
+    m = s.select(
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        F.expr("n * sx11 - sx1 * sx1").alias("a11"),
+        F.expr("n * sx22 - sx2 * sx2").alias("a22"),
+        F.expr("n * sx12 - sx1 * sx2").alias("a12"),
+        F.expr("n * sx1y - sx1 * sy").alias("b1"),
+        F.expr("n * sx2y - sx2 * sy").alias("b2"),
+    )
+    det = "(a11 * a22 - a12 * a12)"
+    b1m = f"(cast(1000000 as {D38}) * (a22 * b1 - a12 * b2)) div {det}"
+    b2m = f"(cast(1000000 as {D38}) * (a11 * b2 - a12 * b1)) div {det}"
+    return m.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.expr(b1m).cast("long").alias("beta1_micro"),
+        F.expr(b2m).cast("long").alias("beta2_micro"),
+        F.expr(
+            f"(cast(1000000 as {D38}) * sy"
+            f" - cast({b1m} as {D38}) * sx1"
+            f" - cast({b2m} as {D38}) * sx2) div n"
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+    )
