@@ -598,6 +598,66 @@ def png_resize_features(
     )
 
 
+def png_ahash_bands(
+    df: DataFrame, payload_col: str = "payload", on_error: str = "fail"
+) -> DataFrame:
+    """Perceptual average-hash (aHash) over the REAL PNG decode: point-
+    sample the decoded image on an 8×8 grid (``x_s = x·w div 8``,
+    ``y_s = y·h div 8`` — integer-exact, no resampling kernel), set bit
+    ``k = y·8+x`` iff ``64·px > Σpx`` (strict, integer cross-multiplied
+    mean comparison), and emit the 64-bit hash as four 16-bit band
+    integers ``b0..b3`` — the LSH-ready layout (sharing any band is the
+    candidate condition, the simhash pigeonhole idiom). Map-only
+    mapInPandas over Arrow batches: the 100 TB shape for media
+    fingerprinting; the hash itself never leaves the executor as a
+    >64-bit value, so downstream joins shuffle plain ints."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be fail|skip, got {on_error!r}")
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                try:
+                    w, h, _, _, img = _decode_png(bytes(b))
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    continue
+                xs = (np.arange(8, dtype=np.int64) * w) // 8
+                ys = (np.arange(8, dtype=np.int64) * h) // 8
+                samp = img[np.ix_(ys, xs)].astype(np.int64)
+                total = int(samp.sum())
+                bits = (64 * samp > total).astype(np.int64)
+                bands = []
+                for bi in range(4):
+                    val = 0
+                    for k in range(16):
+                        kk = bi * 16 + k
+                        val |= int(bits[kk // 8, kk % 8]) << k
+                    bands.append(val)
+                rows.append((int(doc_id), *bands))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return df.mapInPandas(
+        extract,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("b0", LongType()),
+                StructField("b1", LongType()),
+                StructField("b2", LongType()),
+                StructField("b3", LongType()),
+            ]
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # REAL video container: minimal ISO-BMFF (MP4) writer + box parser
 # ---------------------------------------------------------------------------

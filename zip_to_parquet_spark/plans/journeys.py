@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from zip_to_parquet_spark.operators.multimodal import (
+    png_ahash_bands,
+    synth_png,
+)
 from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.runtime import spread
 from zip_to_parquet_spark.schema import load_table
 
 D38 = "decimal(38,0)"
@@ -514,4 +519,137 @@ def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("intercept_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dedup (aHash + band LSH + hamming verify).
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_ahash_dedup",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id % 7) * 3 AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    grid AS (SELECT gx.range AS x, gy.range AS y
+             FROM range(0, 8) gx, range(0, 8) gy),
+    samp AS (
+      SELECT i.doc_id, g.x, g.y,
+             (((g.x * i.w) // 8) + 2 * ((g.y * i.h) // 8) + i.doc_id) % 251
+               AS px
+      FROM img i, grid g
+    ),
+    tot AS (SELECT doc_id, sum(px) AS s FROM samp GROUP BY doc_id),
+    bits AS (
+      SELECT s.doc_id, (s.y * 8 + s.x) AS k,
+             CASE WHEN 64 * s.px > t.s THEN 1 ELSE 0 END AS b
+      FROM samp s JOIN tot t USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, (k // 16) AS band_idx,
+             sum(b * (1::BIGINT << (k % 16)))::BIGINT AS band_val
+      FROM bits GROUP BY doc_id, k // 16
+    ),
+    safe AS (
+      SELECT band_idx, band_val FROM bands
+      GROUP BY 1, 2 HAVING count(*) <= 64
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN safe s USING (band_idx, band_val)
+           JOIN bands b USING (band_idx, band_val)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sig AS (SELECT doc_id, list(band_val ORDER BY band_idx) AS sg
+            FROM bands GROUP BY doc_id),
+    ham AS (
+      SELECT bit_count(xor(sa.sg[1], sb.sg[1]))
+           + bit_count(xor(sa.sg[2], sb.sg[2]))
+           + bit_count(xor(sa.sg[3], sb.sg[3]))
+           + bit_count(xor(sa.sg[4], sb.sg[4])) AS d
+      FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                  JOIN sig sb ON sb.doc_id = c.id_b
+    )
+    SELECT d::BIGINT AS hamming_d, count(*)::BIGINT AS n_pairs
+    FROM ham WHERE d <= 6 GROUP BY d
+    """,
+)
+def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual average-hash: decode
+    each synthetic PNG through the REAL codec path, point-sample an 8×8
+    aHash (64 bits as four 16-bit band ints), generate candidates via
+    the simhash pigeonhole rule (any shared band ⇒ hamming candidate),
+    verify by exact popcount distance, and report the near-dup pair
+    histogram at d ≤ 6. The image-modality member of the dedup family
+    (exact/minhash/simhash/embedding cover text; this covers pixels).
+    The hot-bucket guard is ON by default — band values with df > 64
+    are excluded from candidate generation (the r4 lesson: skew guards
+    must be the registered default), and the oracle applies the same df
+    filter, so the contract is hash-checked, not advisory.
+
+    Exactness: the oracle predicts every sampled pixel from the
+    generative spec ``(x + 2y + id) mod 251`` — so the decode chain
+    (CRC, inflate, defilter, grid sampling, strict 64·px > Σ threshold)
+    is value-verified end-to-end; distances are integer popcounts.
+
+    Scale shape: map-only Arrow decode, then an inverted-index band
+    join (bounded buckets by the df guard) — candidate volume is
+    Σ bucket², never n²; the verify step joins two int columns per side
+    and the output is a ≤7-row histogram."""
+    d = (
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    feats = png_ahash_bands(synth_png(d))
+    long = feats.selectExpr(
+        "doc_id",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band_idx, band_val)",
+    )
+    safe = (
+        long.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= 64)
+        .drop("__df")
+    )
+    guarded = long.join(safe, ["band_idx", "band_val"])
+    a = guarded.select(
+        F.col("doc_id").alias("id_a"), "band_idx", "band_val"
+    )
+    b = long.select(F.col("doc_id").alias("id_b"), "band_idx", "band_val")
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    fa = feats.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("b0").alias("a0"),
+        F.col("b1").alias("a1"),
+        F.col("b2").alias("a2"),
+        F.col("b3").alias("a3"),
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("b0").alias("c0"),
+        F.col("b1").alias("c1"),
+        F.col("b2").alias("c2"),
+        F.col("b3").alias("c3"),
+    )
+    ham = (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            F.expr(
+                "bit_count(a0 ^ c0) + bit_count(a1 ^ c1)"
+                " + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"
+            ).alias("d")
+        )
+    )
+    return (
+        ham.filter(F.col("d") <= 6)
+        .groupBy(F.col("d").cast("long").alias("hamming_d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
