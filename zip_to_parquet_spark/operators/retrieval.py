@@ -93,7 +93,7 @@ def tfidf_topk_terms(
 
 def bm25_topk(
     docs: DataFrame,
-    terms: list[str],
+    terms: list[str] | DataFrame,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
@@ -105,7 +105,13 @@ def bm25_topk(
     Returns (doc_id, score, rank) for documents matching ≥1 term. The
     corpus stats (N, avgdl) ride a single-row broadcast join — no
     driver-side action; the df table is per-query-term (tiny) and also
-    broadcasts."""
+    broadcasts.
+
+    ``terms`` may be a Python list (static query) or a single-column
+    DataFrame named ``t`` (dynamic query — e.g. pseudo-relevance-feedback
+    expansion terms computed in-plan). The DataFrame form filters tokens
+    via a broadcast semi join, so a data-dependent query never round-trips
+    through the driver."""
     base = docs.select(
         F.col(id_col), F.size(words(F.col(text_col))).cast("bigint").alias("dl")
     )
@@ -115,7 +121,11 @@ def bm25_topk(
     )
     tok = docs.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("t")
-    ).filter(F.col("t").isin(*terms))
+    )
+    if isinstance(terms, DataFrame):
+        tok = tok.join(F.broadcast(terms.select("t").distinct()), "t", "semi")
+    else:
+        tok = tok.filter(F.col("t").isin(*terms))
     tf = tok.groupBy(id_col, "t").agg(F.count("*").cast("bigint").alias("tf"))
     df_tbl = tf.groupBy("t").agg(F.count("*").cast("bigint").alias("df"))
 

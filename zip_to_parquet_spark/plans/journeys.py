@@ -653,3 +653,132 @@ def multimodal_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d").cast("long").alias("hamming_d"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback: BM25 → expansion terms → expanded BM25.
+# ---------------------------------------------------------------------------
+_PRF_SEED = ("table", "spark", "fast")
+
+_PRF_BM25 = """
+    base AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM base),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents),
+    tf0 AS (
+      SELECT doc_id, t, count(*)::BIGINT AS tf
+      FROM tok WHERE t IN ('table', 'spark', 'fast')
+      GROUP BY doc_id, t
+    ),
+    df0 AS (SELECT t, count(*)::BIGINT AS df FROM tf0 GROUP BY t),
+    c0 AS (
+      SELECT tf0.doc_id, tf0.t,
+             ln((stats.n_docs - df0.df + 0.5) / (df0.df + 0.5) + 1.0)
+             * (tf0.tf * 2.2)
+             / (tf0.tf + 1.2 * (0.25 + 0.75 * base.dl / stats.avgdl)) AS c
+      FROM tf0 JOIN df0 USING (t) JOIN base USING (doc_id) CROSS JOIN stats
+    ),
+    p0 AS (
+      SELECT doc_id,
+             round(list_aggregate(list(c ORDER BY t), 'sum'), 6) AS score
+      FROM c0 GROUP BY doc_id
+    ),
+    top0 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM p0
+      ) WHERE rn <= 10
+    ),
+    fb AS (
+      SELECT t, count(DISTINCT tok.doc_id)::BIGINT AS fb_df
+      FROM tok JOIN top0 USING (doc_id)
+      WHERE t NOT IN ('table', 'spark', 'fast')
+      GROUP BY t
+    ),
+    exp3 AS (SELECT t FROM fb ORDER BY fb_df DESC, t LIMIT 3),
+    terms AS (
+      SELECT t FROM exp3
+      UNION SELECT unnest(['table', 'spark', 'fast']) AS t
+    )
+"""
+
+
+@query(
+    "retrieval_prf_expansion",
+    oracle="WITH "
+    + _PRF_BM25
+    + """,
+    tf1 AS (
+      SELECT doc_id, t, count(*)::BIGINT AS tf
+      FROM tok WHERE t IN (SELECT t FROM terms)
+      GROUP BY doc_id, t
+    ),
+    df1 AS (SELECT t, count(*)::BIGINT AS df FROM tf1 GROUP BY t),
+    c1 AS (
+      SELECT tf1.doc_id, tf1.t,
+             ln((stats.n_docs - df1.df + 0.5) / (df1.df + 0.5) + 1.0)
+             * (tf1.tf * 2.2)
+             / (tf1.tf + 1.2 * (0.25 + 0.75 * base.dl / stats.avgdl)) AS c
+      FROM tf1 JOIN df1 USING (t) JOIN base USING (doc_id) CROSS JOIN stats
+    ),
+    p1 AS (
+      SELECT doc_id,
+             round(list_aggregate(list(c ORDER BY t), 'sum'), 6) AS score
+      FROM c1 GROUP BY doc_id
+    )
+    SELECT doc_id, score, rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM p1
+    ) WHERE rank <= 10
+    """,
+)
+def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (Rocchio/RM1-lite): score the seed query
+    {table, spark, fast} with BM25, take the top-10 feedback docs, mine
+    the 3 terms with the highest feedback-set document frequency (seed
+    terms excluded, ties on term asc), and re-run BM25 with the expanded
+    6-term query — the classic two-pass query-expansion loop on top of
+    the ``bm25_topk_docs`` machinery.
+
+    The expansion terms are data-dependent but never leave the cluster:
+    ``bm25_topk`` accepts a terms DATAFRAME and filters tokens by
+    broadcast semi join, so the whole two-pass retrieval is one Catalyst
+    plan — no driver collect anywhere (the round-3 lesson: bounded
+    collects are tolerable, absent collects are better).
+
+    Exactness: both BM25 passes use the pinned float contract of
+    ``bm25_topk_docs`` (term-sorted sequential fold, round to 6) and the
+    feedback/expansion steps are integer counts with total-order cuts.
+
+    Scale shape: inverted-index token filtering both passes (only
+    query-term postings shuffle); the feedback-doc semi join is a
+    broadcast of 10 ids; expansion selection is a TakeOrdered over the
+    feedback vocabulary. Two passes over postings is the canonical PRF
+    cost — no corpus-sized window, no cross join."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    from zip_to_parquet_spark.operators.retrieval import bm25_topk
+    from zip_to_parquet_spark.operators.textops import words
+
+    top0 = bm25_topk(docs, list(_PRF_SEED), k=10).select("doc_id")
+    tok = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("t")
+    )
+    fb = (
+        tok.join(F.broadcast(top0), "doc_id", "semi")
+        .filter(~F.col("t").isin(*_PRF_SEED))
+        .groupBy("t")
+        .agg(F.count_distinct("doc_id").alias("fb_df"))
+    )
+    exp3 = fb.orderBy(F.col("fb_df").desc(), "t").limit(3).select("t")
+    seed_df = spark.createDataFrame(
+        [(t,) for t in _PRF_SEED], ["t"]
+    )
+    terms = exp3.unionByName(seed_df).distinct()
+    return bm25_topk(docs, terms, k=10)
