@@ -782,3 +782,222 @@ def retrieval_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = exp3.unionByName(seed_df).distinct()
     return bm25_topk(docs, terms, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection on the deseasonalized daily series (decompose + MAD).
+# ---------------------------------------------------------------------------
+@query(
+    "events_anomaly_deseasonalized",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT
+               AS i,
+             sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS rev
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT i, rev, sum(rev) OVER w AS s7, count(*) OVER w AS c7
+      FROM daily
+      WINDOW w AS (ORDER BY i ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    d AS (
+      SELECT i, i % 7 AS weekday_idx, rev - s7 // 7 AS detrended
+      FROM t WHERE c7 = 7
+    ),
+    season AS (
+      SELECT weekday_idx, sum(detrended) // count(*) AS seasonal
+      FROM d GROUP BY weekday_idx
+    ),
+    resid AS (
+      SELECT d.i, d.detrended - season.seasonal AS r
+      FROM d JOIN season USING (weekday_idx)
+    ),
+    m1 AS (SELECT quantile_cont(r, 0.5) AS med FROM resid),
+    dev AS (SELECT r, abs(r - m1.med) AS dv FROM resid CROSS JOIN m1),
+    m2 AS (SELECT quantile_cont(dv, 0.5) AS mad FROM dev)
+    SELECT count(*)::BIGINT AS n_days,
+           max(m1.med) AS med_cents,
+           max(m2.mad) AS mad_cents,
+           sum(CASE WHEN dev.dv > 3 * m2.mad THEN 1 ELSE 0 END)::BIGINT
+             AS n_anomalies
+    FROM dev CROSS JOIN m1 CROSS JOIN m2
+    """,
+)
+def events_anomaly_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly detection the way production monitors actually run it: strip
+    trend (centered MA-7) and weekly seasonality (the ``ts_ma_decompose``
+    components) from the daily-revenue series FIRST, then apply the
+    robust MAD gate (``stats_outlier_mad``'s |r − median| > 3·MAD rule)
+    to the residuals — a raw-series gate would flag every weekend as an
+    anomaly; the composed pipeline flags only days that deviate from
+    their own weekday's norm.
+
+    Exactness: residuals are exact integers (trend and seasonal both use
+    truncating div); the two medians are interpolated percentiles whose
+    only non-integer form is k.5 — exact in a double (the pinned MAD
+    contract), so the 3·MAD comparison is deterministic cross-engine.
+
+    Scale shape: daily rollup → one 7-row ordered window → broadcast
+    7-row seasonal join → two series-level percentile aggregates with
+    1-row broadcasts back — the ``stats_outlier_mad`` shape on a
+    calendar-bounded series."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+            .cast("long")
+            .alias("i"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("i")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    w = Window.orderBy("i").rowsBetween(-3, 3)
+    t = daily.select(
+        "i",
+        "rev",
+        F.sum("rev").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("c7"),
+    )
+    d = t.filter(F.col("c7") == 7).select(
+        "i",
+        F.expr("i % 7").alias("weekday_idx"),
+        F.expr("rev - s7 div 7").alias("detrended"),
+    )
+    season = d.groupBy("weekday_idx").agg(
+        F.expr("sum(detrended) div count(*)").alias("seasonal")
+    )
+    resid = d.join(F.broadcast(season), "weekday_idx").select(
+        (F.col("detrended") - F.col("seasonal")).alias("r")
+    )
+    m1 = resid.agg(F.expr("percentile(r, 0.5)").alias("med"))
+    dev = resid.crossJoin(F.broadcast(m1)).select(
+        "r", "med", F.abs(F.col("r") - F.col("med")).alias("dv")
+    )
+    m2 = dev.agg(F.expr("percentile(dv, 0.5)").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(m2))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.max("med").alias("med_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("dv") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog with exact-register parity.
+# ---------------------------------------------------------------------------
+@query(
+    "sketch_hll_registers",
+    oracle="""
+    WITH h AS (
+      SELECT (md5_number_lower('hll' || o_custkey::VARCHAR)
+                % 72057594037927936)::BIGINT AS h7
+      FROM orders
+    ),
+    split AS (
+      SELECT h7 % 256 AS reg, h7 // 256 AS w FROM h
+    ),
+    pow2 AS (SELECT range AS t, (1::BIGINT << range) AS p FROM range(0, 48)),
+    rho AS (
+      SELECT s.reg, coalesce(pow2.t + 1, 49)::BIGINT AS rho
+      FROM split s LEFT JOIN pow2 ON (s.w & -s.w) = pow2.p
+    ),
+    regs AS (SELECT reg, max(rho) AS r FROM rho GROUP BY reg),
+    full_regs AS (
+      SELECT j.range AS reg, coalesce(regs.r, 0) AS r
+      FROM range(0, 256) j LEFT JOIN regs ON j.range = regs.reg
+    ),
+    s AS (
+      SELECT sum(1::BIGINT << (49 - r))::BIGINT AS ssum,
+             sum(CASE WHEN r = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty
+      FROM full_regs
+    ),
+    ex AS (SELECT count(DISTINCT o_custkey)::BIGINT AS n_exact FROM orders)
+    SELECT 256::BIGINT AS m,
+           ex.n_exact,
+           s.n_empty AS n_empty_regs,
+           ((718297::HUGEINT * 65536 * 562949953421312)
+              // (1000000::HUGEINT * s.ssum))::BIGINT AS est_raw,
+           ((((718297::HUGEINT * 65536 * 562949953421312)
+               // (1000000::HUGEINT * s.ssum)) - ex.n_exact) * 1000
+              // ex.n_exact)::BIGINT AS err_permille
+    FROM s CROSS JOIN ex
+    """,
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (Flajolet et al. 2007) with EXACT
+    register parity: hash each order's customer key to 56 bits via the
+    md5-low-bytes contract, low byte → one of m=256 registers, trailing-
+    zero rank ρ of the remaining 48 bits via a branch-free
+    ``w & −w`` lowest-set-bit isolate joined to a broadcast 48-row
+    power-of-two table (no loop, no float log), keep max ρ per register,
+    and evaluate the raw HLL estimate ``α·m²/Σ2^−ρ`` entirely in
+    integers (Σ2^−ρ scaled by 2^49 stays under 2^57; the α=0.718297
+    constant rides as a micro literal; the big product runs in
+    DECIMAL(38,0) ↔ HUGEINT). Completes the sketch family — KMV,
+    bitmap, Count-Min, and now HLL — each evaluated in-plan against the
+    exact answer (err_permille), the same contract as
+    ``sketch_count_min``'s overcount column.
+
+    Scale shape: map-only hashing, one 256-group aggregate, two 1-row
+    reduces — the mergeable-sketch shape (registers combine by max, so
+    partial aggregation is the whole point at 100 TB). No small-range
+    linear-counting correction: that branch needs ln() — documented
+    contract, the raw estimator is what's verified."""
+    from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    h7 = md5_low_bytes_sql("concat('hll', cast(o_custkey as string))", 7)
+    split = orders.select(F.expr(h7).alias("h7")).select(
+        F.expr("h7 % 256").alias("reg"), F.expr("h7 div 256").alias("w")
+    )
+    spark_pow2 = spark.range(48).select(
+        F.col("id").alias("t"),
+        F.expr("shiftleft(cast(1 as bigint), cast(id as int))").alias("p"),
+    )
+    rho = split.join(
+        F.broadcast(spark_pow2), F.expr("(w & -w) = p"), "left"
+    ).select("reg", F.coalesce(F.col("t") + 1, F.lit(49)).cast("long").alias("rho"))
+    regs = rho.groupBy("reg").agg(F.max("rho").alias("r"))
+    full_regs = (
+        spark.range(256)
+        .select(F.col("id").alias("reg"))
+        .join(F.broadcast(regs), "reg", "left")
+        .select(F.coalesce(F.col("r"), F.lit(0)).alias("r"))
+    )
+    s = full_regs.agg(
+        F.expr("sum(shiftleft(cast(1 as bigint), cast(49 - r as int)))")
+        .cast("long")
+        .alias("ssum"),
+        F.sum(F.when(F.col("r") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty"),
+    )
+    ex = orders.agg(F.count_distinct("o_custkey").cast("long").alias("n_exact"))
+    est = (
+        f"(cast(718297 as {D38}) * 65536 * 562949953421312)"
+        f" div (cast(1000000 as {D38}) * ssum)"
+    )
+    return (
+        s.crossJoin(F.broadcast(ex)).select(
+            F.lit(256).cast("long").alias("m"),
+            "n_exact",
+            F.col("n_empty").alias("n_empty_regs"),
+            F.expr(est).cast("long").alias("est_raw"),
+            F.expr(
+                f"(({est} - n_exact) * 1000) div n_exact"
+            )
+            .cast("long")
+            .alias("err_permille"),
+        )
+    )
