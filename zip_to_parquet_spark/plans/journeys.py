@@ -894,6 +894,121 @@ def events_anomaly_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Item-item collaborative filtering: top-3 neighbors by co-order Jaccard.
+# ---------------------------------------------------------------------------
+@query(
+    "recsys_item_item_topn",
+    oracle="""
+    WITH po AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pc AS (
+      SELECT l_partkey, count(*)::BIGINT AS n_ord FROM po GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*)::BIGINT AS n_ab
+      FROM po a JOIN po b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    jac AS (
+      SELECT p.part_a, p.part_b,
+             (p.n_ab * 1000 // (ca.n_ord + cb.n_ord - p.n_ab))::BIGINT
+               AS jac_permille
+      FROM pairs p
+      JOIN pc ca ON ca.l_partkey = p.part_a
+      JOIN pc cb ON cb.l_partkey = p.part_b
+    ),
+    sym AS (
+      SELECT part_a AS item, part_b AS neighbor, jac_permille FROM jac
+      UNION ALL
+      SELECT part_b AS item, part_a AS neighbor, jac_permille FROM jac
+    )
+    SELECT item, neighbor, jac_permille, rank FROM (
+      SELECT item, neighbor, jac_permille,
+             row_number() OVER (PARTITION BY item
+                                ORDER BY jac_permille DESC, neighbor)
+               AS rank
+      FROM sym
+    ) WHERE rank <= 3
+    """,
+)
+def recsys_item_item_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al. 2001 /
+    Linden et al. 2003, the Amazon-style neighborhood model): parts
+    co-occurring in ≥2 orders score by exact Jaccard over their order
+    sets (integer permille), symmetrized, and each item keeps its top-3
+    neighbors — the "customers who bought X also bought" table.
+    Downstream of ``basket_pair_lift`` in spirit but produces the
+    per-item RANKED neighbor list (the serving artifact), not the global
+    pair report.
+
+    Exactness: co-occurrence and order counts are integers; Jaccard =
+    ``n_ab·1000 div (n_a + n_b − n_ab)`` truncates identically; the
+    top-3 cut is total-ordered by (jaccard DESC, neighbor ASC).
+
+    Scale shape: pair generation is the basket idiom — a self-equi-join
+    ON THE ORDER KEY, candidate volume Σ|basket|² (≤66 pairs/order at
+    this fixture's 12-line cap), never |parts|²; the n_ab ≥ 2 support
+    floor prunes before the count-table joins; the rank window
+    partitions by item over ≤ its neighbor count."""
+    po = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pc = po.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    a = po.alias("a")
+    b = po.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("n_b"))
+    jac = (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.expr("(n_ab * 1000) div (n_a + n_b - n_ab)")
+            .cast("long")
+            .alias("jac_permille"),
+        )
+    )
+    sym = jac.select(
+        F.col("part_a").alias("item"),
+        F.col("part_b").alias("neighbor"),
+        "jac_permille",
+    ).unionByName(
+        jac.select(
+            F.col("part_b").alias("item"),
+            F.col("part_a").alias("neighbor"),
+            "jac_permille",
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("jac_permille").desc(), "neighbor"
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("item", "neighbor", "jac_permille", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic HyperLogLog with exact-register parity.
 # ---------------------------------------------------------------------------
 @query(
