@@ -1089,3 +1089,68 @@ def test_runs_test_windows_the_daily_grain(spark):
     agg_id = int(re.search(r"\((\d+)\) HashAggregate", plan).group(1))
     win_id = int(re.search(r"\((\d+)\) Window", plan).group(1))
     assert agg_id < win_id, plan[:1500]
+
+
+def test_attribution_equi_joins_user_no_cartesian(spark):
+    # Touch↔conversion matching must be an equi-join on user_id with the
+    # 7-day range as a post-join filter — never a cartesian or pure
+    # range join (per-user fanout is the bounded quantity at scale).
+    plan = plan_of(spark, "events_attribution_linear")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"keys \[1\]: \[user_id", plan), plan[:2000]
+
+
+def test_session_paths_single_user_shuffle_then_tiny_topk(spark):
+    # Sessionize + rank + path assembly all partition by user_id; the
+    # only other exchanges are the path-count rollup and the final
+    # TakeOrdered over path cardinality (bounded by |event_type|^4).
+    plan = plan_of(spark, "events_session_paths")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert n_shuffles(plan) <= 3, plan[:2000]
+
+
+def test_readability_is_map_only_rollup(spark):
+    # Per-doc scoring must stay inside the scan stage (no UDF, no join);
+    # one partial-agg shuffle on the source key.
+    plan = plan_of(spark, "text_readability_fk")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_shuffles(plan) <= 1, plan[:2000]
+
+
+def test_ahash_band_join_guarded_no_cartesian(spark):
+    # Candidate generation is an inverted-index equi-join on
+    # (band_idx, band_val) with the df<=64 hot-bucket guard join in the
+    # plan; hamming verify joins back on int ids. No cartesian anywhere.
+    plan = plan_of(spark, "multimodal_ahash_dedup")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"keys \[2\]: \[band_idx", plan), plan[:2000]
+
+
+def test_prf_expansion_has_no_python_collect_boundary(spark):
+    # The PRF loop must be ONE plan: expansion terms flow through a
+    # broadcast semi join (dynamic-terms bm25), so the full two-pass
+    # query builds without any driver action.
+    plan = plan_of(spark, "retrieval_prf_expansion")
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftSemi") >= 2, plan[:2000]  # fb docs + terms
+
+
+def test_hll_is_mergeable_register_rollup(spark):
+    # Register build: map-only hash + one 256-group aggregate; the rho
+    # lookup and register completion ride broadcasts; no cartesian
+    # beyond the two 1-row stat broadcasts.
+    plan = plan_of(spark, "sketch_hll_registers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"orders\.parquet", plan)) <= 2
+
+
+def test_item_item_pairs_join_on_order_key(spark):
+    # Pair generation must equi-join on l_orderkey (candidates bounded
+    # by basket size); count tables broadcast; rank window partitions
+    # by item.
+    plan = plan_of(spark, "recsys_item_item_topn")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"keys \[1\]: \[l_orderkey", plan), plan[:2000]
+    assert "BroadcastHashJoin" in plan
