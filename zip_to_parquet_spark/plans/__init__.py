@@ -142,6 +142,14 @@ set_priority([
     # the fresh-process driver-contract drive at sf0.01 + the sf0.001
     # suite + the type audit this session, queued behind the fourth
     # wave for round-6 slots.
+    # The round-5 SIXTH wave (plans/journeys.py: events_attribution_linear,
+    # events_session_paths, text_readability_fk, ts_ma_decompose,
+    # events_anomaly_deseasonalized, stats_ols_two_factor,
+    # multimodal_ahash_dedup, retrieval_prf_expansion,
+    # sketch_hll_registers, recsys_item_item_topn) likewise: each key
+    # verified by the fresh-process driver-contract drive at sf0.01 +
+    # the sf0.001 suite + the type audit in the session that added it,
+    # queued behind the fifth wave for round-6 slots.
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]
