@@ -894,6 +894,93 @@ def events_anomaly_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Bot/automation detection: inter-arrival regularity + event-rate report.
+# ---------------------------------------------------------------------------
+@query(
+    "events_bot_regularity",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             date_diff('microsecond', lag(ts) OVER w, ts)::BIGINT AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    peru AS (
+      SELECT user_id,
+             count(gap)::BIGINT AS n_gaps,
+             sum(gap)::HUGEINT AS sg,
+             sum(gap::HUGEINT * gap) AS sg2
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY user_id HAVING count(gap) >= 20
+    )
+    SELECT user_id,
+           (n_gaps + 1)::BIGINT AS n_events,
+           ((1000 * (n_gaps * sg2 - sg * sg)) // (sg * sg))::BIGINT
+             AS cv2_permille,
+           (((n_gaps + 1) * 86400000000000::HUGEINT) // greatest(sg, 1))
+             ::BIGINT AS events_per_day_milli
+    FROM peru
+    ORDER BY cv2_permille, user_id LIMIT 20
+    """,
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation candidate report: the 20 users whose inter-arrival
+    gaps are most REGULAR — squared coefficient of variation of the gap
+    sequence in exact integer permille (``cv² = (n·Σg² − (Σg)²)/(Σg)²``;
+    machines fire on timers, humans don't), alongside the event rate in
+    events-per-day-milli. The traffic-curation gate every production
+    event pipeline runs before sessionizing or training on clickstreams;
+    ≥20 gaps required so the statistic means something.
+
+    Exactness: gaps are integer microseconds; Σg² runs in DECIMAL(38,0)
+    ↔ HUGEINT (g² alone reaches ~1e25 for month-long gaps); the cv² and
+    rate divisions truncate identically; the top-20 cut is total-ordered
+    by (cv² ASC, user_id). Note ``sg`` spans the user's active window,
+    so the rate denominator is the observed span (n_gaps·mean_gap = sg
+    exactly), not a calendar constant.
+
+    Scale shape: one user-keyed lag window sharing its shuffle with the
+    per-user moment rollup, then TakeOrdered(20) over the user
+    dimension — no corpus-sized window, no join."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "gap"
+        ),
+    ).filter(F.col("gap").isNotNull())
+    peru = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.sum(F.col("gap").cast(D38)).alias("sg"),
+            F.sum(F.expr(f"cast(gap as {D38}) * gap")).alias("sg2"),
+        )
+        .filter(F.col("n_gaps") >= 20)
+    )
+    return (
+        peru.select(
+            "user_id",
+            (F.col("n_gaps") + 1).cast("long").alias("n_events"),
+            F.expr(
+                "(1000 * (n_gaps * sg2 - sg * sg)) div (sg * sg)"
+            )
+            .cast("long")
+            .alias("cv2_permille"),
+            F.expr(
+                f"((n_gaps + 1) * cast(86400000000000 as {D38}))"
+                " div greatest(sg, cast(1 as decimal(38,0)))"
+            )
+            .cast("long")
+            .alias("events_per_day_milli"),
+        )
+        .orderBy("cv2_permille", "user_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Item-item collaborative filtering: top-3 neighbors by co-order Jaccard.
 # ---------------------------------------------------------------------------
 @query(
