@@ -894,6 +894,139 @@ def events_anomaly_deseasonalized(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# RAKE keyword extraction: stopword-delimited phrases, degree/freq scores.
+# ---------------------------------------------------------------------------
+@query(
+    "text_rake_keywords",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    positions AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM ws
+    ),
+    tok AS (
+      SELECT doc_id, ws[pos] AS w, pos,
+             CASE WHEN ws[pos] IN ('a', 'the') THEN 1 ELSE 0 END AS is_stop
+      FROM positions
+    ),
+    isl AS (
+      SELECT doc_id, w, pos, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+      FROM tok
+    ),
+    pw AS (
+      SELECT doc_id, island, pos, w FROM isl WHERE is_stop = 0
+    ),
+    inst AS (
+      SELECT doc_id, island,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             count(*)::BIGINT AS n_words
+      FROM pw GROUP BY doc_id, island
+      HAVING count(*) <= 4
+    ),
+    wstat AS (
+      SELECT pw.w,
+             count(*)::BIGINT AS freq,
+             sum(inst.n_words)::BIGINT AS degree
+      FROM pw JOIN inst USING (doc_id, island)
+      GROUP BY pw.w
+    ),
+    iscore AS (
+      SELECT inst.doc_id, inst.island, inst.phrase,
+             sum((wstat.degree * 1000) // wstat.freq)::BIGINT AS score
+      FROM pw
+      JOIN inst USING (doc_id, island)
+      JOIN wstat ON wstat.w = pw.w
+      GROUP BY inst.doc_id, inst.island, inst.phrase
+    )
+    SELECT phrase, count(*)::BIGINT AS n_occurrences,
+           max(score)::BIGINT AS score_permille
+    FROM iscore GROUP BY phrase
+    ORDER BY score_permille DESC, phrase LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free word runs (delimiters here: the corpus's two
+    function words 'a'/'the' — the fixture has no punctuation), capped
+    at 4 words per the standard; each word scores ``degree/freq`` over
+    all phrase instances (degree = Σ lengths of phrases containing it,
+    held exact as permille via truncating div), and a phrase scores the
+    sum of its word scores — an order-free integer sum. Top-20 phrases
+    by (score DESC, phrase ASC). The PHRASE-level member of the keyword
+    family (``tfidf_topk_terms`` ranks terms per doc;
+    ``text_collocations_pmi`` ranks bigrams corpus-wide).
+
+    Exactness: phrase segmentation is the gaps-and-islands idiom on
+    integer positions (running stopword count); word and phrase scores
+    are integer permille; every cut totally ordered.
+
+    Scale shape: one doc-keyed island window sharing its shuffle with
+    the phrase rollup; word stats are vocabulary-sized and join back by
+    word (size-aware at corpus scale — the tfidf broadcast contract);
+    final TakeOrdered over distinct phrases."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    ).withColumn(
+        "is_stop", F.when(F.col("w").isin("a", "the"), 1).otherwise(0)
+    )
+    wisl = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = tok.withColumn("island", F.sum("is_stop").over(wisl))
+    pw = isl.filter(F.col("is_stop") == 0).select(
+        "doc_id", "island", "pos", "w"
+    )
+    inst = (
+        pw.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x.w,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
+        .filter(F.col("n_words") <= 4)
+    )
+    wstat = (
+        pw.join(inst.select("doc_id", "island", "n_words"), ["doc_id", "island"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("n_words").cast("long").alias("degree"),
+        )
+    )
+    iscore = (
+        pw.join(inst, ["doc_id", "island"])
+        .join(wstat, "w")
+        .groupBy("doc_id", "island", "phrase")
+        .agg(
+            F.sum(F.expr("(degree * 1000) div freq"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    return (
+        iscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("score").cast("long").alias("score_permille"),
+        )
+        .orderBy(F.col("score_permille").desc(), "phrase")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bot/automation detection: inter-arrival regularity + event-rate report.
 # ---------------------------------------------------------------------------
 @query(
