@@ -26,6 +26,7 @@ from zip_to_parquet_spark.plans import tpch2  # noqa: E402,F401
 from zip_to_parquet_spark.plans import market  # noqa: E402,F401
 from zip_to_parquet_spark.plans import scidata  # noqa: E402,F401
 from zip_to_parquet_spark.plans import journeys  # noqa: E402,F401
+from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 
 # The driver's per-round correctness sweep covers the FIRST 50 registry keys.
 # Window policy (per VERDICT r2, AUTOMATED since round 4 by

@@ -1,0 +1,527 @@
+"""Experimentation / privacy / feature-engineering wave: CUPED variance
+reduction, sample-ratio-mismatch gating, randomized-response private
+counts, leave-one-out target encoding, exact stratified sampling, and
+LOCF forward-fill.
+
+Six operator families the registry did not yet cover: the A/B-test
+analysis pair every experimentation platform runs before reading a
+metric (CUPED adjustment using pre-period covariates, Deng et al.
+WSDM'13; and the sample-ratio-mismatch chi-square guard that rejects a
+broken assignment before any metric is trusted), a local-DP collection
+mechanism (Warner 1965 randomized response with its unbiased count
+estimator — the privacy family's collection side, next to the existing
+``pii_redact_counts`` scrubbing side and ``dq_k_anonymity`` audit side),
+leave-one-out target encoding (the categorical-feature encoder that
+avoids self-leakage — feature engineering for the trained-model keys),
+proportional stratified sampling with per-stratum determinism (the
+split discipline ``dataset_split`` applies corpus-wide, here enforced
+exactly within every stratum), and last-observation-carried-forward
+imputation (the panel-data gap filler; ``events_timeseries_gapfill``
+fills missing CALENDAR rows, this fills missing VALUES on existing
+rows).
+
+House determinism rules (see plans/analytics.py): money → integer
+cents, ratios → integer milli/micro via truncating ``div`` (Spark
+``div`` and DuckDB ``//`` both truncate toward zero, verified including
+negatives), big products → Spark DECIMAL(38,0) ↔ DuckDB HUGEINT,
+randomness → md5 low bytes (``operators.layout.md5_low_bytes_sql`` ↔
+DuckDB ``md5_number_lower``), ties broken on ids. No float arithmetic
+reaches any output column, so every key carries a full DuckDB
+value-hash oracle.
+
+Reference provenance: the reference CLI (/root/reference/src/builder.rs
+:1-322) has no analytics surface; these keys extend the mandated
+training-data/analytics pipeline families on the fixture tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.runtime import spread
+from zip_to_parquet_spark.schema import load_table
+
+D38 = "decimal(38,0)"
+
+# Deterministic 50/50 assignment: low byte of md5(user_id), even → A.
+# DuckDB md5_number_lower(x) % 256 is the same little-endian low byte.
+_VARIANT_SQL = f"({md5_low_bytes_sql('cast(user_id as string)', 1)}) % 2"
+_DUCK_VARIANT = "(md5_number_lower(user_id::VARCHAR) % 256) % 2"
+
+# Pre/post cutoff for CUPED: the fixture generator spans January 2024 at
+# every sf, so the month midpoint splits both periods non-degenerately.
+_CUTOFF = "2024-01-16 00:00:00"
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout (Deng et al. WSDM'13).
+# ---------------------------------------------------------------------------
+@query(
+    "experiment_cuped_adjust",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             {_DUCK_VARIANT} AS variant,
+             sum(CASE WHEN ts < TIMESTAMP '{_CUTOFF}' THEN 1 ELSE 0 END)
+               ::BIGINT AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '{_CUTOFF}' THEN 1 ELSE 0 END)
+               ::BIGINT AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT count(*)::HUGEINT AS n,
+             sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+             sum(x * x)::HUGEINT AS sxx, sum(x * y)::HUGEINT AS sxy
+      FROM per_user
+    ),
+    m AS (
+      SELECT n, sx, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      FROM g
+    ),
+    v AS (
+      SELECT variant, count(*)::HUGEINT AS nv,
+             sum(x)::HUGEINT AS sxv, sum(y)::HUGEINT AS syv
+      FROM per_user GROUP BY variant
+    )
+    SELECT CASE WHEN variant = 0 THEN 'A' ELSE 'B' END AS variant,
+           nv::BIGINT AS n_users,
+           ((1000000 * syv) // nv)::BIGINT AS mean_raw_micro,
+           ((1000000 * (syv * den * n - num * (sxv * n - sx * nv)))
+              // (nv * den * n))::BIGINT AS mean_adj_micro,
+           ((1000000 * num) // den)::BIGINT AS theta_micro
+    FROM v CROSS JOIN m
+    """,
+)
+def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi, Walker WSDM'13): the
+    post-period metric of each variant is adjusted by the pooled
+    regression of post on PRE-period activity, ``y − θ·(x − x̄)`` with
+    ``θ = cov(x,y)/var(x)`` — the pre-experiment covariate absorbs
+    user-level variance the treatment can't explain, shrinking the CI
+    without touching the expected effect. Users assign to A/B by the md5
+    low byte; pre/post split at the fixture's month midpoint.
+
+    Exactness: θ is carried as the exact integer rational num/den
+    (n·Σxy−ΣxΣy over n·Σxx−(Σx)²) and the adjusted variant mean is ONE
+    truncating division over the common denominator n_v·den·n — both
+    engines floor the identical integer quotient. Magnitude envelope:
+    |1e6·syv·den·n| ≲ 1e31 at sf1 (documented headroom to DECIMAL(38));
+    den = 0 (all users identical pre-activity) is impossible on the
+    fixture and would need the unadjusted fallback at degenerate inputs.
+
+    Scale shape: one user-keyed partial-agg shuffle (map-side combine
+    on user_id), then a 1-row global moment reduce broadcast-crossed
+    with the 2-row per-variant rollup — no window, no second pass over
+    events, no collect."""
+    per_user = (
+        spread(load_table(spark, sf_dir, "events"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("variant", F.expr(_VARIANT_SQL))
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("x").cast(D38).alias("sx"),
+        F.sum("y").cast(D38).alias("sy"),
+        F.sum(F.expr("x * x")).cast(D38).alias("sxx"),
+        F.sum(F.expr("x * y")).cast(D38).alias("sxy"),
+    ).select(
+        "n",
+        "sx",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("den"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast(D38).alias("nv"),
+        F.sum("x").cast(D38).alias("sxv"),
+        F.sum("y").cast(D38).alias("syv"),
+    )
+    joined = v.crossJoin(F.broadcast(g))
+    return joined.select(
+        F.when(F.col("variant") == 0, "A").otherwise("B").alias("variant"),
+        F.col("nv").cast("long").alias("n_users"),
+        F.expr(f"(cast(1000000 as {D38}) * syv) div nv")
+        .cast("long")
+        .alias("mean_raw_micro"),
+        F.expr(
+            f"(cast(1000000 as {D38})"
+            " * (syv * den * n - num * (sxv * n - sx * nv)))"
+            " div (nv * den * n)"
+        )
+        .cast("long")
+        .alias("mean_adj_micro"),
+        F.expr(f"(cast(1000000 as {D38}) * num) div den")
+        .cast("long")
+        .alias("theta_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch chi-square gate.
+# ---------------------------------------------------------------------------
+@query(
+    "experiment_srm_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, {_DUCK_VARIANT} AS variant
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+      FROM u
+    )
+    SELECT n AS n_users, n_a, n_b,
+           ((1000 * ((2 * n_a - n) * (2 * n_a - n)
+                     + (2 * n_b - n) * (2 * n_b - n)))
+              // (2 * n))::BIGINT AS chi2_milli,
+           ((1000 * ((2 * n_a - n) * (2 * n_a - n)
+                     + (2 * n_b - n) * (2 * n_b - n)))
+              // (2 * n)) > 3841 AS srm_alarm
+    FROM c
+    """,
+)
+def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch gate: χ² of the observed A/B unit counts
+    against the designed 50/50 split, alarmed at the df=1 α=0.05
+    critical value 3.841 (Fabijan et al. KDD'19 diagnostics; the check
+    every experimentation platform runs BEFORE reading any metric — a
+    mismatched ratio means broken assignment/logging, not a treatment
+    effect). Pairs with ``experiment_cuped_adjust``: SRM gates, CUPED
+    reads.
+
+    Exactness: with e = n/2 the statistic collapses to
+    ((2·n_a−n)² + (2·n_b−n)²)/(2n) — integer numerator, one truncating
+    div to milli; the 3.841 threshold compares as 3841.
+
+    Scale shape: user-keyed distinct (partial-agg shuffle) → single
+    1-row reduce; no window, no collect."""
+    u = (
+        spread(load_table(spark, sf_dir, "events"), "user_id")
+        .select("user_id")
+        .distinct()
+        .withColumn("variant", F.expr(_VARIANT_SQL))
+    )
+    chi = (
+        "(1000 * ((2 * n_a - n) * (2 * n_a - n)"
+        " + (2 * n_b - n) * (2 * n_b - n))) div (2 * n)"
+    )
+    return (
+        u.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+        .select(
+            F.col("n").alias("n_users"),
+            "n_a",
+            "n_b",
+            F.expr(chi).cast("long").alias("chi2_milli"),
+            (F.expr(chi) > 3841).alias("srm_alarm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Randomized response: local-DP event-type counts with unbiased decode.
+# ---------------------------------------------------------------------------
+_RR_KEEP_EXPR = "concat('rr:', cast(event_id as string))"
+_RR_IDX_EXPR = "concat('rr2:', cast(event_id as string))"
+_RR_KEEP_SQL = "(" + md5_low_bytes_sql(_RR_KEEP_EXPR, 3) + ") % 1000"
+_DUCK_RR_KEEP = "(md5_number_lower('rr:' || event_id::VARCHAR) % 16777216) % 1000"
+_RR_IDX_SQL = "(" + md5_low_bytes_sql(_RR_IDX_EXPR, 3) + ")"
+_DUCK_RR_IDX = "(md5_number_lower('rr2:' || event_id::VARCHAR) % 16777216)"
+
+
+@query(
+    "privacy_randomized_response",
+    oracle=f"""
+    WITH dim AS (
+      SELECT event_type AS t,
+             (row_number() OVER (ORDER BY event_type) - 1)::BIGINT AS idx
+      FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    k AS (SELECT count(*)::BIGINT AS k FROM dim),
+    rep AS (
+      SELECT CASE WHEN {_DUCK_RR_KEEP} < 700 THEN e.event_type
+                  ELSE d.t END AS reported
+      FROM events e
+      JOIN k ON TRUE
+      JOIN dim d ON d.idx = {_DUCK_RR_IDX} % k.k
+    ),
+    obs AS (SELECT reported, count(*)::BIGINT AS obs FROM rep GROUP BY reported),
+    tru AS (SELECT event_type, count(*)::BIGINT AS true_count
+            FROM events GROUP BY event_type),
+    n AS (SELECT count(*)::BIGINT AS n FROM events)
+    SELECT t.event_type, o.obs AS obs_count, t.true_count,
+           ((1000 * (10 * k.k * o.obs - 3 * n.n)) // (7 * k.k))::BIGINT
+             AS est_milli,
+           ((1000 * (10 * k.k * o.obs - 3 * n.n)) // (7 * k.k)
+            - 1000 * t.true_count)::BIGINT AS err_milli
+    FROM tru t JOIN obs o ON o.reported = t.event_type
+    CROSS JOIN k CROSS JOIN n
+    """,
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized response (Warner 1965), the local-DP collection
+    mechanism: each event reports its TRUE type with p = 0.7, else a
+    uniform draw over all k types; the collector never sees a trusted
+    value, yet the unbiased estimator (obs − n(1−p)/k)/p recovers the
+    true histogram. ε = ln(p·k/(1−p) + 1) ≈ ln(12.67) per report at
+    k = 5. Completes the privacy family: ``pii_redact_counts`` scrubs,
+    ``dq_k_anonymity`` audits, this COLLECTS privately.
+
+    Determinism: both coin flips are md5 low-bytes of the event id
+    (keep: 3-byte value mod 1000 < 700; replacement: an independent
+    salt's 3 bytes mod k, joined to the alphabetical type index), so
+    both engines perturb identically. The estimator is held in integer
+    milli: (obs − 0.3n/k)/0.7 ≡ (10·k·obs − 3n)/(7k), one truncating
+    div; ``err_milli`` evaluates the mechanism against the exact counts
+    in-plan (house sketch-evaluation style).
+
+    Scale shape: map-only perturbation (the k-row type dim and the
+    1-row n broadcast-join onto the scan), one k-row groupBy; no
+    window, no collect."""
+    events = spread(load_table(spark, sf_dir, "events"), "event_id")
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("t"),
+            (
+                F.row_number().over(Window.orderBy("event_type")) - 1
+            )
+            .cast("long")
+            .alias("idx"),
+        )
+    )
+    k = dim.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    n = events.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rep = (
+        events.crossJoin(F.broadcast(k))
+        .withColumn("keep_u", F.expr(_RR_KEEP_SQL))
+        .withColumn("ridx", F.expr(_RR_IDX_SQL) % F.col("k"))
+        .join(F.broadcast(dim), F.col("ridx") == F.col("idx"))
+        .select(
+            F.when(F.col("keep_u") < 700, F.col("event_type"))
+            .otherwise(F.col("t"))
+            .alias("reported")
+        )
+    )
+    obs = rep.groupBy("reported").agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    tru = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    est = "(1000 * (10 * k * obs - 3 * n)) div (7 * k)"
+    return (
+        tru.join(obs, tru.event_type == obs.reported)
+        .crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            F.col("obs").alias("obs_count"),
+            "true_count",
+            F.expr(est).cast("long").alias("est_milli"),
+            (F.expr(est) - 1000 * F.col("true_count"))
+            .cast("long")
+            .alias("err_milli"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding (categorical feature engineering).
+# ---------------------------------------------------------------------------
+@query(
+    "feature_target_encode_loo",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS priority,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (SELECT priority, y, count(*)::BIGINT AS n_rows FROM r GROUP BY 1, 2),
+    c AS (
+      SELECT priority, sum(n_rows)::BIGINT AS n_c,
+             sum(y * n_rows)::BIGINT AS s_c
+      FROM g GROUP BY priority
+    )
+    SELECT g.priority, g.y AS y_flag, g.n_rows,
+           ((1000000 * (c.s_c - g.y)) // (c.n_c - 1))::BIGINT AS loo_micro
+    FROM g JOIN c USING (priority)
+    """,
+)
+def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (Micci-Barreca SIGKDD Expl. 2001
+    variant): a categorical column is replaced by the mean of the
+    binary target over the OTHER rows of the same category,
+    (S_c − y_i)/(n_c − 1) — excluding the row's own label is what keeps
+    the encoding out of the leakage trap plain mean-encoding falls
+    into. Every row of a (category, y) cell shares one encoding, so the
+    result is emitted per cell with its row count — the exact compact
+    form of the row-level encoder.
+
+    Exactness: one truncating division to micro per cell; n_c ≥ 2
+    everywhere on the fixture (singleton categories would need the
+    global-prior fallback).
+
+    Scale shape: ONE fact shuffle (the (category, y) partial agg —
+    map-side combine does the heavy lifting); the per-category rollup
+    and join-back run on the cell table, which is |categories|×2 rows."""
+    g = (
+        spread(load_table(spark, sf_dir, "orders"), "o_orderkey")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+        .groupBy("priority", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    c = g.groupBy("priority").agg(
+        F.sum("n_rows").cast("long").alias("n_c"),
+        F.sum(F.expr("y * n_rows")).cast("long").alias("s_c"),
+    )
+    return g.join(F.broadcast(c), "priority").select(
+        "priority",
+        F.col("y").alias("y_flag"),
+        "n_rows",
+        F.expr("(1000000 * (s_c - y)) div (n_c - 1)")
+        .cast("long")
+        .alias("loo_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Proportional stratified sampling, deterministic within every stratum.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_stratified_exact",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY source
+        ORDER BY md5_number_lower('strat:' || doc_id::VARCHAR)
+                   % 281474976710656, doc_id)
+      <= (count(*) OVER (PARTITION BY source) * 200) // 1000
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sampling: exactly ⌊0.2·n_h⌋ documents
+    from every source stratum, chosen as the lowest md5-48 hash ranks
+    within the stratum — per-stratum quotas hold EXACTLY (Bernoulli
+    sampleBy only hits them in expectation), and the same ids are
+    drawn on every rerun and every engine. The stratum-exact sibling of
+    ``dataset_split`` (corpus-wide hash split) and
+    ``sample_weighted_aes`` (corpus-wide weighted draw).
+
+    Scale shape: one stratum-keyed shuffle shared by the rank and the
+    stratum-count window (same partitioning, no join); strata are
+    sources, so per-partition state is the stratum's rows — salting via
+    substratification would apply if one source dominated."""
+    w = Window.partitionBy("source").orderBy(
+        F.expr(md5_low_bytes_sql("concat('strat:', cast(doc_id as string))", 6)),
+        "doc_id",
+    )
+    return (
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("source"))
+            .alias("n_h"),
+        )
+        .filter(F.col("rk") <= F.expr("(n_h * 200) div 1000"))
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LOCF forward-fill: last purchase value carried onto every later event.
+# ---------------------------------------------------------------------------
+@query(
+    "events_locf_fill",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN ((value::DECIMAL(18,2)) * 100)::BIGINT END AS pv
+      FROM events
+    ),
+    f AS (
+      SELECT user_id,
+             last_value(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+      FROM t
+    )
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           count(locf)::BIGINT AS n_carried,
+           coalesce(sum(locf), 0)::BIGINT AS sum_carried_cents
+    FROM f GROUP BY user_id
+    """,
+)
+def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: every event carries
+    the user's most recent purchase value (NULL until the first
+    purchase) — the panel-data forward-fill, here as "state known at
+    event time" for feature snapshots. ``events_timeseries_gapfill``
+    inserts missing calendar ROWS; this fills missing VALUES on rows
+    that exist. Rolled up per user (events, carried count, carried-sum
+    cents) so the full fill is value-checked compactly.
+
+    Exactness: purchase values → integer cents before any arithmetic;
+    (ts, event_id) totally orders each user's stream, so the carried
+    value is unique; sums are exact integers.
+
+    Scale shape: one user-keyed shuffle shared by the fill window and
+    the rollup (same partitioning); running ``last(ignorenulls)`` is a
+    single ordered pass per partition — no join, no second shuffle."""
+    t = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+        ).alias("pv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("locf", F.last("pv", ignorenulls=True).over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("locf").cast("long").alias("n_carried"),
+            F.coalesce(F.sum("locf"), F.lit(0)).cast("long")
+            .alias("sum_carried_cents"),
+        )
+    )
