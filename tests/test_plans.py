@@ -1154,3 +1154,102 @@ def test_item_item_pairs_join_on_order_key(spark):
     assert "CartesianProduct" not in plan
     assert re.search(r"keys \[1\]: \[l_orderkey", plan), plan[:2000]
     assert "BroadcastHashJoin" in plan
+
+
+def test_cuped_user_shuffle_broadcast_moments_no_smj(spark):
+    # Per-user pre/post rollup hash-shuffles on user_id; the 1-row
+    # global-moment table crosses back as a broadcast (never a shuffle
+    # join); events scan prunes to exactly (ts, user_id).
+    plan = plan_of(spark, "experiment_cuped_adjust")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row moments x 2-row variants
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "ts" in read and "user_id" in read
+    for col in ("event_type", "value", "props", "event_id"):
+        assert col not in read, f"unpruned column {col}: {read}"
+
+
+def test_srm_is_distinct_then_single_reduce(spark):
+    # User distinct (partial-agg shuffle) then a 1-row reduce: no joins
+    # of any kind, no window, scan pruned to user_id alone.
+    plan = plan_of(spark, "experiment_srm_check")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "user_id" in read and "event_type" not in read and "ts" not in read
+
+
+def test_randomized_response_broadcast_only_perturbation(spark):
+    # The k-row type dim joins the scan as a BroadcastHashJoin on the
+    # replacement index; the 1-row k/n tables ride broadcast loops; the
+    # fact never sort-merge-joins or goes cartesian.
+    plan = plan_of(spark, "privacy_randomized_response")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_loo_encode_one_fact_shuffle_broadcast_cells(spark):
+    # The orders fact collapses in ONE (category, y) partial-agg
+    # shuffle; the per-category rollup and join-back run on the 10-row
+    # cell table via broadcast. Scan prunes to the two input columns.
+    plan = plan_of(spark, "feature_target_encode_loo")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_orderpriority" in read and "o_orderstatus" in read
+    assert "o_totalprice" not in read and "o_orderdate" not in read
+
+
+def test_stratified_sample_single_stratum_shuffle_no_join(spark):
+    # Rank and stratum-count windows share one source-keyed partitioning;
+    # quotas come from the count window, not a join.
+    plan = plan_of(spark, "sample_stratified_exact")
+    assert "Join" not in plan
+    # spread() adds one repartition at fixture scale; the windows add the
+    # source hash partitioning — nothing else may shuffle.
+    assert n_shuffles(plan) <= 2, plan
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) >= 1
+
+
+def test_locf_fill_shares_user_partitioning(spark):
+    # The LOCF window and the per-user rollup reuse one user_id
+    # partitioning: no join, and at most spread + one user shuffle.
+    plan = plan_of(spark, "events_locf_fill")
+    assert "Join" not in plan
+    assert n_shuffles(plan) <= 2, plan
+
+
+def test_lift_t2_single_user_shuffle_pruned_scan(spark):
+    # Per-user count needs ONLY user_id from the scan; the variant
+    # rollup and 1-row pivot never join or window.
+    plan = plan_of(spark, "experiment_lift_t2")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "user_id" in read
+    for col in ("ts", "event_type", "value"):
+        assert col not in read, f"unpruned column {col}: {read}"
+
+
+def test_bootstrap_is_explode_then_32_group_agg(spark):
+    # Poisson weights are map-only (hash + CASE); the 32x explode
+    # collapses in one replicate-keyed agg; rank selection runs on the
+    # sorted 32-element array, not a window. No join anywhere.
+    plan = plan_of(spark, "stats_bootstrap_ci_poisson")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Generate" in plan  # the explode
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_orderkey" in read and "o_totalprice" in read
+    assert "o_orderdate" not in read
+
+
+def test_ushape_attribution_equi_joins_user_no_cartesian(spark):
+    # Same contract as the linear key: candidates bound by the user
+    # equi-join; conversion windows share that shuffle; no cartesian.
+    plan = plan_of(spark, "events_attribution_ushape")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"keys(?: \[\d\])?: \[user_id", plan) or "user_id" in plan

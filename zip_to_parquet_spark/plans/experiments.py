@@ -525,3 +525,215 @@ def events_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_carried_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch t-squared significance readout (completes SRM -> CUPED -> readout).
+# ---------------------------------------------------------------------------
+@query(
+    "experiment_lift_t2",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, {_DUCK_VARIANT} AS variant, count(*)::BIGINT AS y
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, count(*)::HUGEINT AS n,
+             sum(y)::HUGEINT AS s, sum(y * y)::HUGEINT AS q
+      FROM per_user GROUP BY variant
+    ),
+    w AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS na,
+             max(CASE WHEN variant = 0 THEN s END) AS sa,
+             max(CASE WHEN variant = 0 THEN q END) AS qa,
+             max(CASE WHEN variant = 1 THEN n END) AS nb,
+             max(CASE WHEN variant = 1 THEN s END) AS sb,
+             max(CASE WHEN variant = 1 THEN q END) AS qb
+      FROM v
+    ),
+    t AS (
+      SELECT na, nb, sa, sb,
+             (sa * nb - sb * na) * (sa * nb - sb * na)
+               * (na - 1) * (nb - 1) AS nume,
+             (na * qa - sa * sa) * nb * nb * (nb - 1)
+               + (nb * qb - sb * sb) * na * na * (na - 1) AS deno
+      FROM w
+    )
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           ((1000000 * sa) // na)::BIGINT AS mean_a_micro,
+           ((1000000 * sb) // nb)::BIGINT AS mean_b_micro,
+           ((1000 * nume) // deno)::BIGINT AS t2_milli,
+           ((1000 * nume) // deno) > 3841 AS significant
+    FROM t
+    """,
+)
+def experiment_lift_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t² readout on per-user event counts: the
+    squared t statistic (mean_A − mean_B)² / (s_A²/n_A + s_B²/n_B) held
+    as ONE exact integer rational — squaring removes the sqrt that
+    keeps t itself out of integer arithmetic, and t² compares against
+    the square of the normal critical value (1.96² → 3841 milli; the
+    Welch–Satterthwaite df correction is negligible at panel sizes,
+    documented). Completes the experimentation trio:
+    ``experiment_srm_check`` gates assignment, ``experiment_cuped_adjust``
+    shrinks variance, this reads significance.
+
+    Exactness: numerator (S_A·n_B − S_B·n_A)²(n_A−1)(n_B−1) and
+    denominator (n_A·Q_A − S_A²)n_B²(n_B−1) + (n_B·Q_B − S_B²)n_A²(n_A−1)
+    share the common factor n_A²n_B²(n_A−1)(n_B−1) with the textbook
+    form, so their ratio IS t² — one truncating div to milli.
+    Magnitude envelope ~1e35 at sf1 in DECIMAL(38,0) ↔ HUGEINT.
+
+    Scale shape: one user-keyed partial-agg shuffle, a 2-row variant
+    rollup, a 1-row pivot — no window over facts, no collect."""
+    per_user = (
+        spread(load_table(spark, sf_dir, "events"), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .withColumn("variant", F.expr(_VARIANT_SQL))
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("y").cast(D38).alias("s"),
+        F.sum(F.expr("y * y")).cast(D38).alias("q"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("variant") == 0, F.col("q"))).alias("qa"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("variant") == 1, F.col("q"))).alias("qb"),
+    )
+    t = w.select(
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        F.expr(
+            "(sa * nb - sb * na) * (sa * nb - sb * na)"
+            " * (na - 1) * (nb - 1)"
+        ).alias("nume"),
+        F.expr(
+            "(na * qa - sa * sa) * nb * nb * (nb - 1)"
+            " + (nb * qb - sb * sb) * na * na * (na - 1)"
+        ).alias("deno"),
+    )
+    t2 = f"(cast(1000 as {D38}) * nume) div deno"
+    return t.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr(f"(cast(1000000 as {D38}) * sa) div na")
+        .cast("long")
+        .alias("mean_a_micro"),
+        F.expr(f"(cast(1000000 as {D38}) * sb) div nb")
+        .cast("long")
+        .alias("mean_b_micro"),
+        F.expr(t2).cast("long").alias("t2_milli"),
+        (F.expr(t2) > 3841).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval of the mean order value.
+# ---------------------------------------------------------------------------
+_BOOT_B = 32
+
+
+@query(
+    "stats_bootstrap_ci_poisson",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS id,
+             ((o_totalprice::DECIMAL(12,2)) * 100)::BIGINT AS cents
+      FROM orders
+    ),
+    reps AS (SELECT unnest(range(0, {_BOOT_B})) AS r),
+    drawn AS (
+      SELECT r.r, b.cents,
+             CASE WHEN md5_number_lower(
+                    'boot' || r.r::VARCHAR || ':' || b.id::VARCHAR)
+                    % 16777216 < 6171992 THEN 0
+                  WHEN md5_number_lower(
+                    'boot' || r.r::VARCHAR || ':' || b.id::VARCHAR)
+                    % 16777216 < 12343985 THEN 1
+                  WHEN md5_number_lower(
+                    'boot' || r.r::VARCHAR || ':' || b.id::VARCHAR)
+                    % 16777216 < 15429982 THEN 2
+                  WHEN md5_number_lower(
+                    'boot' || r.r::VARCHAR || ':' || b.id::VARCHAR)
+                    % 16777216 < 16458647 THEN 3
+                  WHEN md5_number_lower(
+                    'boot' || r.r::VARCHAR || ':' || b.id::VARCHAR)
+                    % 16777216 < 16715813 THEN 4
+                  WHEN md5_number_lower(
+                    'boot' || r.r::VARCHAR || ':' || b.id::VARCHAR)
+                    % 16777216 < 16767247 THEN 5
+                  ELSE 6 END AS w
+      FROM base b CROSS JOIN reps r
+    ),
+    means AS (
+      SELECT r, ((1000000 * sum(w * cents)::HUGEINT)
+                   // sum(w)::HUGEINT)::BIGINT AS mean_micro
+      FROM drawn GROUP BY r
+    ),
+    s AS (SELECT list_sort(list(mean_micro)) AS ms FROM means)
+    SELECT {_BOOT_B}::BIGINT AS b_replicates,
+           ms[4]::BIGINT AS mean_p10_micro,
+           ms[16]::BIGINT AS mean_p50_micro,
+           ms[29]::BIGINT AS mean_p90_micro
+    FROM s
+    """,
+)
+def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI (Chamandy et al. 2012, the streaming/
+    distributed bootstrap): every order joins each of B=32 replicates
+    with an independent Poisson(1) weight from the inlined inverse-CDF
+    table over an md5 uniform (the ``sample_poisson_replicate``
+    contract, salted per replicate), giving 32 deterministic replicate
+    means whose order statistics bound the sampling distribution of the
+    mean — p10/p50/p90 reported as the ⌈p·B⌉-th smallest (ranks 4, 16,
+    29). The classical n-multinomial bootstrap needs global coordination;
+    Poissonization makes every row independent, which is WHY it is the
+    bootstrap that scales.
+
+    Exactness: weights and cents are integers; each replicate mean is
+    one truncating div to micro; rank selection is integer indexing on
+    the sorted 32-element array — no float anywhere.
+
+    Scale shape: a 32× weighted explode collapses immediately into a
+    32-group partial agg (map-side combine keeps the shuffle at 32×
+    n_partitions rows); the final 1-row sort_array runs on 32 values.
+    No window over facts, no collect."""
+    base = spread(load_table(spark, sf_dir, "orders"), "o_orderkey").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    v = md5_low_bytes_sql(
+        "concat('boot', cast(r as string), ':', cast(id as string))", 3
+    )
+    from zip_to_parquet_spark.plans.scidata import _pois_case
+
+    drawn = base.select(
+        "id",
+        "cents",
+        F.explode(F.expr(f"sequence(0L, {_BOOT_B - 1}L)")).alias("r"),
+    ).select("r", "cents", F.expr(_pois_case(f"({v})")).alias("w"))
+    means = drawn.groupBy("r").agg(
+        F.expr(
+            f"(cast(1000000 as {D38}) * cast(sum(w * cents) as {D38}))"
+            f" div cast(sum(w) as {D38})"
+        )
+        .cast("long")
+        .alias("mean_micro")
+    )
+    return means.agg(
+        F.sort_array(F.collect_list("mean_micro")).alias("ms")
+    ).select(
+        F.lit(_BOOT_B).cast("long").alias("b_replicates"),
+        F.element_at("ms", 4).cast("long").alias("mean_p10_micro"),
+        F.element_at("ms", 16).cast("long").alias("mean_p50_micro"),
+        F.element_at("ms", 29).cast("long").alias("mean_p90_micro"),
+    )

@@ -1336,3 +1336,105 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution.
+# ---------------------------------------------------------------------------
+@query(
+    "events_attribution_ushape",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS t_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT c.conv_id, t.t_id, t.t_type, t.t_ts
+      FROM conv c JOIN touch t ON c.user_id = t.user_id
+      WHERE t.t_ts < c.conv_ts AND t.t_ts >= c.conv_ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+      SELECT t_type,
+             CASE WHEN count(*) OVER (PARTITION BY conv_id) = 1 THEN 1000
+                  WHEN count(*) OVER (PARTITION BY conv_id) = 2 THEN 500
+                  WHEN row_number() OVER
+                         (PARTITION BY conv_id
+                          ORDER BY t_ts DESC, t_id DESC) = 1
+                  THEN 600 - (count(*) OVER (PARTITION BY conv_id) - 2)
+                           * (200 // (count(*) OVER (PARTITION BY conv_id) - 2))
+                  WHEN row_number() OVER
+                         (PARTITION BY conv_id
+                          ORDER BY t_ts DESC, t_id DESC)
+                       = count(*) OVER (PARTITION BY conv_id)
+                  THEN 400
+                  ELSE 200 // (count(*) OVER (PARTITION BY conv_id) - 2)
+             END AS credit
+      FROM j
+    )
+    SELECT t_type AS event_type,
+           count(*)::BIGINT AS touches,
+           sum(credit)::BIGINT AS credit_milli
+    FROM credited GROUP BY t_type
+    """,
+)
+def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based ("U-shaped") multi-touch attribution: 40% of each
+    conversion's credit to the FIRST touch, 40% to the LAST, the middle
+    20% split evenly over interior touches — the standard alternative
+    to ``events_attribution_linear`` when first discovery and final
+    nudge are believed to matter most. Degenerate journeys follow the
+    convention: a single touch takes all 1000 milli, a two-touch
+    journey splits 500/500.
+
+    Exactness: interior base = 200 div (k−2); the integer remainder
+    200 − (k−2)·base rides on the LAST touch (most recent absorbs
+    rounding — same house rule as the linear key), so every conversion
+    conserves exactly 1000 milli. All window ties break on event id.
+
+    Scale shape: identical to the linear key — one user equi-join
+    bounds candidates to each user's own touches, conversion-keyed
+    windows share the join's shuffle, and a tiny type rollup ends the
+    plan. No cartesian anywhere (locked by the shared attribution plan
+    test)."""
+    ev = spread(load_table(spark, sf_dir, "events"), "user_id")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    j = conv.join(touch, "user_id").filter(
+        (F.col("t_ts") < F.col("conv_ts"))
+        & (F.col("t_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    wc = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id").desc()
+    )
+    k = F.count(F.lit(1)).over(wc)
+    rn = F.row_number().over(wr)
+    base = F.expr("200 div (k - 2)")
+    credited = j.select(
+        "t_type", k.alias("k"), rn.alias("rn")
+    ).select(
+        "t_type",
+        F.when(F.col("k") == 1, 1000)
+        .when(F.col("k") == 2, 500)
+        .when(F.col("rn") == 1, 600 - (F.col("k") - 2) * base)
+        .when(F.col("rn") == F.col("k"), 400)
+        .otherwise(base)
+        .alias("credit"),
+    )
+    return credited.groupBy(F.col("t_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("touches"),
+        F.sum("credit").cast("long").alias("credit_milli"),
+    )
