@@ -1253,3 +1253,25 @@ def test_ushape_attribution_equi_joins_user_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert re.search(r"keys(?: \[\d\])?: \[user_id", plan) or "user_id" in plan
+
+
+def test_sequence_pairs_span_join_is_session_equi(spark):
+    # The a-before-b pair join must be an equi-join on
+    # (user_id, session_id) over the span ROLLUP (<= |types| rows per
+    # session), never an event-level or cartesian pairing.
+    plan = plan_of(spark, "events_sequence_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"\[user_id.{0,40}session_id", plan), plan[:3000]
+
+
+def test_stratified_ate_single_fact_shuffle(spark):
+    # Per-user outcome rollup is the only fact shuffle; the stratum
+    # table and N total ride broadcasts; scan prunes to the two
+    # consumed columns.
+    plan = plan_of(spark, "experiment_stratified_ate")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "user_id" in read and "event_type" in read
+    assert "value" not in read and "props" not in read

@@ -737,3 +737,116 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 16).cast("long").alias("mean_p50_micro"),
         F.element_at("ms", 29).cast("long").alias("mean_p90_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified average-treatment-effect estimator (exact matching on strata).
+# ---------------------------------------------------------------------------
+@query(
+    "experiment_stratified_ate",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, {_DUCK_VARIANT} AS t, (user_id % 3)::BIGINT AS stratum,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::BIGINT AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT stratum,
+             count(*)::HUGEINT AS n_s,
+             sum(t)::HUGEINT AS n_t,
+             (count(*) - sum(t))::HUGEINT AS n_c,
+             sum(CASE WHEN t = 1 THEN y ELSE 0 END)::HUGEINT AS sy_t,
+             sum(CASE WHEN t = 0 THEN y ELSE 0 END)::HUGEINT AS sy_c
+      FROM per_user GROUP BY stratum
+    ),
+    tot AS (SELECT sum(n_s) AS n FROM s),
+    terms AS (
+      SELECT stratum, n_s, n_t, n_c,
+             ((1000000 * (sy_t * n_c - sy_c * n_t)) // (n_t * n_c))
+               ::BIGINT AS diff_micro,
+             ((1000000 * n_s * (sy_t * n_c - sy_c * n_t))
+                // (tot.n * n_t * n_c))::BIGINT AS term_micro
+      FROM s CROSS JOIN tot
+    ),
+    ate AS (SELECT sum(term_micro)::BIGINT AS ate FROM terms)
+    SELECT stratum, n_s::BIGINT AS n_users, n_t::BIGINT AS n_treat,
+           n_c::BIGINT AS n_ctrl, diff_micro, term_micro,
+           ate.ate AS ate_total_micro
+    FROM terms CROSS JOIN ate
+    """,
+)
+def experiment_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (exact-matching) average treatment effect — the
+    simplest causal adjustment for a confounded comparison (Imbens &
+    Rubin 2015 ch.17 subclassification): within every stratum the
+    treated/control outcome means difference, and the ATE is the
+    stratum-size-weighted sum Σ_s (n_s/N)·(μ_t,s − μ_c,s). Treatment is
+    the md5 A/B coin, outcome is per-user purchase count, and the
+    stratum is a deterministic user cohort (user_id mod 3 — the stand-in
+    for a profile covariate on the fixture). Completes the causal side
+    of the experimentation family: SRM gates, CUPED shrinks, t² tests,
+    this ADJUSTS.
+
+    Exactness: each stratum's difference and weighted term are single
+    truncating divisions of exact integer products (DECIMAL(38,0) ↔
+    HUGEINT); the total ATE is the exact integer sum of the per-stratum
+    micro terms — both engines truncate identically per stratum, so the
+    sum is identical too.
+
+    Scale shape: one user-keyed partial-agg shuffle, a |strata|-row
+    rollup, a 1-row N broadcast — no window over facts, no collect."""
+    per_user = (
+        spread(load_table(spark, sf_dir, "events"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y")
+        )
+        .select(
+            "y",
+            F.expr(_VARIANT_SQL).alias("t"),
+            (F.col("user_id") % 3).cast("long").alias("stratum"),
+        )
+    )
+    s = per_user.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast(D38).alias("n_s"),
+        F.sum("t").cast(D38).alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("t")).cast(D38).alias("n_c"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast(D38)
+        .alias("sy_t"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast(D38)
+        .alias("sy_c"),
+    )
+    tot = s.agg(F.sum("n_s").cast(D38).alias("n"))
+    terms = s.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_s",
+        "n_t",
+        "n_c",
+        F.expr(
+            f"(cast(1000000 as {D38}) * (sy_t * n_c - sy_c * n_t))"
+            " div (n_t * n_c)"
+        )
+        .cast("long")
+        .alias("diff_micro"),
+        F.expr(
+            f"(cast(1000000 as {D38}) * n_s * (sy_t * n_c - sy_c * n_t))"
+            " div (n * n_t * n_c)"
+        )
+        .cast("long")
+        .alias("term_micro"),
+    )
+    ate = terms.agg(F.sum("term_micro").cast("long").alias("ate_total_micro"))
+    return terms.crossJoin(F.broadcast(ate)).select(
+        "stratum",
+        F.col("n_s").cast("long").alias("n_users"),
+        F.col("n_t").cast("long").alias("n_treat"),
+        F.col("n_c").cast("long").alias("n_ctrl"),
+        "diff_micro",
+        "term_micro",
+        "ate_total_micro",
+    )

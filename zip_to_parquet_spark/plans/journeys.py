@@ -1438,3 +1438,131 @@ def events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("touches"),
         F.sum("credit").cast("long").alias("credit_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-session ordered-pair mining (sequential association, gaps allowed).
+# ---------------------------------------------------------------------------
+@query(
+    "events_sequence_pairs",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    ranked AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER
+               (PARTITION BY user_id, session_id
+                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
+    spans AS (
+      SELECT user_id, session_id, event_type,
+             min(rn) AS first_rn, max(rn) AS last_rn
+      FROM ranked GROUP BY user_id, session_id, event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM spans a
+      JOIN spans b ON a.user_id = b.user_id
+                  AND a.session_id = b.session_id
+                  AND a.event_type <> b.event_type
+      WHERE a.first_rn < b.last_rn
+    )
+    SELECT type_a, type_b, count(*)::BIGINT AS n_sessions
+    FROM pairs GROUP BY type_a, type_b
+    ORDER BY n_sessions DESC, type_a, type_b LIMIT 20
+    """,
+)
+def events_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pair mining with gaps (the 2-item case of
+    PrefixSpan/SPADE sequence mining): how many sessions contain event
+    type ``a`` somewhere STRICTLY BEFORE type ``b`` — intervening events
+    allowed, unlike ``events_session_paths`` (contiguous prefixes) and
+    ``events_markov_transitions`` (adjacent pairs only). Top-20 ordered
+    pairs by supporting-session count.
+
+    The scale trick: "a before b in this session" ⟺ min_pos(a) <
+    max_pos(b), so the per-event quadratic self-join collapses to a
+    per-(session, type) span rollup joined within session —
+    ≤ |types|² = 25 candidate rows per session regardless of session
+    length. Session positions are the usual (ts, event_id)-ordered row
+    numbers; 30-min inactivity gap per the house sessionize.
+
+    Scale shape: one user-keyed shuffle drives sessionize + position
+    windows; the span rollup re-keys to (user, session) for the tiny
+    within-session join; a |types|²-row rollup + TakeOrdered ends the
+    plan."""
+    ev = spread(load_table(spark, sf_dir, "events"), "user_id")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ranked = sess.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "session_id").orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+    )
+    spans = ranked.groupBy("user_id", "session_id", "event_type").agg(
+        F.min("rn").alias("first_rn"), F.max("rn").alias("last_rn")
+    )
+    a = spans.select(
+        "user_id",
+        "session_id",
+        F.col("event_type").alias("type_a"),
+        "first_rn",
+    )
+    b = spans.select(
+        "user_id",
+        "session_id",
+        F.col("event_type").alias("type_b"),
+        "last_rn",
+    )
+    pairs = a.join(b, ["user_id", "session_id"]).filter(
+        (F.col("type_a") != F.col("type_b"))
+        & (F.col("first_rn") < F.col("last_rn"))
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "type_a", "type_b")
+        .limit(20)
+    )
