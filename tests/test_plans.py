@@ -1275,3 +1275,13 @@ def test_stratified_ate_single_fact_shuffle(spark):
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "user_id" in read and "event_type" in read
     assert "value" not in read and "props" not in read
+
+
+def test_did_is_join_free_single_reduce(spark):
+    # One user-keyed partial agg then a 1-row reduce: no join, no
+    # window; scan pruned to (ts, user_id).
+    plan = plan_of(spark, "experiment_diff_in_diff")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "ts" in read and "user_id" in read and "event_type" not in read

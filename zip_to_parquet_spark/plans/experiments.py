@@ -850,3 +850,103 @@ def experiment_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term_micro",
         "ate_total_micro",
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (two-period, two-group).
+# ---------------------------------------------------------------------------
+@query(
+    "experiment_diff_in_diff",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, {_DUCK_VARIANT} AS t,
+             sum(CASE WHEN ts < TIMESTAMP '{_CUTOFF}' THEN 1 ELSE 0 END)
+               ::BIGINT AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '{_CUTOFF}' THEN 1 ELSE 0 END)
+               ::BIGINT AS y
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)::HUGEINT AS nt,
+             sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)::HUGEINT AS nc,
+             sum(CASE WHEN t = 1 THEN x ELSE 0 END)::HUGEINT AS sxt,
+             sum(CASE WHEN t = 1 THEN y ELSE 0 END)::HUGEINT AS syt,
+             sum(CASE WHEN t = 0 THEN x ELSE 0 END)::HUGEINT AS sxc,
+             sum(CASE WHEN t = 0 THEN y ELSE 0 END)::HUGEINT AS syc
+      FROM per_user
+    )
+    SELECT nt::BIGINT AS n_treat, nc::BIGINT AS n_ctrl,
+           ((1000000 * sxt) // nt)::BIGINT AS pre_treat_micro,
+           ((1000000 * syt) // nt)::BIGINT AS post_treat_micro,
+           ((1000000 * sxc) // nc)::BIGINT AS pre_ctrl_micro,
+           ((1000000 * syc) // nc)::BIGINT AS post_ctrl_micro,
+           ((1000000 * ((syt - sxt) * nc - (syc - sxc) * nt))
+              // (nt * nc))::BIGINT AS did_micro
+    FROM g
+    """,
+)
+def experiment_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (Card & Krueger 1994 canonical 2×2):
+    the treated group's pre→post change minus the control group's —
+    the parallel-trends estimator that removes both group-level
+    baseline differences and period-level shocks. Same md5 assignment
+    and month-midpoint periods as the CUPED key; the five-key causal
+    battery is now SRM (gate) → CUPED (shrink) → t² (test) →
+    stratified ATE (adjust composition) → DiD (adjust trends).
+
+    Exactness: DiD = ((Sy_t−Sx_t)·n_c − (Sy_c−Sx_c)·n_t)/(n_t·n_c) —
+    one truncating division over the common denominator; the four cell
+    means take one div each. All moments integer (DECIMAL(38,0) ↔
+    HUGEINT headroom documented in the module).
+
+    Scale shape: one user-keyed partial-agg shuffle, one 1-row reduce —
+    join-free, window-free, collect-free."""
+    per_user = (
+        spread(load_table(spark, sf_dir, "events"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < F.lit(_CUTOFF).cast("timestamp"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= F.lit(_CUTOFF).cast("timestamp"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("t", F.expr(_VARIANT_SQL))
+    )
+    g = per_user.agg(
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).cast(D38).alias("nt"),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0)).cast(D38).alias("nc"),
+        F.sum(F.when(F.col("t") == 1, F.col("x")).otherwise(0))
+        .cast(D38)
+        .alias("sxt"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast(D38)
+        .alias("syt"),
+        F.sum(F.when(F.col("t") == 0, F.col("x")).otherwise(0))
+        .cast(D38)
+        .alias("sxc"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast(D38)
+        .alias("syc"),
+    )
+    m = f"cast(1000000 as {D38})"
+    return g.select(
+        F.col("nt").cast("long").alias("n_treat"),
+        F.col("nc").cast("long").alias("n_ctrl"),
+        F.expr(f"({m} * sxt) div nt").cast("long").alias("pre_treat_micro"),
+        F.expr(f"({m} * syt) div nt").cast("long").alias("post_treat_micro"),
+        F.expr(f"({m} * sxc) div nc").cast("long").alias("pre_ctrl_micro"),
+        F.expr(f"({m} * syc) div nc").cast("long").alias("post_ctrl_micro"),
+        F.expr(
+            f"({m} * ((syt - sxt) * nc - (syc - sxc) * nt)) div (nt * nc)"
+        )
+        .cast("long")
+        .alias("did_micro"),
+    )
