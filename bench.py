@@ -124,17 +124,44 @@ def main() -> int:
         except OSError:  # pragma: no cover - non-Linux fallback
             return 0.0
 
+    def _await_quiet(max_wait: float, probe: float = 10.0) -> None:
+        # Measurement hygiene: hold (bounded) for a window where the
+        # hypervisor is taking < 1% from us before starting a pass.
+        # Steal bursts on this box run minutes-long; starting inside one
+        # contaminates every sample of the pass. Bounded so a permanently
+        # noisy box still completes — min-of-N then remains an upper bound.
+        waited = 0.0
+        while waited < max_wait:
+            s0 = _steal()
+            time.sleep(probe)
+            waited += probe
+            d = _steal() - s0
+            if d < 0.1:
+                return
+            print(
+                f"  waiting for quiet window: steal {d:.1f}s/{probe:.0f}s",
+                file=sys.stderr,
+            )
+
     print(f"  load at start: {os.getloadavg()[0]:.2f}", file=sys.stderr)
+    _await_quiet(max_wait=180.0)
+    bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     clean: set[str] = set()
-    for _pass in range(6):
-        # Adaptive pass count: minimum 3 passes; passes 4-6 run only while
-        # some query still lacks a steal-clean sample (a window where the
-        # hypervisor took < 0.5 s from us). Steal can only inflate a
-        # timing, so min-of-all-samples is always a valid upper bound —
-        # the extra passes just raise the odds of an uncontended sample.
+    for _pass in range(10):
+        # Adaptive pass count: minimum 3 passes; later passes run only
+        # while some query still lacks a steal-clean sample (a window
+        # where the hypervisor took < 0.5 s from us). Steal can only
+        # inflate a timing, so min-of-all-samples is always a valid upper
+        # bound — the extra passes just raise the odds of an uncontended
+        # sample. A wall budget caps the retrying on a hopeless box.
         if _pass >= 3 and len(clean) == len(HEADLINE):
             break
+        if _pass >= 3 and time.perf_counter() - bench_t0 > 840:
+            print("  wall budget reached; stopping passes", file=sys.stderr)
+            break
+        if _pass > 0:
+            _await_quiet(max_wait=60.0)
         st_pass = _steal()
         for name in HEADLINE:
             fn = queries[name]
