@@ -1285,3 +1285,12 @@ def test_did_is_join_free_single_reduce(spark):
     assert "Window" not in plan
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "ts" in read and "user_id" in read and "event_type" not in read
+
+
+def test_matryoshka_eval_no_global_window_no_cartesian(spark):
+    # Both GEMM legs emit per-batch partial top-k (Python boundary),
+    # rank windows partition by q_id, recall is a (q_id, n_id)
+    # equi-join — never a cartesian or a global window.
+    plan = plan_of(spark, "vector_matryoshka_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -903,3 +903,113 @@ def quality_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("f1_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncated-dimension recall evaluation.
+# ---------------------------------------------------------------------------
+@query(
+    "vector_matryoshka_recall",
+    oracle="""
+    WITH qset AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0
+      ORDER BY vec_id LIMIT 512
+    ),
+    truth AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                     q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                 c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN (SELECT vec_id FROM qset)
+      ) WHERE rank <= 5
+    ),
+    trunc AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                     (q.embedding[1:16])::DOUBLE[],
+                     (c.embedding[1:16])::DOUBLE[]), 6) DESC,
+                 c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN (SELECT vec_id FROM qset)
+      ) WHERE rank <= 5
+    )
+    SELECT t.q_id, count(a.n_id)::BIGINT AS n_hits,
+           count(a.n_id)::DOUBLE / 5 AS recall_at_5
+    FROM truth t
+    LEFT JOIN trunc a ON a.q_id = t.q_id AND a.n_id = t.n_id
+    GROUP BY t.q_id
+    """,
+)
+def vector_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding evaluation (Kusupati et al. NeurIPS'22): how
+    much top-5 recall survives truncating every vector to its first 16
+    of 64 dimensions — the measurement behind MRL-style "store the
+    prefix, rerank with the tail" serving, where prefix search cuts
+    memory and GEMM cost 4× IF recall holds. Both legs run the same
+    bounded-query-batch brute-force contract as ``ann_cosine_topk``
+    (per-batch partial top-k, round-6 + id tie-break), so this is a
+    pure ablation: identical scorer, sliced input.
+
+    Scale shape: two map-only GEMM passes over the corpus (full-dim and
+    16-dim) emitting O(Q·k) candidates each, one (q_id, n_id) equi-join,
+    one per-query count — eval cost is the standard ground-truth price,
+    paid per index-design decision, never per query.
+
+    Cites ``operators/vectors.gemm_topk_candidates`` for the
+    dimension-ordered summation that keeps numpy/DuckDB doubles
+    bit-identical."""
+    from pyspark.sql.window import Window
+
+    from zip_to_parquet_spark.operators.vectors import gemm_topk_candidates
+    from zip_to_parquet_spark.plans.llm import (
+        _MAX_QUERY_BATCH,
+        _embeddings_spread,
+    )
+
+    emb = _embeddings_spread(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .orderBy("vec_id")
+        .limit(_MAX_QUERY_BATCH)
+        .collect()
+    )
+    q_ids = [r[0] for r in qrows]
+
+    def topk5(corpus, q_vecs):
+        cand = gemm_topk_candidates(corpus, q_ids, q_vecs, k=5)
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("cos_sim").desc(), F.col("n_id")
+        )
+        return (
+            cand.select(
+                "q_id", "n_id", F.round(F.col("cos_sim_raw"), 6).alias("cos_sim")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("q_id", "n_id")
+        )
+
+    truth = topk5(emb, [list(r[1]) for r in qrows])
+    half = emb.select("vec_id", F.slice("v", 1, 16).alias("v"))
+    trunc = topk5(half, [list(r[1])[:16] for r in qrows]).select(
+        F.col("q_id").alias("a_q_id"), F.col("n_id").alias("a_n_id")
+    )
+    hit = truth.join(
+        trunc,
+        (F.col("q_id") == F.col("a_q_id"))
+        & (F.col("n_id") == F.col("a_n_id")),
+        "left",
+    )
+    return hit.groupBy("q_id").agg(
+        F.count("a_n_id").cast("bigint").alias("n_hits"),
+        (F.count("a_n_id").cast("double") / F.lit(5)).alias("recall_at_5"),
+    )
