@@ -1294,3 +1294,22 @@ def test_matryoshka_eval_no_global_window_no_cartesian(spark):
     plan = plan_of(spark, "vector_matryoshka_recall")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assortativity_equi_joins_and_single_reduce(spark):
+    # Edge build equi-joins on l_orderkey; degree join-backs equi-join
+    # on node ids; moments end in a 1-row reduce. No cartesian.
+    plan = plan_of(spark, "graph_degree_assortativity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"l_orderkey", plan)
+
+
+def test_cohort_ltv_aggregates_before_join(spark):
+    # The running-sum window runs over the (cohort, offset) rollup, not
+    # the event stream; cohort sizes broadcast. No cartesian.
+    plan = plan_of(spark, "events_cohort_ltv")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "props" not in read

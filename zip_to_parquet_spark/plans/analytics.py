@@ -1323,3 +1323,102 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     return ivm_refresh(docs, simulated_refresh(docs))
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-order part graph (exact integer ratio).
+# ---------------------------------------------------------------------------
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, count(*)::HUGEINT AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    de AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ),
+    s AS (
+      SELECT 2 * count(*)::HUGEINT AS n,
+             sum(dx + dy)::HUGEINT AS sx,
+             2 * sum(dx * dy)::HUGEINT AS sxy,
+             sum(dx * dx + dy * dy)::HUGEINT AS sxx
+      FROM de
+    )
+    SELECT (n // 2)::BIGINT AS n_edges,
+           ((1000000 * (n * sxy - sx * sx))
+              // (n * sxx - sx * sx))::BIGINT AS assortativity_micro
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002 PRL 89.208701): the Pearson
+    correlation of endpoint degrees over all edges — positive when hubs
+    attach to hubs (social nets), negative for hub-and-spoke
+    (web/biological). The graph-HEALTH summary next to the family's
+    structure keys (triangles, components, PageRank): a sudden
+    assortativity shift in a crawl graph flags link-farm injection.
+
+    The exactness win: under the standard both-orientations
+    symmetrization the x and y marginals are IDENTICAL, so
+    sqrt(var_x·var_y) = var_x and r collapses to the pure integer
+    rational (n·Σxy − (Σx)²)/(n·Σx² − (Σx)²) — ONE truncating div to
+    micro, no sqrt, no double anywhere (the generic-pair corr key
+    stats_corr_exact must round a sqrt; this key beats it by symmetry).
+
+    Scale shape: same co-order edge build as ``graph_triangle_count``
+    (Σ|basket|² bounded by basket size), a node-keyed degree rollup,
+    two degree equi-joins back onto edges, one 1-row moment reduce."""
+    li = spread(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+    lp = li.select("l_orderkey", "l_partkey").distinct()
+    a = lp.alias("a")
+    b = lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    de = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "dx"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dy"), "v")
+        .select("dx", "dy")
+    )
+    d38 = "decimal(38,0)"
+    s = de.agg(
+        (2 * F.count(F.lit(1))).cast(d38).alias("n"),
+        F.sum(F.col("dx") + F.col("dy")).cast(d38).alias("sx"),
+        (2 * F.sum(F.col("dx") * F.col("dy"))).cast(d38).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+        .cast(d38)
+        .alias("sxx"),
+    )
+    return s.select(
+        F.expr("n div 2").cast("long").alias("n_edges"),
+        F.expr(
+            f"(cast(1000000 as {d38}) * (n * sxy - sx * sx))"
+            " div (n * sxx - sx * sx)"
+        )
+        .cast("long")
+        .alias("assortativity_micro"),
+    )

@@ -1566,3 +1566,91 @@ def events_sequence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "type_a", "type_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative revenue per signup cohort by day offset.
+# ---------------------------------------------------------------------------
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             min(epoch_ms(ts) // 86400000) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    cohort_size AS (
+      SELECT cohort_day, count(*)::BIGINT AS n_users
+      FROM first_seen GROUP BY cohort_day
+    ),
+    rev AS (
+      SELECT f.cohort_day,
+             (epoch_ms(e.ts) // 86400000) - f.cohort_day AS day_offset,
+             sum((e.value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS cents
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND (epoch_ms(e.ts) // 86400000) - f.cohort_day <= 7
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_day::BIGINT AS cohort_day,
+           r.day_offset::BIGINT AS day_offset,
+           c.n_users,
+           sum(r.cents) OVER (
+             PARTITION BY r.cohort_day ORDER BY r.day_offset
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_revenue_cents
+    FROM rev r JOIN cohort_size c ON c.cohort_day = r.cohort_day
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users cohort by FIRST-SEEN day, and
+    each cohort accumulates purchase revenue over its first week of day
+    offsets — the money companion to ``events_retention_cohort`` (which
+    counts distinct active users): retention says who comes back, LTV
+    says what that's worth, and the payback-period read is where the
+    cumulative curve crosses acquisition cost.
+
+    Exactness: days are epoch-day integers, revenue integer cents, and
+    the cumulative curve is a running integer sum over a totally-ordered
+    (cohort, offset) grid.
+
+    Scale shape: one user-keyed shuffle shared by first-seen and the
+    revenue join (aggregate-before-join on the cohort-size side), then a
+    cohort-day-keyed running-sum window over the tiny
+    (cohorts × offsets) rollup."""
+    ev = spread(load_table(spark, sf_dir, "events"), "user_id")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.expr("unix_millis(ts) div 86400000")).alias("cohort_day")
+    )
+    cohort_size = first_seen.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("unix_millis(ts) div 86400000").alias("eday"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            (F.col("eday") - F.col("cohort_day")).alias("day_offset"),
+            "cents",
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.join(F.broadcast(cohort_size), "cohort_day").select(
+        F.col("cohort_day").cast("long").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_users",
+        F.sum("cents").over(w).cast("long").alias("cum_revenue_cents"),
+    )
