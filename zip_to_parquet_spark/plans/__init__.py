@@ -151,6 +151,17 @@ set_priority([
     # verified by the fresh-process driver-contract drive at sf0.01 +
     # the sf0.001 suite + the type audit in the session that added it,
     # queued behind the fifth wave for round-6 slots.
+    # The round-5 SEVENTH wave (events_bot_regularity, text_rake_keywords;
+    # plans/experiments.py: experiment_cuped_adjust, experiment_srm_check,
+    # privacy_randomized_response, feature_target_encode_loo,
+    # sample_stratified_exact, events_locf_fill, experiment_lift_t2,
+    # stats_bootstrap_ci_poisson, experiment_stratified_ate,
+    # experiment_diff_in_diff; plus events_attribution_ushape,
+    # events_sequence_pairs, vector_matryoshka_recall,
+    # graph_degree_assortativity, events_cohort_ltv) likewise: every key
+    # verified by the fresh-process driver-contract drive at sf0.01 +
+    # the sf0.001 suite + the type audit in the session that added it,
+    # queued with the earlier waves for round-6 slots.
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]
