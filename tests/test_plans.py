@@ -1313,3 +1313,13 @@ def test_cohort_ltv_aggregates_before_join(spark):
     assert "BroadcastHashJoin" in plan
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "props" not in read
+
+
+def test_dp_geometric_is_one_rollup_then_map_noise(spark):
+    # The only fact shuffle is the count rollup; noise is a map-only
+    # expression over the |cells| rows. No join, no window.
+    plan = plan_of(spark, "privacy_dp_geometric_counts")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "event_type" in read and "value" not in read and "ts" not in read

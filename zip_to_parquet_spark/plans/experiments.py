@@ -950,3 +950,78 @@ def experiment_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("did_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Central-DP histogram release via the geometric (discrete Laplace)
+# mechanism — integer-exact, no transcendental at query time.
+# ---------------------------------------------------------------------------
+def _geom_sql(salt: str) -> str:
+    """One-sided geometric(1/2) draw, 0..23, as a Spark SQL fragment:
+    G = 23 − floor(log2(h+1)) with h an md5 uniform on [0, 2²⁴−2] and
+    floor(log2(x)) = length(bin(x)) − 1 — Spark and DuckDB ``bin()``
+    both render minimal binary, so the draw is integer-exact in both
+    engines (P(G=g) = 2^(23−g)/(2²⁴−1) ∝ 2^−g, truncated at 23)."""
+    h = md5_low_bytes_sql(f"concat('{salt}', event_type)", 3)
+    return f"(23 - (length(bin(({h}) % 16777215 + 1)) - 1))"
+
+
+def _geom_duck(salt: str) -> str:
+    return (
+        f"(23 - (length(bin(((md5_number_lower('{salt}' || event_type)"
+        " % 16777216) % 16777215 + 1)::BIGINT)) - 1))"
+    )
+
+
+@query(
+    "privacy_dp_geometric_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, count(*)::BIGINT AS true_count
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, true_count,
+           {_geom_duck('dpg1:')}::BIGINT AS g_pos,
+           {_geom_duck('dpg2:')}::BIGINT AS g_neg,
+           (true_count + {_geom_duck('dpg1:')} - {_geom_duck('dpg2:')})
+             ::BIGINT AS noisy_count
+    FROM c
+    """,
+)
+def privacy_dp_geometric_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central-DP histogram release via the geometric mechanism (Ghosh,
+    Roughgarden, Sundararajan STOC'09 — the discretely-optimal
+    ε-DP noise for integer counts): each released cell adds
+    G₁ − G₂ with independent geometric(1/2) draws, i.e. two-sided
+    geometric (discrete Laplace) noise at ε = ln 2 for
+    sensitivity-1 counts. Fourth member of the privacy family:
+    ``pii_redact_counts`` scrubs, ``dq_k_anonymity`` audits,
+    ``privacy_randomized_response`` collects locally, this RELEASES
+    centrally.
+
+    The exactness trick: a geometric(1/2) draw is the floor-log2 of a
+    uniform — G = 23 − floor(log₂(h+1)) over a 24-bit md5 uniform, and
+    floor(log₂ x) = length(bin(x)) − 1 renders identically in Spark and
+    DuckDB, so the DP noise itself is integer-exact cross-engine (no
+    exp/ln evaluates anywhere; the distribution truncates at 23,
+    P < 10⁻⁷, documented). Draws salt on the CELL key — central DP adds
+    one noise term per released cell, not per row.
+
+    Scale shape: one map-side-combinable count rollup (the only fact
+    shuffle); the noise is a map-only expression over |cells| rows."""
+    c = (
+        spread(load_table(spark, sf_dir, "events"), "event_id")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    g1 = _geom_sql("dpg1:")
+    g2 = _geom_sql("dpg2:")
+    return c.select(
+        "event_type",
+        "true_count",
+        F.expr(g1).cast("long").alias("g_pos"),
+        F.expr(g2).cast("long").alias("g_neg"),
+        (F.col("true_count") + F.expr(g1) - F.expr(g2))
+        .cast("long")
+        .alias("noisy_count"),
+    )
