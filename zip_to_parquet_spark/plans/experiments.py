@@ -1,24 +1,24 @@
-"""Experimentation / privacy / feature-engineering wave: CUPED variance
-reduction, sample-ratio-mismatch gating, randomized-response private
-counts, leave-one-out target encoding, exact stratified sampling, and
-LOCF forward-fill.
+"""Experimentation / privacy / feature-engineering wave.
 
-Six operator families the registry did not yet cover: the A/B-test
-analysis pair every experimentation platform runs before reading a
-metric (CUPED adjustment using pre-period covariates, Deng et al.
-WSDM'13; and the sample-ratio-mismatch chi-square guard that rejects a
-broken assignment before any metric is trusted), a local-DP collection
-mechanism (Warner 1965 randomized response with its unbiased count
-estimator — the privacy family's collection side, next to the existing
-``pii_redact_counts`` scrubbing side and ``dq_k_anonymity`` audit side),
-leave-one-out target encoding (the categorical-feature encoder that
-avoids self-leakage — feature engineering for the trained-model keys),
-proportional stratified sampling with per-stratum determinism (the
-split discipline ``dataset_split`` applies corpus-wide, here enforced
-exactly within every stratum), and last-observation-carried-forward
-imputation (the panel-data gap filler; ``events_timeseries_gapfill``
-fills missing CALENDAR rows, this fills missing VALUES on existing
-rows).
+The A/B-test battery every experimentation platform runs around a
+metric readout: the sample-ratio-mismatch chi-square gate (broken
+assignment rejected before any metric is trusted), CUPED variance
+reduction from pre-period covariates (Deng et al. WSDM'13), the Welch
+t² significance test as one exact integer rational, stratified-ATE
+subclassification (Imbens–Rubin), the canonical 2×2
+difference-in-differences, and Poisson-bootstrap confidence intervals
+(Chamandy et al. 2012 — the bootstrap that distributes). Plus the
+privacy pair — local-DP collection via Warner 1965 randomized response
+and central-DP release via the Ghosh–Roughgarden–Sundararajan
+geometric mechanism, both with integer-exact deterministic noise —
+next to the existing ``pii_redact_counts`` scrubbing and
+``dq_k_anonymity`` audit keys; leave-one-out target encoding (the
+categorical encoder that avoids self-leakage), proportional stratified
+sampling with per-stratum determinism (the split discipline
+``dataset_split`` applies corpus-wide, here enforced exactly within
+every stratum), and last-observation-carried-forward imputation
+(``events_timeseries_gapfill`` fills missing CALENDAR rows, this fills
+missing VALUES on existing rows).
 
 House determinism rules (see plans/analytics.py): money → integer
 cents, ratios → integer milli/micro via truncating ``div`` (Spark
