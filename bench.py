@@ -149,15 +149,20 @@ def main() -> int:
     timings: dict[str, float] = {}
     clean: set[str] = set()
     for _pass in range(10):
-        # Adaptive pass count: minimum 3 passes; later passes run only
+        # Adaptive pass count: minimum 5 passes; later passes run only
         # while some query still lacks a steal-clean sample (a window
         # where the hypervisor took < 0.5 s from us). Steal can only
         # inflate a timing, so min-of-all-samples is always a valid upper
         # bound — the extra passes just raise the odds of an uncontended
         # sample. A wall budget caps the retrying on a hopeless box.
-        if _pass >= 3 and len(clean) == len(HEADLINE):
+        # Five, not three: the heavy Arrow-UDF queries (MinHash, GEMM)
+        # keep dropping through pass ~3 as JIT tiering and Python-worker
+        # reuse converge — a 3-pass min reports pre-steady-state cost
+        # (measured: dedup_minhash_lsh 2.33 -> 1.40 s over 5 back-to-back
+        # sf0.1 runs on a steal-clean box).
+        if _pass >= 5 and len(clean) == len(HEADLINE):
             break
-        if _pass >= 3 and time.perf_counter() - bench_t0 > 840:
+        if _pass >= 5 and time.perf_counter() - bench_t0 > 840:
             print("  wall budget reached; stopping passes", file=sys.stderr)
             break
         if _pass > 0:
