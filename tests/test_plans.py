@@ -1323,3 +1323,12 @@ def test_dp_geometric_is_one_rollup_then_map_noise(spark):
     assert "Window" not in plan
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "event_type" in read and "value" not in read and "ts" not in read
+
+
+def test_asof_nearest_is_one_union_sort_no_join(spark):
+    # Both directional carries share one user_id partitioning over the
+    # union — the nearest join must not contain any physical join.
+    plan = plan_of(spark, "join_asof_nearest_click")
+    assert "Join" not in plan
+    assert "Union" in plan
+    assert n_shuffles(plan) <= 1, plan

@@ -165,3 +165,124 @@ def events_markov_transitions(spark, sf_dir):
             "(n * 1000000) div sum(n) OVER (PARTITION BY prev_type)"
         ),  # exact integer div, matching the oracle's //
     )
+
+
+@query(
+    "join_asof_nearest_click",
+    oracle="""
+    WITH pur AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clk AS (
+      SELECT user_id AS cu, event_id AS c_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    back AS (
+      SELECT p.event_id, c.c_id AS b_id, c.c_ts AS b_ts
+      FROM pur p ASOF LEFT JOIN clk c
+        ON p.user_id = c.cu AND p.ts >= c.c_ts
+    ),
+    fwd AS (
+      SELECT p.event_id, c.c_id AS f_id, c.c_ts AS f_ts
+      FROM pur p ASOF LEFT JOIN clk c
+        ON p.user_id = c.cu AND p.ts < c.c_ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN f.f_id IS NULL THEN b.b_id
+                WHEN b.b_id IS NULL THEN f.f_id
+                WHEN epoch_us(p.ts) - epoch_us(b.b_ts)
+                     <= epoch_us(f.f_ts) - epoch_us(p.ts) THEN b.b_id
+                ELSE f.f_id END AS click_event_id,
+           CASE WHEN f.f_id IS NULL THEN epoch_us(p.ts) - epoch_us(b.b_ts)
+                WHEN b.b_id IS NULL THEN epoch_us(p.ts) - epoch_us(f.f_ts)
+                WHEN epoch_us(p.ts) - epoch_us(b.b_ts)
+                     <= epoch_us(f.f_ts) - epoch_us(p.ts)
+                THEN epoch_us(p.ts) - epoch_us(b.b_ts)
+                ELSE epoch_us(p.ts) - epoch_us(f.f_ts) END AS delta_us
+    FROM pur p
+    JOIN back b ON b.event_id = p.event_id
+    JOIN fwd f ON f.event_id = p.event_id
+    """,
+)
+def join_asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): each purchase attaches the click of the same
+    user closest in time in EITHER direction — backward ties beat
+    forward at equal distance (the earlier row wins, pandas semantics).
+    ``join_asof_last_click`` is the backward member; this completes the
+    direction family. ``delta_us`` is signed: positive when the match is
+    in the past, negative when in the future.
+
+    Both directional passes are the linear union+sort formulation
+    (``operators.temporal.asof_join`` idiom) over the SAME user_id
+    partitioning — the backward pass carries the last click forward, the
+    forward pass carries the next click backward in one descending
+    window — so the whole nearest join costs one shuffle, never a
+    theta-join.
+
+    Exactness: deltas are integer microseconds; ties break toward the
+    backward match by the ``<=`` in the final CASE."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    tagged_p = pur.select(
+        F.col("user_id").alias("__k"),
+        F.col("ts").alias("__ts"),
+        F.lit(1).alias("__side"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("long").alias("c_id"),
+        F.lit(None).cast("timestamp").alias("c_ts"),
+    )
+    tagged_c = clk.select(
+        F.col("cu").alias("__k"),
+        F.col("c_ts").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "c_id",
+        "c_ts",
+    )
+    u = tagged_p.unionByName(tagged_c)
+    # Backward: clicks at ts <= purchase ts (right rows sort first at ties).
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Forward: clicks at ts > purchase ts — descending scan, clicks sort
+    # first at equal __ts IN DESCENDING ORDER means side desc; a same-ts
+    # click must NOT match forward (strict >), so purchases (side 1)
+    # come first descending: order by (__ts desc, __side desc).
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").desc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        F.last("c_id", ignorenulls=True).over(wb).alias("b_id"),
+        F.last("c_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.last("c_id", ignorenulls=True).over(wf).alias("f_id"),
+        F.last("c_ts", ignorenulls=True).over(wf).alias("f_ts"),
+    ).filter(F.col("__side") == 1)
+    d_b = F.expr("unix_micros(ts) - unix_micros(b_ts)")
+    d_f = F.expr("unix_micros(f_ts) - unix_micros(ts)")
+    pick_b = F.col("f_id").isNull() | (
+        F.col("b_id").isNotNull() & (d_b <= d_f)
+    )
+    return filled.select(
+        "event_id",
+        F.col("__k").alias("user_id"),
+        "ts",
+        F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id"))
+        .alias("click_event_id"),
+        F.when(pick_b, d_b).otherwise(-d_f).cast("long").alias("delta_us"),
+    )
