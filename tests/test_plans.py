@@ -1332,3 +1332,12 @@ def test_asof_nearest_is_one_union_sort_no_join(spark):
     assert "Join" not in plan
     assert "Union" in plan
     assert n_shuffles(plan) <= 1, plan
+
+
+def test_freshness_lag_is_rollup_plus_frontier_broadcast(spark):
+    # One (type) rollup + a broadcast 1-row frontier; no SMJ, no window.
+    plan = plan_of(spark, "dq_freshness_lag")
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "value" not in read and "props" not in read

@@ -1654,3 +1654,56 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.sum("cents").over(w).cast("long").alias("cum_revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-freshness SLA audit per ingestion source.
+# ---------------------------------------------------------------------------
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS corpus_max FROM events),
+    per_type AS (
+      SELECT event_type, max(ts) AS last_ts, count(*)::BIGINT AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_events, p.last_ts,
+           ((epoch_us(r.corpus_max) - epoch_us(p.last_ts)) // 1000000)
+             ::BIGINT AS lag_seconds,
+           ((epoch_us(r.corpus_max) - epoch_us(p.last_ts)) // 1000000)
+             > 3600 AS sla_breach
+    FROM per_type p CROSS JOIN ref r
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit: per event stream, how far its latest
+    arrival lags the corpus frontier, alarmed at 1 hour — the check
+    every warehouse ingestion pipeline runs before trusting a partition
+    (a stream whose max(ts) trails the rest has a stuck producer; the
+    ROW-level sibling of ``dq_expectations_report``'s column checks and
+    ``dq_referential_integrity``'s key checks). The reference frontier
+    is the corpus max — a deterministic anchor, where production would
+    use now().
+
+    Exactness: lags are epoch-microsecond differences floored to whole
+    seconds; the breach flag compares integers.
+
+    Scale shape: one map-side-combinable (type) rollup + a 1-row
+    frontier broadcast; the rollup and frontier share the single fact
+    scan only through Spark's scan reuse — no window, no collect."""
+    ev = spread(load_table(spark, sf_dir, "events"), "event_id")
+    ref = ev.agg(F.max("ts").alias("corpus_max"))
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    lag = F.expr(
+        "(unix_micros(corpus_max) - unix_micros(last_ts)) div 1000000"
+    )
+    return per_type.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        lag.cast("long").alias("lag_seconds"),
+        (lag > 3600).alias("sla_breach"),
+    )
