@@ -1341,3 +1341,11 @@ def test_freshness_lag_is_rollup_plus_frontier_broadcast(spark):
     assert "Window" not in plan
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "value" not in read and "props" not in read
+
+
+def test_builtin_session_window_is_one_user_shuffle(spark):
+    # session_window groups in one user-keyed aggregation: no join, at
+    # most spread + one shuffle.
+    plan = plan_of(spark, "events_session_window_builtin")
+    assert "Join" not in plan
+    assert n_shuffles(plan) <= 2, plan

@@ -1707,3 +1707,60 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.cast("long").alias("lag_seconds"),
         (lag > 3600).alias("sla_breach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window mechanism parity vs first-principles islands.
+# ---------------------------------------------------------------------------
+@query(
+    "events_session_window_builtin",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER
+               (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*)::BIGINT AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window`` grouping function, hash-proved
+    equal to the first-principles gaps-and-islands construction — the
+    mechanism-parity discipline of ``text_chunk_windows_udtf`` applied
+    to session windows: the engine primitive and the hand-built SQL must
+    agree row-for-row or one of them is lying. Note the boundary
+    semantics differ from ``events_sessionize``'s lag rule: the builtin
+    merges events while the gap is STRICTLY under 30 min (an exactly-
+    1800 s gap starts a new session), so the oracle's island flag uses
+    ``>=`` where the sessionize key uses ``>``.
+
+    Scale shape: session_window is a single user-keyed aggregation with
+    state merging inside the group — the same one-shuffle cost as the
+    window formulation, with the merge logic in native code."""
+    ev = spread(load_table(spark, sf_dir, "events"), "user_id")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
