@@ -1349,3 +1349,15 @@ def test_builtin_session_window_is_one_user_shuffle(spark):
     plan = plan_of(spark, "events_session_window_builtin")
     assert "Join" not in plan
     assert n_shuffles(plan) <= 2, plan
+
+
+def test_abc_runs_window_on_part_level_rollup(spark):
+    # The global running sum must run over the part-level revenue
+    # rollup (catalog-sized), never the lineitem fact; the total rides
+    # a 1-row broadcast.
+    plan = plan_of(spark, "parts_abc_classification")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" in read and "l_extendedprice" in read
+    assert "l_quantity" not in read and "l_shipdate" not in read

@@ -24,6 +24,7 @@ from zip_to_parquet_spark.operators.stats import (
     score_by_threshold_values,
 )
 from zip_to_parquet_spark.plans.registry import query
+from zip_to_parquet_spark.runtime import spread
 from zip_to_parquet_spark.schema import load_table
 
 D38 = "decimal(38,0)"
@@ -1365,4 +1366,81 @@ def stats_gini_permille(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini_permille"),
         )
         .filter(F.col("total_cents") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification of parts by cumulative revenue share.
+# ---------------------------------------------------------------------------
+@query(
+    "parts_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum((l_extendedprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
+               AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(cents)::HUGEINT AS t FROM rev),
+    ranked AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN cum * 1000 <= 800 * tot.t THEN 'A'
+                  WHEN cum * 1000 <= 950 * tot.t THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM ranked CROSS JOIN tot
+    )
+    SELECT abc_class, count(*)::BIGINT AS n_parts,
+           sum(cents)::BIGINT AS revenue_cents
+    FROM classed GROUP BY abc_class
+    """,
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts rank by revenue and
+    class A holds the leading items up to 80% of cumulative revenue,
+    B to 95%, C the tail — the 80/15/5 discipline behind stocking and
+    slotting decisions (distinct from ``skyline_orders_pareto``, which
+    is multi-dimensional dominance; this is one-dimensional concentration
+    banding). Boundary items class by ``cum·1000 ≤ permille·total`` in
+    exact integers, ties broken by part key.
+
+    Scale shape: a part-keyed revenue rollup (map-side combine), then a
+    global rank-ordered running sum over the PART-LEVEL table — at
+    catalog scale (~10⁶ parts, not fact scale) a single-partition
+    ordered window is the honest cost, and the two-pass
+    ``global_rank_two_pass`` pattern swaps in when even the catalog
+    outgrows one partition.
+
+    Exactness: integer cents, HUGEINT/DECIMAL(38,0) running sums, the
+    permille comparison is integer-only."""
+    li = spread(load_table(spark, sf_dir, "lineitem"), "l_partkey")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum((F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("decimal(38,0)").alias("t"))
+    w = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w).cast("decimal(38,0)").alias("cum"),
+    )
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        F.when(F.expr("cum * 1000 <= 800 * t"), "A")
+        .when(F.expr("cum * 1000 <= 950 * t"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
     )
