@@ -1361,3 +1361,12 @@ def test_abc_runs_window_on_part_level_rollup(spark):
     read = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "l_partkey" in read and "l_extendedprice" in read
     assert "l_quantity" not in read and "l_shipdate" not in read
+
+
+def test_holdout_lm_scores_type_table_not_token_stream(spark):
+    # The backoff scoring joins run on the val-pair TYPE table; count
+    # tables LEFT-join (OOV-safe); no cartesian beyond the 1-row stats
+    # broadcast.
+    plan = plan_of(spark, "lm_perplexity_holdout")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -3021,3 +3021,169 @@ def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(coalesce(sum(contrib), 0) * 1000 div 10266 as bigint)"
         ).alias("ndcg_permille"),
     )
+
+
+@query(
+    "lm_perplexity_holdout",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS part
+      FROM documents
+    ),
+    toks AS (SELECT unnest(w) AS w FROM split WHERE part = 'train'),
+    uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    stats AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS v FROM uni),
+    tpairs AS (
+      SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(w)),
+               i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+        FROM split WHERE part = 'train'
+      )
+    ),
+    bgt AS (SELECT w1, w2, count(*) AS c12 FROM tpairs GROUP BY w1, w2),
+    vpairs AS (
+      SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(w)),
+               i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+        FROM split WHERE part = 'val'
+      )
+    ),
+    vtypes AS (SELECT DISTINCT w1, w2 FROM vpairs),
+    sc AS (
+      SELECT t.w1, t.w2,
+             floor(-ln(CASE WHEN b.c12 IS NULL THEN 0.0::DOUBLE
+                            ELSE 0.9::DOUBLE * (b.c12 / u1.c) END
+                       + 0.1::DOUBLE
+                         * ((coalesce(u2.c, 0) + 1) / (s.total + s.v)))
+                   * 1e6)::BIGINT AS s_micro,
+             CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS is_oov
+      FROM vtypes t
+      LEFT JOIN bgt b ON b.w1 = t.w1 AND b.w2 = t.w2
+      LEFT JOIN uni u1 ON u1.w = t.w1
+      LEFT JOIN uni u2 ON u2.w = t.w2
+      CROSS JOIN stats s
+    )
+    SELECT v.source, count(DISTINCT v.doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_bigrams,
+           sum(sc.s_micro)::BIGINT AS surprisal_micro,
+           (sum(sc.s_micro) // count(*))::BIGINT AS mean_surprisal_micro,
+           ((1000 * sum(sc.is_oov)) // count(*))::BIGINT AS oov_permille
+    FROM vpairs v JOIN sc ON sc.w1 = v.w1 AND sc.w2 = v.w2
+    GROUP BY v.source
+    """,
+)
+def lm_perplexity_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model evaluation — the measurement that turns
+    ``lm_bigram_surprisal`` from a scorer into a MODEL: bigram counts
+    fit on the md5 'train' split only, mean surprisal (log-perplexity
+    in micro-nats) measured on the disjoint 'val' split, with
+    unseen-in-train transitions falling to the add-one unigram backoff
+    floor (LEFT joins; an OOV backoff term can never zero out) and the
+    OOV transition rate reported per source in exact permille. This is
+    the train/eval discipline CCNet applies with KenLM (Wenzek et al.
+    2020), executed entirely relationally on the
+    ``dataset_split`` hash partition.
+
+    Exactness: per-TYPE scores floor to integer micro-nats (the one
+    identical-expression ln both engines evaluate on identical doubles
+    — the accepted surprisal seam), sums and the mean/OOV divisions are
+    exact integers.
+
+    Scale shape: two counting passes over the train split, a val-pair
+    TYPE table (never the token stream) LEFT-joined against the count
+    tables, one size-aware join back to val transitions, one source
+    rollup."""
+    from zip_to_parquet_spark.operators.pipeline import (
+        _size_aware_side,
+        words,
+    )
+
+    d = _documents_spread(spark, sf_dir)
+    bucket = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = d.select(
+        "doc_id",
+        "source",
+        words(F.col("text")).alias("ws"),
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+        .alias("part"),
+    )
+    train = split.filter(F.col("part") == "train")
+    val = split.filter(F.col("part") == "val")
+    toks = train.select(F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    stats = uni.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("v"))
+
+    def pair_stream(df, extra):
+        n1 = F.size("ws") - 1
+        return df.select(
+            *extra,
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, n1),
+                    F.slice("ws", 2, n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        ).select(*extra, "p.w1", "p.w2")
+
+    bgt = (
+        pair_stream(train, [])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    vpairs = pair_stream(val, ["doc_id", "source"])
+    vtypes = vpairs.select("w1", "w2").distinct()
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    sc = (
+        vtypes.join(bgt, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                -F.log(
+                    F.when(
+                        F.col("c12").isNull(), F.lit(0.0)
+                    ).otherwise(F.lit(0.9) * (F.col("c12") / F.col("c1")))
+                    + F.lit(0.1)
+                    * (
+                        (F.coalesce(F.col("c2"), F.lit(0)) + 1)
+                        / (F.col("total") + F.col("v"))
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("s_micro"),
+            F.when(F.col("c12").isNull(), 1).otherwise(0).alias("is_oov"),
+        )
+    )
+    side = _size_aware_side(sc, vpairs, 2_000_000)
+    return (
+        vpairs.join(side, ["w1", "w2"])
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("s_micro").cast("long").alias("surprisal_micro"),
+            F.expr("sum(s_micro) div count(*)")
+            .cast("long")
+            .alias("mean_surprisal_micro"),
+            F.expr("(1000 * sum(is_oov)) div count(*)")
+            .cast("long")
+            .alias("oov_permille"),
+        )
+    )
