@@ -147,6 +147,7 @@ def main() -> int:
     _await_quiet(max_wait=180.0)
     bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
+    best_clean: dict[str, bool] = {}  # was the RECORDED (min) sample clean?
     clean: set[str] = set()
     for _pass in range(10):
         # Adaptive pass count: minimum 5 passes; later passes run only
@@ -179,6 +180,7 @@ def main() -> int:
                 clean.add(name)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+                best_clean[name] = not dirty
             print(
                 f"  pass{_pass} {name}: {dt:.2f}s"
                 + (" [steal]" if dirty else ""),
@@ -191,17 +193,27 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    # Round-6 lesson: a steal-contaminated headline recorded without a
+    # marker makes round-over-round deltas unreadable (+15% on identical
+    # code). If ANY recorded per-query minimum came from a dirty window —
+    # i.e. the retry loop never caught a quiet sample for it — say so in
+    # the JSON itself, not just the stderr tail.
+    dirty_queries = sorted(n for n, ok in best_clean.items() if not ok)
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if dirty_queries:
+        result["noisy"] = True
+        result["dirty_queries"] = dirty_queries
+        print(
+            f"  NOISY RUN: no steal-clean sample for {dirty_queries}",
+            file=sys.stderr,
         )
-    )
+    print(json.dumps(result))
     spark.stop()
     return 0
 

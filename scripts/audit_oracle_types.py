@@ -7,6 +7,16 @@ pytest value-parity sweep is green. This audit builds every Spark plan
 (schema only — no execution) and prepares every oracle with LIMIT 0 in
 DuckDB, then diffs canonical type names column by column.
 
+It ALSO runs every oracle to completion and applies the pandas
+MATERIALIZATION-OVERFLOW gate (the round-5/6 lesson): the driver
+materializes the DuckDB side via pandas, where every DECIMAL/HUGEINT
+column degrades to float64 — lossless below 2^53, silently rounding
+above it — while Spark returns exact Decimals, so the value hash
+diverges on keys whose VALUES are big even when their declared types
+match. Any DECIMAL/HUGEINT-sourced column whose max |value| exceeds
+2^53 is a hard FAIL; within 100× of the cliff is a WARN (the driver
+runs at 10× this script's default sf, so headroom matters).
+
 Usage: python scripts/audit_oracle_types.py [sf_dir]
 """
 
@@ -56,6 +66,41 @@ def canon_spark(t) -> str:
         "bigint": "long",
         "timestamp_ntz": "timestamp",
     }.get(s, s)
+
+
+FLOAT64_EXACT_MAX = 2**53  # largest contiguous exact integer in float64
+
+
+def materialization_overflow(con, oracle: str) -> tuple[dict, dict]:
+    """Run an oracle and return ({col: max_abs}, {col: max_abs}) for
+    DECIMAL/HUGEINT columns that (hard) exceed 2^53 or (warn) sit within
+    100x of it. These columns become float64 on the driver's pandas path.
+    """
+    rel = con.sql(f"SELECT * FROM ({oracle})")
+    cols = list(rel.columns)
+    degrading = {
+        i
+        for i, t in enumerate(rel.types)
+        if str(t).upper().startswith(("DECIMAL", "NUMERIC", "HUGEINT", "UHUGEINT"))
+    }
+    hard: dict[str, float] = {}
+    warn: dict[str, float] = {}
+    if not degrading:
+        return hard, warn
+    maxabs = {i: 0 for i in degrading}
+    for row in rel.fetchall():
+        for i in degrading:
+            v = row[i]
+            if v is not None:
+                a = abs(v)
+                if a > maxabs[i]:
+                    maxabs[i] = a
+    for i, a in maxabs.items():
+        if a > FLOAT64_EXACT_MAX:
+            hard[cols[i]] = float(a)
+        elif a > FLOAT64_EXACT_MAX // 100:
+            warn[cols[i]] = float(a)
+    return hard, warn
 
 
 def main() -> int:
@@ -108,6 +153,25 @@ def main() -> int:
         if diffs:
             print(f"{name}: TYPE DIFFS {diffs}")
             bad += 1
+            continue
+        try:
+            hard, soft = materialization_overflow(con, oracles[name])
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: DUCKDB EXEC ERROR: {exc}")
+            bad += 1
+            continue
+        if hard:
+            print(
+                f"{name}: MATERIALIZATION OVERFLOW (decimal values exceed "
+                f"float64's 2^53 exact range; driver pandas path will round) "
+                f"{hard}"
+            )
+            bad += 1
+        elif soft:
+            print(
+                f"{name}: overflow WARNING (within 100x of 2^53; may cross "
+                f"the cliff at driver sf) {soft}"
+            )
     print(f"audited {len([k for k in qs if k in oracles])} oracle pairs, {bad} with diffs")
     spark.stop()
     return 1 if bad else 0

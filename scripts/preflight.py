@@ -1,10 +1,17 @@
 """Round-end preflight: every gate the driver/judge will apply, one command.
 
+Prints the round-start ritual FIRST (open ADVICE.md items + the window
+allocation verdict), so even a half-lost round makes the highest-leverage
+move before anything else — the round-6 lesson.
+
 Runs (in order, fail-fast):
   1. full pytest suite           (sf0.001 oracle parity + unit tests)
   2. full-registry sf0.01 sweep  (the driver's correctness-gate scale)
-  3. oracle TYPE audit           (driver hash is type-sensitive;
-                                  pytest parity is not — the round-5 lesson)
+  3. oracle TYPE audit @ sf0.01  (driver hash is type-sensitive AND its
+                                  pandas path rounds decimals above 2^53;
+                                  pytest parity sees neither — the
+                                  round-5/6 lessons; sf0.01 so overflow
+                                  magnitudes match the driver's scale)
   4. window-policy + allocation  (every never-driver-verified key should
                                   hold one of the 50 driver slots)
 
@@ -53,13 +60,31 @@ def window_allocation() -> None:
               f"window (more than 50 exist): {outside}")
 
 
+def open_advice() -> None:
+    """Round-start ritual: surface ADVICE.md's items before any gate runs."""
+    path = os.path.join(REPO, "ADVICE.md")
+    print("=== open ADVICE.md items (apply these FIRST) ===")
+    if not os.path.exists(path):
+        print("  (no ADVICE.md)")
+        return
+    with open(path) as f:
+        for line in f:
+            if line.lstrip().startswith("- **"):
+                print(" ", line.rstrip())
+
+
 if __name__ == "__main__":
+    open_advice()
+    window_allocation()
     run("pytest (full suite, sf0.001)", [sys.executable, "-m", "pytest", "tests/", "-q"])
     run(
         "oracle parity sweep @ sf0.01",
         [sys.executable, "-m", "pytest", "tests/test_oracle_parity.py", "-q"],
         env={"SPARK_GRAFT_SF_DIR_TEST": "/root/testdata/sf0.01"},
     )
-    run("oracle TYPE audit", [sys.executable, "scripts/audit_oracle_types.py"])
+    run(
+        "oracle TYPE + overflow audit @ sf0.01",
+        [sys.executable, "scripts/audit_oracle_types.py", "/root/testdata/sf0.01"],
+    )
     window_allocation()
     print("\nPREFLIGHT GREEN")

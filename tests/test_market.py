@@ -49,6 +49,32 @@ def test_cumulative_value_counts_exact(spark):
     assert got == {1: (1, 1), 3: (3, 4), 5: (1, 5), 9: (1, 6)}
 
 
+def test_cumulative_value_counts_ignores_nulls(spark):
+    # NULLs must not crash the driver-side prefix-sum sort (NULL pid) and
+    # must not count into the histogram — percentile_disc semantics.
+    df = spark.createDataFrame(
+        [(v,) for v in [5, None, 3, 3, None, 9, 1, 3]], "x long"
+    )
+    got = {
+        r["v"]: (r["cnt"], r["cum"])
+        for r in cumulative_value_counts(df, "x").collect()
+    }
+    assert got == {1: (1, 1), 3: (3, 4), 5: (1, 5), 9: (1, 6)}
+
+
+def test_quantile_thresholds_with_nulls_match_non_null(spark):
+    # Thresholds over a column with NULLs == thresholds over the non-null
+    # subset (the engine under customer_rfm_segments on real data).
+    vals = [7, None, 2, 9, None, 4, 4, 11, 1, None]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    clean = spark.createDataFrame(
+        [(v,) for v in vals if v is not None], "x long"
+    )
+    t_nulls = {r["k"]: r["t"] for r in quantile_disc_thresholds(df, "x").collect()}
+    t_clean = {r["k"]: r["t"] for r in quantile_disc_thresholds(clean, "x").collect()}
+    assert t_nulls == t_clean
+
+
 def test_quantile_thresholds_uniform(spark):
     # 1..8, quartiles: ceil(k*8/4) = 2k → thresholds 2, 4, 6.
     df = spark.createDataFrame([(v,) for v in range(1, 9)], "x long")

@@ -1938,6 +1938,25 @@ def test_mmr_select_hand_computed(spark):
     assert rows[2].mmr_score == 7 * 85 - 3 * 95
 
 
+def test_mmr_select_keeps_candidates_missing_pairs_rows(spark):
+    # Candidate 3 has NO pairs row against anything — its redundancy is 0
+    # by definition, so with λ=0.5 it must beat the near-dup B on pick 2:
+    # B = 5*85-5*95 = -50, C = 5*40-0 = 200 (an inner join would silently
+    # drop C and pick B instead).
+    from zip_to_parquet_spark.operators.retrieval import mmr_select
+
+    cand = spark.createDataFrame(
+        [(1, 90), (2, 85), (3, 40)], "n_id long, rel_micro long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 95), (2, 1, 95)], "a_id long, b_id long, psim_micro long"
+    )
+    rows = mmr_select(cand, pairs, k=3, lam_tenths=5).orderBy("pick_order").collect()
+    # pick 2: B = 5*85-5*95 = -50; C = 5*40-0 = 200 → C wins.
+    assert [(r.pick_order, r.n_id) for r in rows] == [(1, 1), (2, 3), (3, 2)]
+    assert rows[1].mmr_score == 5 * 40
+
+
 def test_mmr_select_rejects_bad_lambda(spark):
     from zip_to_parquet_spark.operators.retrieval import mmr_select
 

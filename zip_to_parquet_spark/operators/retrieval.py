@@ -281,8 +281,13 @@ def mmr_select(
             .groupBy(F.col("a_id").alias("n_id"))
             .agg(F.max("psim_micro").alias("red_micro"))
         )
+        # LEFT join: a candidate with no pairs row against any picked item
+        # has zero redundancy by definition — an inner join would silently
+        # drop it from the argmax (it should, if anything, WIN on sparse
+        # similarity graphs).
         nxt = (
-            remaining.join(red, "n_id")
+            remaining.join(red, "n_id", "left")
+            .withColumn("red_micro", F.coalesce("red_micro", F.lit(0)))
             .select(
                 F.lit(i).alias("pick_order"),
                 "n_id",

@@ -37,9 +37,15 @@ def cumulative_value_counts(df: DataFrame, col: str, n_buckets: int = 16) -> Dat
     described in the module doc (no single-partition window).
 
     Returns a DataFrame ``(v long, cnt long, cum long)`` with one row per
-    distinct value."""
-    hist = df.groupBy(F.col(col).cast("long").alias("v")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    distinct value.
+
+    NULL contract: NULL values are excluded before the histogram — the
+    percentile_disc definition counts only non-null rows, and a NULL
+    bucket id would crash the driver-side prefix-sum sort."""
+    hist = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     bounds = hist.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
     ranged = hist.crossJoin(F.broadcast(bounds)).withColumn(

@@ -1187,9 +1187,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
              n * s22 - s2 * s2, n * s33 - s3 * s3, n FROM s
     )
     SELECT pair, n::BIGINT AS n_rows,
-           sxy::DECIMAL(38,0) AS sxy,
-           sxx::DECIMAL(38,0) AS sxx,
-           syy::DECIMAL(38,0) AS syy,
+           sxy::DECIMAL(38,0)::VARCHAR AS sxy,
+           sxx::DECIMAL(38,0)::VARCHAR AS sxx,
+           syy::DECIMAL(38,0)::VARCHAR AS syy,
            round(sxy::DOUBLE / sqrt(sxx::DOUBLE * syy::DOUBLE), 6) AS corr_r6
     FROM p
     """,
@@ -1268,9 +1268,13 @@ def stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         F.col("p.pair").alias("pair"),
         "n_rows",
-        F.col("p.sxy").alias("sxy"),
-        F.col("p.sxx").alias("sxx"),
-        F.col("p.syy").alias("syy"),
+        # STRING, not DECIMAL(38,0): the driver materializes the DuckDB
+        # side via pandas, where HUGEINT/DECIMAL values above 2^53 degrade
+        # to float64 and the value-hash diverges from Spark's exact
+        # Decimals. A digit string is lossless through every path.
+        F.col("p.sxy").cast("string").alias("sxy"),
+        F.col("p.sxx").cast("string").alias("sxx"),
+        F.col("p.syy").cast("string").alias("syy"),
         F.round(
             F.col("p.sxy").cast("double")
             / F.sqrt(F.col("p.sxx").cast("double") * F.col("p.syy").cast("double")),

@@ -69,8 +69,8 @@ D38 = "decimal(38,0)"
     )
     SELECT g2.prio, g2.n_g::BIGINT AS n_rows, g2.s_g::BIGINT AS sum_cents,
            g2.mean_milli::BIGINT AS mean_cents_milli,
-           fin.ssb::DECIMAL(38,0) AS ssb_cents2_p6,
-           fin.ssw::DECIMAL(38,0) AS ssw_cents2_p6,
+           fin.ssb::DECIMAL(38,0)::VARCHAR AS ssb_cents2_p6,
+           fin.ssw::DECIMAL(38,0)::VARCHAR AS ssw_cents2_p6,
            fin.f_permille::BIGINT AS f_permille,
            fin.n::BIGINT AS n_total, fin.k::BIGINT AS k_groups
     FROM g2, fin
@@ -146,8 +146,11 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_g").cast("long").alias("n_rows"),
         F.col("s_g").cast("long").alias("sum_cents"),
         F.col("mean_milli").cast("long").alias("mean_cents_milli"),
-        F.col("ssb").alias("ssb_cents2_p6"),
-        F.col("ssw").alias("ssw_cents2_p6"),
+        # STRING: sf0.01 magnitudes (~1e24 cents²×1e6) exceed 2^53, so
+        # the driver's DuckDB→pandas float64 path would round a DECIMAL
+        # here; digit strings hash identically on both engines.
+        F.col("ssb").cast("string").alias("ssb_cents2_p6"),
+        F.col("ssw").cast("string").alias("ssw_cents2_p6"),
         F.col("f_permille").cast("long").alias("f_permille"),
         F.col("n").cast("long").alias("n_total"),
         F.col("k").cast("long").alias("k_groups"),

@@ -1490,8 +1490,8 @@ def sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            n::BIGINT AS n_rows,
-           (n * sxy - sx * sy)::DECIMAL(38,0)  AS slope_num,
-           (n * sxx - sx * sx)::DECIMAL(38,0)  AS slope_den,
+           (n * sxy - sx * sy)::DECIMAL(38,0)::VARCHAR  AS slope_num,
+           (n * sxx - sx * sx)::DECIMAL(38,0)::VARCHAR  AS slope_den,
            ((n * sxy - sx * sy) * 1000000
              // (n * sxx - sx * sx))::BIGINT   AS slope_micro
     FROM g
@@ -1526,8 +1526,11 @@ def stats_groupwise_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type",
         F.col("n").cast("long").alias("n_rows"),
-        num.cast(D38).alias("slope_num"),
-        den.cast(D38).alias("slope_den"),
+        # STRING output: values ~1e20+ exceed float64's 2^53 exact range
+        # and the driver's DuckDB→pandas path would round them; a digit
+        # string survives every materialization losslessly.
+        num.cast(D38).cast("string").alias("slope_num"),
+        den.cast(D38).cast("string").alias("slope_den"),
         F.expr(
             "cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
             " as long)"

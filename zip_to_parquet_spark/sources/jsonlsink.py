@@ -135,7 +135,29 @@ def _json_value(v):
 def write_jsonl_shards(df, path: str, mode: str = "overwrite") -> None:
     """Write ``df`` as atomic JSONL shards via the Python DataSource
     writer (registers the source on the df's session, idempotent).
-    Overwrite-only — see :meth:`JsonlShardsDataSource.writer`."""
+    Overwrite-only — see :meth:`JsonlShardsDataSource.writer`.
+
+    Commit-atomicity assumptions (read before pointing this at a
+    cluster):
+
+    * **Shared filesystem.** Executors write temp shards with
+      ``open()`` under ``path`` and the DRIVER renames them at commit —
+      every executor and the driver must see the same POSIX directory
+      (local mode, NFS, or a FUSE-mounted object store). On plain
+      S3/HDFS use the parquet/ORC sinks, which go through Spark's
+      committers instead.
+    * **Crash window.** ``os.replace`` is per-file atomic, but the
+      commit loop is not transactional: a driver crash between the
+      first rename and the cleanup pass leaves a MIXED directory
+      (some new ``part-<run_id>-*``, some prior-run parts, no
+      ``_SUCCESS``). Readers must treat a missing ``_SUCCESS`` as
+      "in-flight or failed" and fall back to the previous snapshot or
+      re-run. The run-scoped ``part-<run_id>-*`` naming makes the two
+      generations distinguishable for manual repair.
+    * A failed JOB (any task error) never renames anything — ``abort``
+      removes only ``_tmp_*`` files, so the previous dataset stays
+      byte-identical.
+    """
     if mode != "overwrite":
         raise ValueError("jsonl_shards supports mode='overwrite' only")
     spark = df.sparkSession
