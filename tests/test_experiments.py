@@ -91,3 +91,42 @@ def test_cuped_theta_matches_two_sided_bound():
     rows = _run(all_oracle_sql()["experiment_cuped_adjust"])
     thetas = {r[4] for r in rows}
     assert len(thetas) == 1  # θ is global, identical on both variant rows
+
+
+def test_bh_fdr_rejects_only_the_outlier_cell(spark):
+    # Hand-built profile: event type "a", n=240 over 24 hours; hour 0
+    # hoards 120 events, hours 1-20 get 6 each, hours 21-23 get 0.
+    # dev24 = |24*obs - n|: h0=2640, h21-23=240, h1-20=96 → rank order
+    # h0, then the three empty hours, then the rest. BH at α=1/20, m=24:
+    # threshold 23*240*20*24 = 2,649,600; only h0 (1*2640² = 6,969,600)
+    # passes; i_star=1 → exactly one rejection.
+    from zip_to_parquet_spark.plans.experiments import bh_fdr_hour_cells
+
+    rows = [("a", 0, 240, 120)]
+    rows += [("a", h, 240, 6) for h in range(1, 21)]
+    rows += [("a", h, 240, 0) for h in range(21, 24)]
+    cells = spark.createDataFrame(
+        rows, "event_type string, hr long, n long, obs long"
+    )
+    got = {r["hr"]: r for r in bh_fdr_hour_cells(cells).collect()}
+    assert len(got) == 24
+    assert got[0]["rejected"] is True and got[0]["rank_i"] == 1
+    assert sum(r["rejected"] for r in got.values()) == 1
+    assert got[0]["dev24"] == 2640 and got[0]["p_den"] == 2640 * 2640
+    assert got[0]["p_milli"] == 0  # p ≈ 7.9e-4 truncates to 0 milli
+    assert got[21]["rejected"] is False and got[21]["dev24"] == 240
+    # near-uniform cell: p = 23*240/96² = 5520/9216 ≈ 0.599 → 598 milli
+    assert got[1]["p_milli"] == 598
+
+
+def test_bh_fdr_uniform_profile_rejects_nothing(spark):
+    # Perfectly uniform: dev24 = 0 everywhere → p = 1, zero rejections.
+    from zip_to_parquet_spark.plans.experiments import bh_fdr_hour_cells
+
+    cells = spark.createDataFrame(
+        [("a", h, 240, 10) for h in range(24)],
+        "event_type string, hr long, n long, obs long",
+    )
+    out = bh_fdr_hour_cells(cells).collect()
+    assert all(not r["rejected"] for r in out)
+    assert all(r["p_milli"] == 1000 for r in out)

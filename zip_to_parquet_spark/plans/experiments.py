@@ -1025,3 +1025,166 @@ def privacy_dp_geometric_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("noisy_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR over seasonality cells (exact integer rationals).
+# ---------------------------------------------------------------------------
+def bh_fdr_hour_cells(cells: DataFrame, alpha_num: int = 1, alpha_den: int = 20) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg 1995)
+    over per-cell deviation tests, with EXACT integer arithmetic end to
+    end — the multiple-testing gate a feature-selection or anomaly sweep
+    needs when it tests thousands of hypotheses at once.
+
+    ``cells``: one row per hypothesis with ``(event_type, hr, n, obs)``
+    where ``n`` is the group total and ``obs`` the cell count under an
+    expected-uniform-over-24-hours null.
+
+    Exactness contract: the per-cell statistic is the integer deviation
+    ``dev24 = |24·obs − n|`` (24× the distance from expectation); its
+    Chebyshev p-bound ``p = min(1, 23·n / dev24²)`` (binomial variance
+    ``n·(1/24)·(23/24)``) stays a RATIONAL with integer numerator 23n
+    and denominator dev24² — no CDF, no erf, no float p ever exists.
+    The BH step-up check at rank i, ``p ≤ i·α/m``, cross-multiplies to
+    ``23n·α_den·m ≤ i·α_num·dev24²`` in DECIMAL(38,0)/HUGEINT — exact
+    at any scale. The ONLY doubles are the ordering key dev24²/n
+    (monotone in 1/p): IEEE multiply+divide of integer-valued doubles
+    is correctly rounded and bit-identical across JVM and C engines, so
+    the rank sequence (ties broken on event_type, hr) matches the
+    DuckDB oracle deterministically; no double reaches an output column.
+
+    Scale shape: everything here is per-HYPOTHESIS work — m rows
+    (24 × |event_type|, a policy constant, never data-sized). The one
+    unpartitioned m-row window is bounded by m, not the corpus; the
+    corpus-sized stage is the upstream count rollup the caller does."""
+    m_df = cells.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    scored = cells.crossJoin(F.broadcast(m_df)).withColumn(
+        "dev24", F.abs(24 * F.col("obs") - F.col("n")).cast("long")
+    )
+    ratio = (
+        F.col("dev24").cast("double") * F.col("dev24").cast("double")
+    ) / F.col("n").cast("double")
+    w = Window.orderBy(ratio.desc(), "event_type", "hr")
+    ranked = scored.withColumn("rank_i", F.row_number().over(w))
+    hit = (F.col("dev24") > 0) & (
+        F.expr(
+            f"cast(23 as decimal(38,0)) * n * {alpha_den} * m"
+            f" <= cast(rank_i as decimal(38,0)) * {alpha_num}"
+            " * dev24 * dev24"
+        )
+    )
+    hits = ranked.withColumn("hit", hit)
+    cut = hits.agg(
+        F.coalesce(F.max(F.when(F.col("hit"), F.col("rank_i"))), F.lit(0))
+        .cast("long")
+        .alias("i_star")
+    )
+    return hits.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        "hr",
+        F.col("n").cast("long").alias("n_type"),
+        F.col("obs").cast("long").alias("obs"),
+        "dev24",
+        (23 * F.col("n")).cast("long").alias("p_num"),
+        (F.col("dev24") * F.col("dev24")).cast("long").alias("p_den"),
+        F.expr(
+            "case when dev24 = 0 then 1000"
+            " else least(cast(1000 as bigint),"
+            " (23 * n * 1000) div (dev24 * dev24)) end"
+        )
+        .cast("long")
+        .alias("p_milli"),
+        F.col("rank_i").cast("long").alias("rank_i"),
+        (F.col("rank_i") <= F.col("i_star")).alias("rejected"),
+    )
+
+
+@query(
+    "stats_bh_fdr_cells",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, extract(hour FROM ts)::BIGINT AS hr FROM events
+    ),
+    counts AS (
+      SELECT event_type, hr, count(*)::BIGINT AS obs FROM ev GROUP BY 1, 2
+    ),
+    types AS (SELECT event_type, count(*)::BIGINT AS n FROM ev GROUP BY 1),
+    grid AS (
+      SELECT t.event_type, h.hr, t.n, coalesce(c.obs, 0)::BIGINT AS obs
+      FROM types t
+      CROSS JOIN (SELECT unnest(range(0, 24))::BIGINT AS hr) h
+      LEFT JOIN counts c ON c.event_type = t.event_type AND c.hr = h.hr
+    ),
+    m_ AS (SELECT count(*)::BIGINT AS m FROM grid),
+    scored AS (
+      SELECT g.event_type, g.hr, g.n, g.obs,
+             abs(24 * g.obs - g.n)::BIGINT AS dev24, m_.m
+      FROM grid g, m_
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               ORDER BY (dev24::DOUBLE * dev24::DOUBLE) / n::DOUBLE DESC,
+                        event_type, hr) AS rank_i
+      FROM scored
+    ),
+    hits AS (
+      SELECT *, (dev24 > 0 AND
+                 23::HUGEINT * n * 20 * m
+                   <= rank_i::HUGEINT * 1 * dev24 * dev24) AS hit
+      FROM ranked
+    ),
+    cut AS (
+      SELECT coalesce(max(CASE WHEN hit THEN rank_i END), 0)::BIGINT
+               AS i_star
+      FROM hits
+    )
+    SELECT h.event_type, h.hr, h.n AS n_type, h.obs, h.dev24,
+           (23 * h.n)::BIGINT AS p_num,
+           (h.dev24 * h.dev24)::BIGINT AS p_den,
+           (CASE WHEN h.dev24 = 0 THEN 1000
+                 ELSE least(1000, (23 * h.n * 1000) // (h.dev24 * h.dev24))
+            END)::BIGINT AS p_milli,
+           h.rank_i::BIGINT AS rank_i,
+           (h.rank_i <= cut.i_star) AS rejected
+    FROM hits h, cut
+    """,
+)
+def stats_bh_fdr_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which (event_type, hour-of-day) cells deviate from a uniform
+    daily profile, with the false-discovery rate controlled at 5% by
+    Benjamini–Hochberg — the multiple-testing discipline missing from
+    the per-test battery (SRM chi-square, Welch t², Mann-Whitney test
+    one hypothesis each; a 120-cell seasonality sweep without FDR
+    control expects 6 false alarms at α=5%).
+
+    See :func:`bh_fdr_hour_cells` for the exactness contract (rational
+    Chebyshev p-bounds, cross-multiplied BH inequality — no float ever
+    reaches an output). Conservative by construction: Chebyshev bounds
+    over-cover, so every rejection survives a sharper test.
+
+    Scale shape: ONE map-side-combinable (type, hour) count rollup over
+    the corpus (the single fact shuffle) + a broadcast type-total join;
+    the BH step-up itself runs over m = 24·|event_type| rows — policy
+    geometry, not data size. At 100 TB the same two-level rollup feeds
+    the identical m-row decision."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    )
+    counts = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    types = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    hours = spark.range(0, 24).select(F.col("id").cast("long").alias("hr"))
+    grid = (
+        types.crossJoin(F.broadcast(hours))
+        .join(counts, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("long").alias("obs"),
+        )
+    )
+    return bh_fdr_hour_cells(grid)
