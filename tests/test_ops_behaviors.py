@@ -108,3 +108,109 @@ def test_parquet_zstd_codec_roundtrip(spark, tmp_path):
     )
     meta = pq.ParquetFile(os.path.join(out, part)).metadata
     assert meta.row_group(0).column(0).compression == "ZSTD"
+
+
+def test_exact_group_auc_known_values(spark):
+    """Midrank Mann-Whitney AUC on hand-checkable inputs: perfect
+    separation -> 1000, reversed -> 0, all-tied -> 500, single-class ->
+    NULL, and a mixed-ties case verified against the closed form."""
+    from zip_to_parquet_spark.plans.learn import exact_group_auc
+
+    rows = (
+        # g=perf: every positive scores above every negative.
+        [("perf", 10.0, 1), ("perf", 9.0, 1), ("perf", 1.0, 0), ("perf", 0.5, 0)]
+        # g=rev: every positive scores below every negative.
+        + [("rev", 0.1, 1), ("rev", 0.2, 1), ("rev", 5.0, 0)]
+        # g=tied: one score value for everything -> coin-flip AUC.
+        + [("tied", 3.0, 1), ("tied", 3.0, 1), ("tied", 3.0, 0)]
+        # g=mono: single class -> undefined.
+        + [("mono", 1.0, 1), ("mono", 2.0, 1)]
+        # g=mix: pos at {2,2}, neg at {1,2}. Pairs: (2,1)=1, (2,1)=1,
+        # (2,2)=.5, (2,2)=.5 -> AUC = 3/4.
+        + [("mix", 2.0, 1), ("mix", 2.0, 1), ("mix", 1.0, 0), ("mix", 2.0, 0)]
+    )
+    df = spark.createDataFrame(rows, "g string, score double, pos int")
+    got = {r["g"]: r for r in exact_group_auc(df, "g").collect()}
+    assert got["perf"]["auc_milli"] == 1000
+    assert got["rev"]["auc_milli"] == 0
+    assert got["tied"]["auc_milli"] == 500
+    assert got["mono"]["auc_milli"] is None
+    assert got["mix"]["auc_num"] * 4 == got["mix"]["auc_den"] * 3
+    # The rational is exact even where milli truncates: 750 exactly here.
+    assert got["mix"]["auc_milli"] == 750
+
+
+def test_boilerplate_lines_conservation_and_signal(spark):
+    """Kept + boiler word masses reconcile, line segmentation matches
+    ceil(words/8), and the fixture's planted near-duplicates actually
+    produce cross-document boilerplate lines."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    out = all_queries()["text_boilerplate_lines"](spark, SF)
+    rows = out.collect()
+    docs = {
+        r["doc_id"]: r["text"].count(" ") + 1
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert r["n_lines"] == -(-docs[r["doc_id"]] // 8)
+        assert r["total_words"] == docs[r["doc_id"]]
+        assert 0 <= r["n_boiler_lines"] <= r["n_lines"]
+        assert r["kept_words"] <= r["total_words"]
+        assert r["kept_permille"] == 1000 * r["kept_words"] // r["total_words"]
+    assert sum(r["n_boiler_lines"] for r in rows) > 0
+
+
+def test_conformal_coverage_split_and_guarantee(spark):
+    """The 75/25 split reconciles with the per-type event counts and the
+    empirical coverage sits in a sane band around the 90% target (the
+    finite-sample guarantee is >= 90% in expectation; one draw at sf0.001
+    gets a generous floor)."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    out = {
+        r["event_type"]: r
+        for r in all_queries()["stats_conformal_coverage"](spark, SF).collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(out) == set(totals)
+    for t, r in out.items():
+        assert r["n_cal"] + r["n_test"] == totals[t]
+        assert r["qhat_cents"] >= 0
+        assert 750 <= r["coverage_permille"] <= 1000
+        assert r["covered"] <= r["n_test"]
+
+
+def test_changepoint_moments_reconcile(spark):
+    """Left/right segment moments reconcile with the totals and the
+    winning split is interior."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    for r in all_queries()["ts_changepoint_binary"](spark, SF).collect():
+        assert 1 <= r["n_left_days"] < r["t_days"]
+        assert r["sum_left"] + r["sum_right"] == r["n_total"]
+        assert r["bss_milli"] >= 0
+
+
+def test_entity_blocking_pairs_canonical_and_scored(spark):
+    """Pairs are canonical (a < b), scores decompose into the documented
+    weights, and is_match is exactly score >= 4."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    rows = all_queries()["dedup_entity_blocking"](spark, SF).collect()
+    assert rows, "blocking produced no candidate pairs"
+    assert all(r["a_key"] < r["b_key"] for r in rows)
+    assert all(0 <= r["score"] <= 6 for r in rows)
+    assert all(r["is_match"] == (r["score"] >= 4) for r in rows)
+    # +2 ($100 bucket) implies +3 ($1000 bucket) is possible to miss only
+    # at bucket boundaries that differ in the coarser grid — but a score
+    # of exactly 2 requires $100 agreement WITHOUT $1000 agreement, which
+    # the nesting makes impossible: $100 buckets nest inside $1000.
+    assert all(r["score"] != 2 for r in rows)

@@ -1188,3 +1188,160 @@ def stats_bh_fdr_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bh_fdr_hour_cells(grid)
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals with exact integer quantiles.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_conformal_coverage",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, event_id,
+             (value::DECIMAL(12,2) * 100)::BIGINT AS cents,
+             (event_id % 4 < 3) AS is_cal
+      FROM events
+    ),
+    medh AS (
+      SELECT event_type, cents, count(*)::BIGINT AS w
+      FROM base WHERE is_cal GROUP BY 1, 2
+    ),
+    medc AS (
+      SELECT event_type, cents, w,
+             sum(w) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY event_type) AS n_cal
+      FROM medh
+    ),
+    med AS (
+      SELECT event_type, n_cal::BIGINT AS n_cal,
+             min(cents)::BIGINT AS med_cents
+      FROM medc WHERE 2 * cum >= n_cal GROUP BY event_type, n_cal
+    ),
+    adh AS (
+      SELECT b.event_type, abs(b.cents - m.med_cents)::BIGINT AS ad,
+             count(*)::BIGINT AS w
+      FROM base b JOIN med m USING (event_type)
+      WHERE b.is_cal GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT a.event_type, a.ad, a.w, m.n_cal,
+             sum(a.w) OVER (PARTITION BY a.event_type ORDER BY a.ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM adh a JOIN med m USING (event_type)
+    ),
+    qhat AS (
+      SELECT event_type, min(ad)::BIGINT AS qhat_cents
+      FROM adc WHERE 10 * cum >= 9 * (n_cal + 1) GROUP BY event_type
+    ),
+    test AS (
+      SELECT b.event_type,
+             count(*)::BIGINT AS n_test,
+             sum(CASE WHEN abs(b.cents - m.med_cents) <= q.qhat_cents
+                      THEN 1 ELSE 0 END)::BIGINT AS covered
+      FROM base b JOIN med m USING (event_type)
+                  JOIN qhat q USING (event_type)
+      WHERE NOT b.is_cal GROUP BY 1
+    )
+    SELECT m.event_type, m.n_cal, m.med_cents, q.qhat_cents,
+           t.n_test, t.covered,
+           (1000 * t.covered) // t.n_test AS coverage_permille
+    FROM med m JOIN qhat q USING (event_type)
+               JOIN test t USING (event_type)
+    """,
+)
+def stats_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction (Vovk et al.; Angelopoulos & Bates 2021
+    tutorial form) with a finite-sample 90% coverage guarantee, evaluated
+    empirically — the distribution-free uncertainty layer a model-based
+    quality filter needs before its scores gate data at scale.
+
+    Per event_type: a deterministic 75/25 calibration/test split on
+    event_id; the point predictor is the calibration median (exact lower
+    weighted median over the value-cents histogram); nonconformity is
+    |cents - med|; qhat is the conformal quantile — the smallest score
+    whose cumulative count reaches ceil(0.9 * (n_cal + 1)), checked by
+    the cross-multiplied inequality 10*cum >= 9*(n_cal+1) so no
+    fractional rank ever exists; test coverage counts |err| <= qhat.
+    Theory says coverage >= 900 permille in expectation; the permille
+    column shows it. Every intermediate is an integer.
+
+    Scale shape: two map-side-combinable histogram rollups per
+    event_type (value cents, then absolute deviations) with windows over
+    HISTOGRAM cardinality, and a broadcast of the per-type medians and
+    thresholds (|event_type| rows) onto the test scan. No corpus-sized
+    window, no Python."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("event_id") % 4 < 3).alias("is_cal"),
+    )
+    cal = base.filter("is_cal")
+    medh = cal.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    medc = medh.withColumn("cum", F.sum("w").over(wcum)).withColumn(
+        "n_cal", F.sum("w").over(wall)
+    )
+    med = (
+        medc.filter(2 * F.col("cum") >= F.col("n_cal"))
+        .groupBy("event_type", "n_cal")
+        .agg(F.min("cents").cast("long").alias("med_cents"))
+    )
+    adh = (
+        cal.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("ad"),
+        )
+        .groupBy("event_type", "n_cal", "ad")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wad = (
+        Window.partitionBy("event_type")
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qhat = (
+        adh.withColumn("cum", F.sum("w").over(wad))
+        .filter(10 * F.col("cum") >= 9 * (F.col("n_cal") + 1))
+        .groupBy("event_type")
+        .agg(F.min("ad").cast("long").alias("qhat_cents"))
+    )
+    thresholds = med.join(qhat, "event_type")
+    test = (
+        base.filter(~F.col("is_cal"))
+        .join(F.broadcast(thresholds), "event_type")
+        .groupBy("event_type", "n_cal", "med_cents", "qhat_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("cents") - F.col("med_cents"))
+                    <= F.col("qhat_cents")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return test.select(
+        "event_type",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        "med_cents",
+        "qhat_cents",
+        "n_test",
+        "covered",
+        F.expr("(1000 * covered) div n_test")
+        .cast("long")
+        .alias("coverage_permille"),
+    )

@@ -1013,3 +1013,127 @@ def vector_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("a_n_id").cast("bigint").alias("n_hits"),
         (F.count("a_n_id").cast("double") / F.lit(5)).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC for the cheap quality prior, per source.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_classifier_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             least(len(string_split(text, ' ')) / 400.0, 1.0) * 0.5
+             + least(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+                     / greatest(len(string_split(text, ' ')), 1) / 0.05, 1.0)
+               * 0.5 AS score,
+             (lang = 'en')::INT AS pos
+      FROM documents
+    ),
+    g AS (
+      SELECT source, score,
+             count(*)::BIGINT AS cnt, sum(pos)::BIGINT AS pos_cnt
+      FROM scored GROUP BY source, score
+    ),
+    r AS (
+      SELECT source, score, cnt, pos_cnt,
+             coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_less
+      FROM g
+    ),
+    agg AS (
+      SELECT source,
+             sum(pos_cnt * (2 * cum_less + cnt + 1))::BIGINT AS r2,
+             sum(pos_cnt)::BIGINT AS n_pos,
+             sum(cnt - pos_cnt)::BIGINT AS n_neg
+      FROM r GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           (r2 - n_pos * (n_pos + 1))::BIGINT AS auc_num,
+           (2 * n_pos * n_neg)::BIGINT AS auc_den,
+           CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                ELSE (1000 * (r2 - n_pos * (n_pos + 1)))
+                       // (2 * n_pos * n_neg) END AS auc_milli
+    FROM agg
+    """,
+)
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the cheap quality prior (``text_quality_score``)
+    against the language label, per source — the eval a pipeline runs
+    before trusting a filter: does the score actually rank in-language
+    documents above the rest?
+
+    Exactness contract: AUC is computed from the Mann-Whitney rank
+    identity AUC = (R+ - n+(n+1)/2) / (n+ n-) with midrank tie handling,
+    carried at 2x scale so every intermediate is an INTEGER: per distinct
+    score value, 2*avg_rank = 2*cum_less + cnt_eq + 1, so
+    2*R+ = sum(pos_cnt * (2*cum_less + cnt + 1)). The score itself is a
+    double, but both engines build it with the identical IEEE op sequence
+    (the text_quality_score contract), so GROUP BY score is bit-stable;
+    no float survives into an output column (auc_num/auc_den/auc_milli).
+
+    Scale shape: one map-side-combinable rollup to the (source, score)
+    HISTOGRAM, then windows over histogram cardinality — distinct score
+    values, not corpus rows (the saturating score ties heavily at 1.0,
+    which is exactly what midranks are for). BIGINT holds to ~3e9
+    docs/source (n_pos*n_neg < 2^63); past that the nums go
+    DECIMAL-as-string per the repo's overflow rule."""
+    from zip_to_parquet_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    w_ = textops.words(F.col("text"))
+    length_term = F.least(F.size(w_) / 400.0, F.lit(1.0))
+    stop_term = F.least(textops.stopword_ratio(w_) / 0.05, F.lit(1.0))
+    scored = d.select(
+        "source",
+        (length_term * 0.5 + stop_term * 0.5).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    )
+    return exact_group_auc(scored, "source")
+
+
+def exact_group_auc(scored: DataFrame, group: str) -> DataFrame:
+    """Exact midrank ROC-AUC per group over ``(group, score, pos)`` rows
+    — the integer Mann-Whitney identity described in
+    :func:`quality_classifier_auc`. ``pos`` must be 0/1; ``score`` any
+    orderable type (ties get midranks). Returns one row per group with
+    BIGINT ``auc_num``/``auc_den`` and ``auc_milli`` (NULL when a group
+    is single-class)."""
+    from pyspark.sql.window import Window
+
+    g = scored.groupBy(group, "score").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos_cnt"),
+    )
+    w = (
+        Window.partitionBy(group)
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.withColumn("cum_less", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    agg = r.groupBy(group).agg(
+        F.sum(
+            F.col("pos_cnt") * (2 * F.col("cum_less") + F.col("cnt") + 1)
+        ).alias("r2"),
+        F.sum("pos_cnt").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos_cnt")).alias("n_neg"),
+    )
+    num = F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = 2 * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        group,
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        num.cast("long").alias("auc_num"),
+        den.cast("long").alias("auc_den"),
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(None)
+        )
+        .otherwise(F.expr(
+            "(1000 * (r2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)"
+        ))
+        .cast("long")
+        .alias("auc_milli"),
+    )

@@ -3187,3 +3187,102 @@ def lm_perplexity_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("oov_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (CCNet / Lee et al. line-dedup shape).
+# ---------------------------------------------------------------------------
+@query(
+    "text_boilerplate_lines",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, greatest((len(toks) + 7) // 8, 1) AS nl, toks FROM w
+    ),
+    lines AS (
+      SELECT doc_id,
+             array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS line
+      FROM seg, unnest(range(0, nl)) AS t(i)
+    ),
+    boiler AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT l.doc_id, l.line,
+             len(string_split(l.line, ' '))::BIGINT AS wc,
+             (b.line IS NOT NULL) AS is_boiler
+      FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT
+               AS n_boiler_lines,
+           sum(wc)::BIGINT AS total_words,
+           sum(CASE WHEN is_boiler THEN 0 ELSE wc END)::BIGINT AS kept_words,
+           (1000 * sum(CASE WHEN is_boiler THEN 0 ELSE wc END))
+               // sum(wc) AS kept_permille
+    FROM marked GROUP BY doc_id
+    """,
+)
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal, the CCNet preprocessing stage the corpus
+    dedup family lacked: segment every document into fixed 8-word lines
+    (the fixture text has no newlines, so segmentation stands in for
+    line-splitting; the plan is identical either way), count each line's
+    document frequency across the WHOLE corpus, and drop lines shared by
+    >= 2 distinct documents (headers, footers, navigation chrome — in
+    this fixture, the planted near-duplicate passages). Per-document
+    output: line/word totals and the kept-mass ratio the downstream
+    quality gate consumes.
+
+    Exactness: word counts and permille ratios are pure integers.
+
+    Scale shape: the df rollup is a map-side-combinable groupBy on the
+    line text (at 100 TB you'd key it by ``xxhash64(line)`` to keep the
+    shuffle narrow — 8 bytes vs the line string — and accept the 2^-64
+    collision odds; the oracle joins on the string so this key does
+    too). The boiler set joins back on the line key as a shuffle join —
+    it is corpus-sized in the worst case, so no broadcast; a mega-hot
+    line (every page's footer) skews one probe partition and AQE's
+    skew-join split handles it. No windows, no driver collect."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    nl = F.greatest(
+        ((F.size("toks") + 7) / 8).cast("long"), F.lit(1).cast("long")
+    )
+    lines = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), nl - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", (i * 8 + 1).cast("int"), 8), " "
+                ),
+            )
+        ).alias("line"),
+    ).withColumn("wc", F.size(F.split("line", " ")).cast("long"))
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    marked = lines.join(boiler, "line", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    kept = F.sum(F.when(F.col("is_boiler"), F.lit(0)).otherwise(F.col("wc")))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("is_boiler").cast("long")).cast("long").alias("n_boiler_lines"),
+        F.sum("wc").cast("long").alias("total_words"),
+        kept.cast("long").alias("kept_words"),
+        F.expr(
+            "(1000 * sum(CASE WHEN is_boiler THEN 0 ELSE wc END)) div sum(wc)"
+        )
+        .cast("long")
+        .alias("kept_permille"),
+    )

@@ -1883,3 +1883,91 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("abs_dev_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocking + Fellegi-Sunter-style integer match scores.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_entity_blocking",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+             (c_acctbal::DECIMAL(12,2) * 100)::BIGINT AS cents,
+             c_custkey % 10 AS chk
+      FROM customer
+    )
+    SELECT a.nat AS nationkey, a.seg AS mktsegment,
+           a.k AS a_key, b.k AS b_key,
+           (CASE WHEN a.cents // 100000 = b.cents // 100000
+                 THEN 3 ELSE 0 END
+            + CASE WHEN a.cents // 10000 = b.cents // 10000
+                   THEN 2 ELSE 0 END
+            + CASE WHEN a.chk = b.chk THEN 1 ELSE 0 END)::BIGINT AS score,
+           (CASE WHEN a.cents // 100000 = b.cents // 100000
+                 THEN 3 ELSE 0 END
+            + CASE WHEN a.cents // 10000 = b.cents // 10000
+                   THEN 2 ELSE 0 END
+            + CASE WHEN a.chk = b.chk THEN 1 ELSE 0 END) >= 4 AS is_match
+    FROM c a JOIN c b ON a.nat = b.nat AND a.seg = b.seg AND a.k < b.k
+    """,
+)
+def dedup_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate generation and scoring in the
+    Fellegi-Sunter (1969) shape: BLOCK on coarse keys so comparison is
+    never all-pairs, then score every within-block pair by integer
+    agreement weights over finer fields, and flag pairs clearing the
+    match threshold. Here customers block on (nation, market segment)
+    and score on hierarchical account-balance buckets ($1000: +3, $100:
+    +2) plus a key-checksum digit (+1); score >= 4 is a match — the same
+    agree-weight/threshold skeleton record linkage runs at scale, with
+    learned log-likelihood weights slotting in for the constants.
+
+    Exactness: balances quantize to integer cents; buckets are integer
+    `div`; scores are small integers.
+
+    Scale shape: the self-join shuffles BOTH sides on the block key once
+    and compares only within blocks — work is sum(block^2), bounded by
+    the blocking policy, never n^2. A hot block (skewed nation) is the
+    known failure mode: production adds a secondary blocking key (here
+    the $1000 bucket would do) exactly like salting a skewed join; AQE
+    skew-split handles moderate cases. Pair order is canonicalized
+    (a < b) so each pair exists once."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("c_custkey") % 10).alias("chk"),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.nat") == F.col("b.nat"))
+        & (F.col("a.seg") == F.col("b.seg"))
+        & (F.col("a.k") < F.col("b.k")),
+    )
+    score = (
+        F.when(
+            F.expr("a.cents div 100000") == F.expr("b.cents div 100000"),
+            F.lit(3),
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.expr("a.cents div 10000") == F.expr("b.cents div 10000"),
+            F.lit(2),
+        ).otherwise(F.lit(0))
+        + F.when(F.col("a.chk") == F.col("b.chk"), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    )
+    return pairs.select(
+        F.col("a.nat").alias("nationkey"),
+        F.col("a.seg").alias("mktsegment"),
+        F.col("a.k").alias("a_key"),
+        F.col("b.k").alias("b_key"),
+        score.cast("long").alias("score"),
+        (score >= 4).alias("is_match"),
+    )

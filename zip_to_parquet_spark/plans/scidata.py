@@ -1361,3 +1361,116 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("excess_runs_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoint over the daily event-count series.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_changepoint_binary",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT event_type, d, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d)
+               AS k,
+             sum(x) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+             count(*) OVER (PARTITION BY event_type) AS t_days,
+             sum(x) OVER (PARTITION BY event_type) AS s
+      FROM daily
+    ),
+    cand AS (
+      SELECT event_type, d, k, t_days, s, sl,
+             (s * k - sl * t_days) AS dev,
+             ((s * k - sl * t_days)::DOUBLE
+               * (s * k - sl * t_days)::DOUBLE)
+               / (k::DOUBLE * (t_days - k)::DOUBLE) AS gain
+      FROM pre WHERE k < t_days
+    ),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY gain DESC, d) AS rn
+      FROM cand
+    )
+    SELECT event_type, d AS day_star, t_days::BIGINT AS t_days,
+           s::BIGINT AS n_total, k::BIGINT AS n_left_days,
+           sl::BIGINT AS sum_left, (s - sl)::BIGINT AS sum_right,
+           (1000 * dev * dev) // (k * (t_days - k) * t_days)
+             AS bss_milli
+    FROM best WHERE rn = 1
+    """,
+)
+def ts_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection by binary segmentation (Scott & Knott
+    1974; the first split of ruptures-style BinSeg) over each event
+    type's daily count series: the day boundary k that maximizes the
+    between-segment sum of squares BSS(k) = (S*k - SL*T)^2 / (k*(T-k)*T)
+    — equivalently minimizes within-segment SSE, since total SS is fixed.
+
+    Exactness contract: the deviation S*k - SL*T and the emitted
+    bss_milli = 1000*dev^2 div (k*(T-k)*T) are pure integer/DECIMAL
+    arithmetic. The argmax ORDERING key is dev^2/(k*(T-k)) as a double:
+    both engines build it from the same exactly-representable
+    integer-valued doubles with one multiply and one divide (correctly
+    rounded, bit-identical), and ties — including any two candidates that
+    round to the same double — break on the earlier day in both engines,
+    so the winner is deterministic (the BH-FDR precedent).
+
+    Scale shape: the corpus-sized stage is the map-side-combinable
+    (type, day) count rollup; everything after runs over T rows per type
+    (series length — policy geometry, ~hundreds). Per-type windows
+    partition by event_type, so the state is one series per task. A full
+    recursive BinSeg would re-run this plan on each side of the split —
+    same geometry per level, log-depth."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    from pyspark.sql.window import Window
+
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wall = Window.partitionBy("event_type")
+    pre = (
+        daily.withColumn("k", F.row_number().over(wo))
+        .withColumn(
+            "sl",
+            F.sum("x").over(
+                wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("t_days", F.count(F.lit(1)).over(wall))
+        .withColumn("s", F.sum("x").over(wall))
+    )
+    cand = pre.filter(F.col("k") < F.col("t_days")).withColumn(
+        "dev", F.col("s") * F.col("k") - F.col("sl") * F.col("t_days")
+    )
+    gain = (
+        F.col("dev").cast("double") * F.col("dev").cast("double")
+    ) / (
+        F.col("k").cast("double")
+        * (F.col("t_days") - F.col("k")).cast("double")
+    )
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(gain.desc(), "d")
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("d").alias("day_star"),
+        F.col("t_days").cast("long").alias("t_days"),
+        F.col("s").cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("n_left_days"),
+        F.col("sl").cast("long").alias("sum_left"),
+        (F.col("s") - F.col("sl")).cast("long").alias("sum_right"),
+        F.expr("(1000 * dev * dev) div (k * (t_days - k) * t_days)")
+        .cast("long")
+        .alias("bss_milli"),
+    )
