@@ -214,3 +214,76 @@ def test_entity_blocking_pairs_canonical_and_scored(spark):
     # of exactly 2 requires $100 agreement WITHOUT $1000 agreement, which
     # the nesting makes impossible: $100 buckets nest inside $1000.
     assert all(r["score"] != 2 for r in rows)
+
+
+def test_apss_prefix_matches_brute_force_synthetic(spark):
+    """Prefix filtering finds exactly the brute-force answer on a crafted
+    corpus: two planted near-duplicate pairs over distinct vocabularies,
+    plus unrelated docs that share a few hot terms (the case a df-capped
+    index mishandles and prefix filtering must not)."""
+    from itertools import combinations
+
+    from zip_to_parquet_spark.operators.dedupe import (
+        apss_prefix_pairs,
+        shingle_sets,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base_b = "one two three four five six seven eight nine ten"
+    docs = [
+        (1, base_a),
+        (2, base_a + " lambda"),          # near-dup of 1
+        (3, base_b),
+        (4, "zero " + base_b),            # near-dup of 3
+        (5, "alpha beta unrelated words everywhere in this document now"),
+        (6, "totally different content with no overlap at all here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = shingle_sets(df)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["o"]
+        for r in apss_prefix_pairs(sh, 1, 2).collect()
+    }
+    # Brute force in Python over the same 3-gram shingle sets.
+    sets = {
+        r["doc_id"]: set(r["sh"]) for r in sh.collect()
+    }
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        o = len(sets[a] & sets[b])
+        if o > 0 and 2 * o * o >= len(sets[a]) * len(sets[b]):
+            want[(a, b)] = o
+    assert got == want
+    assert (1, 2) in got and (3, 4) in got  # the planted pairs survive
+
+
+def test_trimmed_mean_invariants(spark):
+    """Trim bookkeeping reconciles: k = n div 20, trimmed_n = n - 2k, and
+    the winsorized sum re-adds exactly k boundary values per tail."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    rows = all_queries()["stats_trimmed_mean"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["k"] == r["n"] // 20
+        assert r["trimmed_n"] == r["n"] - 2 * r["k"]
+        assert r["winsor_sum_cents"] >= r["trimmed_sum_cents"]
+        assert (
+            r["trimmed_mean_millicents"]
+            == r["trimmed_sum_cents"] * 1000 // r["trimmed_n"]
+        )
+
+
+def test_temperature_mixture_flattens(spark):
+    """T=2 rates up-weight small sources monotonically: boost_micro is
+    non-increasing in source size, and the temperature distribution sits
+    between proportional and uniform."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    rows = all_queries()["mixture_temperature_rates"](spark, SF).collect()
+    rows.sort(key=lambda r: (r["n_docs"], r["source"]))
+    boosts = [r["boost_micro"] for r in rows]
+    for small, big in zip(boosts, boosts[1:]):
+        assert small >= big - 1  # integer floor tolerance on ties
+    total = sum(r["temp_permille"] for r in rows)
+    assert 1000 - len(rows) <= total <= 1000

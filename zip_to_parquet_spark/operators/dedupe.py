@@ -1096,3 +1096,90 @@ def incremental_dedup_vs_snapshot(
         )
     )
     return exact.unionByName(near).unionByName(novel)
+
+
+def apss_prefix_pairs(
+    sh_df: DataFrame, t2_num: int = 1, t2_den: int = 2
+) -> DataFrame:
+    """All-pairs similarity search with EXACT prefix filtering (Bayardo,
+    Ma & Srikant, WWW 2007; Chaudhuri et al.'s prefix filter): every pair
+    of shingle SETS with binary cosine >= t, no candidate missed, never
+    all-pairs. ``t^2 = t2_num / t2_den`` keeps the threshold rational so
+    every filter cross-multiplies to integers.
+
+    The completeness argument, which the sf-parity suite re-proves
+    empirically against a brute-force oracle: under ANY global total
+    order on terms — here (df asc, term asc), rarest first, so prefixes
+    carry the most selective terms — a pair with cos >= t has overlap
+    o >= ceil(t^2 * n) for EACH side's size n (using the size filter
+    t^2 * max <= min, both directions of which are enforced below), so
+    the globally-smallest shared term cannot sit past position
+    n - ceil(t^2 * n) + 1 on either side: the PREFIXES themselves must
+    intersect, and a prefix-x-prefix equi-join finds every match.
+
+    Scale shape: the df rollup and the prefix join shuffle on the term;
+    prefix terms are the RAREST terms by construction, so the join's key
+    distribution is anti-skewed — the hot shingles that force the
+    df-capped inverted index (ngram_jaccard) to guard are exactly the
+    terms prefix filtering relegates to suffixes. Verification joins are
+    candidate-scoped. No driver collect, no windows beyond per-doc
+    (partitioned) ranking."""
+    terms = sh_df.select("doc_id", F.explode("sh").alias("term"))
+    df_ = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    ranked = (
+        terms.join(df_, "term")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "term")
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    # ceil(t2 * n) = (t2_num * n + t2_den - 1) div t2_den
+    min_overlap = F.expr(f"({t2_num} * n + {t2_den} - 1) div {t2_den}")
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - min_overlap + 1
+    ).select("term", "doc_id", "n")
+    a = prefix.select(
+        "term", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    b = prefix.select(
+        "term", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    cand = (
+        a.join(b, "term")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # size filter: t^2 * max(na, nb) <= min(na, nb)
+            & (
+                t2_den * F.least("na", "nb")
+                >= t2_num * F.greatest("na", "nb")
+            )
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    ta = terms.select(F.col("doc_id").alias("doc_a"), "term")
+    tb = terms.select(F.col("doc_id").alias("doc_b"), "term")
+    overlap = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    return overlap.filter(
+        t2_den * F.col("o") * F.col("o")
+        >= t2_num * F.col("na") * F.col("nb")
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        "o",
+        F.expr("(1000000 * o * o) div (na * nb)")
+        .cast("long")
+        .alias("cos2_micro"),
+    )

@@ -1137,3 +1137,82 @@ def exact_group_auc(scored: DataFrame, group: str) -> DataFrame:
         .cast("long")
         .alias("auc_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration audit of the quality prior: reliability bins + ECE mass.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT (lang = 'en')::INT AS pos,
+             floor(1000 * (
+               least(len(string_split(text, ' ')) / 400.0, 1.0) * 0.5
+               + least(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+                       / greatest(len(string_split(text, ' ')), 1) / 0.05,
+                       1.0) * 0.5))::BIGINT AS score_milli
+      FROM documents
+    )
+    SELECT least(score_milli // 100, 9)::BIGINT AS bin,
+           count(*)::BIGINT AS n_docs,
+           sum(pos)::BIGINT AS n_pos,
+           sum(score_milli)::BIGINT AS conf_milli_sum,
+           abs(1000 * sum(pos) - sum(score_milli))::BIGINT AS gap_abs,
+           (1000 * sum(pos)) // count(*) AS acc_milli,
+           sum(score_milli) // count(*) AS conf_milli
+    FROM scored GROUP BY 1
+    """,
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality prior read as
+    P(lang = 'en'): ten equal-width confidence bins, each comparing mean
+    predicted confidence against empirical accuracy — the calibration
+    audit that decides whether a filter's scores can gate data by
+    threshold or must first be recalibrated (isotonic / Platt). The
+    expected calibration error is sum(gap_abs) / (1000 * N) — every
+    ECE ingredient ships as an integer column (gap_abs is
+    n_b * 1000 * |acc_b - conf_b| exactly).
+
+    Exactness: the score double (text_quality_score's bit-stable IEEE
+    sequence) quantizes to milli by floor(1000 * s) — 1000*s is one
+    correctly-rounded multiply of identical doubles, so the floor is
+    bit-identical across engines; everything after is integer. Bin 9
+    absorbs the score == 1.0 saturation point (least(.., 9)).
+
+    Scale shape: one map-side-combinable groupBy onto <= 10 rows. Bins
+    are policy geometry; there is no second shuffle."""
+    from zip_to_parquet_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    w_ = textops.words(F.col("text"))
+    length_term = F.least(F.size(w_) / 400.0, F.lit(1.0))
+    stop_term = F.least(textops.stopword_ratio(w_) / 0.05, F.lit(1.0))
+    scored = d.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        F.floor(1000 * (length_term * 0.5 + stop_term * 0.5))
+        .cast("long")
+        .alias("score_milli"),
+    )
+    return (
+        scored.groupBy(
+            F.least(F.expr("score_milli div 100"), F.lit(9))
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("score_milli").cast("long").alias("conf_milli_sum"),
+            F.abs(1000 * F.sum("pos") - F.sum("score_milli"))
+            .cast("long")
+            .alias("gap_abs"),
+            F.expr("(1000 * sum(pos)) div count(*)")
+            .cast("long")
+            .alias("acc_milli"),
+            F.expr("sum(score_milli) div count(*)")
+            .cast("long")
+            .alias("conf_milli"),
+        )
+    )

@@ -3286,3 +3286,113 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered all-pairs similarity (exact threshold join, no LSH).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_apss_prefix",
+    oracle=_DUCK_SHINGLES
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(a.sh)::BIGINT AS na, len(b.sh)::BIGINT AS nb,
+           len(list_intersect(a.sh, b.sh))::BIGINT AS o,
+           (1000000 * len(list_intersect(a.sh, b.sh))
+                    * len(list_intersect(a.sh, b.sh)))
+             // (len(a.sh) * len(b.sh)) AS cos2_micro
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+      AND 2 * len(list_intersect(a.sh, b.sh))
+            * len(list_intersect(a.sh, b.sh))
+          >= len(a.sh) * len(b.sh)
+    """,
+)
+def dedup_apss_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document pair with binary shingle cosine >= 1/sqrt(2),
+    found by EXACT prefix filtering (see
+    :func:`operators.dedupe.apss_prefix_pairs`) — the deterministic
+    complement to MinHash-LSH: same near-duplicate discovery job, but
+    zero false-negative probability, for the compliance-grade dedup
+    passes where "with high probability" isn't a contract.
+
+    The ORACLE is the quadratic brute force, so sf-parity doesn't just
+    check arithmetic — it re-proves the prefix filter's completeness
+    (no missed pair) and soundness (no phantom pair) on real data every
+    round. Outputs are pure integers (sizes, overlap, cos^2 in
+    micro-units with the threshold cross-multiplied)."""
+    sh = shingle_sets(_documents_spread(spark, sf_dir))
+    from zip_to_parquet_spark.operators.dedupe import apss_prefix_pairs
+
+    return apss_prefix_pairs(sh, t2_num=1, t2_den=2)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (T = 2 up-weights the tail).
+# ---------------------------------------------------------------------------
+@query(
+    "mixture_temperature_rates",
+    oracle="""
+    WITH n AS (
+      SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1
+    ),
+    s AS (
+      SELECT source, n_docs,
+             floor(sqrt((n_docs * 1000000)::DOUBLE))::BIGINT AS w_scaled
+      FROM n
+    ),
+    tot AS (
+      SELECT sum(w_scaled)::BIGINT AS w_tot, sum(n_docs)::BIGINT AS n_tot
+      FROM s
+    )
+    SELECT s.source, s.n_docs, s.w_scaled,
+           (1000 * s.n_docs) // tot.n_tot AS natural_permille,
+           (1000 * s.w_scaled) // tot.w_tot AS temp_permille,
+           (1000000 * s.w_scaled * tot.n_tot)
+             // (tot.w_tot * s.n_docs) AS boost_micro
+    FROM s, tot
+    """,
+)
+def mixture_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling rates per source at T = 2 — the
+    mixture policy (Gopher / PaLM style p_i ∝ n_i^(1/T)) that up-weights
+    small high-value sources relative to proportional sampling without
+    the uniform policy's overfit risk. Complements mixture_rates_for_budget
+    (hard caps) and mixture_sample_by_source (execution): this key sets
+    the TARGET rates.
+
+    Exactness contract: n^(1/2) is irrational, so the weight is pinned
+    to the INTEGER w = floor(sqrt(n * 1e6)) = floor(1000 * sqrt(n)):
+    one correctly-rounded IEEE sqrt of an exactly-representable integer
+    (n < 2^33 keeps n*1e6 < 2^53), bit-identical across engines, floored
+    once — every downstream ratio (permille rates, the per-source boost
+    vs proportional in micro-units) is pure integer division over
+    order-independent integer SUMS, never a float accumulation.
+
+    Scale shape: one map-side-combinable count per source, a 1-row
+    totals broadcast (F.broadcast crossJoin), |sources| output rows."""
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    s = n.withColumn(
+        "w_scaled",
+        F.floor(F.sqrt((F.col("n_docs") * 1000000).cast("double"))).cast(
+            "long"
+        ),
+    )
+    tot = s.agg(
+        F.sum("w_scaled").cast("long").alias("w_tot"),
+        F.sum("n_docs").cast("long").alias("n_tot"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w_scaled",
+        F.expr("(1000 * n_docs) div n_tot").cast("long").alias("natural_permille"),
+        F.expr("(1000 * w_scaled) div w_tot").cast("long").alias("temp_permille"),
+        F.expr("(1000000 * w_scaled * n_tot) div (w_tot * n_docs)")
+        .cast("long")
+        .alias("boost_micro"),
+    )

@@ -1444,3 +1444,141 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust location estimates over histograms: trimmed + winsorized means.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_trimmed_mean",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderpriority AS prio,
+             (o_totalprice::DECIMAL(12,2) * 100)::BIGINT AS cents,
+             count(*)::BIGINT AS w
+      FROM orders GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT prio, cents, w,
+             coalesce(sum(w) OVER (PARTITION BY prio ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_lo,
+             coalesce(sum(w) OVER (PARTITION BY prio ORDER BY cents DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_hi,
+             sum(w) OVER (PARTITION BY prio) AS n,
+             sum(w * cents) OVER (PARTITION BY prio) AS total
+      FROM h
+    ),
+    t AS (
+      SELECT prio, n, total, n // 20 AS k,
+             sum(cents * least(w, greatest(n // 20 - cum_lo, 0)))
+               AS lo_drop,
+             sum(cents * least(w, greatest(n // 20 - cum_hi, 0)))
+               AS hi_drop,
+             max(CASE WHEN cum_lo < n // 20 + 1
+                       AND n // 20 + 1 <= cum_lo + w
+                      THEN cents END) AS lo_bound,
+             max(CASE WHEN cum_hi < n // 20 + 1
+                       AND n // 20 + 1 <= cum_hi + w
+                      THEN cents END) AS hi_bound
+      FROM c GROUP BY prio, n, total
+    )
+    SELECT prio, n, k,
+           (total - lo_drop - hi_drop)::BIGINT AS trimmed_sum_cents,
+           (n - 2 * k)::BIGINT AS trimmed_n,
+           ((total - lo_drop - hi_drop) * 1000 // (n - 2 * k))::BIGINT
+             AS trimmed_mean_millicents,
+           (total - lo_drop - hi_drop + k * lo_bound + k * hi_bound)::BIGINT
+             AS winsor_sum_cents,
+           ((total - lo_drop - hi_drop + k * lo_bound + k * hi_bound)
+             * 1000 // n)::BIGINT AS winsor_mean_millicents
+    FROM t
+    """,
+)
+def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed and 5%-winsorized mean order value per priority — the
+    robust location estimates a metrics pipeline swaps in when heavy
+    tails make the plain mean unstable (Tukey; Huber). Exactly k = n div
+    20 observations are dropped (trimmed) or clamped to the boundary
+    order statistics (winsorized) at EACH tail, with the boundary = the
+    (k+1)-th order statistic from that tail.
+
+    Exactness contract: computed entirely over the (priority, cents)
+    HISTOGRAM — a straddling histogram bucket contributes
+    min(w, k - cum_before) of its weight to the drop, the exact
+    multiplicity split; bounds come from the bucket covering rank k+1.
+    All integer cents; means in millicents by integer division (all
+    operands positive, so Spark div == DuckDB //).
+
+    Scale shape: one map-side-combinable rollup to value-histogram
+    cardinality, cumulative windows over the histogram (never raw
+    rows), a 5-row result. Same geometry as stats_weighted_median."""
+    from pyspark.sql.window import Window as W
+
+    h = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("prio", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wlo = W.partitionBy("prio").orderBy("cents").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    whi = W.partitionBy("prio").orderBy(F.col("cents").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wall = W.partitionBy("prio")
+    c = (
+        h.withColumn("cum_lo", F.coalesce(F.sum("w").over(wlo), F.lit(0)))
+        .withColumn("cum_hi", F.coalesce(F.sum("w").over(whi), F.lit(0)))
+        .withColumn("n", F.sum("w").over(wall))
+        .withColumn("total", F.sum(F.col("w") * F.col("cents")).over(wall))
+        .withColumn("k", F.expr("n div 20"))
+    )
+    t = c.groupBy("prio", "n", "total", "k").agg(
+        F.sum(
+            F.col("cents")
+            * F.least(F.col("w"), F.greatest(F.col("k") - F.col("cum_lo"), F.lit(0)))
+        ).alias("lo_drop"),
+        F.sum(
+            F.col("cents")
+            * F.least(F.col("w"), F.greatest(F.col("k") - F.col("cum_hi"), F.lit(0)))
+        ).alias("hi_drop"),
+        F.max(
+            F.when(
+                (F.col("cum_lo") < F.col("k") + 1)
+                & (F.col("k") + 1 <= F.col("cum_lo") + F.col("w")),
+                F.col("cents"),
+            )
+        ).alias("lo_bound"),
+        F.max(
+            F.when(
+                (F.col("cum_hi") < F.col("k") + 1)
+                & (F.col("k") + 1 <= F.col("cum_hi") + F.col("w")),
+                F.col("cents"),
+            )
+        ).alias("hi_bound"),
+    )
+    tsum = F.col("total") - F.col("lo_drop") - F.col("hi_drop")
+    wsum = tsum + F.col("k") * F.col("lo_bound") + F.col("k") * F.col("hi_bound")
+    return t.select(
+        "prio",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        tsum.cast("long").alias("trimmed_sum_cents"),
+        (F.col("n") - 2 * F.col("k")).cast("long").alias("trimmed_n"),
+        F.expr("((total - lo_drop - hi_drop) * 1000) div (n - 2 * k)")
+        .cast("long")
+        .alias("trimmed_mean_millicents"),
+        wsum.cast("long").alias("winsor_sum_cents"),
+        F.expr(
+            "((total - lo_drop - hi_drop + k * lo_bound + k * hi_bound)"
+            " * 1000) div n"
+        )
+        .cast("long")
+        .alias("winsor_mean_millicents"),
+    )
