@@ -1370,3 +1370,46 @@ def test_holdout_lm_scores_type_table_not_token_stream(spark):
     plan = plan_of(spark, "lm_perplexity_holdout")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_apss_prefix_no_cross_join_no_global_window(spark):
+    # Prefix filtering must stay an equi-join pipeline: any Cartesian /
+    # broadcast-nested-loop node means someone rewrote it into the
+    # quadratic theta join; a SinglePartition exchange means the per-doc
+    # ranking window lost its partitioning.
+    plan = plan_of(spark, "dedup_apss_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_conformal_broadcasts_thresholds(spark):
+    # Per-type medians/thresholds are |event_type|-row tables: they must
+    # broadcast onto the calibration/test scans, never shuffle the facts.
+    plan = plan_of(spark, "stats_conformal_coverage")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_df_join_not_broadcast_gated(spark):
+    # The line-df join is corpus-sized on both sides at scale — the plan
+    # must be pure equi-joins (no nested loop), and the per-doc aggregate
+    # must keep map-side partial aggregation (HashAggregate pairs).
+    plan = plan_of(spark, "text_boilerplate_lines")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_calibration_bins_single_shuffle(spark):
+    # scan → partial agg → ONE exchange → final agg onto <= 10 rows.
+    plan = plan_of(spark, "quality_calibration_bins")
+    assert n_shuffles(plan) <= 1
+    assert "Join" not in plan
+
+
+def test_entity_blocking_is_single_equi_join(spark):
+    # Blocking = one shuffle per side on the block key; the a<b predicate
+    # must ride the equi-join as a filter, not force a nested loop.
+    plan = plan_of(spark, "dedup_entity_blocking")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
