@@ -1474,3 +1474,272 @@ def ts_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bss_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson estimation under deterministic stratified sampling.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_ht_estimate",
+    oracle="""
+    WITH rates AS (
+      SELECT source,
+             250 + (md5_number_lower('rate' || source)::HUGEINT
+                      % 16777216) % 500 AS pi_permille
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    d AS (
+      SELECT doc.doc_id, doc.source, doc.n_chars, r.pi_permille,
+             ((md5_number_lower('ht' || doc.doc_id::VARCHAR)::HUGEINT
+                 % 16777216) % 1000) < r.pi_permille AS sampled
+      FROM documents doc JOIN rates r USING (source)
+    )
+    SELECT source, any_value(pi_permille)::BIGINT AS pi_permille,
+           count(*)::BIGINT AS n_total,
+           sum(n_chars)::BIGINT AS true_sum_chars,
+           sum(CASE WHEN sampled THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+           sum(CASE WHEN sampled
+                    THEN (n_chars * 1000) // pi_permille ELSE 0 END)::BIGINT
+             AS ht_sum_chars,
+           abs(1000 * sum(CASE WHEN sampled
+                    THEN (n_chars * 1000) // pi_permille ELSE 0 END)
+               - 1000 * sum(n_chars)) // sum(n_chars) AS err_permille
+    FROM d GROUP BY source
+    """,
+)
+def sample_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson totals under deterministic per-source Poisson
+    sampling — the estimator that makes subsampled pipeline metrics
+    honest: each stratum samples at its own content-keyed rate
+    pi (250-749 permille, hashed from the source name), every sampled
+    row is inverse-probability-weighted, and the per-source HT estimate
+    of total characters is compared against the full-scan truth.
+    err_permille measures one realized draw: HT is unbiased but its
+    relative error shrinks as 1/sqrt(stratum size), so the tiny sf0.01
+    strata (25 docs) show hundreds of permille while production strata
+    (millions of docs) show single digits — the estimator, not the
+    fixture, is the contract.
+
+    Exactness contract: inclusion is the md5_number_lower low-3-byte
+    uniform shared by the sampling/sharding family — reproducible across
+    engines, runs, and retries with no RNG state. The HT weight
+    (n_chars * 1000) div pi truncates identically in both engines
+    (all operands positive).
+
+    Scale shape: map-only sampling decision (hash + compare against a
+    broadcast |sources|-row rate table), one map-side-combinable rollup.
+    The full-scan truth rides the same aggregate — no second pass."""
+    from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = (
+        d.select("source")
+        .distinct()
+        .withColumn(
+            "pi_permille",
+            250
+            + F.expr(md5_low_bytes_sql("concat('rate', source)", 3)) % 500,
+        )
+    )
+    u = F.expr(
+        md5_low_bytes_sql("concat('ht', cast(doc_id as string))", 3)
+    ) % 1000
+    j = d.join(F.broadcast(rates), "source").withColumn(
+        "sampled", u < F.col("pi_permille")
+    )
+    ht_term = F.when(
+        F.col("sampled"),
+        F.expr("(n_chars * 1000) div pi_permille"),
+    ).otherwise(F.lit(0))
+    return j.groupBy("source").agg(
+        F.any_value("pi_permille").cast("long").alias("pi_permille"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("n_chars").cast("long").alias("true_sum_chars"),
+        F.sum(F.col("sampled").cast("long")).cast("long").alias("n_sampled"),
+        F.sum(ht_term).cast("long").alias("ht_sum_chars"),
+        (
+            F.abs(1000 * F.sum(ht_term) - 1000 * F.sum("n_chars"))
+            .cast("long")
+            / F.lit(1)
+        )
+        .cast("long")
+        .alias("_absdiff"),
+    ).select(
+        "source",
+        "pi_permille",
+        "n_total",
+        "true_sum_chars",
+        "n_sampled",
+        "ht_sum_chars",
+        F.expr("_absdiff div true_sum_chars").cast("long").alias("err_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kish effective sample size / design effect of weighted samples.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_effective_size",
+    oracle="""
+    SELECT source,
+           count(*)::BIGINT AS n,
+           sum(n_chars)::BIGINT AS w_sum,
+           sum(n_chars * n_chars)::BIGINT AS w2_sum,
+           (1000 * sum(n_chars) * sum(n_chars))
+             // sum(n_chars * n_chars) AS ess_milli,
+           (1000 * count(*) * sum(n_chars * n_chars))
+             // (sum(n_chars) * sum(n_chars)) AS deff_milli
+    FROM documents GROUP BY source
+    """,
+)
+def sample_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size ESS = (sum w)^2 / sum w^2 and design
+    effect deff = n / ESS for length-weighted sampling, per source — the
+    diagnostic that says how much statistical power a weighted draw
+    (importance weights, length-proportional token sampling) actually
+    retains: deff near 1 means weights are benign; deff >> 1 means a few
+    heavy documents dominate and downstream estimates need that much
+    more data.
+
+    Exactness: integer weight moments (n_chars), milli ratios by integer
+    division. BIGINT holds while sum(w)^2 < 2^63 (~3e9 total chars per
+    source at these weights); past that the moments go DECIMAL-as-string
+    per the repo's overflow rule.
+
+    Scale shape: one map-side-combinable rollup; |sources| output rows;
+    no joins, no windows."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("w_sum"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("long")
+        .alias("w2_sum"),
+        F.expr(
+            "(1000 * sum(n_chars) * sum(n_chars))"
+            " div sum(n_chars * n_chars)"
+        )
+        .cast("long")
+        .alias("ess_milli"),
+        F.expr(
+            "(1000 * count(*) * sum(n_chars * n_chars))"
+            " div (sum(n_chars) * sum(n_chars))"
+        )
+        .cast("long")
+        .alias("deff_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss of the calibration-split P90 forecaster.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_pinball_loss",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             (value::DECIMAL(12,2) * 100)::BIGINT AS cents,
+             (event_id % 4 < 3) AS is_cal
+      FROM events
+    ),
+    h AS (
+      SELECT event_type, cents, count(*)::BIGINT AS w
+      FROM base WHERE is_cal GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, cents, w,
+             sum(w) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(w) OVER (PARTITION BY event_type) AS n_cal
+      FROM h
+    ),
+    q AS (
+      SELECT event_type, min(cents)::BIGINT AS q90_cents
+      FROM c WHERE 10 * cum >= 9 * n_cal GROUP BY event_type
+    )
+    SELECT b.event_type, q.q90_cents,
+           count(*)::BIGINT AS n_test,
+           sum(CASE WHEN b.cents > q.q90_cents
+                    THEN 9 * (b.cents - q.q90_cents)
+                    ELSE (q.q90_cents - b.cents) END)::BIGINT
+             AS pinball_decicents_sum,
+           sum(CASE WHEN b.cents > q.q90_cents
+                    THEN 9 * (b.cents - q.q90_cents)
+                    ELSE (q.q90_cents - b.cents) END) // count(*)
+             AS mean_pinball_decicents,
+           (1000 * sum(CASE WHEN b.cents > q.q90_cents THEN 1 ELSE 0 END))
+             // count(*) AS exceed_permille
+    FROM base b JOIN q USING (event_type)
+    WHERE NOT b.is_cal GROUP BY 1, 2
+    """,
+)
+def ts_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss at tau = 0.9 for the P90-of-calibration
+    forecaster, per event type — the proper scoring rule for quantile
+    forecasts (Koenker & Bassett regression loss): a forecaster that
+    truly hits P90 minimizes it, and exceed_permille near 100 confirms
+    the quantile is calibrated on held-out data. Complements
+    stats_conformal_coverage: same deterministic 75/25 split, interval
+    coverage there, sharpness/score here.
+
+    Exactness: the loss is carried at 10x (tau = 9/10 cross-multiplied)
+    so every term is an integer deci-cent: 9*(y-q) above the quantile,
+    1*(q-y) at-or-below. The P90 itself is the exact discrete quantile
+    over the calibration cents histogram (10*cum >= 9*n).
+
+    Scale shape: one histogram rollup + histogram-cardinality window for
+    the quantile, one broadcast of |event_type| thresholds onto the test
+    scan, one map-side-combinable rollup. No corpus-sized window."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("event_id") % 4 < 3).alias("is_cal"),
+    )
+    from pyspark.sql.window import Window
+
+    h = (
+        base.filter("is_cal")
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    q = (
+        h.withColumn("cum", F.sum("w").over(wcum))
+        .withColumn("n_cal", F.sum("w").over(wall))
+        .filter(10 * F.col("cum") >= 9 * F.col("n_cal"))
+        .groupBy("event_type")
+        .agg(F.min("cents").cast("long").alias("q90_cents"))
+    )
+    loss = F.when(
+        F.col("cents") > F.col("q90_cents"),
+        9 * (F.col("cents") - F.col("q90_cents")),
+    ).otherwise(F.col("q90_cents") - F.col("cents"))
+    return (
+        base.filter(~F.col("is_cal"))
+        .join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q90_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(loss).cast("long").alias("pinball_decicents_sum"),
+            F.expr(
+                "sum(CASE WHEN cents > q90_cents"
+                " THEN 9 * (cents - q90_cents)"
+                " ELSE (q90_cents - cents) END) div count(*)"
+            )
+            .cast("long")
+            .alias("mean_pinball_decicents"),
+            F.expr(
+                "(1000 * sum(CASE WHEN cents > q90_cents THEN 1 ELSE 0 END))"
+                " div count(*)"
+            )
+            .cast("long")
+            .alias("exceed_permille"),
+        )
+    )
