@@ -287,3 +287,101 @@ def test_temperature_mixture_flattens(spark):
         assert small >= big - 1  # integer floor tolerance on ties
     total = sum(r["temp_permille"] for r in rows)
     assert 1000 - len(rows) <= total <= 1000
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_strict_funnel_contiguity_semantics(spark, tmp_path):
+    """The defining cases: an intervening event of ANY type breaks the
+    match; a gap over 30 minutes breaks it; the clean adjacent pair
+    matches exactly once."""
+    import datetime as dt
+
+    from zip_to_parquet_spark.plans import all_queries
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: view -> purchase 10 min later, adjacent => MATCH
+        (1, m(0), 1, "view", 1.0, "{}"),
+        (2, m(10), 1, "purchase", 1.0, "{}"),
+        # user 2: view -> click -> purchase => intervening click, no match
+        (3, m(0), 2, "view", 1.0, "{}"),
+        (4, m(5), 2, "click", 1.0, "{}"),
+        (5, m(10), 2, "purchase", 1.0, "{}"),
+        # user 3: view -> purchase 40 min later => too late, no match
+        (6, m(0), 3, "view", 1.0, "{}"),
+        (7, m(40), 3, "purchase", 1.0, "{}"),
+        # user 4: purchase then view => wrong order, no match
+        (8, m(0), 4, "purchase", 1.0, "{}"),
+        (9, m(5), 4, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = all_queries()["events_pattern_strict_funnel"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_matches"] == 1 and r["n_users"] == 1
+    assert r["gap_us_sum"] == 10 * 60 * 1_000_000
+
+
+def test_l_diversity_flags_uniform_sensitive_group(spark, tmp_path):
+    """A large (k-anonymous) group whose sensitive value is uniform must
+    surface as weak (l = 1); a diverse group must not."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    cust = [
+        # nation 1, band 0: four customers (k-fine)
+        (1, "Customer#1", 1, 100.0, "AUTOMOBILE"),
+        (2, "Customer#2", 1, 200.0, "AUTOMOBILE"),
+        (3, "Customer#3", 1, 300.0, "AUTOMOBILE"),
+        (4, "Customer#4", 1, 400.0, "AUTOMOBILE"),
+        # nation 2, band 0: two customers with diverse priorities
+        (5, "Customer#5", 2, 100.0, "MACHINERY"),
+        (6, "Customer#6", 2, 200.0, "MACHINERY"),
+    ]
+    orders = (
+        # nation 1's orders all share ONE priority -> l = 1, weak
+        [(i, 1 + (i % 4), "O", 10.0, "1996-01-0%d" % (1 + i % 9), "1-URGENT")
+         for i in range(8)]
+        # nation 2's orders span three priorities -> l = 3, fine
+        + [(100, 5, "O", 10.0, "1996-01-01", "1-URGENT"),
+           (101, 5, "O", 10.0, "1996-01-02", "2-HIGH"),
+           (102, 6, "O", 10.0, "1996-01-03", "3-MEDIUM")]
+    )
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = {r["nat"]: r for r in all_queries()["privacy_l_diversity"](
+        spark, str(tmp_path)).collect()}
+    assert out[1]["min_l"] == 1 and out[1]["weak_groups"] == 1
+    assert out[1]["weak_rows"] == 8
+    assert out[2]["min_l"] == 3 and out[2]["weak_groups"] == 0
+
+
+def test_kneser_ney_probability_mass_and_bounds(spark):
+    """KN probabilities are proper probabilities: every per-bigram micro
+    value sits in [0, 1e6], the per-source accounting reconciles, and the
+    val split scores every source that has val documents."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    rows = all_queries()["lm_kneser_ney_bigram"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["mean_p_micro"] <= 1_000_000
+        assert r["mean_p_micro"] == r["p_sum_micro"] // r["n_bigrams"]
+        assert 0 <= r["unseen_permille"] <= 1000

@@ -1426,3 +1426,84 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("assortativity_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Strict-contiguity event pattern match (MATCH_RECOGNIZE-style CEP).
+# ---------------------------------------------------------------------------
+@query(
+    "events_pattern_strict_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts)::BIGINT AS us,
+             lead(event_type) OVER w AS next_type,
+             lead(epoch_us(ts)::BIGINT) OVER w AS next_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, us, next_us - us AS gap_us
+      FROM seq
+      WHERE event_type = 'view' AND next_type = 'purchase'
+        AND next_us - us <= 1800000000
+    )
+    SELECT make_timestamp(us)::DATE AS day,
+           count(*)::BIGINT AS n_matches,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           sum(gap_us)::BIGINT AS gap_us_sum,
+           (sum(gap_us) // count(*))::BIGINT AS mean_gap_us
+    FROM m GROUP BY 1
+    """,
+)
+def events_pattern_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-contiguity pattern matching — SQL:2016 MATCH_RECOGNIZE's
+    ``A B`` with no permitted gap events, the semantics the loose funnel
+    keys (events_funnel: B anywhere after A) cannot express: a 'view'
+    IMMEDIATELY followed, in the user's total event order, by a
+    'purchase' within 30 minutes. Any intervening event of ANY type
+    breaks the match — the distinction that separates intent signals
+    from coincidence in conversion analysis. Deterministic total order:
+    (ts, event_id) tie-break, both engines.
+
+    Exactness: gaps are integer epoch-microsecond differences; the
+    30-minute bound is an integer compare; daily rollup is pure counts.
+
+    Scale shape: ONE shuffle (partition by user_id) feeding a lead()
+    window — per-user state is two rows; then a map-side-combinable
+    daily rollup. This is the general CEP recipe at scale: sessionize
+    partitions the stream, lead/lag automata run linearly inside each
+    partition."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("us").over(w).alias("next_us"),
+    )
+    m = seq.filter(
+        (F.col("event_type") == "view")
+        & (F.col("next_type") == "purchase")
+        & (F.col("next_us") - F.col("us") <= 1_800_000_000)
+    ).select(
+        "user_id",
+        "us",
+        (F.col("next_us") - F.col("us")).alias("gap_us"),
+    )
+    return m.groupBy(
+        F.to_date(F.timestamp_micros(F.col("us"))).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("gap_us").cast("long").alias("gap_us_sum"),
+        F.expr("sum(gap_us) div count(*)").cast("long").alias("mean_gap_us"),
+    )

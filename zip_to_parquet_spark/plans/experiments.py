@@ -1345,3 +1345,78 @@ def stats_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("coverage_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit over quasi-identifier groups (k-anonymity's companion).
+# ---------------------------------------------------------------------------
+@query(
+    "privacy_l_diversity",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_nationkey AS nat,
+             (c.c_acctbal::DECIMAL(12,2) * 100)::BIGINT // 100000
+               AS bal_band,
+             o.o_orderpriority AS sensitive
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+      SELECT nat, bal_band,
+             count(*)::BIGINT AS n_rows,
+             count(DISTINCT sensitive)::BIGINT AS l
+      FROM j GROUP BY 1, 2
+    )
+    SELECT nat,
+           count(*)::BIGINT AS n_groups,
+           sum(n_rows)::BIGINT AS n_rows,
+           min(l)::BIGINT AS min_l,
+           sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT AS weak_groups,
+           sum(CASE WHEN l < 3 THEN n_rows ELSE 0 END)::BIGINT AS weak_rows
+    FROM g GROUP BY nat
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) —
+    k-anonymity's necessary companion: a quasi-identifier group can be
+    large (k-anonymous) yet reveal everyone's sensitive value if that
+    value is uniform within the group. Here the QI is (nation, $1000
+    balance band), the sensitive attribute is the order priority of the
+    customer's orders, and each nation reports its minimum group
+    l (distinct sensitive values), plus how many groups and rows fall
+    below l = 3 — the release-gate row count a privacy review needs.
+
+    Exactness: counts and distinct-counts only.
+
+    Scale shape: one fact-dim equi-join on the customer key, one
+    groupBy onto QI-group cardinality (countDistinct expands to a
+    two-level aggregate — both levels map-side combinable), a per-nation
+    rollup. Same geometry as dq_k_anonymity with the join in front."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_nationkey").alias("nat"),
+        F.expr(
+            "cast(cast(c_acctbal as decimal(12,2)) * 100 as bigint)"
+            " div 100000"
+        ).alias("bal_band"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("sensitive")
+    )
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("nat", "bal_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("sensitive").cast("long").alias("l"),
+        )
+    )
+    weak = F.col("l") < 3
+    return g.groupBy("nat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(weak, 1).otherwise(0)).cast("long").alias("weak_groups"),
+        F.sum(F.when(weak, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("weak_rows"),
+    )

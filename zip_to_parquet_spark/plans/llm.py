@@ -3396,3 +3396,182 @@ def mixture_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("boost_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM with EXACT rational probabilities.
+# ---------------------------------------------------------------------------
+@query(
+    "lm_kneser_ney_bigram",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS part
+      FROM documents
+    ),
+    tpairs AS (
+      SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT unnest(list_transform(range(1, len(w)),
+               i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+        FROM split WHERE part = 'train'
+      )
+    ),
+    bgt AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM tpairs GROUP BY 1, 2),
+    ctx AS (
+      SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1fw
+      FROM bgt GROUP BY w1
+    ),
+    cont AS (SELECT w2, count(*)::BIGINT AS n1bw FROM bgt GROUP BY w2),
+    nall AS (SELECT count(*)::BIGINT AS n1all FROM bgt),
+    vpairs AS (
+      SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(w)),
+               i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+        FROM split WHERE part = 'val'
+      )
+    ),
+    vtypes AS (SELECT DISTINCT w1, w2 FROM vpairs),
+    sc AS (
+      SELECT t.w1, t.w2,
+             CASE
+               WHEN x.c1 IS NULL THEN
+                 (1000000 * coalesce(o.n1bw, 0)) // a.n1all
+               ELSE
+                 (1000000 * (
+                    CASE WHEN b.c12 IS NULL THEN 0
+                         ELSE (4 * b.c12 - 3) * a.n1all END
+                    + 3 * x.n1fw * coalesce(o.n1bw, 0)))
+                   // (4 * x.c1 * a.n1all)
+             END AS p_micro,
+             CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS is_unseen
+      FROM vtypes t
+      LEFT JOIN bgt b ON b.w1 = t.w1 AND b.w2 = t.w2
+      LEFT JOIN ctx x ON x.w1 = t.w1
+      LEFT JOIN cont o ON o.w2 = t.w2
+      CROSS JOIN nall a
+    )
+    SELECT v.source, count(DISTINCT v.doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_bigrams,
+           sum(sc.p_micro)::BIGINT AS p_sum_micro,
+           (sum(sc.p_micro) // count(*))::BIGINT AS mean_p_micro,
+           ((1000 * sum(sc.is_unseen)) // count(*))::BIGINT
+             AS unseen_permille
+    FROM vpairs v JOIN sc ON sc.w1 = v.w1 AND sc.w2 = v.w2
+    GROUP BY v.source
+    """,
+)
+def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    Goodman 1999) — the smoothing KenLM ships and CCNet-style quality
+    scoring actually uses — evaluated on the held-out val split with
+    EXACT arithmetic: the discount D = 3/4 is rational, so
+    p_KN(w2|w1) = (c12 - D)/c1 + D*N1+(w1 .)/c1 * N1+(. w2)/N1+(..)
+    cross-multiplies to the single integer expression
+    ((4*c12 - 3)*N1all + 3*N1fw*N1bw) / (4*c1*N1all) — unlike the
+    log-surprisal keys (one documented IEEE ln seam), NO float exists
+    anywhere in this key. Unseen-context bigrams back off to the raw
+    continuation probability N1bw/N1all; unseen (w1,w2) pairs keep the
+    full continuation mass (the defining KN property: probability
+    follows how many contexts a word COMPLETES, not how often it
+    occurs — 'Francisco' gets a high unigram count but a low
+    continuation count).
+
+    Scale shape: mirrors lm_perplexity_holdout — bigram/context/
+    continuation rollups over the train split (all map-side
+    combinable), scoring over the val TYPE table (vocabulary-sized,
+    never the token stream), a 1-row N1all broadcast, one join back to
+    val transitions, one source rollup."""
+    from zip_to_parquet_spark.operators.pipeline import words
+
+    d = _documents_spread(spark, sf_dir)
+    bucket = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    split = d.select(
+        "doc_id",
+        "source",
+        words(F.col("text")).alias("ws"),
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+        .alias("part"),
+    )
+
+    def pair_stream(df, extra):
+        n1 = F.size("ws") - 1
+        return df.select(
+            *extra,
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, n1),
+                    F.slice("ws", 2, n1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        ).select(*extra, "p.w1", "p.w2")
+
+    train = split.filter(F.col("part") == "train")
+    val = split.filter(F.col("part") == "val")
+    bgt = (
+        pair_stream(train, [])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    ctx = bgt.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1fw"),
+    )
+    cont = bgt.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1bw")
+    )
+    nall = bgt.agg(F.count(F.lit(1)).cast("long").alias("n1all"))
+    vpairs = pair_stream(val, ["doc_id", "source"])
+    vtypes = vpairs.select("w1", "w2").distinct()
+    sc = (
+        vtypes.join(bgt, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(nall))
+        .select(
+            "w1",
+            "w2",
+            F.when(
+                F.col("c1").isNull(),
+                F.expr("(1000000 * coalesce(n1bw, 0)) div n1all"),
+            )
+            .otherwise(
+                F.expr(
+                    "(1000000 * (CASE WHEN c12 IS NULL THEN 0"
+                    " ELSE (4 * c12 - 3) * n1all END"
+                    " + 3 * n1fw * coalesce(n1bw, 0)))"
+                    " div (4 * c1 * n1all)"
+                )
+            )
+            .cast("long")
+            .alias("p_micro"),
+            F.when(F.col("c12").isNull(), 1).otherwise(0).alias("is_unseen"),
+        )
+    )
+    from zip_to_parquet_spark.operators.pipeline import _size_aware_side
+
+    side = _size_aware_side(sc, vpairs, 2_000_000)
+    return (
+        vpairs.join(side, ["w1", "w2"])
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("p_micro").cast("long").alias("p_sum_micro"),
+            F.expr("sum(p_micro) div count(*)")
+            .cast("long")
+            .alias("mean_p_micro"),
+            F.expr("(1000 * sum(is_unseen)) div count(*)")
+            .cast("long")
+            .alias("unseen_permille"),
+        )
+    )
