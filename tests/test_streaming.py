@@ -209,3 +209,41 @@ def test_transform_with_state_running_totals(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_strict_pairs_stitch_across_micro_batches(spark, tmp_path):
+    """The match whose view ends batch 1 and purchase opens batch 2 must
+    be found via carried state; an intervening event arriving in the next
+    batch must still break the match."""
+    import datetime as dt
+
+    from zip_to_parquet_spark.plans import all_queries
+
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # Span 0..90 min -> ordered reader cuts at 30 and 60.
+    rows = [
+        # user 1: view@29 (batch 1), purchase@31 (batch 2) => cross-batch MATCH
+        (1, m(29), 1, "view", 1.0, "{}"),
+        (2, m(31), 1, "purchase", 1.0, "{}"),
+        # user 2: view@29, click@31, purchase@33 => broken across batches
+        (3, m(29), 2, "view", 1.0, "{}"),
+        (4, m(31), 2, "click", 1.0, "{}"),
+        (5, m(33), 2, "purchase", 1.0, "{}"),
+        # span anchors so the cuts land where intended
+        (6, m(0), 9, "click", 1.0, "{}"),
+        (7, m(90), 9, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = all_queries()["stream_pattern_strict_funnel"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n_matches"] == 1 and out[0]["n_users"] == 1
+    assert out[0]["gap_us_sum"] == 2 * 60 * 1_000_000

@@ -1216,3 +1216,108 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("conf_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired comparison of two document classifiers.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_classifier_mcnemar",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             (lang = 'en') AS truth,
+             (least(len(string_split(text, ' ')) / 400.0, 1.0) * 0.5
+              + least(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+                      / greatest(len(string_split(text, ' ')), 1) / 0.05,
+                      1.0) * 0.5) >= 0.5 AS pred_a,
+             (len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+                      / greatest(len(string_split(text, ' ')), 1)) >= 0.02
+               AS pred_b
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             (pred_a = truth) AS a_ok, (pred_b = truth) AS b_ok
+      FROM scored
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END)::BIGINT
+             AS both_right,
+           sum(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END)::BIGINT
+             AS both_wrong,
+           sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)::BIGINT AS b_,
+           sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)::BIGINT AS c_,
+           CASE WHEN sum(CASE WHEN a_ok != b_ok THEN 1 ELSE 0 END) = 0
+                THEN NULL
+                ELSE (1000
+                      * (sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                         - sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END))
+                      * (sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                         - sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)))
+                     // sum(CASE WHEN a_ok != b_ok THEN 1 ELSE 0 END)
+           END AS mcnemar_chi2_milli
+    FROM m GROUP BY source
+    """,
+)
+def quality_classifier_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test (1947) comparing the two cheap language
+    gates on the SAME documents — the statistically correct way to ask
+    "is classifier A actually better than B?" when both score one
+    corpus: only the DISCORDANT pairs carry signal (b = A right & B
+    wrong, c = the reverse), and chi^2 = (b-c)^2/(b+c) tests their
+    symmetry. Accuracy deltas computed on overlapping predictions
+    without this pairing overstate significance — the trap this key
+    exists to avoid. A is the composite quality prior at 0.5; B is the
+    stopword-density heuristic at 0.02; truth is the lang label.
+
+    Exactness: contingency cells are counts; the statistic ships as
+    (b-c)^2 * 1000 div (b+c), NULL when no discordant pairs exist.
+    Both classifiers' score doubles follow the bit-stable IEEE
+    sequences of their parent keys, so the >= thresholds agree across
+    engines.
+
+    Scale shape: one map-only projection (both classifiers evaluate in
+    the same codegen stage), one map-side-combinable source rollup."""
+    from zip_to_parquet_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    w_ = textops.words(F.col("text"))
+    ratio = textops.stopword_ratio(w_)
+    score = (
+        F.least(F.size(w_) / 400.0, F.lit(1.0)) * 0.5
+        + F.least(ratio / 0.05, F.lit(1.0)) * 0.5
+    )
+    m = d.select(
+        "source",
+        ((score >= 0.5) == (F.col("lang") == "en")).alias("a_ok"),
+        ((ratio >= 0.02) == (F.col("lang") == "en")).alias("b_ok"),
+    )
+    b_ = F.sum(F.when(F.col("a_ok") & ~F.col("b_ok"), 1).otherwise(0))
+    c_ = F.sum(F.when(~F.col("a_ok") & F.col("b_ok"), 1).otherwise(0))
+    disc = F.sum(F.when(F.col("a_ok") != F.col("b_ok"), 1).otherwise(0))
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("a_ok") & F.col("b_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_right"),
+        F.sum(F.when(~F.col("a_ok") & ~F.col("b_ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("both_wrong"),
+        b_.cast("long").alias("b_"),
+        c_.cast("long").alias("c_"),
+        F.when(disc == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                "(1000 * (sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)"
+                " - sum(CASE WHEN (NOT a_ok) AND b_ok THEN 1 ELSE 0 END))"
+                " * (sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)"
+                " - sum(CASE WHEN (NOT a_ok) AND b_ok THEN 1 ELSE 0 END)))"
+                " div sum(CASE WHEN a_ok != b_ok THEN 1 ELSE 0 END)"
+            ).cast("long")
+        )
+        .alias("mcnemar_chi2_milli"),
+    )

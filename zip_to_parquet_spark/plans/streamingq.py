@@ -326,3 +326,60 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
         "ss_left_outer",
     )
+
+
+@query(
+    "stream_pattern_strict_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts)::BIGINT AS us,
+             lead(event_type) OVER w AS next_type,
+             lead(epoch_us(ts)::BIGINT) OVER w AS next_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT user_id, us, next_us - us AS gap_us
+      FROM seq
+      WHERE event_type = 'view' AND next_type = 'purchase'
+        AND next_us - us <= 1800000000
+    )
+    SELECT make_timestamp(us)::DATE AS day,
+           count(*)::BIGINT AS n_matches,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           sum(gap_us)::BIGINT AS gap_us_sum,
+           (sum(gap_us) // count(*))::BIGINT AS mean_gap_us
+    FROM m GROUP BY 1
+    """,
+)
+def stream_pattern_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strict-contiguity CEP funnel (events_pattern_strict_funnel) as
+    a STREAMING stateful automaton: three time-ordered micro-batches,
+    per-user state = the last (type, µs) pair only, matches emitted as
+    they complete — including the pairs whose view and purchase arrive in
+    DIFFERENT micro-batches, which the carried state stitches. The drain
+    equals the batch answer, so the SAME full value oracle checks a
+    custom applyInPandasWithState operator bit-for-bit (the streaming
+    family's strongest correctness contract: mechanism changes, hash
+    must not). The daily rollup runs batch-side on the drained matches."""
+    from zip_to_parquet_spark.streaming.streams import (
+        read_events_stream_ordered,
+        strict_pairs_stateful,
+    )
+
+    ev = read_events_stream_ordered(spark, sf_dir, n_batches=3)
+    matches = run_stream_to_memory(
+        strict_pairs_stateful(ev), "update", "strict_pairs"
+    )
+    return matches.groupBy(
+        F.to_date(F.timestamp_micros(F.col("view_us"))).alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.col("purchase_us") - F.col("view_us"))
+        .cast("long")
+        .alias("gap_us_sum"),
+        F.expr("sum(purchase_us - view_us) div count(*)")
+        .cast("long")
+        .alias("mean_gap_us"),
+    )

@@ -41,6 +41,8 @@ if TYPE_CHECKING:
 __all__ = [
     "read_events_stream",
     "read_events_stream_staged",
+    "read_events_stream_ordered",
+    "strict_pairs_stateful",
     "clicks_to_purchases_join",
     "windowed_counts",
     "sessionized_stream",
@@ -553,3 +555,152 @@ def rocksdb_state_store(spark: SparkSession):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def read_events_stream_ordered(
+    spark: SparkSession, sf_dir: str, n_batches: int = 3
+) -> DataFrame:
+    """Events replayed as ``n_batches`` TIME-ORDERED micro-batches
+    (equal spans of the [min, max] event-time range, files arriving in
+    order under ``maxFilesPerTrigger=1`` with pinned mtimes) — the
+    landing-dir contract an ORDER-SENSITIVE stateful operator assumes:
+    a file that arrives later never contains earlier events. Contrast
+    read_events_stream_staged, which deliberately delivers a late band
+    to exercise watermark drops; pattern automata need this reader.
+
+    Same scratch/marker mechanics as the staged reader, but the split
+    files NORMALIZE ts to µs-precision naive timestamps (the oracle's
+    ``epoch_us`` truncation) and drop foreign schema metadata — the
+    splitter accepts every fixture encoding (NANOS, NTZ micros, and
+    Spark-written INT96/ns synthetics) and always hands Spark one known
+    physical type, so the read path has a single branch instead of the
+    staged reader's probe."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    scratch = os.path.join(
+        "/tmp/z2ps_stream_ordered",
+        spark.sparkContext.applicationId,
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    marker = os.path.join(scratch, "_SPLIT_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(scratch, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet")
+        ts = t["ts"]
+        unit = ts.type.unit if hasattr(ts.type, "unit") else None
+        if unit == "ns" or str(ts.type) == "int64":
+            us = pc.divide(pc.cast(ts, "int64"), 1000)
+        else:
+            us = pc.cast(pc.cast(ts, "timestamp[us]"), "int64")
+        us = pc.cast(us, "int64")
+        # One canonical physical encoding: µs-precision naive timestamp,
+        # no tz, no stale embedded Spark schema from the source file.
+        t = t.set_column(
+            t.schema.get_field_index("ts"),
+            "ts",
+            pc.cast(us, pa.timestamp("us")),
+        ).replace_schema_metadata(None)
+        mn = pc.min(us).as_py()
+        mx = pc.max(us).as_py()
+        cuts = [
+            mn + (mx - mn) * i // n_batches for i in range(1, n_batches)
+        ]
+        bounds = [mn - 1] + cuts + [mx + 1]
+        for i in range(n_batches):
+            # Buckets are (prev_cut, cut] in integer µs: equal-timestamp
+            # rows can never straddle a cut.
+            mask = pc.and_(
+                pc.greater(us, bounds[i]) if i else pc.greater_equal(us, mn),
+                pc.less_equal(us, bounds[i + 1])
+                if i < n_batches - 1
+                else pc.less_equal(us, mx),
+            )
+            path = os.path.join(scratch, f"b{i}.parquet")
+            pq.write_table(t.filter(mask), path)
+            os.utime(path, (1_000_000 + 100 * i, 1_000_000 + 100 * i))
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    raw = (
+        spark.readStream.schema(_events_stream_schema("timestamp_ntz"))
+        .format("parquet")
+        .option("pathGlobFilter", "b*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(scratch)
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return raw.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+
+
+_PAIR_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("view_us", LongType()),
+        StructField("purchase_us", LongType()),
+    ]
+)
+_PAIR_STATE_SCHEMA = StructType(
+    [StructField("last_us", LongType()), StructField("last_type", StringType())]
+)
+
+
+def _update_strict_pairs(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["us", "event_id"])
+    last_us, last_type = state.get if state.exists else (None, None)
+    views, purchases = [], []
+    for us, et in zip(rows["us"].astype("int64"), rows["event_type"]):
+        us = int(us)
+        if (
+            last_type == "view"
+            and et == "purchase"
+            and us - last_us <= 1_800_000_000
+        ):
+            views.append(last_us)
+            purchases.append(us)
+        last_us, last_type = us, et
+    state.update((last_us, last_type))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(views),
+            "view_us": views,
+            "purchase_us": purchases,
+        }
+    )
+
+
+def strict_pairs_stateful(events: DataFrame) -> DataFrame:
+    """Streaming strict-contiguity pattern automaton
+    (``applyInPandasWithState``): per user, remember only the LAST event
+    (type, µs) across micro-batches; a 'purchase' arriving immediately
+    after a remembered 'view' within 30 minutes emits a match once.
+    Correct under the time-ordered arrival contract of
+    read_events_stream_ordered — each batch is sorted per user
+    (ts, event_id) before the linear scan, and the carried state stitches
+    the batch boundary, so a view ending batch k matches a purchase
+    opening batch k+1.
+
+    State is TWO scalars per user — the minimal automaton memory — sharded
+    by the group-key shuffle; at 100 TB the state store grows with
+    |users|, not event volume."""
+    keyed = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    ).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _update_strict_pairs,
+        outputStructType=_PAIR_OUT_SCHEMA,
+        stateStructType=_PAIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
