@@ -1507,3 +1507,117 @@ def events_pattern_strict_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_us").cast("long").alias("gap_us_sum"),
         F.expr("sum(gap_us) div count(*)").cast("long").alias("mean_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (midranks, exact signed rho^2).
+# ---------------------------------------------------------------------------
+@query(
+    "stats_spearman_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS prio, o_orderdate::DATE AS d,
+             count(*)::BIGINT AS cnt,
+             sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
+               AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT prio,
+             (2 * rank() OVER (PARTITION BY prio ORDER BY cnt)
+              + count(*) OVER (PARTITION BY prio, cnt) - 1)::BIGINT AS rx,
+             (2 * rank() OVER (PARTITION BY prio ORDER BY rev)
+              + count(*) OVER (PARTITION BY prio, rev) - 1)::BIGINT AS ry
+      FROM daily
+    ),
+    m AS (
+      SELECT prio, count(*)::HUGEINT AS n,
+             sum(rx)::HUGEINT AS sx, sum(ry)::HUGEINT AS sy,
+             sum(rx * rx)::HUGEINT AS sxx, sum(ry * ry)::HUGEINT AS syy,
+             sum(rx * ry)::HUGEINT AS sxy
+      FROM r GROUP BY prio
+    )
+    SELECT prio, n::BIGINT AS n_days,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+                     * ((1000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                        // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+           END::BIGINT AS rho2_signed_milli
+    FROM m
+    """,
+)
+def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order volume and daily
+    revenue, per priority — the monotone-association test that is robust
+    where Pearson (stats_corr_exact) is not: outlier days move ranks by
+    one step, not by their magnitude. Midrank tie handling: doubled
+    midrank 2r = 2*rank() + |ties| - 1 is always an INTEGER (the AUC
+    key's identity), so the rank moments are exact.
+
+    Exactness contract: rho needs a square root, so the key emits the
+    SIGNED SQUARE sign(cov) * 1000 * cov^2 div (varx * vary) — a pure
+    integer in [-1000, 1000], NULL for constant series. The truncating
+    div operates on non-negative operands (cov^2); the sign rides
+    separately, so Spark div == DuckDB //. Moments are HUGEINT/
+    DECIMAL(38,0): with n = series length (days, policy-bounded), cov^2
+    ~ n^8 stays inside 38 digits up to ~50k days - centuries.
+
+    Scale shape: the corpus-sized stage is the map-side-combinable
+    (priority, day) rollup; ranking windows run over DAYS per priority
+    (series length, not fact rows); one 5-row result."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").cast("date").alias("d"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("prio", "d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("cents").cast("long").alias("rev"),
+        )
+    )
+
+    def two_mid(v: str) -> F.Column:
+        return (
+            2 * F.rank().over(Window.partitionBy("prio").orderBy(v))
+            + F.count(F.lit(1)).over(Window.partitionBy("prio", v))
+            - 1
+        ).cast("long")
+
+    r = daily.select(
+        "prio", two_mid("cnt").alias("rx"), two_mid("rev").alias("ry")
+    )
+    dec = "decimal(38,0)"
+    m = r.groupBy("prio").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("rx").cast(dec).alias("sx"),
+        F.sum("ry").cast(dec).alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast(dec).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast(dec).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast(dec).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "prio",
+        F.col("n").cast("long").alias("n_days"),
+        F.when((vx == 0) | (vy == 0), F.lit(None).cast("long"))
+        .otherwise(
+            (
+                F.when(cov < 0, F.lit(-1)).otherwise(F.lit(1))
+                * F.expr(
+                    "(1000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))"
+                    " div ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+                )
+            ).cast("long")
+        )
+        .alias("rho2_signed_milli"),
+    )

@@ -1160,8 +1160,8 @@ def exact_group_auc(scored: DataFrame, group: str) -> DataFrame:
            sum(pos)::BIGINT AS n_pos,
            sum(score_milli)::BIGINT AS conf_milli_sum,
            abs(1000 * sum(pos) - sum(score_milli))::BIGINT AS gap_abs,
-           (1000 * sum(pos)) // count(*) AS acc_milli,
-           sum(score_milli) // count(*) AS conf_milli
+           ((1000 * sum(pos)) // count(*))::BIGINT AS acc_milli,
+           (sum(score_milli) // count(*))::BIGINT AS conf_milli
     FROM scored GROUP BY 1
     """,
 )
@@ -1259,7 +1259,7 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * (sum(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
                          - sum(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)))
                      // sum(CASE WHEN a_ok != b_ok THEN 1 ELSE 0 END)
-           END AS mcnemar_chi2_milli
+           END::BIGINT AS mcnemar_chi2_milli
     FROM m GROUP BY source
     """,
 )

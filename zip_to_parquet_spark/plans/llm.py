@@ -3222,8 +3222,8 @@ def lm_perplexity_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_boiler_lines,
            sum(wc)::BIGINT AS total_words,
            sum(CASE WHEN is_boiler THEN 0 ELSE wc END)::BIGINT AS kept_words,
-           (1000 * sum(CASE WHEN is_boiler THEN 0 ELSE wc END))
-               // sum(wc) AS kept_permille
+           ((1000 * sum(CASE WHEN is_boiler THEN 0 ELSE wc END))
+               // sum(wc))::BIGINT AS kept_permille
     FROM marked GROUP BY doc_id
     """,
 )

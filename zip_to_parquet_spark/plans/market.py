@@ -1484,7 +1484,7 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN cents END) AS hi_bound
       FROM c GROUP BY prio, n, total
     )
-    SELECT prio, n, k,
+    SELECT prio, n::BIGINT AS n, k::BIGINT AS k,
            (total - lo_drop - hi_drop)::BIGINT AS trimmed_sum_cents,
            (n - 2 * k)::BIGINT AS trimmed_n,
            ((total - lo_drop - hi_drop) * 1000 // (n - 2 * k))::BIGINT

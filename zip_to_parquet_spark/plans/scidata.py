@@ -1399,7 +1399,7 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, d AS day_star, t_days::BIGINT AS t_days,
            s::BIGINT AS n_total, k::BIGINT AS n_left_days,
            sl::BIGINT AS sum_left, (s - sl)::BIGINT AS sum_right,
-           (1000 * dev * dev) // (k * (t_days - k) * t_days)
+           ((1000 * dev * dev) // (k * (t_days - k) * t_days))::BIGINT
              AS bss_milli
     FROM best WHERE rn = 1
     """,
@@ -1501,9 +1501,10 @@ def ts_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN sampled
                     THEN (n_chars * 1000) // pi_permille ELSE 0 END)::BIGINT
              AS ht_sum_chars,
-           abs(1000 * sum(CASE WHEN sampled
+           (abs(1000 * sum(CASE WHEN sampled
                     THEN (n_chars * 1000) // pi_permille ELSE 0 END)
-               - 1000 * sum(n_chars)) // sum(n_chars) AS err_permille
+               - 1000 * sum(n_chars)) // sum(n_chars))::BIGINT
+             AS err_permille
     FROM d GROUP BY source
     """,
 )
@@ -1585,10 +1586,10 @@ def sample_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::BIGINT AS n,
            sum(n_chars)::BIGINT AS w_sum,
            sum(n_chars * n_chars)::BIGINT AS w2_sum,
-           (1000 * sum(n_chars) * sum(n_chars))
-             // sum(n_chars * n_chars) AS ess_milli,
-           (1000 * count(*) * sum(n_chars * n_chars))
-             // (sum(n_chars) * sum(n_chars)) AS deff_milli
+           ((1000 * sum(n_chars) * sum(n_chars))
+             // sum(n_chars * n_chars))::BIGINT AS ess_milli,
+           ((1000 * count(*) * sum(n_chars * n_chars))
+             // (sum(n_chars) * sum(n_chars)))::BIGINT AS deff_milli
     FROM documents GROUP BY source
     """,
 )
@@ -1663,12 +1664,12 @@ def sample_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 9 * (b.cents - q.q90_cents)
                     ELSE (q.q90_cents - b.cents) END)::BIGINT
              AS pinball_decicents_sum,
-           sum(CASE WHEN b.cents > q.q90_cents
+           (sum(CASE WHEN b.cents > q.q90_cents
                     THEN 9 * (b.cents - q.q90_cents)
-                    ELSE (q.q90_cents - b.cents) END) // count(*)
+                    ELSE (q.q90_cents - b.cents) END) // count(*))::BIGINT
              AS mean_pinball_decicents,
-           (1000 * sum(CASE WHEN b.cents > q.q90_cents THEN 1 ELSE 0 END))
-             // count(*) AS exceed_permille
+           ((1000 * sum(CASE WHEN b.cents > q.q90_cents THEN 1 ELSE 0 END))
+             // count(*))::BIGINT AS exceed_permille
     FROM base b JOIN q USING (event_type)
     WHERE NOT b.is_cal GROUP BY 1, 2
     """,
