@@ -1413,3 +1413,56 @@ def test_entity_blocking_is_single_equi_join(spark):
     plan = plan_of(spark, "dedup_entity_blocking")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pinball_thresholds_broadcast(spark):
+    # The per-type P90 table is |event_type| rows: broadcast onto the
+    # test scan, never a fact-fact SortMergeJoin.
+    plan = plan_of(spark, "ts_pinball_loss")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ht_estimate_rate_table_broadcast(spark):
+    # The per-source rate dim broadcasts; the sampling decision and both
+    # the HT and truth sums ride ONE map-side-combinable rollup.
+    plan = plan_of(spark, "sample_ht_estimate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_effective_size_is_single_shuffle_join_free(spark):
+    plan = plan_of(spark, "sample_effective_size")
+    assert "Join" not in plan
+    assert n_shuffles(plan) <= 1
+
+
+def test_spearman_windows_stay_partitioned(spark):
+    # Rank windows partition by priority over the daily rollup — no
+    # global single-partition sort, no joins.
+    plan = plan_of(spark, "stats_spearman_daily")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_kneser_ney_scores_type_table(spark):
+    # Same contract as the holdout-LM key: scoring joins run on the val
+    # TYPE table with the 1-row N1all broadcast the only non-equi join.
+    plan = plan_of(spark, "lm_kneser_ney_bigram")
+    assert "CartesianProduct" not in plan
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj) <= 1
+
+
+def test_strict_funnel_two_shuffles(spark):
+    # user-key window shuffle + daily rollup shuffle; nothing else.
+    plan = plan_of(spark, "events_pattern_strict_funnel")
+    assert "Join" not in plan
+    assert n_shuffles(plan) <= 2
+
+
+def test_mcnemar_single_pass(spark):
+    # Both classifiers evaluate in one codegen stage; one rollup.
+    plan = plan_of(spark, "quality_classifier_mcnemar")
+    assert "Join" not in plan
+    assert n_shuffles(plan) <= 1
