@@ -385,3 +385,65 @@ def test_kneser_ney_probability_mass_and_bounds(spark):
         assert 0 < r["mean_p_micro"] <= 1_000_000
         assert r["mean_p_micro"] == r["p_sum_micro"] // r["n_bigrams"]
         assert 0 <= r["unseen_permille"] <= 1000
+
+
+def test_isotonic_pav_matches_classic_stack_algorithm(spark):
+    """The minimax closed form must equal the classic stack PAV run in
+    plain Python on the same bins, and the fit must be monotone."""
+    import duckdb
+
+    from zip_to_parquet_spark.plans import all_queries
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    bins = con.execute("""
+        WITH scored AS (
+          SELECT (lang = 'en')::INT AS pos,
+                 floor(1000 * (
+                   least(len(string_split(text, ' ')) / 400.0, 1.0) * 0.5
+                   + least(len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+                           / greatest(len(string_split(text, ' ')), 1)
+                           / 0.05, 1.0) * 0.5))::BIGINT AS s
+          FROM documents
+        )
+        SELECT least(s // 100, 9) AS bin, count(*) AS n, sum(pos) AS p
+        FROM scored GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    # Classic PAV: pool adjacent violators over (n, p) blocks.
+    from fractions import Fraction
+
+    blocks = [[b, n, p] for b, n, p in bins]  # [first_bin, n, p]
+    stack = []
+    for blk in blocks:
+        stack.append(blk)
+        while len(stack) >= 2 and (
+            Fraction(stack[-2][2], stack[-2][1])
+            > Fraction(stack[-1][2], stack[-1][1])
+        ):
+            b2 = stack.pop()
+            stack[-1][1] += b2[1]
+            stack[-1][2] += b2[2]
+    # Map each original bin to its pooled block's mean by walking the
+    # blocks in order, consuming each block's row mass.
+    want = {}
+    block_iter = iter(stack)
+    cur = next(block_iter)
+    remaining = cur[1]
+    for b, n, p in bins:
+        while remaining == 0:
+            cur = next(block_iter)
+            remaining = cur[1]
+        want[b] = 1000 * cur[2] // cur[1]
+        remaining -= n
+
+    got = {
+        r["bin"]: r
+        for r in all_queries()["quality_isotonic_pav"](spark, SF).collect()
+    }
+    assert {b: r["iso_milli"] for b, r in got.items()} == want
+    seq = [got[b]["iso_milli"] for b in sorted(got)]
+    assert seq == sorted(seq)  # monotone non-decreasing
+    assert all(0 <= v <= 1000 for v in seq)

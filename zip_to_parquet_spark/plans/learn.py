@@ -1321,3 +1321,169 @@ def quality_classifier_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("mcnemar_chi2_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAV) recalibration of the quality prior, exact minimax form.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_isotonic_pav",
+    oracle="""
+    WITH scored AS (
+      SELECT (lang = 'en')::INT AS pos,
+             floor(1000 * (
+               least(len(string_split(text, ' ')) / 400.0, 1.0) * 0.5
+               + least(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+                       / greatest(len(string_split(text, ' ')), 1) / 0.05,
+                       1.0) * 0.5))::BIGINT AS score_milli
+      FROM documents
+    ),
+    bins AS (
+      SELECT least(score_milli // 100, 9)::BIGINT AS bin,
+             count(*)::BIGINT AS n, sum(pos)::BIGINT AS p
+      FROM scored GROUP BY 1
+    ),
+    pre AS (
+      SELECT bin, n, p,
+             sum(n) OVER (ORDER BY bin)::BIGINT AS cn,
+             sum(p) OVER (ORDER BY bin)::BIGINT AS cp
+      FROM bins
+    ),
+    iv AS (
+      SELECT j.bin AS jb, k.bin AS kb,
+             (k.cp - (j.cp - j.p))::BIGINT AS num,
+             (k.cn - (j.cn - j.n))::BIGINT AS den
+      FROM pre j JOIN pre k ON j.bin <= k.bin
+    ),
+    tri AS (
+      SELECT i.bin AS ib, i.n, i.p, iv.jb, iv.kb, iv.num, iv.den,
+             iv.num::DOUBLE / iv.den::DOUBLE AS ratio
+      FROM pre i JOIN iv ON iv.jb <= i.bin AND i.bin <= iv.kb
+    ),
+    mins AS (
+      SELECT ib, n, p, jb, num, den, ratio FROM (
+        SELECT *, row_number() OVER (PARTITION BY ib, jb
+                 ORDER BY ratio, kb) AS rn
+        FROM tri
+      ) WHERE rn = 1
+    ),
+    iso AS (
+      SELECT ib, n, p, num, den FROM (
+        SELECT *, row_number() OVER (PARTITION BY ib
+                 ORDER BY ratio DESC, jb) AS rn
+        FROM mins
+      ) WHERE rn = 1
+    )
+    SELECT ib AS bin, n AS n_docs, p AS n_pos,
+           num AS iso_num, den AS iso_den,
+           ((1000 * num) // den)::BIGINT AS iso_milli,
+           CASE WHEN n = 0 THEN NULL
+                ELSE ((1000 * p) // n)::BIGINT END AS raw_milli
+    FROM iso
+    """,
+)
+def quality_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic recalibration of the quality prior — the pool-adjacent-
+    violators fit (Ayer et al. 1955; Zadrozny & Elkan 2002 for
+    classifier calibration) computed by PAV's exact MINIMAX closed form
+    iso_i = max_{j<=i} min_{k>=i} mean(y[j..k]): the third act of the
+    calibration story (quality_calibration_bins measures miscalibration,
+    this key produces the monotone corrected probabilities a thresholded
+    filter would actually deploy).
+
+    Exactness contract: interval means stay integer RATIONALS
+    (pos-prefix / n-prefix differences); the emitted iso_milli is
+    1000*num div den of the minimax-selected interval, and selection
+    order is (ratio, k) / (ratio DESC, j) with the double ratio used
+    ONLY as an ordering key (integer-valued-double quotient, correctly
+    rounded, identical both engines; ties break on the integer bin ids)
+    — tied rationals floor to the same milli either way.
+
+    Scale shape: the corpus-sized stage is the one map-side-combinable
+    bin rollup (<= 10 rows out); the minimax enumerates j<=i<=k over
+    BIN-count geometry (10 bins -> 220 triples), a driver-free
+    policy-sized join. The monotonicity of the output is asserted by
+    pytest, not assumed."""
+    from pyspark.sql.window import Window
+
+    from zip_to_parquet_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    w_ = textops.words(F.col("text"))
+    length_term = F.least(F.size(w_) / 400.0, F.lit(1.0))
+    stop_term = F.least(textops.stopword_ratio(w_) / 0.05, F.lit(1.0))
+    scored = d.select(
+        (F.col("lang") == "en").cast("int").alias("pos"),
+        F.floor(1000 * (length_term * 0.5 + stop_term * 0.5))
+        .cast("long")
+        .alias("score_milli"),
+    )
+    bins = scored.groupBy(
+        F.least(F.expr("score_milli div 100"), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = bins.withColumn("cn", F.sum("n").over(wcum)).withColumn(
+        "cp", F.sum("p").over(wcum)
+    )
+    j = pre.select(
+        F.col("bin").alias("jb"),
+        (F.col("cp") - F.col("p")).alias("cp_before"),
+        (F.col("cn") - F.col("n")).alias("cn_before"),
+    )
+    k = pre.select(
+        F.col("bin").alias("kb"),
+        F.col("cp").alias("cp_k"),
+        F.col("cn").alias("cn_k"),
+    )
+    iv = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (F.col("cp_k") - F.col("cp_before")).cast("long").alias("num"),
+        (F.col("cn_k") - F.col("cn_before")).cast("long").alias("den"),
+    )
+    i = pre.select(
+        F.col("bin").alias("ib"), "n", "p"
+    )
+    tri = i.join(
+        iv, (F.col("jb") <= F.col("ib")) & (F.col("ib") <= F.col("kb"))
+    ).withColumn(
+        "ratio", F.col("num").cast("double") / F.col("den").cast("double")
+    )
+    mins = (
+        tri.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ib", "jb").orderBy("ratio", "kb")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    iso = (
+        mins.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ib").orderBy(F.col("ratio").desc(), "jb")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return iso.select(
+        F.col("ib").alias("bin"),
+        F.col("n").alias("n_docs"),
+        F.col("p").alias("n_pos"),
+        F.col("num").alias("iso_num"),
+        F.col("den").alias("iso_den"),
+        F.expr("(1000 * num) div den").cast("long").alias("iso_milli"),
+        F.when(F.col("n") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(1000 * p) div n").cast("long"))
+        .alias("raw_milli"),
+    )
