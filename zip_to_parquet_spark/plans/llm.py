@@ -3575,3 +3575,76 @@ def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("unseen_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty: first-seen shingle mass per document and source.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_novelty_by_source",
+    oracle=_DUCK_SHINGLES
+    + """
+    , g AS (SELECT doc_id, unnest(sh) AS gram FROM s),
+    first_ AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+    per_doc AS (
+      SELECT g.doc_id,
+             count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN f.owner = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel
+      FROM g JOIN first_ f USING (gram) GROUP BY g.doc_id
+    )
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           sum(p.n_grams)::BIGINT AS grams_total,
+           sum(p.n_novel)::BIGINT AS grams_novel,
+           ((1000 * sum(p.n_novel)) // sum(p.n_grams))::BIGINT
+             AS novelty_permille
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def corpus_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much NEW content each source contributes: a shingle's owner
+    is the smallest doc_id containing it (a deterministic stand-in for
+    ingestion order), a document's novelty is the fraction of its
+    distinct 3-gram shingles it owns, rolled up per source — the
+    data-acquisition curve ("is another crawl of this source still
+    adding anything?") that complements the pairwise dedup family with
+    a corpus-growth view. Near-duplicate documents show near-zero
+    novelty; the vocabulary-seeding earliest docs show high novelty.
+
+    Exactness: counts and one permille division.
+
+    Scale shape: one map-side-combinable min() rollup on the gram key
+    (the same anti-skew caveat as the boilerplate df rollup — hot grams
+    are absorbed by partial aggregation), one gram-keyed equi-join back
+    (candidate-scoped by construction: every gram occurrence probes
+    once), one per-doc and one per-source rollup with a broadcastable
+    doc->source dim at any realistic |docs| per partition... the
+    documents join is fact-sized and stays an equi-join."""
+    sh = shingle_sets(_documents_spread(spark, sf_dir))
+    g = sh.select("doc_id", F.explode("sh").alias("gram"))
+    first_ = g.groupBy("gram").agg(F.min("doc_id").alias("owner"))
+    per_doc = (
+        g.join(first_, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("owner") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("grams_total"),
+            F.sum("n_novel").cast("long").alias("grams_novel"),
+            F.expr("(1000 * sum(n_novel)) div sum(n_grams)")
+            .cast("long")
+            .alias("novelty_permille"),
+        )
+    )
