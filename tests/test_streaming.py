@@ -247,3 +247,84 @@ def test_strict_pairs_stitch_across_micro_batches(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["n_matches"] == 1 and out[0]["n_users"] == 1
     assert out[0]["gap_us_sum"] == 2 * 60 * 1_000_000
+
+
+def test_jsonl_stream_writer_epoch_exactly_once(spark, sf_dir, tmp_path):
+    """DataSourceStreamWriter contract: three time-ordered micro-batches
+    land as three _SUCCESS-stamped epoch dirs whose union equals the
+    batch projection; a restart on the same checkpoint processes nothing
+    new (no fourth epoch, no duplicate rows)."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from zip_to_parquet_spark.sources.jsonlsink import JsonlShardsDataSource
+    from zip_to_parquet_spark.streaming.streams import (
+        read_events_stream_ordered,
+    )
+
+    ensure_shipped(spark)
+    spark.dataSource.register(JsonlShardsDataSource)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        df = read_events_stream_ordered(spark, sf_dir, n_batches=3).select(
+            "event_id", "event_type", F.unix_micros("ts").alias("us")
+        )
+        q = (
+            df.writeStream.trigger(availableNow=True)
+            .format("jsonl_shards")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+
+    def committed_rows():
+        rows = []
+        for epoch in sorted(glob.glob(os.path.join(out, "batch-*"))):
+            assert os.path.exists(os.path.join(epoch, "_SUCCESS"))
+            for shard in glob.glob(os.path.join(epoch, "part-*.jsonl")):
+                with open(shard) as f:
+                    rows += [json.loads(line) for line in f]
+        return rows
+
+    epochs = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(out, "batch-*"))
+    )
+    assert epochs == ["batch-00000", "batch-00001", "batch-00002"]
+    got = sorted(
+        (r["event_id"], r["event_type"], r["us"]) for r in committed_rows()
+    )
+    want = sorted(
+        (r["event_id"], r["event_type"], r["us"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            "event_type",
+            F.unix_micros(
+                F.timestamp_micros(F.expr("ts div 1000"))
+                if dict(
+                    spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+                )["ts"]
+                == "bigint"
+                else F.to_utc_timestamp(F.col("ts"), "UTC")
+            ).alias("us"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # Restart on the same checkpoint: nothing new to process.
+    before = sorted(glob.glob(os.path.join(out, "batch-*", "part-*")))
+    run_once()
+    after = sorted(glob.glob(os.path.join(out, "batch-*", "part-*")))
+    assert before == after
+    assert sorted(
+        (r["event_id"], r["event_type"], r["us"]) for r in committed_rows()
+    ) == want

@@ -3648,3 +3648,89 @@ def corpus_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("novelty_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing counts-of-counts and discounted mass (exact rationals).
+# ---------------------------------------------------------------------------
+@query(
+    "lm_good_turing_counts",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' AS is_train
+      FROM documents
+    ),
+    toks AS (
+      SELECT unnest(w) AS tok FROM split WHERE is_train
+    ),
+    uni AS (SELECT tok, count(*)::BIGINT AS r FROM toks GROUP BY tok),
+    coc AS (
+      SELECT r, count(*)::BIGINT AS n_r FROM uni GROUP BY r
+    ),
+    tot AS (SELECT sum(r * n_r)::BIGINT AS n_tokens FROM coc)
+    SELECT c.r, c.n_r,
+           nx.n_r AS n_r_plus1,
+           CASE WHEN nx.n_r IS NULL THEN NULL
+                ELSE ((1000 * (c.r + 1) * nx.n_r) // c.n_r)::BIGINT
+           END AS r_star_milli,
+           ((1000000 * c.r * c.n_r) // t.n_tokens)::BIGINT
+             AS mass_ppm
+    FROM coc c
+    LEFT JOIN coc nx ON nx.r = c.r + 1
+    CROSS JOIN tot t
+    """,
+)
+def lm_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table (Good 1953; the
+    smoothing family Katz backoff and Kneser-Ney's discounts descend
+    from): for every observed count r, how many vocabulary types have
+    it (N_r), the raw GT re-estimate r* = (r+1) N_{r+1} / N_r as an
+    exact milli rational (NULL where N_{r+1} = 0 — the gap a smoothed
+    GT would regress over), and each count class's share of the token
+    mass in ppm. N_1/N is the leave-one-out estimate of unseen-event
+    mass — the number a pipeline reads off this table to size
+    vocabulary cutoffs and OOV budgets. Fit on the md5 train split the
+    LM family shares.
+
+    Exactness: pure counts and cross-multiplied integer divisions.
+
+    Scale shape: token rollup (map-side combinable) -> vocabulary-sized
+    count rollup -> COUNT-CLASS-sized table (tens of rows); the
+    self-join on r+1 and the 1-row total broadcast are policy geometry.
+    """
+    from zip_to_parquet_spark.operators.pipeline import words
+
+    d = _documents_spread(spark, sf_dir)
+    bucket = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+    )
+    toks = (
+        d.filter(bucket < "cc")
+        .select(F.explode(words(F.col("text"))).alias("tok"))
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    coc = uni.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    tot = coc.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens")
+    )
+    nx = coc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_plus1")
+    )
+    return (
+        coc.join(nx, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            "n_r_plus1",
+            F.when(F.col("n_r_plus1").isNull(), F.lit(None).cast("long"))
+            .otherwise(
+                F.expr("(1000 * (r + 1) * n_r_plus1) div n_r").cast("long")
+            )
+            .alias("r_star_milli"),
+            F.expr("(1000000 * r * n_r) div n_tokens")
+            .cast("long")
+            .alias("mass_ppm"),
+        )
+    )

@@ -35,6 +35,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -119,6 +120,12 @@ class JsonlShardsDataSource(DataSource):
             )
         return JsonlShardWriter(self.options)
 
+    def streamWriter(self, schema, overwrite: bool):
+        # Streaming epochs are append-by-construction (each batch owns
+        # its batch-<id>/ dir), so the batch writer's overwrite-only
+        # rule does not apply here.
+        return JsonlStreamShardWriter(self.options)
+
 
 def _json_value(v):
     """Serializer for non-JSON-native values: dates/decimals stringify;
@@ -166,3 +173,63 @@ def write_jsonl_shards(df, path: str, mode: str = "overwrite") -> None:
     except Exception:
         pass  # already registered under this name
     df.write.format("jsonl_shards").mode(mode).option("path", path).save()
+
+
+class JsonlStreamShardWriter(DataSourceStreamWriter):
+    """Streaming side of the sink (``DataSourceStreamWriter``): each
+    micro-batch commits ATOMICALLY into its own ``batch-<id>/`` epoch
+    directory — tasks write root-level temps, the driver's
+    ``commit(messages, batchId)`` clears the epoch dir (idempotent
+    replay: a restarted batch REWRITES its epoch, never duplicates it),
+    renames the reported temps in, and stamps the epoch ``_SUCCESS``.
+    Readers take only epoch dirs carrying ``_SUCCESS``: replayed-but-
+    uncommitted epochs are invisible, so the visible dataset is
+    exactly-once under the same contract as Spark's own file sink (and
+    the repo's foreachBatch parquet sink, whose partition-overwrite
+    trick this reproduces at the DataSource API level).
+
+    Same shared-POSIX-filesystem assumption as the batch writer."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards sink requires a path")
+
+    def write(self, iterator) -> _ShardCommit:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = f"_tmp_{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, tmp), "w") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(
+                        row.asDict(recursive=True),
+                        sort_keys=True,
+                        separators=(",", ":"),
+                        default=_json_value,
+                    )
+                )
+                f.write("\n")
+                n += 1
+        return _ShardCommit(tmp_name=tmp, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        epoch = os.path.join(self.path, f"batch-{batchId:05d}")
+        if os.path.isdir(epoch):  # replay: rewrite this epoch from scratch
+            for f in os.listdir(epoch):
+                os.remove(os.path.join(epoch, f))
+        else:
+            os.makedirs(epoch)
+        for i, msg in enumerate(messages):
+            os.replace(
+                os.path.join(self.path, msg.tmp_name),
+                os.path.join(epoch, f"part-{i:05d}.jsonl"),
+            )
+        with open(os.path.join(epoch, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages, batchId: int) -> None:
+        for msg in messages:
+            p = os.path.join(self.path, msg.tmp_name)
+            if os.path.exists(p):
+                os.remove(p)
