@@ -2052,3 +2052,106 @@ def test_mannwhitney_matches_bruteforce_auc(spark):
     assert (got.n_a, got.n_b) == (len(a), len(b))
     assert got.u2_a == u2
     assert got.u2_a + got.u2_b == 2 * len(a) * len(b)
+
+
+def test_pav_minimax_identity_property():
+    """Property: the minimax closed form max_{j<=i} min_{k>=i}
+    mean(y[j..k]) (what quality_isotonic_pav computes relationally)
+    equals the classic stack PAV on arbitrary bin sequences — exact
+    Fraction arithmetic, no engines involved."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    bins_strategy = st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)).map(
+            lambda t: (t[0], min(t[1], t[0]))  # p <= n
+        ),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(bins=bins_strategy)
+    def prop(bins):
+        # stack PAV
+        stack = []
+        for n, p in bins:
+            stack.append([n, p])
+            while len(stack) >= 2 and Fraction(
+                stack[-2][1], stack[-2][0]
+            ) > Fraction(stack[-1][1], stack[-1][0]):
+                n2, p2 = stack.pop()
+                stack[-1][0] += n2
+                stack[-1][1] += p2
+        pav = []
+        for n_blk, p_blk in stack:
+            consumed = 0
+            while consumed < n_blk:
+                take = bins[len(pav)][0]
+                pav.append(Fraction(p_blk, n_blk))
+                consumed += take
+        # minimax closed form
+        pre_n = [0]
+        pre_p = [0]
+        for n, p in bins:
+            pre_n.append(pre_n[-1] + n)
+            pre_p.append(pre_p[-1] + p)
+        m = len(bins)
+        for i in range(m):
+            best = None
+            for j in range(i + 1):
+                worst = None
+                for k in range(i, m):
+                    mean = Fraction(
+                        pre_p[k + 1] - pre_p[j], pre_n[k + 1] - pre_n[j]
+                    )
+                    if worst is None or mean < worst:
+                        worst = mean
+                if best is None or worst > best:
+                    best = worst
+            assert best == pav[i], (bins, i, best, pav[i])
+
+    prop()
+
+
+def test_apss_prefix_property_vs_brute_force(spark):
+    """Property: on arbitrary tiny corpora (with heavy shared-term
+    collisions by design — tokens drawn from a 6-word alphabet), the
+    prefix-filtered APSS returns exactly the brute-force answer. A few
+    hypothesis-chosen corpora, one Spark job each."""
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zip_to_parquet_spark.operators.dedupe import (
+        apss_prefix_pairs,
+        shingle_sets,
+    )
+
+    token = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    doc = st.lists(token, min_size=3, max_size=12).map(" ".join)
+    corpus = st.lists(doc, min_size=2, max_size=6)
+
+    @settings(max_examples=8, deadline=None)
+    @given(docs=corpus)
+    def prop(docs):
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        sh = shingle_sets(df)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["o"]
+            for r in apss_prefix_pairs(sh, 1, 2).collect()
+        }
+        sets = {r["doc_id"]: set(r["sh"]) for r in sh.collect()}
+        want = {}
+        for a, b in combinations(sorted(sets), 2):
+            o = len(sets[a] & sets[b])
+            if o > 0 and 2 * o * o >= len(sets[a]) * len(sets[b]):
+                want[(a, b)] = o
+        assert got == want, (docs, got, want)
+
+    prop()

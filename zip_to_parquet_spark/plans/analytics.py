@@ -1621,3 +1621,74 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rho2_signed_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficients over the part co-purchase graph.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_local_clustering",
+    oracle="""
+    WITH lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tn AS (
+      SELECT node, count(*)::BIGINT AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+           CASE WHEN d.deg < 2 THEN NULL
+                ELSE (2000 * coalesce(t.n_tri, 0))
+                       // (d.deg * (d.deg - 1)) END::BIGINT AS cc_milli
+    FROM deg d LEFT JOIN tn t USING (node)
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part in the co-purchase graph
+    (Watts & Strogatz 1998): what fraction of a node's neighbor pairs
+    are themselves connected — the per-node community-density signal
+    (global triangle counting says how clustered the GRAPH is; this says
+    WHERE). cc = 2T/(d(d-1)) in exact milli, NULL below degree 2.
+
+    Engine: operators.graph.local_clustering — the same degree-ordered
+    orientation as triangle_count (wedge fan-out O(sqrt m), the
+    power-law skew fix), with each triangle's three nodes exploded once
+    into a node-keyed rollup. Oracle: the naive a<b<c 3-way self-join
+    unpivoted per node — orientation changes join volume, never
+    membership."""
+    from zip_to_parquet_spark.operators.graph import local_clustering
+
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        lp.alias("a")
+        .join(lp.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    return local_clustering(edges)
