@@ -1744,3 +1744,104 @@ def ts_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exceed_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal strength: quantized-SSE ratio vs the weekly profile.
+# ---------------------------------------------------------------------------
+@query(
+    "ts_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS di,
+             count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    dowp AS (
+      SELECT event_type, di % 7 AS dow,
+             ((1000 * sum(x)) // count(*))::BIGINT AS s_milli
+      FROM daily GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, count(*)::BIGINT AS n_days,
+             ((1000 * sum(x)) // count(*))::BIGINT AS mean_milli
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, t.n_days,
+           sum((1000 * d.x - p.s_milli)
+               * (1000 * d.x - p.s_milli))::BIGINT AS ss_resid,
+           sum((1000 * d.x - t.mean_milli)
+               * (1000 * d.x - t.mean_milli))::BIGINT AS ss_dev,
+           CASE WHEN sum((1000 * d.x - t.mean_milli)
+                         * (1000 * d.x - t.mean_milli)) = 0 THEN NULL
+                ELSE (1000
+                      - (1000 * sum((1000 * d.x - p.s_milli)
+                                    * (1000 * d.x - p.s_milli)))
+                        // sum((1000 * d.x - t.mean_milli)
+                               * (1000 * d.x - t.mean_milli)))
+           END::BIGINT AS strength_milli
+    FROM daily d
+    JOIN dowp p ON p.event_type = d.event_type AND p.dow = d.di % 7
+    JOIN tot t ON t.event_type = d.event_type
+    GROUP BY d.event_type, t.n_days
+    """,
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength of the daily count series, Hyndman's
+    F_s = 1 - Var(remainder)/Var(deseasonalized-denominator) specialized
+    to a weekly profile: how much of the day-to-day variance the
+    day-of-week means explain. strength_milli near 1000 = strongly
+    weekly; near 0 (or negative) = the weekly profile explains nothing —
+    the go/no-go test before events_anomaly_deseasonalized's weekly
+    adjustment is trusted.
+
+    Exactness contract: the seasonal means quantize once to MILLI by
+    truncating division (the stats_anova_f convention); residual and
+    deviation sums of squares are then pure integers, and the strength
+    is one integer division of their 1000-scaled ratio. Day-of-week is
+    the engine-neutral (epoch-day % 7), not either engine's dow().
+
+    Scale shape: corpus-sized stage = the (type, day) rollup; the weekly
+    profile is 7 rows/type joined back on (type, dow); everything after
+    runs over series length. BIGINT holds while n_days * (1000*x)^2 <
+    2^63 — ~9e5 events/day/type for a decade."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("datediff(cast(ts as date), date'1970-01-01')")
+            .cast("long")
+            .alias("di"),
+        )
+        .groupBy("event_type", "di")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    dowp = daily.groupBy(
+        "event_type", (F.col("di") % 7).alias("dow")
+    ).agg(F.expr("(1000 * sum(x)) div count(*)").cast("long").alias("s_milli"))
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("(1000 * sum(x)) div count(*)").cast("long").alias("mean_milli"),
+    )
+    j = (
+        daily.withColumn("dow", F.col("di") % 7)
+        .join(F.broadcast(dowp), ["event_type", "dow"])
+        .join(F.broadcast(tot), "event_type")
+    )
+    resid = 1000 * F.col("x") - F.col("s_milli")
+    dev = 1000 * F.col("x") - F.col("mean_milli")
+    return j.groupBy("event_type", "n_days").agg(
+        F.sum(resid * resid).cast("long").alias("ss_resid"),
+        F.sum(dev * dev).cast("long").alias("ss_dev"),
+        F.when(F.sum(dev * dev) == 0, F.lit(None).cast("long"))
+        .otherwise(
+            1000
+            - F.expr(
+                "(1000 * sum((1000 * x - s_milli) * (1000 * x - s_milli)))"
+                " div sum((1000 * x - mean_milli) * (1000 * x - mean_milli))"
+            )
+        )
+        .cast("long")
+        .alias("strength_milli"),
+    )
