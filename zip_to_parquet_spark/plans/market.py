@@ -1582,3 +1582,137 @@ def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("winsor_mean_millicents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter with MEASURED false-positive rate (sketch-family closer).
+# ---------------------------------------------------------------------------
+def _bf_hash_duck(salt: int, key: str) -> str:
+    return (
+        f"(md5_number_lower('bf{salt}|' || {key}::VARCHAR)::HUGEINT"
+        f" % 16777216) % 8192"
+    )
+
+
+@query(
+    "sketch_bloom_fpr",
+    oracle=f"""
+    WITH build AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bh AS (
+      SELECT ({_bf_hash_duck(0, 'k')}) AS h FROM build
+      UNION ALL SELECT ({_bf_hash_duck(1, 'k')}) FROM build
+      UNION ALL SELECT ({_bf_hash_duck(2, 'k')}) FROM build
+    ),
+    words AS (
+      SELECT h // 32 AS w, bit_or(1::BIGINT << (h % 32)) AS bits
+      FROM bh GROUP BY 1
+    ),
+    stats AS (
+      SELECT (SELECT count(*) FROM build)::BIGINT AS n_build,
+             sum(bit_count(bits))::BIGINT AS bits_set
+      FROM words
+    ),
+    probes AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             ({_bf_hash_duck(0, 'c_custkey')}) AS h0,
+             ({_bf_hash_duck(1, 'c_custkey')}) AS h1,
+             ({_bf_hash_duck(2, 'c_custkey')}) AS h2
+      FROM customer WHERE c_mktsegment != 'BUILDING'
+    ),
+    tested AS (
+      SELECT p.seg,
+             (coalesce(w0.bits >> (p.h0 % 32), 0) & 1) = 1
+             AND (coalesce(w1.bits >> (p.h1 % 32), 0) & 1) = 1
+             AND (coalesce(w2.bits >> (p.h2 % 32), 0) & 1) = 1 AS guess
+      FROM probes p
+      LEFT JOIN words w0 ON w0.w = p.h0 // 32
+      LEFT JOIN words w1 ON w1.w = p.h1 // 32
+      LEFT JOIN words w2 ON w2.w = p.h2 // 32
+    )
+    SELECT t.seg, s.n_build, s.bits_set,
+           count(*)::BIGINT AS n_probes,
+           sum(CASE WHEN t.guess THEN 1 ELSE 0 END)::BIGINT AS false_pos,
+           ((1000 * sum(CASE WHEN t.guess THEN 1 ELSE 0 END))
+              // count(*))::BIGINT AS fpr_permille
+    FROM tested t, stats s
+    GROUP BY t.seg, s.n_build, s.bits_set
+    """,
+)
+def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (Bloom 1970) with its false-positive rate MEASURED
+    in-plan — the sketch-family discipline (CMS overcount, HLL error,
+    KMV error) applied to the membership sketch: build an m=8192-bit /
+    k=3 filter over one customer segment's keys, probe with every
+    OTHER segment's keys (all true negatives by construction), and
+    report observed FPR per probe segment alongside the filter's fill
+    (bits_set/m drives the theoretical (bits_set/m)^k). Hashes are the
+    sampling family's md5 low-3-byte uniforms with per-slot salts, so
+    both engines build the IDENTICAL filter; 32-bit words keep every
+    shift below the sign bit.
+
+    Scale shape: the filter materializes as a <=256-row (word, bits)
+    relation via map-side-combinable bit_or — the distributed bloom
+    build (the same shape join_bloom_prefilter collects and
+    broadcasts); probes LEFT-join it on the word index (a broadcast at
+    any m). Integer outputs only."""
+    from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+
+    def bf_hash(salt: int, key: str):
+        return (
+            F.expr(md5_low_bytes_sql(f"concat('bf{salt}|', cast({key} as string))", 3))
+            % 8192
+        )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    build = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    bh = None
+    for s in range(3):
+        part = build.select(bf_hash(s, "k").alias("h"))
+        bh = part if bh is None else bh.unionByName(part)
+    words = bh.groupBy(F.expr("h div 32").alias("w")).agg(
+        F.expr("bit_or(shiftleft(1L, cast(h % 32 as int)))").alias("bits")
+    )
+    stats = words.agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("bits_set")
+    ).crossJoin(
+        F.broadcast(build.agg(F.count(F.lit(1)).cast("long").alias("n_build")))
+    )
+    probes = c.filter(F.col("c_mktsegment") != "BUILDING").select(
+        F.col("c_mktsegment").alias("seg"),
+        bf_hash(0, "c_custkey").alias("h0"),
+        bf_hash(1, "c_custkey").alias("h1"),
+        bf_hash(2, "c_custkey").alias("h2"),
+    )
+    tested = probes
+    for i in range(3):
+        wi = words.select(
+            F.col("w").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        tested = tested.join(
+            F.broadcast(wi),
+            F.expr(f"h{i} div 32") == F.col(f"w{i}"),
+            "left",
+        )
+    guess = (
+        (F.expr("coalesce(shiftright(bits0, cast(h0 % 32 as int)), 0L) & 1") == 1)
+        & (F.expr("coalesce(shiftright(bits1, cast(h1 % 32 as int)), 0L) & 1") == 1)
+        & (F.expr("coalesce(shiftright(bits2, cast(h2 % 32 as int)), 0L) & 1") == 1)
+    )
+    return (
+        tested.withColumn("guess", guess)
+        .crossJoin(F.broadcast(stats))
+        .groupBy("seg", "n_build", "bits_set")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(F.col("guess").cast("long")).cast("long").alias("false_pos"),
+            F.expr("(1000 * sum(cast(guess as long))) div count(*)")
+            .cast("long")
+            .alias("fpr_permille"),
+        )
+    )
