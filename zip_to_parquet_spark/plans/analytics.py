@@ -1692,3 +1692,89 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return local_clustering(edges)
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap: Jaccard of user sets between event types.
+# ---------------------------------------------------------------------------
+@query(
+    "events_audience_overlap",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, count(*)::BIGINT AS n_users FROM tu GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*)::BIGINT AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           sa.n_users AS n_a, sb.n_users AS n_b, i.n_both,
+           ((1000 * i.n_both)
+              // (sa.n_users + sb.n_users - i.n_both))::BIGINT
+             AS jaccard_permille,
+           ((1000 * i.n_both)
+              // least(sa.n_users, sb.n_users))::BIGINT
+             AS containment_permille
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: exact Jaccard and
+    containment of the user sets for every type pair — the
+    segment-overlap report behind cross-sell and cannibalization
+    analysis (high containment with low Jaccard = one audience nested
+    in another). Integer permille only.
+
+    Scale shape: the corpus reduces to the DISTINCT (type, user)
+    relation first (map-side combinable); pair generation joins that
+    relation to itself ON THE USER KEY, so candidates per user are
+    bounded by the types-per-user fan-out (<= |types|, a policy
+    constant), never |users|^2 — the basket_pair_lift shape on the
+    audience graph. Output is |types|^2/2 rows."""
+    tu = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sizes = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr("(1000 * n_both) div (n_a + n_b - n_both)")
+            .cast("long")
+            .alias("jaccard_permille"),
+            F.expr("(1000 * n_both) div least(n_a, n_b)")
+            .cast("long")
+            .alias("containment_permille"),
+        )
+    )

@@ -1845,3 +1845,68 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("strength_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Index of dispersion: Poisson overdispersion test on daily counts.
+# ---------------------------------------------------------------------------
+@query(
+    "stats_dispersion_index",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS d, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS s, sum(x * x)::BIGINT AS q
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n, s AS total_events,
+           (n * q - s * s)::BIGINT AS var_num,
+           ((n - 1) * s)::BIGINT AS var_den,
+           CASE WHEN n < 2 OR s = 0 THEN NULL
+                ELSE (1000 * (n * q - s * s)) // ((n - 1) * s)
+           END::BIGINT AS vmr_milli
+    FROM m
+    """,
+)
+def stats_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of the daily count
+    series per event type — the Poisson-ness test that decides whether
+    count-based alarms can use sqrt(mean) thresholds (VMR ~ 1000 milli)
+    or need the overdispersed machinery (negative-binomial widths,
+    which the CUSUM/rolling-anomaly keys' integer-moment gates absorb
+    by widening k). VMR = [n*Sum(x^2) - S^2] / [(n-1)*S] as one exact
+    integer rational in milli; NULL for degenerate series.
+
+    Scale shape: one map-side-combinable (type, day) rollup, one
+    |types|-row reduce. BIGINT holds while n*q < 2^63."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.col("s").alias("total_events"),
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        .cast("long")
+        .alias("var_num"),
+        ((F.col("n") - 1) * F.col("s")).cast("long").alias("var_den"),
+        F.when(
+            (F.col("n") < 2) | (F.col("s") == 0), F.lit(None).cast("long")
+        )
+        .otherwise(
+            F.expr("(1000 * (n * q - s * s)) div ((n - 1) * s)")
+        )
+        .cast("long")
+        .alias("vmr_milli"),
+    )
