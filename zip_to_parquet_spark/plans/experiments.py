@@ -1420,3 +1420,161 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("weak_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential interim analysis (O'Brien-Fleming bounds, K = 4 looks).
+# ---------------------------------------------------------------------------
+# Two-sided alpha = 5%, K = 4 equally-spaced looks: the classic
+# O'Brien-Fleming (1979) z boundaries 4.333, 2.963, 2.359, 2.014
+# (Pocock 1977 / Jennison & Turnbull tabulations), squared to exact
+# z^2-milli so the interim test compares two integers.
+_OBF_Z2_MILLI = [18775, 8779, 5565, 4056]
+
+
+def _obf_case(col: str) -> str:
+    branches = " ".join(
+        f"WHEN {col} = {k + 1} THEN {z2}"
+        for k, z2 in enumerate(_OBF_Z2_MILLI)
+    )
+    return f"CASE {branches} END"
+
+
+@query(
+    "experiment_group_sequential",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, {_DUCK_VARIANT} AS variant,
+             (md5_number_lower('gs' || user_id::VARCHAR)::HUGEINT
+                % 16777216) % 4 AS bucket,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY user_id
+    ),
+    bk AS (
+      SELECT bucket, variant, count(*)::HUGEINT AS n,
+             sum(y)::HUGEINT AS s, sum(y * y)::HUGEINT AS q
+      FROM per_user GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT (bucket + 1)::BIGINT AS look, variant,
+             sum(n) OVER w AS n, sum(s) OVER w AS s, sum(q) OVER w AS q
+      FROM bk
+      WINDOW w AS (PARTITION BY variant ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    piv AS (
+      SELECT look,
+             max(CASE WHEN variant = 0 THEN n END) AS na,
+             max(CASE WHEN variant = 0 THEN s END) AS sa,
+             max(CASE WHEN variant = 0 THEN q END) AS qa,
+             max(CASE WHEN variant = 1 THEN n END) AS nb,
+             max(CASE WHEN variant = 1 THEN s END) AS sb,
+             max(CASE WHEN variant = 1 THEN q END) AS qb
+      FROM cum GROUP BY look
+    ),
+    t AS (
+      SELECT look, na, nb,
+             (sa * nb - sb * na) * (sa * nb - sb * na)
+               * (na - 1) * (nb - 1) AS nume,
+             (na * qa - sa * sa) * nb * nb * (nb - 1)
+               + (nb * qb - sb * sb) * na * na * (na - 1) AS deno
+      FROM piv
+    )
+    SELECT look, na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           (CASE WHEN deno = 0 THEN NULL
+                 ELSE (1000 * nume) // deno END)::BIGINT AS t2_milli,
+           ({_obf_case('look')})::BIGINT AS bound_z2_milli,
+           (CASE WHEN deno = 0 THEN NULL
+                 ELSE (1000 * nume) // deno >= ({_obf_case('look')})
+            END) AS crossed
+    FROM t
+    """,
+)
+def experiment_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential interim monitoring (O'Brien-Fleming 1979;
+    Jennison & Turnbull): the SAME Welch t^2 rational as
+    experiment_lift_t2, evaluated at four nested interim looks (users
+    bucketed by a content-keyed md5 draw standing in for arrival order)
+    against the classic OBF spending boundaries — very conservative
+    early (z = 4.33 at look 1), converging to ~nominal at the final
+    look (z = 2.01). The discipline that lets an experiment peek
+    without inflating false positives; a t2 that crosses only at look
+    4 is exactly the case naive repeated testing would have called
+    early and wrongly.
+
+    Exactness: per-bucket integer moments accumulate via cumulative
+    windows (nested looks by construction); the t^2 rational and the
+    tabulated z^2-milli boundary compare as integers.
+
+    Scale shape: one user-keyed partial-agg shuffle, an 8-row
+    (bucket, variant) rollup, 4-row windows and pivot — identical
+    geometry to the single-look key plus a constant-sized window."""
+    from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+    from pyspark.sql.window import Window
+
+    per_user = (
+        spread(load_table(spark, sf_dir, "events"), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .withColumn("variant", F.expr(_VARIANT_SQL))
+        .withColumn(
+            "bucket",
+            F.expr(
+                md5_low_bytes_sql("concat('gs', cast(user_id as string))", 3)
+            )
+            % 4,
+        )
+    )
+    bk = per_user.groupBy("bucket", "variant").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("y").cast(D38).alias("s"),
+        F.sum(F.expr("y * y")).cast(D38).alias("q"),
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bk.select(
+        (F.col("bucket") + 1).cast("long").alias("look"),
+        "variant",
+        F.sum("n").over(w).alias("n"),
+        F.sum("s").over(w).alias("s"),
+        F.sum("q").over(w).alias("q"),
+    )
+    piv = cum.groupBy("look").agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("variant") == 0, F.col("q"))).alias("qa"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("variant") == 1, F.col("q"))).alias("qb"),
+    )
+    t = piv.select(
+        "look",
+        "na",
+        "nb",
+        F.expr(
+            "(sa * nb - sb * na) * (sa * nb - sb * na)"
+            " * (na - 1) * (nb - 1)"
+        ).alias("nume"),
+        F.expr(
+            "(na * qa - sa * sa) * nb * nb * (nb - 1)"
+            " + (nb * qb - sb * sb) * na * na * (na - 1)"
+        ).alias("deno"),
+    )
+    t2 = F.when(F.col("deno") == 0, F.lit(None)).otherwise(
+        F.expr("(1000 * nume) div deno")
+    )
+    return t.select(
+        "look",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        t2.cast("long").alias("t2_milli"),
+        F.expr(_obf_case("look")).cast("long").alias("bound_z2_milli"),
+        F.when(F.col("deno") == 0, F.lit(None).cast("boolean"))
+        .otherwise(
+            F.expr("(1000 * nume) div deno") >= F.expr(_obf_case("look"))
+        )
+        .alias("crossed"),
+    )
