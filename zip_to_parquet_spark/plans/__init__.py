@@ -50,7 +50,7 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 #   round 8: the remaining ~47 never-checked keys (fifth/sixth/seventh
 #     waves: scidata ts/stats tail, journeys, experiments, privacy,
 #     events_cusum_alarm which ceded its slot to stats_anova_f) PLUS the
-#     28 keys round 7 added (stats_bh_fdr_cells, text_boilerplate_lines,
+#     29 keys round 7 added (stats_bh_fdr_cells, text_boilerplate_lines,
 #     quality_classifier_auc/calibration_bins/mcnemar,
 #     stats_conformal_coverage, ts_pinball_loss, ts_changepoint_binary,
 #     dedup_entity_blocking, dedup_apss_prefix,
@@ -61,7 +61,8 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 #     corpus_novelty_by_source, lm_good_turing_counts,
 #     graph_local_clustering, ts_seasonal_strength,
 #     sketch_bloom_fpr, stats_dispersion_index,
-#     events_audience_overlap, experiment_group_sequential) — ~75 total, so the burn-down takes
+#     events_audience_overlap, experiment_group_sequential,
+#     dedup_threshold_curve) — ~76 total, so the burn-down takes
 #     rounds 8 AND 9 at 50 slots/round; after that every registry key
 #     has a driver row and rotation returns to oldest-green-first
 #     refresh. All round-7 keys are sf0.001-parity-tested on every run

@@ -3734,3 +3734,82 @@ def lm_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mass_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold tuning curve: pair/doc counts per similarity cutoff.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_threshold_curve",
+    oracle=_DUCK_SHINGLES
+    + _duck_cand_guarded(ordered=False)
+    + """
+    , pairs AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(x.sh, y.sh))::DOUBLE
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+               AS jaccard
+      FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b
+      WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+            >= 0.5
+    ),
+    th AS (SELECT unnest([500, 600, 700, 800, 900]) AS t)
+    SELECT th.t AS threshold_permille,
+           count(*) FILTER (p.jaccard >= th.t / 1000.0)::BIGINT AS n_pairs,
+           (SELECT count(DISTINCT d) FROM (
+              SELECT doc_a AS d FROM pairs
+              WHERE jaccard >= th.t / 1000.0
+              UNION ALL
+              SELECT doc_b FROM pairs WHERE jaccard >= th.t / 1000.0
+            ))::BIGINT AS n_docs
+    FROM th LEFT JOIN pairs p ON p.jaccard >= th.t / 1000.0
+    GROUP BY th.t
+    """,
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup tuning curve: how many near-duplicate PAIRS and how
+    many affected DOCUMENTS each Jaccard cutoff would act on — the
+    report a pipeline owner reads before picking the threshold (too low
+    nukes real data, too high leaves templates in). One guarded
+    inverted-index pass at the LOOSEST cutoff (0.5), then every
+    stricter threshold is a CASE bucket over the same verified pairs —
+    the curve costs one dedup run, not five.
+
+    Exactness: jaccard is the small-denominator int/int double both
+    engines build identically (the dedup_ngram_jaccard contract);
+    thresholds t/1000 are exact decimal doubles; counts are integers.
+
+    Fixture note: the synthetic corpus is BIMODAL (planted near-dups
+    sit at jaccard >= 0.9, random pairs at ~0.001), so the measured
+    curve is flat across 0.5-0.9 — the correct answer for this data,
+    and exactly what the report exists to reveal; a crawl corpus shows
+    the knee this key is built to locate.
+
+    Scale shape: identical to dedup_ngram_jaccard (guarded candidate
+    join + candidate-scoped verify) plus a 5-row threshold broadcast
+    and a doc-explode rollup over the PAIR set (pairs << corpus)."""
+    sh = shingle_sets(_documents_spread(spark, sf_dir))
+    pairs = ngram_jaccard_pairs(sh, 0.5)
+    th = spark.range(5).select(
+        (500 + F.col("id") * 100).cast("long").alias("threshold_permille")
+    )
+    joined = F.broadcast(th).join(
+        pairs,
+        pairs.jaccard >= F.col("threshold_permille") / 1000.0,
+        "left",
+    )
+    n_pairs = joined.groupBy("threshold_permille").agg(
+        F.count("jaccard").cast("long").alias("n_pairs")
+    )
+    docs = (
+        joined.select(
+            "threshold_permille",
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+        )
+        .groupBy("threshold_permille")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs"))
+    )
+    return n_pairs.join(docs, "threshold_permille").select(
+        "threshold_permille", "n_pairs", "n_docs"
+    )
