@@ -1466,3 +1466,59 @@ def test_mcnemar_single_pass(spark):
     plan = plan_of(spark, "quality_classifier_mcnemar")
     assert "Join" not in plan
     assert n_shuffles(plan) <= 1
+
+
+def test_boilerplate_hash_keys_narrow_shuffle_and_value_identity(spark):
+    """hash_keys=True must re-key BOTH boilerplate shuffles on the 8-byte
+    xxhash64(line) — no Exchange may partition on the raw line string —
+    and at sf0.001 (no hash collisions) the two variants must agree."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from zip_to_parquet_spark.operators.textops import boilerplate_line_stats
+    from zip_to_parquet_spark.schema import load_table
+
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    nl = F.greatest(
+        ((F.size("toks") + 7) / 8).cast("long"), F.lit(1).cast("long")
+    )
+    lines = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), nl - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", (i * 8 + 1).cast("int"), 8), " "
+                ),
+            )
+        ).alias("line"),
+    ).withColumn("wc", F.size(F.split("line", " ")).cast("long"))
+
+    hashed = boilerplate_line_stats(lines, hash_keys=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hashed.explain("formatted")
+    plan = buf.getvalue()
+    # The line-key exchanges hash-partition on xxhash64, never the string.
+    assert "xxhash64" in plan
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        args = m.group(1)
+        if "line_key" in args:
+            # doc_id rollup partitions are fine; line_key partitions must
+            # be the hashed 8-byte column (bigint), not a string line.
+            assert "string" not in args
+    got = {
+        tuple(r)
+        for r in hashed.orderBy("doc_id").collect()
+    }
+    want = {
+        tuple(r)
+        for r in boilerplate_line_stats(lines, hash_keys=False)
+        .orderBy("doc_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -1179,7 +1179,13 @@ def apss_prefix_pairs(
         F.col("na").cast("long").alias("na"),
         F.col("nb").cast("long").alias("nb"),
         "o",
-        F.expr("(1000000 * o * o) div (na * nb)")
-        .cast("long")
-        .alias("cos2_micro"),
+        # o^2 * 1e6 overflows BIGINT once overlap exceeds ~3.03M shingles
+        # (a multi-million-word document), so the squaring runs in
+        # decimal(38,0) — same headroom rule as the stats moment keys;
+        # the quotient is re-certified < 2^63 (it is <= 1e6 by
+        # construction: o <= min(na, nb)) before the bigint cast.
+        F.expr(
+            "cast((cast(1000000 as decimal(38,0)) * o * o)"
+            " div (cast(na as decimal(38,0)) * nb) as bigint)"
+        ).alias("cos2_micro"),
     )

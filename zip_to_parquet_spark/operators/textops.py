@@ -217,3 +217,55 @@ def topic_classify(
         topic.alias("topic"),
         m.cast("long").alias("top_hits"),
     )
+
+
+def boilerplate_line_stats(
+    lines: DataFrame, min_df: int = 2, hash_keys: bool = False
+) -> DataFrame:
+    """CCNet-style boilerplate-line removal rollup over an exploded
+    ``(doc_id, line, wc)`` frame: lines appearing in >= ``min_df``
+    distinct documents are boilerplate; per document emit line/word
+    totals and the kept-word mass after dropping them.
+
+    ``hash_keys`` is the 100 TB switch: both the df rollup and the
+    boiler-set join re-key on ``xxhash64(line)`` so the shuffle moves
+    8-byte keys instead of full line strings (collision odds 2^-64 per
+    pair — the standard CCNet/MinHash trade). ``hash_keys=False`` keeps
+    the string key for byte-exact oracle parity; results are identical
+    absent a hash collision, which ``tests/test_plans.py`` asserts at
+    sf0.001 and the plan test certifies structurally (the exchange
+    carries the hash, not the string).
+
+    Scale shape either way: one map-side-combinable groupBy for the df
+    rollup, one shuffle join back (corpus-sized boiler set in the worst
+    case, so no broadcast; AQE skew-split absorbs a mega-hot footer
+    line), one final per-doc rollup. No windows, no driver collect."""
+    key = (
+        F.xxhash64("line").alias("line_key")
+        if hash_keys
+        else F.col("line").alias("line_key")
+    )
+    keyed = lines.select("doc_id", key, "wc")
+    boiler = (
+        keyed.groupBy("line_key")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("line_key", F.lit(True).alias("is_boiler"))
+    )
+    marked = keyed.join(boiler, "line_key", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    kept = F.sum(F.when(F.col("is_boiler"), F.lit(0)).otherwise(F.col("wc")))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("is_boiler").cast("long"))
+        .cast("long")
+        .alias("n_boiler_lines"),
+        F.sum("wc").cast("long").alias("total_words"),
+        kept.cast("long").alias("kept_words"),
+        F.expr(
+            "(1000 * sum(CASE WHEN is_boiler THEN 0 ELSE wc END)) div sum(wc)"
+        )
+        .cast("long")
+        .alias("kept_permille"),
+    )

@@ -3241,13 +3241,15 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: word counts and permille ratios are pure integers.
 
     Scale shape: the df rollup is a map-side-combinable groupBy on the
-    line text (at 100 TB you'd key it by ``xxhash64(line)`` to keep the
-    shuffle narrow — 8 bytes vs the line string — and accept the 2^-64
-    collision odds; the oracle joins on the string so this key does
-    too). The boiler set joins back on the line key as a shuffle join —
-    it is corpus-sized in the worst case, so no broadcast; a mega-hot
-    line (every page's footer) skews one probe partition and AQE's
-    skew-join split handles it. No windows, no driver collect."""
+    line text; at 100 TB flip ``hash_keys=True`` on
+    :func:`operators.textops.boilerplate_line_stats` to key the shuffle
+    by ``xxhash64(line)`` — 8 bytes vs the line string, 2^-64 collision
+    odds (the oracle joins on the string, so this key keeps the string
+    form; the variants are value-identical, asserted in test_plans.py).
+    The boiler set joins back on the line key as a shuffle join — it is
+    corpus-sized in the worst case, so no broadcast; a mega-hot line
+    (every page's footer) skews one probe partition and AQE's skew-join
+    split handles it. No windows, no driver collect."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
@@ -3265,27 +3267,9 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("line"),
     ).withColumn("wc", F.size(F.split("line", " ")).cast("long"))
-    boiler = (
-        lines.groupBy("line")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("line", F.lit(True).alias("is_boiler"))
-    )
-    marked = lines.join(boiler, "line", "left").withColumn(
-        "is_boiler", F.coalesce("is_boiler", F.lit(False))
-    )
-    kept = F.sum(F.when(F.col("is_boiler"), F.lit(0)).otherwise(F.col("wc")))
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-        F.sum(F.col("is_boiler").cast("long")).cast("long").alias("n_boiler_lines"),
-        F.sum("wc").cast("long").alias("total_words"),
-        kept.cast("long").alias("kept_words"),
-        F.expr(
-            "(1000 * sum(CASE WHEN is_boiler THEN 0 ELSE wc END)) div sum(wc)"
-        )
-        .cast("long")
-        .alias("kept_permille"),
-    )
+    from zip_to_parquet_spark.operators.textops import boilerplate_line_stats
+
+    return boilerplate_line_stats(lines, min_df=2, hash_keys=False)
 
 
 # ---------------------------------------------------------------------------
@@ -3298,9 +3282,9 @@ def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            len(a.sh)::BIGINT AS na, len(b.sh)::BIGINT AS nb,
            len(list_intersect(a.sh, b.sh))::BIGINT AS o,
-           (1000000 * len(list_intersect(a.sh, b.sh))
-                    * len(list_intersect(a.sh, b.sh)))
-             // (len(a.sh) * len(b.sh)) AS cos2_micro
+           ((1000000 * len(list_intersect(a.sh, b.sh))::HUGEINT
+                     * len(list_intersect(a.sh, b.sh)))
+             // (len(a.sh) * len(b.sh)))::BIGINT AS cos2_micro
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh)) > 0
       AND 2 * len(list_intersect(a.sh, b.sh))

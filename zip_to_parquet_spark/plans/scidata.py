@@ -1558,11 +1558,7 @@ def sample_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("true_sum_chars"),
         F.sum(F.col("sampled").cast("long")).cast("long").alias("n_sampled"),
         F.sum(ht_term).cast("long").alias("ht_sum_chars"),
-        (
-            F.abs(1000 * F.sum(ht_term) - 1000 * F.sum("n_chars"))
-            .cast("long")
-            / F.lit(1)
-        )
+        F.abs(1000 * F.sum(ht_term) - 1000 * F.sum("n_chars"))
         .cast("long")
         .alias("_absdiff"),
     ).select(

@@ -141,6 +141,81 @@ def zip_null_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A4: the reference's actual JOB — zip members → ONE parquet file (snappy,
+# exact 100-row row groups, builder.rs:232-278, main.rs:41-43) — written,
+# read BACK, and value-verified: this turns the sink from a pytest-only
+# row into a driver-hash-checkable key.
+@query(
+    "sink_parquet_roundtrip",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_rows,
+           ((count(*) + 99) // 100)::BIGINT AS row_groups,
+           sum(strlen(text))::BIGINT AS sum_body_bytes,
+           count(*)::BIGINT AS body_hash_ok,
+           sum(md5_number_lower(
+                 printf('doc_%06d.txt', doc_id) || '|' || sha256(text)
+               )::HUGEINT % 1099511627776)::BIGINT AS content_sum
+    FROM documents
+    """,
+)
+def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 as a full write→read→verify loop: explode the zip fixture,
+    write (name, body, hash) through ``write_single_parquet_file`` with
+    the reference's exact config — one file, snappy, 100-row row groups —
+    then read the file back and emit an all-integer summary the oracle
+    recomputes straight from ``documents``:
+
+    - ``n_rows`` / ``sum_body_bytes``: every member and every body byte
+      survived the roundtrip (UTF-8 text bytes == DuckDB ``strlen``).
+    - ``row_groups``: the PHYSICAL footer's row-group count (pyarrow
+      metadata) vs the arithmetic contract ceil(n/100) — verifies the
+      reference's ``--row-group-size`` semantics, not just the data.
+    - ``body_hash_ok``: rows whose READ-BACK body re-hashes (Spark-side
+      sha256) to the hash column written beside it — bytewise content
+      integrity through parquet encode/decode.
+    - ``content_sum``: order-independent exact-integer digest
+      (md5-low-5-bytes of name|hash, summed) over the read-back rows.
+
+    Scale shape: the single-file mode is the reference-parity path (a
+    deliberate driver funnel through toLocalIterator's bounded stream);
+    the 100 TB sink is ``write_parquet`` — same commit-protocol write,
+    one file per partition — exercised by the distributed-write pytest
+    battery. The verification aggregate itself is one map-side-combinable
+    pass over the read-back scan."""
+    import hashlib as _hl
+
+    from zip_to_parquet_spark.operators.layout import md5_low_bytes_sql
+    from zip_to_parquet_spark.sinks import write_single_parquet_file
+
+    key = _hl.sha256(sf_dir.encode()).hexdigest()[:16]
+    out_dir = f"/tmp/z2ps_sinkrt_{key}"
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "members.parquet")
+    df = _members(spark, sf_dir, source=False).select("name", "body", "hash")
+    write_single_parquet_file(df, path)  # snappy, row_group_rows=100
+
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    assert all(
+        meta.row_group(i).num_rows <= 100 for i in range(meta.num_row_groups)
+    )
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(meta.num_row_groups).cast("long").alias("row_groups"),
+        F.sum(F.length("body")).cast("long").alias("sum_body_bytes"),
+        F.sum(
+            (F.sha2(F.col("body"), 256) == F.col("hash")).cast("long")
+        )
+        .cast("long")
+        .alias("body_hash_ok"),
+        F.sum(F.expr(md5_low_bytes_sql("concat(name, '|', hash)", 5)))
+        .cast("long")
+        .alias("content_sum"),
+    )
+
+
 def _record_fixture_dir(sf_dir: str, kind: str) -> str:
     """Deterministic zip mirror of documents METADATA as structured
     records: 4 archives, each one member ``docs_<shard>.{csv,jsonl}``

@@ -229,7 +229,12 @@ class JsonlStreamShardWriter(DataSourceStreamWriter):
             f.write("")
 
     def abort(self, messages, batchId: int) -> None:
-        for msg in messages:
-            p = os.path.join(self.path, msg.tmp_name)
-            if os.path.exists(p):
-                os.remove(p)
+        # Mirror the batch writer's abort: on task failure Spark passes
+        # None for tasks that produced no commit message, so we cannot
+        # dereference msg.tmp_name — scan the sink root for leftover
+        # temp shards instead.
+        if not os.path.isdir(self.path):
+            return
+        for f in os.listdir(self.path):
+            if f.startswith("_tmp_"):
+                os.remove(os.path.join(self.path, f))
