@@ -447,3 +447,58 @@ def test_isotonic_pav_matches_classic_stack_algorithm(spark):
     seq = [got[b]["iso_milli"] for b in sorted(got)]
     assert seq == sorted(seq)  # monotone non-decreasing
     assert all(0 <= v <= 1000 for v in seq)
+
+
+def test_group_aware_split_never_straddles_groups(spark):
+    """Every exact-duplicate cluster must land wholly inside ONE split,
+    and the assignment must agree with the md5-prefix rule applied to
+    the cluster representative."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    rows = all_queries()["split_group_aware"](spark, SF).collect()
+    assert len(rows) > 0
+    by_rep = {}
+    for r in rows:
+        by_rep.setdefault(r["group_rep"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_rep.values())
+    import hashlib
+
+    for rep, splits in by_rep.items():
+        b = hashlib.md5(str(rep).encode()).hexdigest()[:2]
+        want = "train" if b < "cc" else ("val" if b < "e6" else "test")
+        assert splits == {want}
+    # the fixture plants near-dups, so at least one cluster has size > 1
+    assert any(r["group_size"] > 1 for r in rows)
+
+
+def test_gap_log2_buckets_are_exact_powers_of_two(spark):
+    """Bucket k must hold exactly gaps in [2^k, 2^(k+1)); bucket -1 the
+    simultaneous events."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    rows = all_queries()["events_gap_log2_histogram"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["bucket"] == -1:
+            assert r["max_gap_us"] <= 0
+        else:
+            k = r["bucket"]
+            assert 2**k <= r["min_gap_us"] <= r["max_gap_us"] < 2 ** (k + 1)
+
+
+def test_int8_quant_error_bounds(spark):
+    """Per-element residuals are <= 0.5 quant units, so a vector's
+    err_micro is bounded by 500000 * n_dims; saturation never exceeds
+    element count."""
+    from zip_to_parquet_spark.plans import all_queries
+
+    rows = all_queries()["vector_int8_quant_error"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        dims = r["n_elems"] // r["n_vecs"]
+        assert 0 <= r["max_vec_err_micro"] <= 500000 * dims
+        assert 0 <= r["sum_err_micro"] <= 500000 * r["n_elems"]
+        assert 0 <= r["n_saturated"] <= r["n_elems"]
+        # every vector has at least its amax element exactly representable,
+        # so errors can't be maximal everywhere
+        assert r["sum_err_micro"] < 500000 * r["n_elems"]

@@ -1764,3 +1764,67 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival latency histogram in power-of-two buckets.
+# ---------------------------------------------------------------------------
+@query(
+    "events_gap_log2_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             date_diff('microsecond', lag(ts) OVER w, ts)::BIGINT AS gap
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN gap <= 0 THEN -1
+                  ELSE length(bin(gap::BIGINT)) - 1 END AS bucket,
+             gap
+      FROM g WHERE gap IS NOT NULL
+    )
+    SELECT event_type, bucket::BIGINT AS bucket,
+           count(*)::BIGINT AS n,
+           min(gap)::BIGINT AS min_gap_us,
+           max(gap)::BIGINT AS max_gap_us
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def events_gap_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival latency histogram in power-of-two
+    buckets — the HdrHistogram/latency-telemetry shape (bucket k holds
+    gaps in [2^k, 2^(k+1)) microseconds; simultaneous events land in
+    bucket -1). The distribution every streaming/watermark tuning pass
+    reads before picking session gaps and late-data allowances; the
+    log2 geometry keeps the output bounded (<= 64 buckets/type) at any
+    corpus size.
+
+    Exactness: floor(log2(gap)) is computed as ``length(bin(gap)) - 1``
+    — pure integer bit-length, no float log anywhere, identical by
+    construction in both engines (Spark ``bin`` and DuckDB ``bin`` both
+    emit the minimal binary string).
+
+    Scale shape: one user-keyed lag window (the gap family's shared
+    shuffle), then a map-side-combinable groupBy on (type, bucket) —
+    bounded output cardinality, so the final rollup is a broadcast-size
+    relation. No joins, no collect."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.withColumn(
+        "gap", F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ).filter(F.col("gap").isNotNull())
+    b = g.withColumn(
+        "bucket",
+        F.when(F.col("gap") <= 0, F.lit(-1)).otherwise(
+            F.length(F.bin("gap")) - 1
+        ).cast("long"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("gap").cast("long").alias("min_gap_us"),
+        F.max("gap").cast("long").alias("max_gap_us"),
+    )

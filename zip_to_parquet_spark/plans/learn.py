@@ -1487,3 +1487,91 @@ def quality_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("(1000 * p) div n").cast("long"))
         .alias("raw_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization of embeddings with exact integer error accounting.
+# ---------------------------------------------------------------------------
+@query(
+    "vector_int8_quant_error",
+    oracle="""
+    WITH a AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, label,
+        len(embedding)::BIGINT AS n_dims,
+        CASE WHEN amax = 0 THEN 0 ELSE
+          list_sum(list_transform(embedding, x ->
+            floor(abs((x::DOUBLE * 127 / amax)
+                      - floor((x::DOUBLE * 127 / amax) + 0.5)) * 1000000)
+            ::BIGINT))
+        END AS err_micro,
+        CASE WHEN amax = 0 THEN 0 ELSE
+          len(list_filter(embedding, x ->
+            abs(floor((x::DOUBLE * 127 / amax) + 0.5)) >= 127))
+        END AS n_sat
+      FROM a
+    )
+    SELECT label::BIGINT AS label, count(*)::BIGINT AS n_vecs,
+           sum(n_dims)::BIGINT AS n_elems,
+           sum(err_micro)::BIGINT AS sum_err_micro,
+           max(err_micro)::BIGINT AS max_vec_err_micro,
+           sum(n_sat)::BIGINT AS n_saturated
+    FROM p GROUP BY label
+    """,
+)
+def vector_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the production ANN
+    memory layout: q_i = round(x_i * 127 / max|x|), 4x smaller than
+    float32) with its reconstruction error ACCOUNTED in-plan, per label:
+    total/max per-vector quantization residual in micro-quant-units and
+    the saturated-element count — the numbers that decide whether int8
+    is safe for a given embedding family before committing the index
+    build to it.
+
+    Exactness: the residual |x*127/amax − round(x*127/amax)| ∈ [0, 0.5]
+    is floored to integer micro-units PER ELEMENT before any summation,
+    so aggregation is order-independent integer math; the float part is
+    two IEEE double ops (multiply, divide) on exactly-upcast float32
+    values plus floor — every engine computes them bit-identically
+    (round = floor(v + 0.5), same expression both sides; no libm).
+    amax = 0 (zero vector) short-circuits to zero error.
+
+    Scale shape: map-only higher-order expressions (transform /
+    aggregate / filter) inside the scan stage — per-vector work never
+    leaves codegen, no explode, no per-element shuffle; then one
+    map-side-combinable groupBy on label (bounded cardinality). The
+    same shape quantizes 100 TB of embeddings in one pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    amax = "array_max(transform(embedding, x -> abs(cast(x as double))))"
+    err = f"""
+      CASE WHEN {amax} = 0D THEN 0L ELSE
+        aggregate(
+          transform(embedding, x ->
+            cast(floor(abs((cast(x as double) * 127 / {amax})
+                 - floor((cast(x as double) * 127 / {amax}) + 0.5d))
+                 * 1000000) as bigint)),
+          0L, (acc, v) -> acc + v)
+      END"""
+    nsat = f"""
+      CASE WHEN {amax} = 0D THEN 0L ELSE
+        cast(size(filter(embedding, x ->
+          abs(floor((cast(x as double) * 127 / {amax}) + 0.5d)) >= 127D))
+        as bigint)
+      END"""
+    p = e.select(
+        F.col("label").cast("long").alias("label"),
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.expr(err).alias("err_micro"),
+        F.expr(nsat).alias("n_sat"),
+    )
+    return p.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("n_dims").cast("long").alias("n_elems"),
+        F.sum("err_micro").cast("long").alias("sum_err_micro"),
+        F.max("err_micro").cast("long").alias("max_vec_err_micro"),
+        F.sum("n_sat").cast("long").alias("n_saturated"),
+    )

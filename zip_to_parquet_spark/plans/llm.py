@@ -3797,3 +3797,143 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_pairs.join(docs, "threshold_permille").select(
         "threshold_permille", "n_pairs", "n_docs"
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free split: duplicates may never straddle train/val/test.
+# ---------------------------------------------------------------------------
+@query(
+    "split_group_aware",
+    oracle=f"""
+    WITH cc AS ({_CLUSTERS_ORACLE}),
+    rep AS (
+      SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS group_rep
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    ),
+    g AS (
+      SELECT group_rep, count(*) AS group_size FROM rep GROUP BY group_rep
+    )
+    SELECT rep.doc_id, rep.group_rep, g.group_size::BIGINT AS group_size,
+           CASE WHEN substr(md5(rep.group_rep::VARCHAR), 1, 2) < 'cc'
+                  THEN 'train'
+                WHEN substr(md5(rep.group_rep::VARCHAR), 1, 2) < 'e6'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM rep JOIN g USING (group_rep)
+    """,
+)
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: the split decision is keyed on
+    the NEAR-duplicate cluster representative (the j≥0.8 connected
+    component of ``dedup_clusters``; singletons represent themselves),
+    so near-copies of the same document can never straddle splits — the
+    leakage Lee et al. 2022 showed inflates eval perplexity when plain
+    per-row splitting (``dataset_split``) meets a corpus whose twins
+    survive upstream filters. Same md5-prefix ~80/10/10 buckets as
+    dataset_split, applied to the representative instead of the row.
+
+    Exactness: the cluster id is exact (guarded inverted-index Jaccard
+    pairs + min-label components, both already hash-verified keys);
+    md5 bucketing and group stats are engine-neutral integers/strings.
+
+    Scale shape: reuses the dedup family's bounded machinery (df-capped
+    inverted index, candidate-scoped verify, 2-3 round min-label
+    propagation over tiny components), then one groupBy on group_rep
+    and one broadcast-size join back (components cover only the
+    near-dup minority, so the cc relation is small; the LEFT join is
+    doc_id-keyed either way). No corpus-wide windows, no collect."""
+    from zip_to_parquet_spark.operators.dedupe import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    sh = shingle_sets(_documents_spread(spark, sf_dir))
+    pairs = ngram_jaccard_pairs(sh, threshold=0.8).select("doc_a", "doc_b")
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "comp"
+    )
+    rep = d.join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("group_rep")
+    )
+    g = rep.groupBy("group_rep").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    bucket = F.substring(F.md5(F.col("group_rep").cast("string")), 1, 2)
+    return rep.join(g, "group_rep").select(
+        "doc_id",
+        "group_rep",
+        "group_size",
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-gate x duplication interaction: what does each filter uniquely cut?
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_filter_interaction",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, n_chars,
+                      string_split(text, ' ') AS w FROM documents),
+    q AS (
+      SELECT doc_id, text, n_chars,
+             (len(w) >= 15 AND len(w) <= 100000
+              AND list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                    / greatest(len(w), 1) >= 3.0
+              AND list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                    / greatest(len(w), 1) <= 10.0
+              AND len(list_filter(w,
+                  x -> x IN ('the','a','of','and','to','in','is','on','for')
+                  )) > 0) AS gopher_pass
+      FROM t
+    ),
+    dup AS (
+      SELECT sha256(text) AS sha, count(*) AS c FROM documents
+      GROUP BY sha256(text)
+    )
+    SELECT q.gopher_pass, (dup.c > 1) AS is_dup,
+           count(*)::BIGINT AS n_docs,
+           sum(q.n_chars)::BIGINT AS sum_chars
+    FROM q JOIN dup ON sha256(q.text) = dup.sha
+    GROUP BY q.gopher_pass, (dup.c > 1)
+    """,
+)
+def pipeline_filter_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter-interaction matrix a pipeline planner reads before
+    ordering its stages: cross-tabulate the Gopher quality gate against
+    exact-duplicate status (doc's text sha shared by >1 doc) with doc
+    and char mass per cell. If most duplicates already fail quality,
+    dedup after filtering is cheaper (less data shuffles into the LSH
+    band join); if clean text is what's duplicated, dedup must run
+    first or the survivors bias the mixture — the 2x2 answers which.
+
+    Exactness: boolean gates on integer/ratio thresholds (int/int
+    double division, bit-exact), counts and char sums.
+
+    Scale shape: the quality gate is map-only (same expressions as
+    quality_gopher_rules, inside the scan); the dup flag is one groupBy
+    on the text sha + a join back on it (exact dedup's partitioning,
+    shared with split_group_aware at 100 TB); final rollup has 4 output
+    rows. No windows, no collect."""
+    from zip_to_parquet_spark.operators import pipeline as _pipe
+
+    d = load_table(spark, sf_dir, "documents")
+    q = _pipe.gopher_quality(_documents_spread(spark, sf_dir)).select(
+        "doc_id", F.col("passes").alias("gopher_pass")
+    )
+    sha = d.select(
+        "doc_id",
+        F.col("n_chars"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha"),
+    )
+    dup = sha.groupBy("sha").agg(F.count(F.lit(1)).alias("c"))
+    j = (
+        sha.join(dup, "sha")
+        .join(q, "doc_id")
+        .select("gopher_pass", (F.col("c") > 1).alias("is_dup"), "n_chars")
+    )
+    return j.groupBy("gopher_pass", "is_dup").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -1716,3 +1716,86 @@ def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fpr_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency profiling (TANE-style single-pass violation counts).
+# ---------------------------------------------------------------------------
+@query(
+    "dq_functional_dependency",
+    oracle="""
+    WITH fd1 AS (
+      SELECT source AS lhs, count(DISTINCT lang) AS k, count(*) AS n
+      FROM documents GROUP BY source
+    ),
+    fd2 AS (
+      SELECT text AS lhs, count(DISTINCT lang) AS k, count(*) AS n
+      FROM documents GROUP BY text
+    ),
+    fd3 AS (
+      SELECT user_id AS lhs, count(DISTINCT event_type) AS k, count(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT 'documents: source -> lang' AS fd,
+           count(*)::BIGINT AS n_lhs,
+           sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating_lhs,
+           sum(CASE WHEN k > 1 THEN n ELSE 0 END)::BIGINT AS n_violating_rows,
+           max(k)::BIGINT AS max_rhs_per_lhs
+    FROM fd1
+    UNION ALL
+    SELECT 'documents: text -> lang',
+           count(*)::BIGINT, sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)::BIGINT,
+           sum(CASE WHEN k > 1 THEN n ELSE 0 END)::BIGINT, max(k)::BIGINT
+    FROM fd2
+    UNION ALL
+    SELECT 'events: user_id -> event_type',
+           count(*)::BIGINT, sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)::BIGINT,
+           sum(CASE WHEN k > 1 THEN n ELSE 0 END)::BIGINT, max(k)::BIGINT
+    FROM fd3
+    """,
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violation profiling (the TANE/Metanome
+    primitive, reduced to the single-FD check a data-quality gate
+    actually runs): for each candidate FD ``LHS -> RHS``, count LHS
+    groups, groups carrying >1 distinct RHS (violations), the rows
+    inside violating groups, and the worst per-group RHS cardinality.
+    Three FDs profile the fixture's real structure: ``source -> lang``
+    (violated — multilingual sources), ``text -> lang`` (violated
+    exactly where cross-language duplicate texts exist — the FD view of
+    the dedup fixture), ``user_id -> event_type`` (massively violated —
+    the negative control).
+
+    Exactness: pure counts.
+
+    Scale shape: one map-side-combinable groupBy per FD (the classic
+    single-pass stripped-partition check; countDistinct under a group
+    key is a partial-aggregate two-phase plan, not an expensive exact
+    distinct), then a 1-row rollup each and a 3-row union. A mega-hot
+    LHS (one source = half the corpus) skews one reduce partition; AQE
+    splits it. No windows, no joins, no collect."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "events")
+
+    def fd(df: DataFrame, lhs: str, rhs: str, label: str) -> DataFrame:
+        g = df.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("k"), F.count(F.lit(1)).alias("n")
+        )
+        return g.agg(
+            F.lit(label).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.sum((F.col("k") > 1).cast("long"))
+            .cast("long")
+            .alias("n_violating_lhs"),
+            F.sum(F.when(F.col("k") > 1, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_violating_rows"),
+            F.max("k").cast("long").alias("max_rhs_per_lhs"),
+        )
+    return (
+        fd(d, "source", "lang", "documents: source -> lang")
+        .unionByName(fd(d, "text", "lang", "documents: text -> lang"))
+        .unionByName(
+            fd(e, "user_id", "event_type", "events: user_id -> event_type")
+        )
+    )

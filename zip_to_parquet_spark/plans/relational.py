@@ -1971,3 +1971,4 @@ def dedup_entity_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("long").alias("score"),
         (score >= 4).alias("is_match"),
     )
+
