@@ -1578,3 +1578,125 @@ def experiment_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("crossed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Power analysis: minimum detectable effect at 80% power from pilot variance.
+# ---------------------------------------------------------------------------
+# (z_{alpha/2} + z_beta)^2 at alpha=0.05 two-sided, power 0.8:
+# (1.959964 + 0.841621)^2 = 7.848879 — tabulated in micro once, the
+# group-sequential key's z^2-constant precedent.
+_K2_MICRO = 7848879
+
+
+@query(
+    "experiment_power_mde",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, {_DUCK_VARIANT} AS variant, count(*)::BIGINT AS y
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, count(*)::HUGEINT AS n,
+             sum(y)::HUGEINT AS s, sum(y * y)::HUGEINT AS q
+      FROM per_user GROUP BY variant
+    ),
+    w AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS na,
+             max(CASE WHEN variant = 0 THEN s END) AS sa,
+             max(CASE WHEN variant = 0 THEN q END) AS qa,
+             max(CASE WHEN variant = 1 THEN n END) AS nb,
+             max(CASE WHEN variant = 1 THEN s END) AS sb,
+             max(CASE WHEN variant = 1 THEN q END) AS qb
+      FROM v
+    ),
+    t AS (
+      SELECT na, nb, sa, sb,
+             (na * qa - sa * sa) * nb * nb * (nb - 1)
+               + (nb * qb - sb * sb) * na * na * (na - 1) AS nume,
+             na * na * (na - 1) * nb * nb * (nb - 1) AS deno,
+             (sa * nb - sb * na) * (sa * nb - sb * na) AS eff_num,
+             na * na * nb * nb AS eff_den
+      FROM w
+    )
+    SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+           ((1000000 * sa) // na)::BIGINT AS mean_a_micro,
+           ((1000000 * sb) // nb)::BIGINT AS mean_b_micro,
+           ((1000000 * eff_num) // eff_den)::BIGINT AS effect2_micro,
+           (({_K2_MICRO} * nume) // deno)::BIGINT AS mde2_micro,
+           ((1000000 * eff_num) // eff_den)
+             >= (({_K2_MICRO} * nume) // deno) AS powered
+    FROM t
+    """,
+)
+def experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis from pilot variance: the squared minimum detectable
+    effect MDE² = (z_α/2 + z_β)²·(s_A²/n_A + s_B²/n_B) at α=0.05 /
+    power 0.8, next to the observed squared effect — the go/no-go sizing
+    readout every experiment runs BEFORE trusting a null result
+    ("was this test even able to see the lift we care about?").
+    Completes the experimentation battery: srm gates assignment, cuped
+    shrinks variance, lift_t2 reads significance, group_sequential peeks
+    safely, this one says whether n was enough.
+
+    Exactness: the z-constant is tabulated once in micro (the
+    group-sequential precedent — no normal quantile function in either
+    engine); s_A²/n_A + s_B²/n_B is held as ONE integer rational
+    (nume/deno over the shared factor n_A²(n_A−1)n_B²(n_B−1)); the
+    squared observed effect likewise. ``powered`` compares the two
+    ALREADY-truncated micro values, so both engines decide identically.
+    Magnitude envelope ~1e36 at sf1 in DECIMAL(38,0) ↔ HUGEINT (the
+    K2·nume product is the binding term; beyond sf1 drop to mde2_milli).
+
+    Scale shape: identical to experiment_lift_t2 — one user-keyed
+    partial-agg shuffle, a 2-row variant rollup, a 1-row pivot; the
+    power algebra runs on the 1-row frame. No windows, no collect."""
+    per_user = (
+        spread(load_table(spark, sf_dir, "events"), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .withColumn("variant", F.expr(_VARIANT_SQL))
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("y").cast(D38).alias("s"),
+        F.sum(F.expr("y * y")).cast(D38).alias("q"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("s"))).alias("sa"),
+        F.max(F.when(F.col("variant") == 0, F.col("q"))).alias("qa"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("s"))).alias("sb"),
+        F.max(F.when(F.col("variant") == 1, F.col("q"))).alias("qb"),
+    )
+    t = w.select(
+        "na",
+        "nb",
+        "sa",
+        "sb",
+        F.expr(
+            "(na * qa - sa * sa) * nb * nb * (nb - 1)"
+            " + (nb * qb - sb * sb) * na * na * (na - 1)"
+        ).alias("nume"),
+        F.expr("na * na * (na - 1) * nb * nb * (nb - 1)").alias("deno"),
+        F.expr("(sa * nb - sb * na) * (sa * nb - sb * na)").alias("eff_num"),
+        F.expr("na * na * nb * nb").alias("eff_den"),
+    )
+    eff = f"(cast(1000000 as {D38}) * eff_num) div eff_den"
+    mde = f"(cast({_K2_MICRO} as {D38}) * nume) div deno"
+    return t.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr(f"(cast(1000000 as {D38}) * sa) div na")
+        .cast("long")
+        .alias("mean_a_micro"),
+        F.expr(f"(cast(1000000 as {D38}) * sb) div nb")
+        .cast("long")
+        .alias("mean_b_micro"),
+        F.expr(eff).cast("long").alias("effect2_micro"),
+        F.expr(mde).cast("long").alias("mde2_micro"),
+        (F.expr(eff).cast("long") >= F.expr(mde).cast("long")).alias(
+            "powered"
+        ),
+    )

@@ -3937,3 +3937,136 @@ def pipeline_filter_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall-vs-nprobe tuning curve (one pass, every operating point).
+# ---------------------------------------------------------------------------
+@query(
+    "ann_nprobe_curve",
+    oracle="""
+    WITH qset AS (
+      SELECT vec_id FROM embeddings WHERE vec_id % 25 = 0
+      ORDER BY vec_id LIMIT 512
+    ),
+    truth AS (
+      SELECT q_id, n_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                     q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                 c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id IN (SELECT vec_id FROM qset)
+      ) WHERE rank <= 5
+    ),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+      WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 4096
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                 c.cent_id) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    ),
+    proberank AS (
+      SELECT q_id, cent_id, r AS cellrank FROM (
+        SELECT q.vec_id AS q_id, c.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_cosine_similarity(q.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                 c.cent_id) AS r
+        FROM embeddings q CROSS JOIN cents c
+        WHERE q.vec_id IN (SELECT vec_id FROM qset)
+      ) WHERE r <= 16
+    ),
+    hit AS (
+      SELECT t.q_id, t.n_id, coalesce(p.cellrank, 1000000) AS found_at
+      FROM truth t
+      JOIN assign a ON a.vec_id = t.n_id
+      LEFT JOIN proberank p ON p.q_id = t.q_id AND p.cent_id = a.cent_id
+    )
+    SELECT np::BIGINT AS nprobe,
+           count(*)::BIGINT AS n_truth,
+           sum(CASE WHEN found_at <= np THEN 1 ELSE 0 END)::BIGINT AS n_found,
+           ((1000 * sum(CASE WHEN found_at <= np THEN 1 ELSE 0 END))
+              // count(*))::BIGINT AS recall_permille
+    FROM hit, unnest([1, 2, 4, 8, 16]) AS u(np)
+    GROUP BY np
+    """,
+)
+def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@5-vs-nprobe TUNING CURVE in one pass — the FAISS
+    benchmark loop every index deployment runs, but without re-executing
+    the search per operating point: each true neighbor's owning cell has
+    a fixed RANK in its query's probe order, so "found at nprobe=k" is
+    just ``cellrank <= k`` — one brute-force ground truth, one cell
+    assignment, one probe ranking, then every threshold is a CASE bucket
+    (the same one-pass-curve trick as dedup_threshold_curve). The output
+    is the recall/cost frontier that picks production nprobe.
+
+    Exactness: recall counts and permille ratios are integers; cell
+    assignment and probe ranking reuse the accepted matmul↔SQL cosine
+    ordering seam of the green IVF keys (stable argsort + cent-sorted
+    codebook ≡ ORDER BY sim DESC, cent_id).
+
+    Scale shape: ground truth is the bounded-query GEMM partial-top-k
+    (O(|Q|·corpus), the standard eval price, |Q| capped at 512);
+    assignment is the map-only closure-codebook matmul; the curve
+    aggregate joins |Q|·5 truth rows against a ≤|Q|·16 probe relation —
+    broadcast-size both sides at any corpus scale."""
+    emb = _embeddings_spread(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    codebook = [
+        (int(r["vec_id"]), list(r["v"]))
+        for r in emb.filter(F.col("vec_id") % 31 == 0)
+        .orderBy("vec_id")
+        .limit(_MAX_CODEBOOK)
+        .collect()
+    ]
+    nearest_cell, nearest_cells = ivf_assign_udfs(codebook, nprobe=16)
+    assign = emb.select("vec_id", nearest_cell("v").alias("cent_id"))
+    proberank = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .orderBy("vec_id")
+        .limit(_MAX_QUERY_BATCH)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.posexplode(nearest_cells("v")).alias("pos", "cent_id"),
+        )
+        .select("q_id", "cent_id", (F.col("pos") + 1).alias("cellrank"))
+    )
+    truth = ann_cosine_topk(spark, sf_dir).select("q_id", "n_id")
+    hit = (
+        truth.join(assign, truth.n_id == assign.vec_id)
+        .join(proberank, ["q_id", "cent_id"], "left")
+        .select(
+            "q_id",
+            "n_id",
+            F.coalesce("cellrank", F.lit(1000000)).alias("found_at"),
+        )
+    )
+    curve = hit.crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [(n,) for n in (1, 2, 4, 8, 16)], "nprobe long"
+            )
+        )
+    )
+    return curve.groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.sum((F.col("found_at") <= F.col("nprobe")).cast("long"))
+        .cast("long")
+        .alias("n_found"),
+        F.expr(
+            "(1000 * sum(CASE WHEN found_at <= nprobe THEN 1 ELSE 0 END))"
+            " div count(1)"
+        )
+        .cast("long")
+        .alias("recall_permille"),
+    )
