@@ -53,11 +53,17 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 #   slots 32-50: 19 of the 47-key round-5 tail, events_cusum_alarm first
 #     (it ceded its r7 slot to stats_anova_f), then events/experiments
 #     families.
-#   round 9 finishes the rest: the remaining 28 backlog keys + this
-#     round's additions (rationed to <= 22 so r9's 50 slots cover
-#     everything; after r9 every registry key has a driver row and
-#     rotation returns to oldest-green-first refresh, starting with the
-#     r4-vintage §2 zip keys).
+#   round 9 finishes the rest: FIRST the three green keys whose engine
+#     changed in r8 without a slot (stats_ks_statistic,
+#     dq_distribution_drift, mixture_rates_for_budget — all three got
+#     decimal(38,0)/HUGEINT headroom fixes in the same sweep that fixed
+#     the five in-window keys; sf0.001 parity + the sf0.01 audit cover
+#     them meanwhile — the curriculum_quantile_order precedent), then
+#     the remaining 28 backlog keys + this round's additions (rationed
+#     to <= 22 so r9's 50 slots cover everything; after r9 every
+#     registry key has a driver row and rotation returns to
+#     oldest-green-first refresh, starting with the r4-vintage §2 zip
+#     keys).
 # All keys outside the window remain value-verified by the sf0.001
 # oracle-parity suite on every test run plus the round-end sf0.01 sweep
 # and the type+overflow audit (scripts/audit_oracle_types.py).

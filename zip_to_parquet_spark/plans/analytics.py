@@ -730,10 +730,11 @@ _MIX_CASE = "CASE source " + " ".join(
       FROM avail
     )
     SELECT source, n_tokens AS n_tokens_avail, target_tokens,
-           least(1000000, (target_tokens * 1000000) // n_tokens)
-             AS rate_micro,
-           (n_tokens * least(1000000, (target_tokens * 1000000) // n_tokens))
-             // 1000000 AS planned_tokens
+           least(1000000, (target_tokens::HUGEINT * 1000000) // n_tokens)
+             ::BIGINT AS rate_micro,
+           ((n_tokens * least(1000000,
+                (target_tokens::HUGEINT * 1000000) // n_tokens))
+             // 1000000)::BIGINT AS planned_tokens
     FROM plan
     """,
 )
@@ -767,7 +768,10 @@ def mixture_rates_for_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.least(
         F.lit(1_000_000).cast("bigint"),
-        F.expr("(target_tokens * 1000000L) div _n"),
+        F.expr(
+            "cast((cast(target_tokens as decimal(38,0)) * 1000000)"
+            " div _n as bigint)"
+        ),
     )
     return plan.select(
         "source",
@@ -775,7 +779,10 @@ def mixture_rates_for_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_tokens",
         rate.alias("rate_micro"),
         F.expr(
-            "(_n * least(1000000L, (target_tokens * 1000000L) div _n)) div 1000000L"
+            "cast((cast(_n as decimal(38,0))"
+            " * least(cast(1000000 as decimal(38,0)),"
+            " (cast(target_tokens as decimal(38,0)) * 1000000) div _n))"
+            " div 1000000 as bigint)"
         ).alias("planned_tokens"),
     )
 

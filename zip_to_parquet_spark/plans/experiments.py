@@ -1047,7 +1047,12 @@ def bh_fdr_hour_cells(cells: DataFrame, alpha_num: int = 1, alpha_den: int = 20)
     and denominator dev24² — no CDF, no erf, no float p ever exists.
     The BH step-up check at rank i, ``p ≤ i·α/m``, cross-multiplies to
     ``23n·α_den·m ≤ i·α_num·dev24²`` in DECIMAL(38,0)/HUGEINT — exact
-    at any scale. The ONLY doubles are the ordering key dev24²/n
+    at any scale, as is ``p_milli`` (its dev24² also squares in
+    DECIMAL(38,0) ↔ HUGEINT; the quotient is ≤1000 by the least()).
+    The raw rational columns (p_num, p_den) stay BIGINT and are exact
+    while dev24 < 2^31.5, i.e. n_type ≲ 1.3e8 rows per hypothesis
+    group — the documented-headroom convention of the sibling keys;
+    p_milli and the rejection verdicts have no such limit. The ONLY doubles are the ordering key dev24²/n
     (monotone in 1/p): IEEE multiply+divide of integer-valued doubles
     is correctly rounded and bit-identical across JVM and C engines, so
     the rank sequence (ties broken on event_type, hr) matches the
@@ -1090,7 +1095,8 @@ def bh_fdr_hour_cells(cells: DataFrame, alpha_num: int = 1, alpha_den: int = 20)
         F.expr(
             "case when dev24 = 0 then 1000"
             " else least(cast(1000 as bigint),"
-            " (23 * n * 1000) div (dev24 * dev24)) end"
+            " cast((cast(23 as decimal(38,0)) * n * 1000)"
+            " div (cast(dev24 as decimal(38,0)) * dev24) as bigint)) end"
         )
         .cast("long")
         .alias("p_milli"),
@@ -1142,7 +1148,8 @@ def bh_fdr_hour_cells(cells: DataFrame, alpha_num: int = 1, alpha_den: int = 20)
            (23 * h.n)::BIGINT AS p_num,
            (h.dev24 * h.dev24)::BIGINT AS p_den,
            (CASE WHEN h.dev24 = 0 THEN 1000
-                 ELSE least(1000, (23 * h.n * 1000) // (h.dev24 * h.dev24))
+                 ELSE least(1000, (23::HUGEINT * h.n * 1000)
+                                    // (h.dev24::HUGEINT * h.dev24))
             END)::BIGINT AS p_milli,
            h.rank_i::BIGINT AS rank_i,
            (h.rank_i <= cut.i_star) AS rejected

@@ -3332,8 +3332,8 @@ def dedup_apss_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.source, s.n_docs, s.w_scaled,
            (1000 * s.n_docs) // tot.n_tot AS natural_permille,
            (1000 * s.w_scaled) // tot.w_tot AS temp_permille,
-           (1000000 * s.w_scaled * tot.n_tot)
-             // (tot.w_tot * s.n_docs) AS boost_micro
+           ((1000000::HUGEINT * s.w_scaled * tot.n_tot)
+             // (tot.w_tot::HUGEINT * s.n_docs))::BIGINT AS boost_micro
     FROM s, tot
     """,
 )
@@ -3376,7 +3376,10 @@ def mixture_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_scaled",
         F.expr("(1000 * n_docs) div n_tot").cast("long").alias("natural_permille"),
         F.expr("(1000 * w_scaled) div w_tot").cast("long").alias("temp_permille"),
-        F.expr("(1000000 * w_scaled * n_tot) div (w_tot * n_docs)")
+        F.expr(
+            "cast((cast(1000000 as decimal(38,0)) * w_scaled * n_tot)"
+            " div (cast(w_tot as decimal(38,0)) * n_docs) as bigint)"
+        )
         .cast("long")
         .alias("boost_micro"),
     )
@@ -3656,9 +3659,9 @@ def corpus_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.r, c.n_r,
            nx.n_r AS n_r_plus1,
            CASE WHEN nx.n_r IS NULL THEN NULL
-                ELSE ((1000 * (c.r + 1) * nx.n_r) // c.n_r)::BIGINT
+                ELSE ((1000::HUGEINT * (c.r + 1) * nx.n_r) // c.n_r)::BIGINT
            END AS r_star_milli,
-           ((1000000 * c.r * c.n_r) // t.n_tokens)::BIGINT
+           ((1000000::HUGEINT * c.r * c.n_r) // t.n_tokens)::BIGINT
              AS mass_ppm
     FROM coc c
     LEFT JOIN coc nx ON nx.r = c.r + 1
@@ -3710,10 +3713,16 @@ def lm_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_r_plus1",
             F.when(F.col("n_r_plus1").isNull(), F.lit(None).cast("long"))
             .otherwise(
-                F.expr("(1000 * (r + 1) * n_r_plus1) div n_r").cast("long")
+                F.expr(
+                    "cast((cast(1000 as decimal(38,0)) * (r + 1)"
+                    " * n_r_plus1) div n_r as bigint)"
+                ).cast("long")
             )
             .alias("r_star_milli"),
-            F.expr("(1000000 * r * n_r) div n_tokens")
+            F.expr(
+                "cast((cast(1000000 as decimal(38,0)) * r * n_r)"
+                " div n_tokens as bigint)"
+            )
             .cast("long")
             .alias("mass_ppm"),
         )

@@ -565,14 +565,14 @@ def _drift_oracle() -> str:
       FROM ob FULL OUTER JOIN nb ON ob.bucket = nb.bucket
     )
     SELECT bucket, n_old, n_new,
-           (n_old * 1000000 // t_old)::BIGINT AS p_ppm,
-           (n_new * 1000000 // t_new)::BIGINT AS q_ppm,
-           CASE WHEN n_old * 1000000 // t_old > 0
-                 AND n_new * 1000000 // t_new > 0 THEN
-             floor(((n_old * 1000000 // t_old)
-                    - (n_new * 1000000 // t_new))::DOUBLE / 1000000.0
-                   * ln((n_old * 1000000 // t_old)::DOUBLE
-                        / (n_new * 1000000 // t_new)::DOUBLE)
+           (n_old::HUGEINT * 1000000 // t_old)::BIGINT AS p_ppm,
+           (n_new::HUGEINT * 1000000 // t_new)::BIGINT AS q_ppm,
+           CASE WHEN n_old::HUGEINT * 1000000 // t_old > 0
+                 AND n_new::HUGEINT * 1000000 // t_new > 0 THEN
+             floor(((n_old::HUGEINT * 1000000 // t_old)
+                    - (n_new::HUGEINT * 1000000 // t_new))::DOUBLE / 1000000.0
+                   * ln((n_old::HUGEINT * 1000000 // t_old)::DOUBLE
+                        / (n_new::HUGEINT * 1000000 // t_new)::DOUBLE)
                    * 1000000.0)::BIGINT
            ELSE NULL END AS psi_micro
     FROM j
@@ -631,8 +631,14 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "n_old",
         "n_new",
-        F.expr("(n_old * 1000000) div t_old").alias("p_ppm"),
-        F.expr("(n_new * 1000000) div t_new").alias("q_ppm"),
+        F.expr(
+            "cast((cast(n_old as decimal(38,0)) * 1000000)"
+            " div t_old as bigint)"
+        ).alias("p_ppm"),
+        F.expr(
+            "cast((cast(n_new as decimal(38,0)) * 1000000)"
+            " div t_new as bigint)"
+        ).alias("q_ppm"),
     )
     psi = F.when(
         (F.col("p_ppm") > 0) & (F.col("q_ppm") > 0),

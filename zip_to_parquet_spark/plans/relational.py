@@ -1625,9 +1625,10 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c) WHERE rr = 1
     )
     SELECT t.na::BIGINT AS n_a, t.nb::BIGINT AS n_b,
-           max(abs(s.ca * t.nb - s.cb * t.na))::BIGINT AS ks_scaled,
-           CAST(max(abs(s.ca * t.nb - s.cb * t.na)) * 1000
-                // (t.na * t.nb) AS BIGINT) AS ks_permille
+           max(abs(s.ca::HUGEINT * t.nb - s.cb::HUGEINT * t.na))::BIGINT AS ks_scaled,
+           CAST(max(abs(s.ca::HUGEINT * t.nb - s.cb::HUGEINT * t.na))
+                  * 1000 // (t.na::HUGEINT * t.nb) AS BIGINT)
+             AS ks_permille
     FROM steps s, tot t
     GROUP BY t.na, t.nb
     """,
@@ -1694,14 +1695,22 @@ def stats_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("na", "nb")
         .agg(
             F.max(
-                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+                F.abs(
+                    F.expr(
+                        "cast(ca as decimal(38,0)) * nb"
+                        " - cast(cb as decimal(38,0)) * na"
+                    )
+                )
             ).cast("long").alias("ks_scaled"),
         )
         .select(
             F.col("na").cast("long").alias("n_a"),
             F.col("nb").cast("long").alias("n_b"),
             "ks_scaled",
-            F.expr("(ks_scaled * 1000) div (na * nb)").alias("ks_permille"),
+            F.expr(
+                "cast((cast(ks_scaled as decimal(38,0)) * 1000)"
+                " div (cast(na as decimal(38,0)) * nb) as bigint)"
+            ).alias("ks_permille"),
         )
     )
 

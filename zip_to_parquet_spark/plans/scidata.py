@@ -1399,7 +1399,8 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, d AS day_star, t_days::BIGINT AS t_days,
            s::BIGINT AS n_total, k::BIGINT AS n_left_days,
            sl::BIGINT AS sum_left, (s - sl)::BIGINT AS sum_right,
-           ((1000 * dev * dev) // (k * (t_days - k) * t_days))::BIGINT
+           ((1000::HUGEINT * dev * dev)
+              // (k::HUGEINT * (t_days - k) * t_days))::BIGINT
              AS bss_milli
     FROM best WHERE rn = 1
     """,
@@ -1413,7 +1414,10 @@ def ts_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness contract: the deviation S*k - SL*T and the emitted
     bss_milli = 1000*dev^2 div (k*(T-k)*T) are pure integer/DECIMAL
-    arithmetic. The argmax ORDERING key is dev^2/(k*(T-k)) as a double:
+    arithmetic (the squaring runs in DECIMAL(38,0) <-> HUGEINT, so
+    intermediates never wrap; the BIGINT output column itself is exact
+    while 1000*BSS < 2^63 — roughly s <~ 3e9 events per type at T~1e3
+    days, the documented-headroom convention). The argmax ORDERING key is dev^2/(k*(T-k)) as a double:
     both engines build it from the same exactly-representable
     integer-valued doubles with one multiply and one divide (correctly
     rounded, bit-identical), and ties — including any two candidates that
@@ -1470,7 +1474,11 @@ def ts_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("n_left_days"),
         F.col("sl").cast("long").alias("sum_left"),
         (F.col("s") - F.col("sl")).cast("long").alias("sum_right"),
-        F.expr("(1000 * dev * dev) div (k * (t_days - k) * t_days)")
+        F.expr(
+            "cast((cast(1000 as decimal(38,0)) * dev * dev)"
+            " div (cast(k as decimal(38,0)) * (t_days - k) * t_days)"
+            " as bigint)"
+        )
         .cast("long")
         .alias("bss_milli"),
     )
@@ -1599,9 +1607,10 @@ def sample_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     more data.
 
     Exactness: integer weight moments (n_chars), milli ratios by integer
-    division. BIGINT holds while sum(w)^2 < 2^63 (~3e9 total chars per
-    source at these weights); past that the moments go DECIMAL-as-string
-    per the repo's overflow rule.
+    division. The ess/deff ratios run in DECIMAL(38,0) (DuckDB's sums
+    are HUGEINT already), exact to ~1e14 total chars per source; the
+    raw w_sum/w2_sum output columns stay BIGINT and are exact while
+    sum(w^2) < 2^63 — the documented-headroom convention.
 
     Scale shape: one map-side-combinable rollup; |sources| output rows;
     no joins, no windows."""
@@ -1613,14 +1622,17 @@ def sample_effective_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w2_sum"),
         F.expr(
-            "(1000 * sum(n_chars) * sum(n_chars))"
-            " div sum(n_chars * n_chars)"
+            "cast((cast(1000 as decimal(38,0)) * sum(n_chars)"
+            " * sum(n_chars)) div sum(cast(n_chars as decimal(38,0))"
+            " * n_chars) as bigint)"
         )
         .cast("long")
         .alias("ess_milli"),
         F.expr(
-            "(1000 * count(*) * sum(n_chars * n_chars))"
-            " div (sum(n_chars) * sum(n_chars))"
+            "cast((cast(1000 as decimal(38,0)) * count(*)"
+            " * sum(cast(n_chars as decimal(38,0)) * n_chars))"
+            " div (cast(sum(n_chars) as decimal(38,0)) * sum(n_chars))"
+            " as bigint)"
         )
         .cast("long")
         .alias("deff_milli"),
