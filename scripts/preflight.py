@@ -86,5 +86,9 @@ if __name__ == "__main__":
         "oracle TYPE + overflow audit @ sf0.01",
         [sys.executable, "scripts/audit_oracle_types.py", "/root/testdata/sf0.01"],
     )
+    run(
+        "static headroom linter (64-bit product sites)",
+        [sys.executable, "scripts/audit_headroom.py"],
+    )
     window_allocation()
     print("\nPREFLIGHT GREEN")

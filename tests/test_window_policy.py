@@ -249,3 +249,19 @@ def test_hot_shingle_guard_sql_in_sync_across_all_oracles():
                 hits += 1
                 assert want in line.strip(), (name, line.strip(), want)
     assert hits >= 5  # jaccard, containment, clusters x2, keep_best
+
+
+def test_headroom_linter_clean():
+    """scripts/audit_headroom.py: no BIGINT product of data-sized columns
+    without 128-bit widening or a whitelisted documented bound (the
+    round-8 overflow-divergence class must not regress)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_headroom",
+        Path(__file__).resolve().parents[1] / "scripts" / "audit_headroom.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main() == 0

@@ -1493,12 +1493,12 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT prio, n::BIGINT AS n, k::BIGINT AS k,
            (total - lo_drop - hi_drop)::BIGINT AS trimmed_sum_cents,
            (n - 2 * k)::BIGINT AS trimmed_n,
-           ((total - lo_drop - hi_drop) * 1000 // (n - 2 * k))::BIGINT
-             AS trimmed_mean_millicents,
+           (((total - lo_drop - hi_drop)::HUGEINT * 1000)
+              // (n - 2 * k))::BIGINT AS trimmed_mean_millicents,
            (total - lo_drop - hi_drop + k * lo_bound + k * hi_bound)::BIGINT
              AS winsor_sum_cents,
-           ((total - lo_drop - hi_drop + k * lo_bound + k * hi_bound)
-             * 1000 // n)::BIGINT AS winsor_mean_millicents
+           (((total - lo_drop - hi_drop + k * lo_bound + k * hi_bound)
+             ::HUGEINT * 1000) // n)::BIGINT AS winsor_mean_millicents
     FROM t
     """,
 )
@@ -1577,13 +1577,16 @@ def stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("k"),
         tsum.cast("long").alias("trimmed_sum_cents"),
         (F.col("n") - 2 * F.col("k")).cast("long").alias("trimmed_n"),
-        F.expr("((total - lo_drop - hi_drop) * 1000) div (n - 2 * k)")
+        F.expr(
+            "cast((cast(total - lo_drop - hi_drop as decimal(38,0)) * 1000)"
+            " div (n - 2 * k) as bigint)"
+        )
         .cast("long")
         .alias("trimmed_mean_millicents"),
         wsum.cast("long").alias("winsor_sum_cents"),
         F.expr(
-            "((total - lo_drop - hi_drop + k * lo_bound + k * hi_bound)"
-            " * 1000) div n"
+            "cast((cast(total - lo_drop - hi_drop + k * lo_bound"
+            " + k * hi_bound as decimal(38,0)) * 1000) div n as bigint)"
         )
         .cast("long")
         .alias("winsor_mean_millicents"),

@@ -1874,7 +1874,8 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
            (n * q - s * s)::BIGINT AS var_num,
            ((n - 1) * s)::BIGINT AS var_den,
            CASE WHEN n < 2 OR s = 0 THEN NULL
-                ELSE (1000 * (n * q - s * s)) // ((n - 1) * s)
+                ELSE (1000::HUGEINT * (n::HUGEINT * q - s::HUGEINT * s))
+                       // ((n - 1)::HUGEINT * s)
            END::BIGINT AS vmr_milli
     FROM m
     """,
@@ -1889,7 +1890,10 @@ def stats_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rational in milli; NULL for degenerate series.
 
     Scale shape: one map-side-combinable (type, day) rollup, one
-    |types|-row reduce. BIGINT holds while n*q < 2^63."""
+    |types|-row reduce. vmr_milli squares in DECIMAL(38,0) <-> HUGEINT
+    (exact at any realistic scale); the raw var_num/var_den columns stay
+    BIGINT and hold while n*q < 2^63 (~3e7 events/day over a year) —
+    the documented-headroom convention."""
     daily = (
         load_table(spark, sf_dir, "events")
         .select("event_type", F.col("ts").cast("date").alias("d"))
@@ -1913,7 +1917,12 @@ def stats_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") < 2) | (F.col("s") == 0), F.lit(None).cast("long")
         )
         .otherwise(
-            F.expr("(1000 * (n * q - s * s)) div ((n - 1) * s)")
+            F.expr(
+                "cast((cast(1000 as decimal(38,0))"
+                " * (cast(n as decimal(38,0)) * q"
+                "    - cast(s as decimal(38,0)) * s))"
+                " div (cast(n - 1 as decimal(38,0)) * s) as bigint)"
+            )
         )
         .cast("long")
         .alias("vmr_milli"),
