@@ -847,3 +847,32 @@ def test_jsonl_shards_failed_overwrite_preserves_old_data(spark, tmp_path):
     binary_df = docs.withColumn("b", F.col("lang").cast("binary"))
     with pytest.raises(Exception, match="binary"):
         write_jsonl_shards(binary_df, str(tmp_path / "bin"))
+
+
+def test_jsonl_stream_abort_tolerates_none_messages(tmp_path):
+    """ADVICE r8: on the task-failure path Spark passes None for tasks
+    that produced no commit message; abort must sweep leftover _tmp_
+    shards without dereferencing them, and must not raise when the sink
+    dir does not exist yet."""
+    import os
+
+    from zip_to_parquet_spark.sources.jsonlsink import JsonlStreamShardWriter
+
+    root = tmp_path / "stream_sink"
+    w = JsonlStreamShardWriter({"path": str(root)})
+
+    # Sink dir absent (job died before any task wrote): no-op, no raise.
+    w.abort([None, None], batchId=0)
+
+    # Leftover temp shards + a mix of None and real commit messages.
+    os.makedirs(root)
+    (root / "_tmp_deadbeef.jsonl").write_text('{"x":1}\n')
+    (root / "_tmp_cafebabe.jsonl").write_text('{"x":2}\n')
+    (root / "keep.jsonl").write_text('{"x":3}\n')
+
+    class Msg:
+        tmp_name = "_tmp_deadbeef.jsonl"
+
+    w.abort([None, Msg(), None], batchId=1)
+    left = sorted(os.listdir(root))
+    assert left == ["keep.jsonl"]  # all temps swept, real data untouched
