@@ -4079,3 +4079,95 @@ def ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget curve: kept mass per quality-score threshold, one pass.
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_token_budget_curve",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             len(string_split(text, ' '))::BIGINT AS n_words,
+             floor((least(len(string_split(text, ' ')) / 400.0, 1.0) * 0.5
+               + least(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','to','in','is','on','for')))::DOUBLE
+                   / greatest(len(string_split(text, ' ')), 1) / 0.05, 1.0) * 0.5
+               ) * 1000)::BIGINT AS score_milli
+      FROM documents
+    ),
+    tot AS (
+      SELECT count(*)::BIGINT AS n_all, sum(n_words)::BIGINT AS w_all FROM q
+    )
+    SELECT (t.i * 100)::BIGINT AS threshold_milli,
+           sum(CASE WHEN q.score_milli >= t.i * 100 THEN 1 ELSE 0 END)
+             ::BIGINT AS n_docs_kept,
+           sum(CASE WHEN q.score_milli >= t.i * 100 THEN q.n_words
+                    ELSE 0 END)::BIGINT AS tokens_kept,
+           ((1000::HUGEINT * sum(CASE WHEN q.score_milli >= t.i * 100
+                                      THEN q.n_words ELSE 0 END))
+              // tot.w_all)::BIGINT AS token_permille
+    FROM q, unnest(range(0, 10)) AS t(i), tot
+    GROUP BY t.i, tot.w_all
+    """,
+)
+def corpus_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget tuning curve: kept document count and token mass at
+    every quality-score threshold (0..900 milli, 100-milli steps), in ONE
+    pass — the planning readout that answers "what cutoff hits our token
+    budget?" before the expensive filter runs (the continuous complement
+    to pipeline_filter_interaction's 2x2). Same composite quality score
+    as ``text_quality_score``, floored once to integer milli (identical
+    IEEE op sequence both engines, one floor).
+
+    Exactness: score_milli is the floor of bit-identical doubles; counts,
+    token sums, and permille ratios are integers (the permille widens
+    through DECIMAL(38,0) <-> HUGEINT per the headroom rule).
+
+    Scale shape: the score is map-only; the curve is a 10-way broadcast
+    fan-out + one map-side-combinable rollup with 10 output rows —
+    every threshold costs one CASE, not one corpus pass."""
+    d = load_table(spark, sf_dir, "documents")
+    w = textops.words(F.col("text"))
+    length_term = F.least(F.size(w) / 400.0, F.lit(1.0))
+    stop_term = F.least(textops.stopword_ratio(w) / 0.05, F.lit(1.0))
+    q = d.select(
+        F.size(w).cast("long").alias("n_words"),
+        F.floor((length_term * 0.5 + stop_term * 0.5) * 1000)
+        .cast("long")
+        .alias("score_milli"),
+    )
+    thresholds = spark.createDataFrame(
+        [(i * 100,) for i in range(10)], "threshold_milli long"
+    )
+    tot = q.agg(F.sum("n_words").cast("long").alias("w_all"))
+    kept = F.sum(
+        F.when(
+            F.col("score_milli") >= F.col("threshold_milli"),
+            F.col("n_words"),
+        ).otherwise(F.lit(0))
+    )
+    return (
+        q.crossJoin(F.broadcast(thresholds))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("threshold_milli", "w_all")
+        .agg(
+            F.sum(
+                (F.col("score_milli") >= F.col("threshold_milli")).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("n_docs_kept"),
+            kept.cast("long").alias("tokens_kept"),
+            F.expr(
+                "cast((cast(1000 as decimal(38,0))"
+                " * sum(CASE WHEN score_milli >= threshold_milli"
+                " THEN n_words ELSE 0 END)) div w_all as bigint)"
+            )
+            .cast("long")
+            .alias("token_permille"),
+        )
+        .drop("w_all")
+    )

@@ -1927,3 +1927,110 @@ def stats_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("vmr_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified sample allocation from pilot variance.
+# ---------------------------------------------------------------------------
+_NEYMAN_BUDGET = 10_000
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH g AS (
+      SELECT source,
+             count(*)::HUGEINT AS n_h,
+             sum(n_chars)::HUGEINT AS s_h,
+             sum(n_chars::HUGEINT * n_chars) AS q_h
+      FROM documents GROUP BY source
+    ),
+    v AS (
+      SELECT source, n_h, s_h,
+             CASE WHEN n_h < 2 THEN 0
+                  ELSE ((n_h * q_h - s_h * s_h) * 1000000)
+                         // (n_h * (n_h - 1))
+             END AS var_micro
+      FROM g
+    ),
+    w AS (
+      SELECT source, n_h,
+             (var_micro)::BIGINT AS var_micro,
+             floor(sqrt(var_micro::DOUBLE))::BIGINT AS sd_milli,
+             (n_h * floor(sqrt(var_micro::DOUBLE))::HUGEINT) AS weight
+      FROM v
+    ),
+    tot AS (SELECT sum(weight) AS w_tot FROM w)
+    SELECT w.source, w.n_h::BIGINT AS n_h, w.var_micro, w.sd_milli,
+           w.weight::BIGINT AS weight,
+           (({_NEYMAN_BUDGET}::HUGEINT * w.weight) // tot.w_tot)::BIGINT
+             AS alloc_docs,
+           ((1000::HUGEINT * w.weight) // tot.w_tot)::BIGINT
+             AS alloc_permille
+    FROM w, tot
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation n_h ∝ N_h·S_h (Neyman 1934):
+    given a 10,000-doc labeling/eval budget, how many docs each source
+    stratum gets so the stratified mean's variance is minimal — the
+    sampling family's planning step (ht_estimate executes a design,
+    effective_size diagnoses one, THIS designs one) from pilot variance
+    of doc length.
+
+    Exactness contract: per-stratum variance is the exact integer
+    rational (N·Q − S²)·1e6 div (N(N−1)) in HUGEINT ↔ DECIMAL(38,0);
+    S_h is pinned to the INTEGER floor(sqrt(var_micro)) — sqrt is
+    IEEE-correctly-rounded in both engines and var_micro is an
+    exactly-representable integer while < 2^53 (documented bound:
+    length-variance·1e6 — holds to ~95M-char docs), floored once; the
+    allocation and permille are integer divisions over integer weight
+    sums, order-independent.
+
+    Scale shape: one map-side-combinable moment rollup per source, a
+    1-row total broadcast, |sources| output rows. No windows, no joins
+    beyond the broadcast scalar, no collect."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast(D38).alias("n_h"),
+        F.sum("n_chars").cast(D38).alias("s_h"),
+        F.sum(F.expr("cast(n_chars as decimal(38,0)) * n_chars")).alias(
+            "q_h"
+        ),
+    )
+    v = g.select(
+        "source",
+        "n_h",
+        F.expr(
+            "CASE WHEN n_h < 2 THEN cast(0 as decimal(38,0))"
+            " ELSE ((n_h * q_h - s_h * s_h) * 1000000)"
+            " div (n_h * (n_h - 1)) END"
+        ).alias("var_micro"),
+    )
+    w = v.select(
+        "source",
+        "n_h",
+        F.col("var_micro").cast("long").alias("var_micro"),
+        F.floor(F.sqrt(F.col("var_micro").cast("double")))
+        .cast("long")
+        .alias("sd_milli"),
+    ).withColumn(
+        "weight",
+        F.expr("n_h * cast(sd_milli as decimal(38,0))"),
+    )
+    tot = w.agg(F.sum("weight").alias("w_tot"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_h").cast("long").alias("n_h"),
+        "var_micro",
+        "sd_milli",
+        F.col("weight").cast("long").alias("weight"),
+        F.expr(
+            f"cast((cast({_NEYMAN_BUDGET} as decimal(38,0)) * weight)"
+            " div w_tot as bigint)"
+        ).alias("alloc_docs"),
+        F.expr(
+            "cast((cast(1000 as decimal(38,0)) * weight)"
+            " div w_tot as bigint)"
+        ).alias("alloc_permille"),
+    )
