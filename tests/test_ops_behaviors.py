@@ -502,3 +502,52 @@ def test_int8_quant_error_bounds(spark):
         # every vector has at least its amax element exactly representable,
         # so errors can't be maximal everywhere
         assert r["sum_err_micro"] < 500000 * r["n_elems"]
+
+
+def test_int8_quant_error_empty_vector_parity(spark, tmp_path):
+    """ADVICE r8: an EMPTY embedding array must short-circuit to 0
+    identically in both engines. Without the size(embedding)=0 guard,
+    DuckDB's list_max([]) is NULL (whole CASE -> NULL) while Spark's
+    aggregate([], 0L, +) is 0 — a latent parity break the real fixture
+    (no degenerate rows) can never expose. This test builds the
+    degenerate fixture and runs the REAL query + REAL oracle on it."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.parity import rows_multiset
+    from zip_to_parquet_spark.plans import all_oracle_sql, all_queries
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[], [0.0, 0.0, 0.0], [1.0, -2.0, 0.5]],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0, 1], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    sdf = all_queries()["vector_int8_quant_error"](spark, str(tmp_path))
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+    res = con.execute(all_oracle_sql()["vector_int8_quant_error"])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+    con.close()
+
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert rows_multiset(sdf.columns, spark_rows) == rows_multiset(
+        duck_cols, duck_rows
+    )
+    # And the degenerate rows landed where they should: label 0 holds the
+    # empty + zero vectors -> zero error, zero saturation, 3 elems total.
+    by_label = {r[0]: r for r in spark_rows}
+    assert by_label[0][3] == 0 and by_label[0][5] == 0

@@ -1503,13 +1503,13 @@ def quality_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
       SELECT vec_id, label,
         len(embedding)::BIGINT AS n_dims,
-        CASE WHEN amax = 0 THEN 0 ELSE
+        CASE WHEN len(embedding) = 0 OR amax = 0 THEN 0 ELSE
           list_sum(list_transform(embedding, x ->
             floor(abs((x::DOUBLE * 127 / amax)
                       - floor((x::DOUBLE * 127 / amax) + 0.5)) * 1000000)
             ::BIGINT))
         END AS err_micro,
-        CASE WHEN amax = 0 THEN 0 ELSE
+        CASE WHEN len(embedding) = 0 OR amax = 0 THEN 0 ELSE
           len(list_filter(embedding, x ->
             abs(floor((x::DOUBLE * 127 / amax) + 0.5)) >= 127))
         END AS n_sat
@@ -1538,7 +1538,11 @@ def vector_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     two IEEE double ops (multiply, divide) on exactly-upcast float32
     values plus floor — every engine computes them bit-identically
     (round = floor(v + 0.5), same expression both sides; no libm).
-    amax = 0 (zero vector) short-circuits to zero error.
+    amax = 0 (zero vector) short-circuits to zero error, and so does an
+    EMPTY embedding array — guarded explicitly on size(embedding) = 0 in
+    both engines, because without the guard the two diverge on the
+    degenerate row: DuckDB's list_max([]) is NULL so the whole CASE
+    yields NULL, while Spark's aggregate([], 0L, +) yields 0.
 
     Scale shape: map-only higher-order expressions (transform /
     aggregate / filter) inside the scan stage — per-vector work never
@@ -1548,7 +1552,7 @@ def vector_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     amax = "array_max(transform(embedding, x -> abs(cast(x as double))))"
     err = f"""
-      CASE WHEN {amax} = 0D THEN 0L ELSE
+      CASE WHEN size(embedding) = 0 OR {amax} = 0D THEN 0L ELSE
         aggregate(
           transform(embedding, x ->
             cast(floor(abs((cast(x as double) * 127 / {amax})
@@ -1557,7 +1561,7 @@ def vector_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
           0L, (acc, v) -> acc + v)
       END"""
     nsat = f"""
-      CASE WHEN {amax} = 0D THEN 0L ELSE
+      CASE WHEN size(embedding) = 0 OR {amax} = 0D THEN 0L ELSE
         cast(size(filter(embedding, x ->
           abs(floor((cast(x as double) * 127 / {amax}) + 0.5d)) >= 127D))
         as bigint)

@@ -1777,17 +1777,17 @@ def ts_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY 1
     )
     SELECT d.event_type, t.n_days,
-           sum((1000 * d.x - p.s_milli)
-               * (1000 * d.x - p.s_milli))::BIGINT AS ss_resid,
-           sum((1000 * d.x - t.mean_milli)
-               * (1000 * d.x - t.mean_milli))::BIGINT AS ss_dev,
-           CASE WHEN sum((1000 * d.x - t.mean_milli)
-                         * (1000 * d.x - t.mean_milli)) = 0 THEN NULL
+           sum((1000 * d.x - p.s_milli)::HUGEINT
+               * (1000 * d.x - p.s_milli)::HUGEINT)::BIGINT AS ss_resid,
+           sum((1000 * d.x - t.mean_milli)::HUGEINT
+               * (1000 * d.x - t.mean_milli)::HUGEINT)::BIGINT AS ss_dev,
+           CASE WHEN sum((1000 * d.x - t.mean_milli)::HUGEINT
+                         * (1000 * d.x - t.mean_milli)::HUGEINT) = 0 THEN NULL
                 ELSE (1000
-                      - (1000 * sum((1000 * d.x - p.s_milli)
-                                    * (1000 * d.x - p.s_milli)))
-                        // sum((1000 * d.x - t.mean_milli)
-                               * (1000 * d.x - t.mean_milli)))
+                      - (1000 * sum((1000 * d.x - p.s_milli)::HUGEINT
+                                    * (1000 * d.x - p.s_milli)::HUGEINT))
+                        // sum((1000 * d.x - t.mean_milli)::HUGEINT
+                               * (1000 * d.x - t.mean_milli)::HUGEINT))
            END::BIGINT AS strength_milli
     FROM daily d
     JOIN dowp p ON p.event_type = d.event_type AND p.dow = d.di % 7
@@ -1812,8 +1812,11 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: corpus-sized stage = the (type, day) rollup; the weekly
     profile is 7 rows/type joined back on (type, dow); everything after
-    runs over series length. BIGINT holds while n_days * (1000*x)^2 <
-    2^63 — ~9e5 events/day/type for a decade."""
+    runs over series length. The residual/deviation squares run in
+    decimal(38,0) ↔ HUGEINT (r8 headroom convention — x is a DATA-SIZED
+    daily count, so (1000*x)^2 blows 2^63 at ~3e9 events/day); only the
+    final ss_resid/ss_dev output cast narrows to BIGINT, loudly on both
+    engines (ANSI cast) past 2^63."""
     daily = (
         load_table(spark, sf_dir, "events")
         .select(
@@ -1837,8 +1840,10 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dowp), ["event_type", "dow"])
         .join(F.broadcast(tot), "event_type")
     )
-    resid = 1000 * F.col("x") - F.col("s_milli")
-    dev = 1000 * F.col("x") - F.col("mean_milli")
+    resid = (1000 * F.col("x") - F.col("s_milli")).cast("decimal(38,0)")
+    dev = (1000 * F.col("x") - F.col("mean_milli")).cast("decimal(38,0)")
+    w = "cast(1000 * x - s_milli as decimal(38,0))"
+    v = "cast(1000 * x - mean_milli as decimal(38,0))"
     return j.groupBy("event_type", "n_days").agg(
         F.sum(resid * resid).cast("long").alias("ss_resid"),
         F.sum(dev * dev).cast("long").alias("ss_dev"),
@@ -1846,8 +1851,7 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(
             1000
             - F.expr(
-                "(1000 * sum((1000 * x - s_milli) * (1000 * x - s_milli)))"
-                " div sum((1000 * x - mean_milli) * (1000 * x - mean_milli))"
+                f"cast((1000 * sum({w} * {w})) div sum({v} * {v}) as long)"
             )
         )
         .cast("long")

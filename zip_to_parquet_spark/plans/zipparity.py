@@ -175,6 +175,11 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       integrity through parquet encode/decode.
     - ``content_sum``: order-independent exact-integer digest
       (md5-low-5-bytes of name|hash, summed) over the read-back rows.
+      The 2^40-bounded digests are summed in decimal(38,0) ↔ HUGEINT
+      (never 64-bit, per the repo headroom convention), so the sum is
+      exact at any member count; the final BIGINT output cast is exact
+      to ~2^23 (~8.4M) members and past that BOTH engines fail loudly
+      (ANSI cast) rather than silently diverging.
 
     Scale shape: the single-file mode is the reference-parity path (a
     deliberate driver funnel through toLocalIterator's bounded stream);
@@ -210,7 +215,11 @@ def sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("body_hash_ok"),
-        F.sum(F.expr(md5_low_bytes_sql("concat(name, '|', hash)", 5)))
+        F.sum(
+            F.expr(md5_low_bytes_sql("concat(name, '|', hash)", 5)).cast(
+                "decimal(38,0)"
+            )
+        )
         .cast("long")
         .alias("content_sum"),
     )
