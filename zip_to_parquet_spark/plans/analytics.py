@@ -1631,6 +1631,154 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kendall rank correlation (tau-a exact, tau-b as signed square).
+# ---------------------------------------------------------------------------
+@query(
+    "stats_kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS prio, o_orderdate::DATE AS d,
+             count(*)::BIGINT AS cnt,
+             sum((o_totalprice::DECIMAL(12,2) * 100)::BIGINT)::BIGINT
+               AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.prio,
+             CASE WHEN (a.cnt < b.cnt AND a.rev < b.rev)
+                    OR (a.cnt > b.cnt AND a.rev > b.rev) THEN 1 ELSE 0
+             END AS conc,
+             CASE WHEN (a.cnt < b.cnt AND a.rev > b.rev)
+                    OR (a.cnt > b.cnt AND a.rev < b.rev) THEN 1 ELSE 0
+             END AS disc,
+             CASE WHEN a.cnt = b.cnt AND a.rev <> b.rev THEN 1 ELSE 0
+             END AS tie_x,
+             CASE WHEN a.rev = b.rev AND a.cnt <> b.cnt THEN 1 ELSE 0
+             END AS tie_y
+      FROM daily a JOIN daily b
+        ON a.prio = b.prio AND a.d < b.d
+    ),
+    m AS (
+      SELECT prio, count(*)::HUGEINT AS n0,
+             sum(conc)::HUGEINT AS nc, sum(disc)::HUGEINT AS nd,
+             sum(tie_x)::HUGEINT AS n1, sum(tie_y)::HUGEINT AS n2
+      FROM p GROUP BY prio
+    )
+    SELECT prio, n0::BIGINT AS n_pairs, nc::BIGINT AS concordant,
+           nd::BIGINT AS discordant, n1::BIGINT AS ties_x_only,
+           n2::BIGINT AS ties_y_only,
+           ((CASE WHEN nc >= nd THEN 1 ELSE -1 END)
+            * ((1000 * abs(nc - nd)) // n0))::BIGINT AS tau_a_milli,
+           CASE WHEN n0 = n1 OR n0 = n2 THEN NULL
+                ELSE (CASE WHEN nc >= nd THEN 1 ELSE -1 END)
+                     * ((1000 * (nc - nd) * (nc - nd))
+                        // ((n0 - n1) * (n0 - n2)))
+           END::BIGINT AS tau_b2_signed_milli
+    FROM m
+    """,
+)
+def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation between daily order volume and daily
+    revenue per priority — the pair-counting complement to
+    stats_spearman_daily: tau's concordant/discordant statistic has a
+    direct probabilistic reading (P[agree] − P[disagree]) and is the
+    better-behaved estimator under many ties. Exact integer outputs:
+    concordant / discordant / x-only-tie / y-only-tie pair counts,
+    tau-a in truncated milli (sign carried separately so both engines
+    truncate the same non-negative quotient), and tau-b as the
+    Spearman-convention SIGNED SQUARE sign·1000·(nc−nd)² div
+    ((n0−n1)(n0−n2)) — tau-b itself needs a square root. NULL when
+    either tie-corrected denominator term is zero (a constant series).
+
+    Exactness contract: pure pair counting — no division until the two
+    final milli quantizations; moments in HUGEINT ↔ decimal(38,0) (n0 ~
+    d² and (nc−nd)² ~ d⁴ — 38 digits holds past a 10^9-day series).
+
+    Scale shape: the corpus-sized stage is the map-side-combinable
+    (priority, day) rollup; the O(d²) pair join runs over SERIES LENGTH
+    d (days — policy-bounded, not data-sized), partitioned by priority,
+    exactly like the reference quadratic in stats_spearman's family.
+    For calendar series, d ≈ 10⁴ even over decades → ≤ 10⁸ pairs per
+    group, a single in-core join at any corpus size."""
+    dec = "decimal(38,0)"
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").cast("date").alias("d"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("prio", "d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("cents").cast("long").alias("rev"),
+        )
+    )
+    a = daily.select(
+        "prio",
+        F.col("d").alias("da"),
+        F.col("cnt").alias("ca"),
+        F.col("rev").alias("ra"),
+    )
+    b = daily.select(
+        "prio",
+        F.col("d").alias("db"),
+        F.col("cnt").alias("cb"),
+        F.col("rev").alias("rb"),
+    )
+    p = a.join(b, "prio").where(F.col("da") < F.col("db"))
+    conc = (
+        ((F.col("ca") < F.col("cb")) & (F.col("ra") < F.col("rb")))
+        | ((F.col("ca") > F.col("cb")) & (F.col("ra") > F.col("rb")))
+    ).cast("long")
+    disc = (
+        ((F.col("ca") < F.col("cb")) & (F.col("ra") > F.col("rb")))
+        | ((F.col("ca") > F.col("cb")) & (F.col("ra") < F.col("rb")))
+    ).cast("long")
+    tie_x = (
+        (F.col("ca") == F.col("cb")) & (F.col("ra") != F.col("rb"))
+    ).cast("long")
+    tie_y = (
+        (F.col("ra") == F.col("rb")) & (F.col("ca") != F.col("cb"))
+    ).cast("long")
+    m = p.groupBy("prio").agg(
+        F.count(F.lit(1)).cast(dec).alias("n0"),
+        F.sum(conc).cast(dec).alias("nc"),
+        F.sum(disc).cast(dec).alias("nd"),
+        F.sum(tie_x).cast(dec).alias("n1"),
+        F.sum(tie_y).cast(dec).alias("n2"),
+    )
+    sign = F.when(F.col("nc") >= F.col("nd"), F.lit(1)).otherwise(F.lit(-1))
+    return m.select(
+        "prio",
+        F.col("n0").cast("long").alias("n_pairs"),
+        F.col("nc").cast("long").alias("concordant"),
+        F.col("nd").cast("long").alias("discordant"),
+        F.col("n1").cast("long").alias("ties_x_only"),
+        F.col("n2").cast("long").alias("ties_y_only"),
+        (sign * F.expr("(1000 * abs(nc - nd)) div n0"))
+        .cast("long")
+        .alias("tau_a_milli"),
+        F.when(
+            (F.col("n0") == F.col("n1")) | (F.col("n0") == F.col("n2")),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            (
+                sign
+                * F.expr(
+                    "(1000 * (nc - nd) * (nc - nd))"
+                    " div ((n0 - n1) * (n0 - n2))"
+                )
+            ).cast("long")
+        )
+        .alias("tau_b2_signed_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Local clustering coefficients over the part co-purchase graph.
 # ---------------------------------------------------------------------------
 @query(

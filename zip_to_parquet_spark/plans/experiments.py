@@ -461,6 +461,47 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Systematic (interval) sampling: every k-th unit in key order.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_systematic_interval",
+    oracle="""
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS pos
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) % 7 = 3
+    """,
+)
+def sample_systematic_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling (Madow 1944): every k=7th document per lang
+    stratum in doc_id order, fixed start offset 3 — the survey-sampling
+    design a corpus auditor uses when the frame is already ordered and
+    an equal-probability, evenly-SPREAD sample matters (hash sampling
+    clusters by chance; systematic cannot). Deterministic: the frame
+    order is the unique doc_id, so every engine draws the same rows.
+    Complements sample_stratified_exact (hash-ranked quota) — interval
+    vs rank designs over the same strata.
+
+    Scale shape: one stratum-keyed shuffle for the in-stratum ordering
+    (row_number over (lang, doc_id)); the modulus filter is applied in
+    the same stage, so only 1/k of rows leave it. At 100 TB the same
+    design runs as a sort-free two-pass over range-partitioned frames
+    (per-partition counts -> offset prefix sums), but the declarative
+    window form lets AQE pick partitioning and keeps the semantics in
+    one expression."""
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .filter(F.col("pos") % 7 == 3)
+    )
+
+
+# ---------------------------------------------------------------------------
 # LOCF forward-fill: last purchase value carried onto every later event.
 # ---------------------------------------------------------------------------
 @query(

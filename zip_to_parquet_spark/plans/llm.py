@@ -1669,6 +1669,79 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_leakage_neardup",
+    oracle=_DUCK_SHINGLES
+    + _duck_cand_guarded(ordered=False)
+    + """
+    , j AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(x.sh, y.sh))::DOUBLE
+               / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+               AS jaccard
+      FROM cand JOIN s x ON x.doc_id = doc_a JOIN s y ON y.doc_id = doc_b
+      WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+            >= 0.8
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT j.doc_a, j.doc_b, a.split AS split_a, b.split AS split_b,
+           j.jaccard
+    FROM j JOIN sp a ON a.doc_id = j.doc_a
+           JOIN sp b ON b.doc_id = j.doc_b
+    WHERE a.split <> b.split
+    """,
+)
+def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: every near-duplicate pair (exact
+    shingle-Jaccard ≥ 0.8, the dedup_ngram_jaccard detector) that
+    STRADDLES a dataset_split boundary — the contamination check an
+    eval pipeline must run before trusting held-out numbers, because a
+    test document whose near-twin sits in train is a leaked answer
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" measure exactly this failure). Pure COMPOSITION of two
+    driver-verified operators — pipeline.train_val_test_split's md5
+    buckets and dedupe.ngram_jaccard_pairs' guarded inverted index —
+    hash-checked end to end; emits the offending pairs with both split
+    labels so the remediation (quarantine or re-split) is actionable.
+
+    Scale shape: the pair detector's cost profile is dedup_ngram_
+    jaccard's (df-capped inverted index, never all-pairs); the split
+    labels are a stateless map joined onto the pair ends by doc_id —
+    two hash joins on a unique key. The split side is corpus-sized but
+    2 columns, so at 100 TB this is a shuffle join on doc_id, not a
+    broadcast."""
+    d = _documents_spread(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(shingle_sets(d), threshold=0.8)
+    sp = pipeline.train_val_test_split(d).select("doc_id", "split")
+    return (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("split_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("split_b"),
+            ),
+            "doc_b",
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )
+
+
+@query(
     "quality_gopher_rules",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

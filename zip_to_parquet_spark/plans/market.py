@@ -1089,6 +1089,116 @@ def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Page-Hinkley drift detection (adaptive-reference sequential test)
+# ---------------------------------------------------------------------------
+@query(
+    "events_page_hinkley",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS d,
+             count(*)::BIGINT AS cnt,
+             sum((value::DECIMAL(12,2) * 100)::BIGINT)::BIGINT AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, d,
+             (1000 * cents) // cnt AS m_milli,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS t,
+             sum((1000 * cents) // cnt) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING) AS cum_m
+      FROM daily
+    ),
+    dev AS (
+      SELECT event_type, d, t,
+             1000 * m_milli - (1000 * cum_m) // t - 50000000 AS dv
+      FROM s
+    ),
+    pre AS (
+      SELECT event_type, d, t,
+             sum(dv) OVER (PARTITION BY event_type ORDER BY d
+                           ROWS UNBOUNDED PRECEDING) AS cum_dv
+      FROM dev
+    ),
+    ph AS (
+      SELECT event_type, t,
+             cum_dv - least(0, min(cum_dv) OVER (
+               PARTITION BY event_type ORDER BY d
+               ROWS UNBOUNDED PRECEDING)) AS ph_micro
+      FROM pre
+    )
+    SELECT event_type, count(*)::BIGINT AS n_days,
+           sum(CASE WHEN ph_micro > 2000000000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_alarms,
+           max(ph_micro)::BIGINT AS max_ph_micro,
+           min(CASE WHEN ph_micro > 2000000000 THEN t END)::BIGINT
+             AS first_alarm_t
+    FROM ph GROUP BY event_type
+    """,
+)
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detection on the daily MEAN event value per
+    type — the sequential test a data-quality monitor runs on an
+    INTENSITY metric (mean value is scale-free: it does not grow with
+    corpus size, unlike counts). Where events_cusum_alarm tests against
+    a FIXED reference, Page-Hinkley's reference is the RUNNING MEAN of
+    the series so far — the standard formulation (Page 1954, §Hinkley
+    1971 variant): PHₜ = Σ(xᵢ − x̄ᵢ − δ) − min≤ₜ Σ(...), alarm when
+    PHₜ > λ.
+
+    Exactness contract: daily means quantize to MILLI-cents by
+    truncating division (positive operands — div ↔ //), the running
+    mean of those to MICRO-cents the same way; deviations (which may
+    be negative) are then summed and run-min'd only — no further
+    division, so the sign-convention caveat never arises. δ = 50¢ and
+    λ = $20 in micro-cents are policy constants (λ sized so the fixture
+    series alarms on some types and not others — a discriminative
+    threshold, not a tripwire).
+
+    Scale shape: the corpus-sized stage is one map-side-combinable
+    (type, day) rollup; the three stacked prefix windows run over
+    SERIES LENGTH per type on one type-keyed shuffle (the cusum
+    closed-form trick — running mean, prefix sum, and running min are
+    all windowed, no sequential collect); k-row output."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("d"),
+                _cents("value").alias("cents"))
+        .groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    wseq = Window.partitionBy("event_type").orderBy("d")
+    wrun = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = daily.withColumn(
+        "m_milli", F.expr("(1000 * cents) div cnt")
+    ).withColumn("t", F.row_number().over(wseq)).withColumn(
+        "cum_m", F.sum("m_milli").over(wrun)
+    )
+    dev = s.withColumn(
+        "dv",
+        F.expr("1000 * m_milli - (1000 * cum_m) div t - 50000000"),
+    )
+    ph = (
+        dev.withColumn("cum_dv", F.sum("dv").over(wrun))
+        .withColumn("runmin", F.min(F.sum("dv").over(wrun)).over(wrun))
+        .withColumn(
+            "ph_micro",
+            F.col("cum_dv") - F.least(F.lit(0), F.col("runmin")),
+        )
+    )
+    alarm = F.col("ph_micro") > 2000000000
+    return ph.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarms"),
+        F.max("ph_micro").cast("long").alias("max_ph_micro"),
+        F.min(F.when(alarm, F.col("t"))).cast("long").alias("first_alarm_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Period-over-period reporting: MoM and YoY revenue deltas
 # ---------------------------------------------------------------------------
 @query(

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from zip_to_parquet_spark.plans.registry import query
 from zip_to_parquet_spark.runtime import spread
@@ -154,6 +155,146 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f_permille").cast("long").alias("f_permille"),
         F.col("n").cast("long").alias("n_total"),
         F.col("k").cast("long").alias("k_groups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H (rank one-way ANOVA, exact fixed point over histograms)
+# ---------------------------------------------------------------------------
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS grp, count(*)::BIGINT AS x
+      FROM events GROUP BY event_type, ts::DATE
+    ),
+    h AS (SELECT grp, x, count(*)::HUGEINT AS w FROM daily GROUP BY 1, 2),
+    hv AS (SELECT x, sum(w) AS w_v FROM h GROUP BY x),
+    hv2 AS (
+      SELECT x, w_v,
+             coalesce(sum(w_v) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM hv
+    ),
+    g AS (
+      SELECT h.grp, sum(h.w)::HUGEINT AS n_g,
+             sum(h.w * (2 * hv2.cb + hv2.w_v + 1))::HUGEINT AS r2_g
+      FROM h JOIN hv2 USING (x) GROUP BY h.grp
+    ),
+    tot AS (
+      SELECT sum(n_g) AS n, count(*)::HUGEINT AS k,
+             sum((r2_g * r2_g) // (4 * n_g)) AS sum_t
+      FROM g
+    ),
+    tie AS (
+      SELECT sum(w_v * w_v * w_v - w_v)::HUGEINT AS tie_cubed FROM hv2
+    ),
+    fin AS (
+      SELECT n, k, tie_cubed,
+             (12000 * sum_t) // (n * (n + 1)) - 3000 * (n + 1) AS h0_milli
+      FROM tot, tie
+    ),
+    fin2 AS (
+      SELECT n, k, tie_cubed, h0_milli,
+             CASE WHEN n * n * n - n - tie_cubed = 0 THEN NULL
+                  ELSE (h0_milli * (n * n * n - n))
+                       // (n * n * n - n - tie_cubed)
+             END AS h_milli
+      FROM fin
+    )
+    SELECT g.grp AS event_type, g.n_g::BIGINT AS n_days,
+           g.r2_g::BIGINT AS r2_sum, fin2.n::BIGINT AS n_total,
+           fin2.k::BIGINT AS k_groups, fin2.tie_cubed::BIGINT AS tie_cubed,
+           fin2.h0_milli::BIGINT AS h0_milli, fin2.h_milli::BIGINT AS h_milli
+    FROM g, fin2
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across event types on the daily count series —
+    the rank-based (distribution-free) counterpart of stats_anova_f,
+    the k-sample test a metrics pipeline reaches for when daily counts
+    are heavy-tailed and the normality behind F is indefensible.
+
+    Rank handling: all (type, day) observations rank GLOBALLY over the
+    shared value HISTOGRAM — an observation with value v gets doubled
+    midrank 2r = 2·cum_below(v) + w(v) + 1, always an integer (the
+    Spearman/AUC identity), so per-group rank sums r2_g are exact.
+    Quantization contract, in order: T_g = r2_g² div (4·n_g) (one
+    truncating division per group), H₀_milli = (12000·ΣT_g) div
+    (N(N+1)) − 3000(N+1), and the tie-corrected H_milli = (H₀_milli ·
+    (N³−N)) div (N³−N−Σ(t³−t)) — each step a truncating division of
+    non-negative-dominant operands evaluated identically by ``div`` ↔
+    ``//``; tie_cubed is emitted raw so the correction is auditable.
+    NULL H when ties consume the whole denominator (all values equal).
+
+    Scale shape: one map-side-combinable (type, day) rollup is the only
+    corpus-sized stage; ranking runs over the VALUE HISTOGRAM (distinct
+    daily-count values), never raw rows — one cumulative window over
+    that histogram, a broadcast of two 1-row totals, k-row output.
+    decimal(38,0) ↔ HUGEINT throughout: r2_g² ~ 4N⁴ stays inside 38
+    digits past a 10⁸-observation series."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .select(F.col("event_type").alias("grp"), "x")
+    )
+    h = daily.groupBy("grp", "x").agg(
+        F.count(F.lit(1)).cast(D38).alias("w")
+    )
+    hv = h.groupBy("x").agg(F.sum("w").cast(D38).alias("w_v"))
+    wcum = (
+        Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hv2 = hv.withColumn(
+        "cb", F.coalesce(F.sum("w_v").over(wcum), F.lit(0).cast(D38))
+    )
+    g = (
+        h.join(hv2, "x")
+        .groupBy("grp")
+        .agg(
+            F.sum("w").cast(D38).alias("n_g"),
+            F.sum(
+                F.col("w")
+                * (2 * F.col("cb") + F.col("w_v") + 1)
+            )
+            .cast(D38)
+            .alias("r2_g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = g.agg(
+        F.sum("n_g").cast(D38).alias("n"),
+        F.count(F.lit(1)).cast(D38).alias("k"),
+        F.sum(F.expr("(r2_g * r2_g) div (4 * n_g)")).cast(D38).alias("sum_t"),
+    )
+    tie = hv2.agg(
+        F.sum(F.expr("w_v * w_v * w_v - w_v")).cast(D38).alias("tie_cubed")
+    )
+    fin = (
+        tot.crossJoin(F.broadcast(tie))
+        .withColumn(
+            "h0_milli",
+            F.expr("(12000 * sum_t) div (n * (n + 1)) - 3000 * (n + 1)"),
+        )
+        .withColumn(
+            "h_milli",
+            F.expr(
+                "CASE WHEN n * n * n - n - tie_cubed = 0 THEN NULL"
+                " ELSE (h0_milli * (n * n * n - n))"
+                " div (n * n * n - n - tie_cubed) END"
+            ),
+        )
+    )
+    return g.crossJoin(F.broadcast(fin)).select(
+        F.col("grp").alias("event_type"),
+        F.col("n_g").cast("long").alias("n_days"),
+        F.col("r2_g").cast("long").alias("r2_sum"),
+        F.col("n").cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("tie_cubed").cast("long").alias("tie_cubed"),
+        F.col("h0_milli").cast("long").alias("h0_milli"),
+        F.col("h_milli").cast("long").alias("h_milli"),
     )
 
 
