@@ -36,88 +36,85 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 # changed than the window holds, every slot must at least be spent on a
 # changed key.
 #
-# ROUND-8 pin (this round): burn-down round 1 of 2 for the 76-key
-# never-driver-checked backlog (VERDICT r7 asks 1-2).
-#   slot 1: curriculum_quantile_order — the ONE key whose engine changed
-#     in r7 (operators/stats.py NULL filter, shared cumulative_value_counts
-#     helper) without a fresh driver row.
-#   slot 2: sink_parquet_roundtrip — NEW this round (VERDICT ask 4): A4's
-#     write->read->verify loop, closing the last pytest-only SURVEY §2 row.
-#   slots 3-5: the three keys whose engine changed THIS round (must be in
-#     the window per policy): dedup_apss_prefix (cos2_micro through
-#     decimal(38,0) — ADVICE overflow-headroom fix), sample_ht_estimate
-#     (dropped the float double-division — ADVICE integer-exactness fix),
-#     text_boilerplate_lines (refactored onto
-#     operators.textops.boilerplate_line_stats; plan unchanged).
-#   slots 6-31: the remaining 26 round-7 keys, never driver-checked.
-#   slots 32-50: 19 of the 47-key round-5 tail, events_cusum_alarm first
-#     (it ceded its r7 slot to stats_anova_f), then events/experiments
-#     families.
-#   round 9 finishes the rest: FIRST the three green keys whose engine
-#     changed in r8 without a slot (stats_ks_statistic,
-#     dq_distribution_drift, mixture_rates_for_budget — all three got
-#     decimal(38,0)/HUGEINT headroom fixes in the same sweep that fixed
-#     the five in-window keys; sf0.001 parity + the sf0.01 audit cover
-#     them meanwhile — the curriculum_quantile_order precedent), then
-#     the remaining 28 backlog keys + this round's additions (rationed
-#     to <= 22 so r9's 50 slots cover everything; after r9 every
-#     registry key has a driver row and rotation returns to
-#     oldest-green-first refresh, starting with the r4-vintage §2 zip
-#     keys).
+# ROUND-10 pin (committed FIRST this round per VERDICT r9 ask #1; the r9
+# round ran on the stale r8 pin, so this window clears the whole debt):
+#   slots 1-3: the three keys whose engine changed in r8 (decimal(38,0)/
+#     HUGEINT headroom sweep) without a post-change driver row —
+#     stats_ks_statistic, dq_distribution_drift, mixture_rates_for_budget.
+#     Two rounds of policy debt; first in line.
+#   slots 4-45: the 42 never-driver-checked backlog keys (exact list from
+#     `python scripts/window_pin.py` at r10 start), alphabetical. This
+#     includes vector_int8_quant_error (empty-array short-circuit fixed in
+#     b226561 — changed code, never driver-checked) and the five r9
+#     additions (stats_kendall_tau_daily, stats_kruskal_wallis,
+#     sample_systematic_interval, split_leakage_neardup,
+#     events_page_hinkley).
+#   slots 46-50: oldest-green-first refresh (VERDICT r8 ask #3 / r9 ask #1):
+#     the §2 zip keys riding on round-4 driver evidence — zip_explode_hash,
+#     zip_glob_members, zip_null_projection, zip_union_sources,
+#     zip_count_members — re-anchoring reference parity (builder.rs:171-226
+#     semantics) on a current driver run.
+# Arithmetic: 3 changed + 42 backlog + 5 refresh = 50 = window size; after
+# this round the never-checked backlog is 0 and rotation becomes pure
+# oldest-green-first (scripts/window_pin.py emits the r11 list
+# mechanically). New-key ration this round: 0 (backlog-first policy).
 # All keys outside the window remain value-verified by the sf0.001
 # oracle-parity suite on every test run plus the round-end sf0.01 sweep
 # and the type+overflow audit (scripts/audit_oracle_types.py).
 set_priority([
-    "curriculum_quantile_order",
-    "sink_parquet_roundtrip",
-    "dedup_apss_prefix",
-    "sample_ht_estimate",
-    "text_boilerplate_lines",
-    "stats_bh_fdr_cells",
-    "quality_classifier_auc",
-    "quality_calibration_bins",
-    "quality_classifier_mcnemar",
-    "stats_conformal_coverage",
-    "ts_pinball_loss",
-    "ts_changepoint_binary",
-    "dedup_entity_blocking",
-    "mixture_temperature_rates",
-    "stats_trimmed_mean",
-    "sample_effective_size",
-    "lm_kneser_ney_bigram",
-    "stats_spearman_daily",
-    "privacy_l_diversity",
-    "events_pattern_strict_funnel",
-    "stream_pattern_strict_funnel",
-    "quality_isotonic_pav",
-    "corpus_novelty_by_source",
-    "lm_good_turing_counts",
-    "graph_local_clustering",
-    "ts_seasonal_strength",
-    "sketch_bloom_fpr",
-    "stats_dispersion_index",
-    "events_audience_overlap",
-    "experiment_group_sequential",
-    "dedup_threshold_curve",
-    "events_cusum_alarm",
-    "events_anomaly_deseasonalized",
-    "events_attribution_linear",
-    "events_attribution_ushape",
-    "events_bot_regularity",
-    "events_cohort_ltv",
-    "events_holt_linear_trend",
-    "events_locf_fill",
-    "events_sequence_pairs",
-    "events_session_paths",
-    "events_session_window_builtin",
-    "events_time_to_convert",
-    "experiment_cuped_adjust",
-    "experiment_diff_in_diff",
-    "experiment_lift_t2",
-    "experiment_srm_check",
-    "experiment_stratified_ate",
-    "dq_freshness_lag",
-    "dq_referential_integrity",
+    # slots 1-3: changed in r8, never re-verified
+    "stats_ks_statistic",
+    "dq_distribution_drift",
+    "mixture_rates_for_budget",
+    # slots 4-45: never-driver-checked backlog (42 keys)
+    "ann_nprobe_curve",
+    "corpus_token_budget_curve",
+    "dq_functional_dependency",
+    "events_gap_log2_histogram",
+    "events_page_hinkley",
+    "experiment_power_mde",
+    "feature_target_encode_loo",
+    "graph_jaccard_linkpred",
+    "multimodal_ahash_dedup",
+    "parts_abc_classification",
+    "pipeline_filter_interaction",
+    "privacy_dp_geometric_counts",
+    "privacy_randomized_response",
+    "recsys_item_item_topn",
+    "retrieval_prf_expansion",
+    "revenue_mom_yoy",
+    "sample_neyman_allocation",
+    "sample_poisson_replicate",
+    "sample_stratified_exact",
+    "sample_systematic_interval",
+    "select_coreset_kcenter",
+    "sketch_count_min",
+    "sketch_hll_registers",
+    "split_group_aware",
+    "split_leakage_neardup",
+    "stats_bootstrap_ci_poisson",
+    "stats_gini_permille",
+    "stats_kaplan_meier",
+    "stats_kendall_tau_daily",
+    "stats_kruskal_wallis",
+    "stats_ols_two_factor",
+    "stats_runs_test",
+    "stats_theil_sen_daily",
+    "stats_zipf_fit",
+    "text_lexical_diversity",
+    "text_rake_keywords",
+    "text_readability_fk",
+    "tokenizer_vocab_coverage",
+    "ts_autocorrelation",
+    "ts_ma_decompose",
+    "ts_rolling_median",
+    "vector_int8_quant_error",
+    # slots 46-50: r4-vintage §2 zip-key refresh (oldest-green-first)
+    "zip_explode_hash",
+    "zip_glob_members",
+    "zip_null_projection",
+    "zip_union_sources",
+    "zip_count_members",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]
