@@ -14,22 +14,33 @@ manually-maintained JSON to rot:
 * the code the driver verified = the tree at the commit that ADDED that
   round's CORRECTNESS file (the driver commits results on the final tree
   of the round);
-* implementing code per key   = the transitive package-import closure of
-  the key's defining plans module (deferred in-function imports
-  included — the regex scans whole sources);
-* changed                     = ``git diff`` from that commit to the
-  WORKING TREE touches any file in the closure (so the test bites before
-  commit, not after).
+* implementing code per key   = FUNCTION-granular since round 10
+  (VERDICT r9 ask #2 — module-level granularity let r9's additive edits
+  mark 296 keys changed, trip the |C| > 50 escape hatch, and pass on a
+  stale pin): each package file is parsed into top-level UNITS (defs with
+  their decorators, name-binding statements, loose statements); a key's
+  implementing code is the set of defs transitively reachable from its
+  registered function through a name-reference graph over the package;
+* changed                     = any reachable def's SOURCE SEGMENT differs
+  between the round commit (``git show``) and the WORKING TREE (so the
+  test bites before commit, not after), or a referenced module-level
+  binding changed, or a loose statement changed in a file of the key's
+  import closure (file-level fallback — loose code can affect anything).
+  Appending a NEW function to a module no longer flags the module's
+  existing keys.
 
 Rule: with C = changed-or-never-verified keys and W = the first-50
 window — if |C| ≤ 50 then C ⊆ W (every changed key gets a driver row
 next round); if |C| > 50 the window can't hold them all, so every slot
 must at least be SPENT on a changed key (prioritization, the best any
-round can do).
+round can do).  Additionally (VERDICT r9 ask #2b): while any key has
+NEVER held a driver row, the pinned window must not equal the previous
+round's CORRECTNESS key set — the exact stale-pin state r9 shipped in.
 """
 
 from __future__ import annotations
 
+import ast
 import json
 import re
 import subprocess
@@ -129,6 +140,148 @@ def _round_commit(rnd: int) -> str | None:
 # green in that round counts as changed, which is loud.
 _ALL_CHANGED = object()
 
+_WORD = re.compile(r"[A-Za-z_]\w*")
+
+
+def parse_units(src: str) -> tuple[dict[str, str], dict[str, str], list[str]]:
+    """Split a module into top-level units for function-granular diffing.
+
+    Returns ``(defs, binds, loose)``:
+
+    * ``defs``  — def/class name → source segment INCLUDING decorators (so
+      an oracle literal inside ``@query(..., oracle=...)`` is part of the
+      function's unit);
+    * ``binds`` — module-level bound name (assignment target or import
+      alias) → concatenation of the statements binding it;
+    * ``loose`` — segments of statements binding nothing (bare calls,
+      if-blocks, …) — changes here fall back to file granularity.
+    """
+    lines = src.splitlines(keepends=True)
+    defs: dict[str, str] = {}
+    binds: dict[str, str] = {}
+    loose: list[str] = []
+
+    def seg(node: ast.stmt, include_decorators: bool = False) -> str:
+        start = node.lineno
+        if include_decorators and getattr(node, "decorator_list", None):
+            start = min([start] + [d.lineno for d in node.decorator_list])
+        return "".join(lines[start - 1 : node.end_lineno])
+
+    for node in ast.parse(src).body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            defs[node.name] = defs.get(node.name, "") + seg(node, True)
+            continue
+        names: list[str] = []
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            names = [(a.asname or a.name).split(".")[0] for a in node.names]
+        elif isinstance(node, ast.Assign):
+            names = [
+                n.id
+                for t in node.targets
+                for n in ast.walk(t)
+                if isinstance(n, ast.Name)
+            ]
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+            names = [
+                n.id for n in ast.walk(node.target) if isinstance(n, ast.Name)
+            ]
+        if names:
+            for n in names:
+                binds[n] = binds.get(n, "") + seg(node)
+        else:
+            loose.append(seg(node))
+    return defs, binds, loose
+
+
+def diff_units(
+    old_src: str | None, new_src: str | None
+) -> tuple[set[str], set[str], bool]:
+    """(changed def names, changed bind names, loose-changed?) between two
+    versions of a file.  An unparseable or absent side marks everything on
+    the other side changed (loud, never silent)."""
+
+    def parse(src: str | None):
+        if src is None:
+            return None
+        try:
+            return parse_units(src)
+        except SyntaxError:
+            return None
+
+    old, new = parse(old_src), parse(new_src)
+    if old is None or new is None:
+        got = old or new
+        if got is None:
+            return set(), set(), True
+        return set(got[0]), set(got[1]), True
+    odefs, obinds, oloose = old
+    ndefs, nbinds, nloose = new
+    cdefs = {
+        n
+        for n in set(odefs) | set(ndefs)
+        if odefs.get(n) != ndefs.get(n)
+    }
+    cbinds = {
+        n
+        for n in set(obinds) | set(nbinds)
+        if obinds.get(n) != nbinds.get(n)
+    }
+    return cdefs, cbinds, sorted(oloose) != sorted(nloose)
+
+
+def _git_blob(sha: str, rel: str) -> str | None:
+    try:
+        return _git("show", f"{sha}:{rel}")
+    except subprocess.CalledProcessError:
+        return None  # file did not exist at that commit
+
+
+class _RefGraph:
+    """Name-reference graph over the working tree: which defs does a key's
+    registered function transitively mention?  Token matching is a sound
+    over-approximation (a name collision adds edges, never removes them)."""
+
+    def __init__(self) -> None:
+        self.units: dict[str, tuple[dict[str, str], dict[str, str], list[str]]] = {}
+        for f in (REPO / PKG).rglob("*.py"):
+            rel = str(f.relative_to(REPO))
+            try:
+                self.units[rel] = parse_units(f.read_text())
+            except SyntaxError:
+                self.units[rel] = ({}, {}, [f.read_text()])
+        # def name → [(file, name)] across the package
+        self.def_index: dict[str, list[tuple[str, str]]] = {}
+        self.tokens: dict[tuple[str, str], set[str]] = {}
+        for rel, (defs, _binds, _loose) in self.units.items():
+            for name, segment in defs.items():
+                self.def_index.setdefault(name, []).append((rel, name))
+                self.tokens[(rel, name)] = set(_WORD.findall(segment))
+        self._reach_cache: dict[tuple[str, str], tuple[set, set]] = {}
+
+    def reach(self, rel: str, fn_name: str) -> tuple[set, set] | None:
+        """→ (visited def (file,name) pairs, union of referenced tokens),
+        or None if the function is not a top-level def in that file."""
+        if (rel, fn_name) not in self.tokens:
+            return None
+        if (rel, fn_name) in self._reach_cache:
+            return self._reach_cache[(rel, fn_name)]
+        visited: set[tuple[str, str]] = set()
+        toks: set[str] = set()
+        stack = [(rel, fn_name)]
+        while stack:
+            node = stack.pop()
+            if node in visited:
+                continue
+            visited.add(node)
+            t = self.tokens[node]
+            toks |= t
+            for tok in t:
+                for target in self.def_index.get(tok, ()):
+                    if target not in visited:
+                        stack.append(target)
+        self._reach_cache[(rel, fn_name)] = (visited, toks)
+        return visited, toks
+
 
 def compute_changed_keys() -> tuple[set[str], dict[str, int], list[str]]:
     """(changed keys, key → last green round, registry order).
@@ -139,21 +292,38 @@ def compute_changed_keys() -> tuple[set[str], dict[str, int], list[str]]:
     from zip_to_parquet_spark.plans import all_queries
     from zip_to_parquet_spark.plans.registry import key_modules
 
-    keys = list(all_queries())
+    qs = all_queries()
+    keys = list(qs)
     modules = key_modules()
     closure = _import_closure()
     green = _last_green_rounds()
+    graph = _RefGraph()
 
-    # Changed files since each round's driver run (vs the WORKING TREE),
-    # computed once per distinct round.
-    changed_since: dict[int, object] = {}
+    # Per round: which units changed between the round's driver commit and
+    # the WORKING TREE — (set[(file, def)], set[bind name], set[loose-dirty
+    # file]) — computed once per distinct round, only over files git says
+    # differ at all.
+    round_units: dict[int, object] = {}
     for rnd in set(green.values()):
         sha = _round_commit(rnd)
-        changed_since[rnd] = (
-            set(_git("diff", "--name-only", sha, "--", PKG).splitlines())
-            if sha
-            else _ALL_CHANGED
-        )
+        if sha is None:
+            round_units[rnd] = _ALL_CHANGED
+            continue
+        files = set(_git("diff", "--name-only", sha, "--", PKG).splitlines())
+        cdefs: set[tuple[str, str]] = set()
+        cbinds: set[str] = set()
+        dirty_files: set[str] = set()
+        for rel in files:
+            if not rel.endswith(".py"):
+                dirty_files.add(rel)
+                continue
+            wt = (REPO / rel).read_text() if (REPO / rel).exists() else None
+            d, b, loose = diff_units(_git_blob(sha, rel), wt)
+            cdefs |= {(rel, n) for n in d}
+            cbinds |= {(rel, n) for n in b}
+            if loose:
+                dirty_files.add(rel)
+        round_units[rnd] = (cdefs, cbinds, dirty_files, files)
 
     changed: set[str] = set()
     for key in keys:
@@ -161,12 +331,29 @@ def compute_changed_keys() -> tuple[set[str], dict[str, int], list[str]]:
         if key not in green:
             changed.add(key)  # never had a driver row
             continue
-        since = changed_since[green[key]]
-        if since is _ALL_CHANGED:
+        units = round_units[green[key]]
+        if units is _ALL_CHANGED:
             changed.add(key)  # round commit unknown → assume changed (loud)
             continue
+        cdefs, cbinds, dirty_files, git_files = units
         files = closure.get(mod_file, {mod_file})
-        if files & since:
+        if files & dirty_files:
+            changed.add(key)  # loose module-level change → file fallback
+            continue
+        reach = graph.reach(mod_file, qs[key].__name__)
+        if reach is None:
+            # Registered function is not a top-level def we can segment →
+            # file-level fallback (loud, never silent).
+            if files & git_files:
+                changed.add(key)
+            continue
+        visited, toks = reach
+        # A changed module-level binding (constant / import alias) counts
+        # only when it lives in a file of the key's import closure AND a
+        # reachable def references its name — a reshuffled import block in
+        # an unrelated module must not flag the whole registry.
+        bind_hit = any(f in files and n in toks for f, n in cbinds)
+        if visited & cdefs or bind_hit:
             changed.add(key)
     return changed, green, keys
 
@@ -231,6 +418,76 @@ def test_window_policy_detects_plan_module_edit(tmp_path):
     assert f"{PKG}/schema.py" in closure[llm_file]
     zip_file = _module_file(modules["zip_explode_hash"])
     assert f"{PKG}/sources/zipsource.py" in closure[zip_file]
+
+
+def test_pin_not_stale_while_backlog_nonempty():
+    """VERDICT r9 ask #2b: while any key has never held a driver row, the
+    pinned window must differ from the previous round's CORRECTNESS key
+    set.  This is the exact state round 9 shipped in (stale r8 pin, 42-key
+    backlog) — the old policy test passed on it; this one cannot."""
+    changed, green, keys = compute_changed_keys()
+    never = [k for k in keys if k not in green]
+    if not never:
+        return  # backlog clear — oldest-green-first rotation takes over
+    rounds = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    assert rounds, "no driver history yet"
+    prev = set(json.loads(rounds[-1].read_text()))
+    window = set(keys[:WINDOW])
+    assert window != prev, (
+        f"{len(never)} never-driver-checked keys exist but the pinned "
+        f"window is byte-identical to {rounds[-1].name}'s key set — the "
+        f"driver sweep would re-verify already-green keys; re-pin "
+        f"set_priority (scripts/window_pin.py prints the suggestion)"
+    )
+
+
+def test_function_granular_diff_additive_edit_not_flagged():
+    """VERDICT r9 ask #2a: appending a new function must not flag existing
+    defs; editing a def (or its decorator, or a module constant) flags
+    exactly that unit."""
+    base = (
+        "import os\n"
+        "A = 1\n"
+        "@query('k')\n"
+        "def f(spark, sf):\n"
+        "    return A\n"
+    )
+    # additive append: only the new def is changed
+    d, b, loose = diff_units(base, base + "\ndef g():\n    return 2\n")
+    assert d == {"g"} and not b and not loose
+    # body edit: only f
+    d, b, loose = diff_units(base, base.replace("return A", "return A + 1"))
+    assert d == {"f"} and not b and not loose
+    # decorator edit (e.g. the oracle literal): still flags f
+    d, _, _ = diff_units(
+        base, base.replace("@query('k')", "@query('k', oracle='SELECT 2')")
+    )
+    assert d == {"f"}
+    # constant edit: flags the bind, not the def
+    d, b, loose = diff_units(base, base.replace("A = 1", "A = 2"))
+    assert not d and b == {"A"} and not loose
+    # import reshuffle: flags import binds only
+    d, b, loose = diff_units(base, base.replace("import os", "import os, re"))
+    assert not d and b == {"os", "re"} and not loose
+    # loose statement (e.g. a bare call) changes → file-level fallback
+    d, b, loose = diff_units(base, base + "print('x')\n")
+    assert loose and not d and not b
+    # unparseable side → everything loud
+    d, b, loose = diff_units(base, "def broken(:\n")
+    assert loose and d == {"f"} and b == {"os", "A"}
+
+
+def test_refgraph_reaches_operator_helpers():
+    """The name-reference graph must tie a key's registered function to the
+    operator helpers it calls (transitively) so an operator edit flags the
+    keys built on it."""
+    graph = _RefGraph()
+    reach = graph.reach(f"{PKG}/plans/llm.py", "ann_pq_topk")
+    assert reach is not None
+    visited, toks = reach
+    visited_files = {f for f, _ in visited}
+    assert f"{PKG}/operators/vectors.py" in visited_files
+    assert (f"{PKG}/plans/llm.py", "ann_pq_topk") in visited
 
 
 def test_hot_shingle_guard_sql_in_sync_across_all_oracles():
