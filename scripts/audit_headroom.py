@@ -18,10 +18,11 @@ silently, is the one that most needs the guard):
    false-positives on upstream CTE casts; DuckDB's loud BIGINT-overflow
    error is the runtime backstop for partial-widening keys like the r8
    bh_fdr case);
-2. every top-level function in ``plans/*.py`` SOURCE, function
-   granularity — this is where the Spark-side expressions (``F.expr``
-   strings, Column arithmetic) live; a widening marker anywhere in the
-   function body clears it.
+2. every top-level function in ``plans/*.py`` AND ``operators/*.py``
+   SOURCE, function granularity — this is where the Spark-side
+   expressions (``F.expr`` strings, Column arithmetic) live, including
+   the operator helpers composed keys delegate to (ADVICE r9); a
+   widening marker anywhere in the function body clears it.
 
 Patterns:
 
@@ -32,10 +33,10 @@ Patterns:
 
 Hits survive unless the site is in the whitelist below (reviewed by hand:
 either the operands are provably bounded constants/policy knobs, or the
-docstring documents the 2^63 envelope). Whitelist entries match the
-FLAGGED FRAGMENT (substring either way), not the whole text, so one
-whitelisted site cannot suppress a different, future hit in the same key
-(ADVICE r8). Entries that no longer match any current hit are themselves
+docstring documents the 2^63 envelope). A whitelist entry matches only
+when its fragment appears IN the flagged fragment — one-directional, so
+a long whitelist entry cannot suppress a distinct shorter future hit
+that happens to be its substring (ADVICE r8, tightened per ADVICE r9). Entries that no longer match any current hit are themselves
 reported as STALE and fail the run — dead whitelist lines are how linters
 rot (VERDICT r8 ask #6).
 
@@ -56,12 +57,19 @@ sys.path.insert(0, str(REPO))
 
 # Hand-reviewed sites where 64-bit arithmetic is provably safe or the
 # envelope is documented in the key's docstring. Format: (key-or-
-# file:function, substring of the FLAGGED fragment — or a superstring of
-# it; matching is substring-either-way against the fragment itself).
+# file:function, substring of the FLAGGED fragment; matching is
+# one-directional — the entry must appear in the fragment).
 WHITELIST: set[tuple[str, str]] = {
     # per-element products of bounded fixture weights; docstring documents
-    # the BIGINT output-column bound (w2_sum < 2^63).
-    ("sample_effective_size", "sum(n_chars * n_chars)"),
+    # the BIGINT output-column bound (w2_sum < 2^63). Fragment narrowed to
+    # the bare product when matching became one-directional (ADVICE r9):
+    # the SELF_PRODUCT pattern flags `n_chars * n_chars` with and without
+    # the enclosing sum().
+    ("sample_effective_size", "n_chars * n_chars"),
+    # float64 numpy arithmetic (squared-L2 per Arrow batch) — the integer
+    # wraparound class this linter polices cannot occur in doubles.
+    ("zip_to_parquet_spark/operators/vectors.py:pq_encode_udf",
+     "diff * diff"),
     # y in {0,1}: y * n_rows == n_rows, no growth.
     ("feature_target_encode_loo", "sum(y * n_rows)"),
     # Four r8-era entries (retrieval_rrf_fuse, lm_good_turing_counts,
@@ -93,9 +101,7 @@ def scan_text(
         for m in pat.finditer(text):
             frag = m.group(0).strip()
             matched = [
-                w
-                for w in WHITELIST
-                if w[0] == owner and (w[1] in frag or frag in w[1])
+                w for w in WHITELIST if w[0] == owner and w[1] in frag
             ]
             if matched:
                 used.update(matched)
@@ -106,12 +112,18 @@ def scan_text(
 def scan_plans_sources(
     hits: list[tuple[str, str]], used: set[tuple[str, str]]
 ) -> None:
-    """Scan each top-level function in plans/*.py at function granularity.
+    """Scan each top-level function in plans/*.py and operators/*.py at
+    function granularity.
 
-    The Spark-side expressions live in these bodies; widening markers
-    (``decimal(38`` / ``D38``) anywhere in the function clear it, same
-    rationale as the whole-oracle rule."""
-    for f in sorted((REPO / "zip_to_parquet_spark" / "plans").glob("*.py")):
+    The Spark-side expressions live in these bodies — including the
+    operator helpers that composed keys delegate to (ADVICE r9); widening
+    markers (``decimal(38`` / ``D38``) anywhere in the function clear it,
+    same rationale as the whole-oracle rule."""
+    pkg = REPO / "zip_to_parquet_spark"
+    files = sorted((pkg / "plans").glob("*.py")) + sorted(
+        (pkg / "operators").glob("*.py")
+    )
+    for f in files:
         src = f.read_text()
         rel = f.relative_to(REPO)
         for node in ast.parse(src).body:

@@ -1651,10 +1651,8 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN (a.cnt < b.cnt AND a.rev > b.rev)
                     OR (a.cnt > b.cnt AND a.rev < b.rev) THEN 1 ELSE 0
              END AS disc,
-             CASE WHEN a.cnt = b.cnt AND a.rev <> b.rev THEN 1 ELSE 0
-             END AS tie_x,
-             CASE WHEN a.rev = b.rev AND a.cnt <> b.cnt THEN 1 ELSE 0
-             END AS tie_y
+             CASE WHEN a.cnt = b.cnt THEN 1 ELSE 0 END AS tie_x,
+             CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS tie_y
       FROM daily a JOIN daily b
         ON a.prio = b.prio AND a.d < b.d
     ),
@@ -1665,8 +1663,8 @@ def stats_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p GROUP BY prio
     )
     SELECT prio, n0::BIGINT AS n_pairs, nc::BIGINT AS concordant,
-           nd::BIGINT AS discordant, n1::BIGINT AS ties_x_only,
-           n2::BIGINT AS ties_y_only,
+           nd::BIGINT AS discordant, n1::BIGINT AS ties_x,
+           n2::BIGINT AS ties_y,
            ((CASE WHEN nc >= nd THEN 1 ELSE -1 END)
             * ((1000 * abs(nc - nd)) // n0))::BIGINT AS tau_a_milli,
            CASE WHEN n0 = n1 OR n0 = n2 THEN NULL
@@ -1683,12 +1681,15 @@ def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats_spearman_daily: tau's concordant/discordant statistic has a
     direct probabilistic reading (P[agree] − P[disagree]) and is the
     better-behaved estimator under many ties. Exact integer outputs:
-    concordant / discordant / x-only-tie / y-only-tie pair counts,
-    tau-a in truncated milli (sign carried separately so both engines
-    truncate the same non-negative quotient), and tau-b as the
-    Spearman-convention SIGNED SQUARE sign·1000·(nc−nd)² div
-    ((n0−n1)(n0−n2)) — tau-b itself needs a square root. NULL when
-    either tie-corrected denominator term is zero (a constant series).
+    concordant / discordant / tie pair counts, tau-a in truncated milli
+    (sign carried separately so both engines truncate the same
+    non-negative quotient), and tau-b as the Spearman-convention SIGNED
+    SQUARE sign·1000·(nc−nd)² div ((n0−n1)(n0−n2)) — tau-b itself needs
+    a square root. Tie counts follow the STANDARD tau-b convention
+    (Kendall 1945): n1 = pairs tied in x, n2 = pairs tied in y, each
+    INCLUDING pairs tied in both variables, so tau_b2_signed_milli is
+    scipy's tau-b squared (milli, truncated). NULL when either
+    tie-corrected denominator term is zero (a constant series).
 
     Exactness contract: pure pair counting — no division until the two
     final milli quantizations; moments in HUGEINT ↔ decimal(38,0) (n0 ~
@@ -1737,12 +1738,8 @@ def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("ca") < F.col("cb")) & (F.col("ra") > F.col("rb")))
         | ((F.col("ca") > F.col("cb")) & (F.col("ra") < F.col("rb")))
     ).cast("long")
-    tie_x = (
-        (F.col("ca") == F.col("cb")) & (F.col("ra") != F.col("rb"))
-    ).cast("long")
-    tie_y = (
-        (F.col("ra") == F.col("rb")) & (F.col("ca") != F.col("cb"))
-    ).cast("long")
+    tie_x = (F.col("ca") == F.col("cb")).cast("long")
+    tie_y = (F.col("ra") == F.col("rb")).cast("long")
     m = p.groupBy("prio").agg(
         F.count(F.lit(1)).cast(dec).alias("n0"),
         F.sum(conc).cast(dec).alias("nc"),
@@ -1756,8 +1753,8 @@ def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").cast("long").alias("n_pairs"),
         F.col("nc").cast("long").alias("concordant"),
         F.col("nd").cast("long").alias("discordant"),
-        F.col("n1").cast("long").alias("ties_x_only"),
-        F.col("n2").cast("long").alias("ties_y_only"),
+        F.col("n1").cast("long").alias("ties_x"),
+        F.col("n2").cast("long").alias("ties_y"),
         (sign * F.expr("(1000 * abs(nc - nd)) div n0"))
         .cast("long")
         .alias("tau_a_milli"),

@@ -1150,10 +1150,14 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating division (positive operands — div ↔ //), the running
     mean of those to MICRO-cents the same way; deviations (which may
     be negative) are then summed and run-min'd only — no further
-    division, so the sign-convention caveat never arises. δ = 50¢ and
-    λ = $20 in micro-cents are policy constants (λ sized so the fixture
-    series alarms on some types and not others — a discriminative
-    threshold, not a tripwire).
+    division, so the sign-convention caveat never arises. The
+    cumulative terms (cum_m, cum_dv) are decimal(38,0) on the Spark
+    side to mirror DuckDB's automatic BIGINT→HUGEINT window-sum
+    escalation — 128-bit headroom by construction, no 2^63 envelope to
+    police (r8 convention). δ = 50¢ and λ = $20 in micro-cents are
+    policy constants (λ sized so the fixture series alarms on some
+    types and not others — a discriminative threshold, not a
+    tripwire).
 
     Scale shape: the corpus-sized stage is one map-side-combinable
     (type, day) rollup; the three stacked prefix windows run over
@@ -1172,14 +1176,15 @@ def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wseq = Window.partitionBy("event_type").orderBy("d")
     wrun = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec = "decimal(38,0)"
     s = daily.withColumn(
         "m_milli", F.expr("(1000 * cents) div cnt")
     ).withColumn("t", F.row_number().over(wseq)).withColumn(
-        "cum_m", F.sum("m_milli").over(wrun)
+        "cum_m", F.sum(F.col("m_milli").cast(dec)).over(wrun)
     )
     dev = s.withColumn(
         "dv",
-        F.expr("1000 * m_milli - (1000 * cum_m) div t - 50000000"),
+        F.expr("1000 * m_milli - (1000 * cum_m) div t - 50000000").cast(dec),
     )
     ph = (
         dev.withColumn("cum_dv", F.sum("dv").over(wrun))
