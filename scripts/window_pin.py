@@ -18,6 +18,13 @@ Suggested-window ordering when more keys changed than the window holds:
    a key with zero driver history outranks one with a stale green row;
 2. changed previously-green keys, oldest last-green round first (the row
    most likely to have rotted), then registry order.
+
+Once the never-checked backlog is zero and few keys change per round
+(VERDICT r9 ask #7), the top-up branch takes over and the suggestion IS
+the oldest-green-first refresh rotation: changed keys first, then frozen
+keys ordered by last-green round ascending — run this at round start and
+paste the ``--list`` output into ``set_priority`` as the round's first
+commit.
 """
 
 from __future__ import annotations
