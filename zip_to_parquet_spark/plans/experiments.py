@@ -1748,3 +1748,53 @@ def experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             "powered"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling: every class capped to the minority size.
+# ---------------------------------------------------------------------------
+@query(
+    "sample_class_balanced",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    q AS (SELECT min(n) AS n_min FROM c)
+    SELECT doc_id, lang FROM documents, q
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5_number_lower('bal:' || doc_id::VARCHAR)
+                   % 281474976710656, doc_id)
+      <= q.n_min
+    """,
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: cap every ``lang`` class at the
+    MINORITY class's size, drawing the lowest md5-48 hash ranks within
+    each class — the classifier-training prep step (a quality/lang-ID
+    model trained on the raw corpus learns the class prior, not the
+    classes; Japkowicz & Stephen 2002). Completes the sampling-design
+    family: stratified_exact holds per-stratum PROPORTIONS, systematic
+    takes every k-th, this one EQUALIZES the strata. Deterministic:
+    the same ids are drawn on every rerun and every engine, and each
+    class lands at exactly n_min rows.
+
+    Scale shape: one map-side-combinable class-count rollup broadcast
+    back as a 1-row minimum, then ONE class-keyed shuffle for the rank
+    window — the same single-shuffle shape as sample_stratified_exact
+    (substratification would salt a dominant class). The output is
+    k·n_min rows, bounded by the minority class, never the corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    n_min = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.min("n").alias("n_min"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.expr(md5_low_bytes_sql("concat('bal:', cast(doc_id as string))", 6)),
+        "doc_id",
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .crossJoin(F.broadcast(n_min))
+        .filter(F.col("rk") <= F.col("n_min"))
+        .select("doc_id", "lang")
+    )

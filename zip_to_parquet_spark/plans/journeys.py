@@ -1828,3 +1828,123 @@ def events_gap_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap").cast("long").alias("min_gap_us"),
         F.max("gap").cast("long").alias("max_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution: recency-weighted conversion credit.
+# ---------------------------------------------------------------------------
+@query(
+    "events_attribution_time_decay",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts AS conv_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS t_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    j AS (
+      SELECT c.conv_id, t.t_id, t.t_type, t.t_ts,
+             1000000 >> ((epoch_us(c.conv_ts) - epoch_us(t.t_ts))
+                         // 86400000000) AS w
+      FROM conv c JOIN touch t ON c.user_id = t.user_id
+      WHERE t.t_ts < c.conv_ts AND t.t_ts >= c.conv_ts - INTERVAL 7 DAY
+    ),
+    sh1 AS (
+      SELECT conv_id, t_type,
+             (1000 * w) // sum(w) OVER (PARTITION BY conv_id) AS share,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY t_ts DESC, t_id DESC) AS rn
+      FROM j
+    ),
+    shared AS (
+      SELECT conv_id, t_type, share, rn,
+             sum(share) OVER (PARTITION BY conv_id) AS tot_shares
+      FROM sh1
+    )
+    SELECT t_type AS event_type,
+           count(*)::BIGINT AS touches,
+           sum(CASE WHEN rn = 1 THEN 1000 - (tot_shares - share)
+                    ELSE share END)::BIGINT AS credit_milli
+    FROM shared GROUP BY t_type
+    """,
+)
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution — the recency-weighted member of
+    the attribution family (linear = even split, U-shape = position,
+    this = exponential decay): each ``purchase``'s 1000 credit-milli is
+    split across the user's prior 7-day ``view``/``click`` touches with
+    weight halving per day of age (half-life = 1 day), the standard
+    "recent touches close deals" model in marketing analytics.
+
+    Exactness contract: the decay weight is a RIGHT SHIFT —
+    ``1000000 >> gap_days`` (gap in whole days from the exact µs
+    difference, truncating division) — not an exp()/pow() float, so both
+    engines produce identical integer weights (gap 0..6 days → 1000000,
+    500000, …, 15625). Shares quantize by one truncating division per
+    touch; the integer-division remainder goes to the MOST RECENT touch
+    (ties on event_id), so each conversion's credit sums to exactly
+    1000 — the same conservation law events_attribution_linear proves.
+    1000·w ≤ 10⁹ and Σw ≤ touches·10⁶ sit far inside BIGINT for any
+    per-user activity bound (the 7-day lookback caps touches per
+    conversion by policy).
+
+    Scale shape: identical to the linear key — one user-keyed equi-join
+    (per-user fanout bounded by a user's 7-day activity, AQE handles hot
+    users), THREE windows all partitioned by the SAME conv_id key (one
+    shuffle), and a k-row rollup. No corpus-sized window, no collect."""
+    e = load_table(spark, sf_dir, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("t_type"),
+    )
+    j = (
+        conv.join(touch, "user_id")
+        .filter(
+            (F.col("t_ts") < F.col("conv_ts"))
+            & (F.col("t_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .withColumn(
+            "w",
+            F.expr(
+                "shiftright(1000000, cast((unix_micros(conv_ts)"
+                " - unix_micros(t_ts)) div 86400000000 as int))"
+            ),
+        )
+    )
+    wn = Window.partitionBy("conv_id")
+    wr = Window.partitionBy("conv_id").orderBy(
+        F.col("t_ts").desc(), F.col("t_id").desc()
+    )
+    shared = j.select(
+        "conv_id",
+        "t_type",
+        F.expr("1000 * w").alias("nw"),
+        F.sum("w").over(wn).alias("tot"),
+        F.row_number().over(wr).alias("rn"),
+    ).select(
+        "conv_id",
+        "t_type",
+        "rn",
+        F.expr("nw div tot").alias("share"),
+    )
+    shared = shared.withColumn("tot_shares", F.sum("share").over(wn))
+    return shared.groupBy(F.col("t_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("touches"),
+        F.sum(
+            F.when(
+                F.col("rn") == 1,
+                1000 - (F.col("tot_shares") - F.col("share")),
+            ).otherwise(F.col("share"))
+        )
+        .cast("long")
+        .alias("credit_milli"),
+    )

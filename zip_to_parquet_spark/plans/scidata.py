@@ -2179,3 +2179,415 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div w_tot as bigint)"
         ).alias("alloc_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resource-allocation link prediction (exact-rational common-neighbor score)
+# ---------------------------------------------------------------------------
+@query(
+    "graph_resource_allocation",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey u, b.l_partkey v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM und GROUP BY u),
+    nn AS (SELECT count(*) AS n_nodes FROM deg),
+    hub AS (
+      SELECT node FROM deg, nn
+      WHERE deg > 64 AND deg * 1000 > 250 * nn.n_nodes
+    ),
+    undg AS (
+      SELECT und.u, und.v, deg.deg AS deg_v FROM und
+      JOIN deg ON deg.node = und.v
+      LEFT JOIN hub ON hub.node = und.v WHERE hub.node IS NULL
+    ),
+    cn AS (
+      SELECT a.u AS x, b.u AS y, count(*)::BIGINT AS common,
+             sum(1000000 // a.deg_v)::BIGINT AS ra_micro
+      FROM undg a JOIN undg b ON a.v = b.v AND a.u < b.u
+      GROUP BY a.u, b.u
+    ),
+    nonedge AS (
+      SELECT cn.x, cn.y, cn.common, cn.ra_micro FROM cn
+      LEFT JOIN e ON e.u = cn.x AND e.v = cn.y
+      WHERE e.u IS NULL
+    )
+    SELECT x AS u, y AS v, common AS n_common, ra_micro
+    FROM nonedge
+    ORDER BY ra_micro DESC, u, v LIMIT 20
+    """,
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009) on the
+    part co-purchase graph — the DEGREE-WEIGHTED member of the link-
+    prediction family next to graph_jaccard_linkpred's set-overlap
+    score: RA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/deg(z), which discounts
+    hub-mediated evidence (a common neighbor connected to everything
+    carries almost no signal). RA is the exactly-computable sibling of
+    Adamic-Adar (which needs 1/log deg — a float no two libms agree on
+    bit-for-bit): 1/deg sums as one truncating integer division per
+    wedge, ``1000000 div deg(z)`` in micro, identical in both engines.
+
+    Scale shape: identical to the Jaccard key — the wedge join carries
+    the Σdeg² bound with the SAME corpus-relative hub-center guard
+    (deg > 64 AND deg > 250‰ of nodes, mirrored in the oracle; a
+    hub-only pair is missed, and under RA such a pair scores ≈ 0 by
+    construction, so the guard and the score agree about what matters).
+    The center's degree rides the wedge rows (one broadcast join onto
+    the node-sized degree table before the wedge self-join — no
+    post-aggregation re-join needed); existing edges drop via one
+    anti-join; top-20 is TakeOrdered, never a global sort."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        lp.alias("a")
+        .join(lp.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    ).localCheckpoint(eager=True)
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    hub = (
+        deg.crossJoin(F.broadcast(n_nodes))
+        .filter(
+            (F.col("deg") > 64)
+            & (F.col("deg") * 1000 > 250 * F.col("n_nodes"))
+        )
+        .select(F.col("node").alias("v"))
+    )
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    undg = (
+        und.join(F.broadcast(hub), "v", "left_anti")
+        .join(F.broadcast(dv), "v")
+    )
+    cn = (
+        undg.alias("x")
+        .join(undg.alias("y"), F.col("x.v") == F.col("y.v"))
+        .filter(F.col("x.u") < F.col("y.u"))
+        .groupBy(F.col("x.u").alias("cu"), F.col("y.u").alias("cv"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr("1000000 div x.deg_v")).cast("long").alias(
+                "ra_micro"
+            ),
+        )
+    )
+    nonedge = cn.join(
+        e, (e.u == cn.cu) & (e.v == cn.cv), "left_anti"
+    ).select(
+        F.col("cu").alias("u"),
+        F.col("cv").alias("v"),
+        "n_common",
+        "ra_micro",
+    )
+    return nonedge.orderBy(F.col("ra_micro").desc(), "u", "v").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe / Levene test (variance homogeneity, median-centered)
+# ---------------------------------------------------------------------------
+@query(
+    "stats_levene_bf",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS grp, ts::DATE AS d, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT grp, d, x,
+             row_number() OVER (PARTITION BY grp ORDER BY x, d) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM daily
+    ),
+    med AS (
+      SELECT grp,
+             sum(CASE WHEN rn = (n + 1) // 2 THEN x END)
+             + sum(CASE WHEN rn = (n + 2) // 2 THEN x END) AS med2
+      FROM r GROUP BY grp
+    ),
+    z AS (
+      SELECT r.grp, abs(2 * r.x - m.med2)::HUGEINT AS z
+      FROM r JOIN med m ON m.grp = r.grp
+    ),
+    g AS (
+      SELECT grp, count(*)::HUGEINT AS n_g, sum(z) AS s_g,
+             sum(z * z) AS q_g
+      FROM z GROUP BY grp
+    ),
+    g2 AS (
+      SELECT grp, n_g, s_g, q_g, (s_g * 1000) // n_g AS mean_milli FROM g
+    ),
+    tot AS (SELECT sum(n_g) AS n, sum(s_g) AS s, count(*) AS k FROM g2),
+    tot2 AS (SELECT n, k, (s * 1000) // n AS gm_milli FROM tot),
+    ss AS (
+      SELECT sum(g2.n_g * (g2.mean_milli - tot2.gm_milli)
+                        * (g2.mean_milli - tot2.gm_milli)) AS ssb,
+             sum(g2.q_g * 1000000
+                 - g2.n_g * g2.mean_milli * g2.mean_milli) AS ssw,
+             max(tot2.n) AS n, max(tot2.k) AS k
+      FROM g2, tot2
+    ),
+    fin AS (
+      SELECT (ssb * (n - k) * 1000) // (ssw * (k - 1)) AS f_permille, n, k
+      FROM ss
+    )
+    SELECT g2.grp AS event_type, g2.n_g::BIGINT AS n_days,
+           med.med2::BIGINT AS med2_daily, g2.mean_milli::BIGINT
+             AS mean_absdev2_milli,
+           fin.f_permille::BIGINT AS f_permille,
+           fin.n::BIGINT AS n_total, fin.k::BIGINT AS k_groups
+    FROM g2 JOIN med ON med.grp = g2.grp, fin
+    """,
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (Levene's test with MEDIAN centers, Brown &
+    Forsythe 1974) for variance homogeneity of the daily event-count
+    series across event types — the PRECONDITION check of the k-sample
+    family: stats_anova_f assumes equal group variances; this key is
+    the robust test of that assumption (median centering keeps the test
+    valid under the heavy-tailed counts that motivate
+    stats_kruskal_wallis).
+
+    Exactness contract: the group center is the DOUBLED median (odd n →
+    2·mid, even n → lo+hi — two CASE-picked rank positions summed, an
+    integer with no halving division), deviations z = |2x − med2| are
+    exact integers in doubled units, and the Brown-Forsythe statistic
+    is the one-way F on those z's through the stats_anova_f pipeline
+    verbatim: means quantized to milli by one truncating division,
+    SSB/SSW exact in HUGEINT ↔ decimal(38,0), F as exact integer
+    permille (scale-invariant: doubling every z scales SSB and SSW by
+    4, leaving F unchanged up to the documented milli quantization).
+
+    Scale shape: the corpus-sized stage is the (type, day) rollup; the
+    rank window runs over SERIES LENGTH per type (policy-bounded days,
+    never corpus rows) on one type-keyed shuffle shared with the count
+    window; the median table is a k-row broadcast back onto the series;
+    the F rollup is the anova key's 5-row algebra."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("grp"),
+            F.col("ts").cast("date").alias("d"),
+        )
+        .groupBy("grp", "d")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    wrn = Window.partitionBy("grp").orderBy("x", "d")
+    wn = Window.partitionBy("grp")
+    r = daily.withColumn("rn", F.row_number().over(wrn)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = r.groupBy("grp").agg(
+        (
+            F.sum(F.when(F.expr("rn = (n + 1) div 2"), F.col("x")))
+            + F.sum(F.when(F.expr("rn = (n + 2) div 2"), F.col("x")))
+        )
+        .cast("long")
+        .alias("med2")
+    )
+    z = r.join(F.broadcast(med), "grp").select(
+        "grp", F.expr("abs(2 * x - med2)").cast(D38).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast(D38).alias("n_g"),
+        F.sum("z").cast(D38).alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).cast(D38).alias("q_g"),
+    )
+    g2 = g.withColumn(
+        "mean_milli", F.expr("(s_g * 1000) div n_g")
+    ).localCheckpoint(eager=True)
+    tot = g2.agg(
+        F.sum("n_g").cast(D38).alias("n"),
+        F.sum("s_g").cast(D38).alias("s"),
+        F.count(F.lit(1)).cast(D38).alias("k"),
+    ).withColumn("gm_milli", F.expr("(s * 1000) div n"))
+    ss = (
+        g2.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.expr(
+                    "n_g * (cast(mean_milli as decimal(38,0)) - gm_milli)"
+                    " * (cast(mean_milli as decimal(38,0)) - gm_milli)"
+                )
+            )
+            .cast(D38)
+            .alias("ssb"),
+            F.sum(
+                F.expr(
+                    "q_g * 1000000"
+                    " - n_g * cast(mean_milli as decimal(38,0)) * mean_milli"
+                )
+            )
+            .cast(D38)
+            .alias("ssw"),
+            F.max("n").alias("n"),
+            F.max("k").alias("k"),
+        )
+    )
+    fin = ss.select(
+        F.expr("(ssb * (n - k) * 1000) div (ssw * (k - 1))").alias(
+            "f_permille"
+        ),
+        "n",
+        "k",
+    )
+    return (
+        g2.join(F.broadcast(med), "grp")
+        .crossJoin(F.broadcast(fin))
+        .select(
+            F.col("grp").alias("event_type"),
+            F.col("n_g").cast("long").alias("n_days"),
+            F.col("med2").cast("long").alias("med2_daily"),
+            F.col("mean_milli").cast("long").alias("mean_absdev2_milli"),
+            F.col("f_permille").cast("long").alias("f_permille"),
+            F.col("n").cast("long").alias("n_total"),
+            F.col("k").cast("long").alias("k_groups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test (joint whiteness of ACF lags 1..5)
+# ---------------------------------------------------------------------------
+@query(
+    "ts_ljung_box",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS i, count(*)::HUGEINT AS x
+      FROM events GROUP BY 1
+    ),
+    st AS (
+      SELECT count(*)::HUGEINT AS n, sum(x) AS s, sum(x * x) AS q
+      FROM daily
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 4, 5])::HUGEINT AS lag),
+    pair AS (
+      SELECT l.lag, count(*)::HUGEINT AS m_k, sum(a.x * b.x) AS c_k,
+             sum(a.x) AS h_k, sum(b.x) AS t_k
+      FROM daily a JOIN lags l ON true
+      JOIN daily b ON b.i = a.i + l.lag
+      GROUP BY l.lag
+    ),
+    acf AS (
+      SELECT p.lag, st.n,
+             ((st.n * st.n * p.c_k - st.n * st.s * (p.h_k + p.t_k)
+               + p.m_k * st.s * st.s) * 1000000
+              // (st.n * st.n * st.q - st.n * st.s * st.s)) AS rho_ppm,
+             CASE p.lag WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815
+                        WHEN 4 THEN 9488 ELSE 11070 END AS crit_milli
+      FROM pair p, st
+    ),
+    cum AS (
+      SELECT lag, n, rho_ppm, crit_milli,
+             sum((rho_ppm * rho_ppm) // (n - lag))
+               OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING) AS cum_t
+      FROM acf
+    )
+    SELECT lag::BIGINT AS lag, rho_ppm::BIGINT AS acf_ppm,
+           ((n * (n + 2) * cum_t) // 1000000000)::BIGINT AS q_milli,
+           crit_milli::BIGINT AS chi2_crit_milli,
+           (CASE WHEN (n * (n + 2) * cum_t) // 1000000000 > crit_milli
+                 THEN 1 ELSE 0 END)::BIGINT AS reject_5pct
+    FROM cum
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978) on the daily
+    event-count series: Q(h) = n(n+2)·Σ_{k≤h} ρ̂_k²/(n−k) at h = 1..5,
+    each row the JOINT whiteness test through that lag against the
+    tabulated χ²₀.₉₅(h) critical value — the residual-diagnostics
+    member of the ts family: ts_autocorrelation reports the per-lag
+    coefficients, this key answers "are they jointly zero?", the gate a
+    forecaster checks before trusting ts_seasonal_naive/Holt residuals.
+
+    Exactness contract: ρ̂_k in integer ppm exactly as
+    ts_autocorrelation computes it (cleared-denominator rational over
+    decimal(38,0) ↔ HUGEINT); each summand quantizes by one truncating
+    division ρ²_ppm div (n−k), the cumulative sum is exact, and Q lands
+    in milli by one final truncating division (n(n+2)·cum ≈ 10²⁰ at a
+    10⁴-day series — inside 38 digits). χ² critical values are inlined
+    integer-milli constants (3841/5991/7815/9488/11070), so no CDF
+    runs in either engine — the group-sequential key's tabulated-bound
+    discipline.
+
+    Scale shape: identical to ts_autocorrelation — one corpus-sized
+    groupBy to the daily grain, then a 5-way lag join and two broadcast
+    1-row tables; the cumulative window runs over FIVE rows. Series
+    length, never corpus size, bounds everything past the first
+    shuffle."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(F.expr("unix_micros(ts) div 86400000000").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast(D38).alias("x"))
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("x").cast(D38).alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast(D38).alias("q"),
+    )
+    lags = spark.range(1, 6).select(F.col("id").cast(D38).alias("lag"))
+    a = daily.select(F.col("i").alias("ai"), F.col("x").alias("ax"))
+    b = daily.select(F.col("i").alias("bi"), F.col("x").alias("bx"))
+    pair = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bi") == F.col("ai") + F.col("lag").cast("long"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast(D38).alias("m_k"),
+            F.sum(F.col("ax") * F.col("bx")).cast(D38).alias("c_k"),
+            F.sum("ax").cast(D38).alias("h_k"),
+            F.sum("bx").cast(D38).alias("t_k"),
+        )
+    )
+    acf = pair.crossJoin(F.broadcast(st)).select(
+        "lag",
+        "n",
+        F.expr(
+            "((n * n * c_k - n * s * (h_k + t_k) + m_k * s * s) * 1000000)"
+            " div (n * n * q - n * s * s)"
+        )
+        .cast(D38)
+        .alias("rho_ppm"),
+        F.expr(
+            "CASE cast(lag as int) WHEN 1 THEN 3841 WHEN 2 THEN 5991"
+            " WHEN 3 THEN 7815 WHEN 4 THEN 9488 ELSE 11070 END"
+        )
+        .cast("long")
+        .alias("crit_milli"),
+    )
+    wcum = Window.orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = acf.withColumn(
+        "cum_t",
+        F.sum(F.expr("(rho_ppm * rho_ppm) div (n - lag)")).over(wcum),
+    )
+    return cum.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("rho_ppm").cast("long").alias("acf_ppm"),
+        F.expr("(n * (n + 2) * cum_t) div 1000000000")
+        .cast("long")
+        .alias("q_milli"),
+        F.col("crit_milli").alias("chi2_crit_milli"),
+        F.expr(
+            "CASE WHEN (n * (n + 2) * cum_t) div 1000000000 > crit_milli"
+            " THEN 1 ELSE 0 END"
+        )
+        .cast("long")
+        .alias("reject_5pct"),
+    )
