@@ -55,9 +55,13 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 #     zip_count_members — re-anchoring reference parity (builder.rs:171-226
 #     semantics) on a current driver run.
 # Arithmetic: 3 changed + 42 backlog + 5 refresh = 50 = window size; after
-# this round the never-checked backlog is 0 and rotation becomes pure
-# oldest-green-first (scripts/window_pin.py emits the r11 list
-# mechanically). New-key ration this round: 0 (backlog-first policy).
+# this round every key registered at the r10 pin has a driver row and
+# rotation becomes oldest-green-first (scripts/window_pin.py emits the
+# r11 list mechanically). New-key ration this round: 5 (the VERDICT r9
+# cap) — events_attribution_time_decay, graph_resource_allocation,
+# stats_levene_bf, sample_class_balanced, ts_ljung_box, added AFTER this
+# pin with full oracles + sf0.001/sf0.01 parity; they are the r11
+# window's slots 1-5 by the never-checked-first rule.
 # All keys outside the window remain value-verified by the sf0.001
 # oracle-parity suite on every test run plus the round-end sf0.01 sweep
 # and the type+overflow audit (scripts/audit_oracle_types.py).
