@@ -2269,7 +2269,14 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("node").alias("v"))
     )
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    # Pre-divide in the node-sized dim: the wedge join then SUMS a ready
+    # column instead of executing 1000000 div deg once per wedge row
+    # (Σdeg² times) — same values (deg is constant per center), less
+    # per-row work in the only corpus-shaped stage.
+    dv = deg.select(
+        F.col("node").alias("v"),
+        F.expr("1000000 div deg").cast("long").alias("w_v"),
+    )
     undg = (
         und.join(F.broadcast(hub), "v", "left_anti")
         .join(F.broadcast(dv), "v")
@@ -2281,9 +2288,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.u").alias("cu"), F.col("y.u").alias("cv"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum(F.expr("1000000 div x.deg_v")).cast("long").alias(
-                "ra_micro"
-            ),
+            F.sum(F.col("x.w_v")).cast("long").alias("ra_micro"),
         )
     )
     nonedge = cn.join(
