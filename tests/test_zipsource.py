@@ -876,3 +876,32 @@ def test_jsonl_stream_abort_tolerates_none_messages(tmp_path):
     w.abort([None, Msg(), None], batchId=1)
     left = sorted(os.listdir(root))
     assert left == ["keep.jsonl"]  # all temps swept, real data untouched
+
+
+def test_zip64_eocd_member_count(tmp_path):
+    """A 65,540-member archive overflows the classic EOCD's 2-byte total
+    (0xFFFF sentinel) and stdlib zipfile writes a ZIP64 EOCD — the fast
+    count must defer to its 8-byte total (the 100 TB jumbo-archive path:
+    a million-member zip reports its size from one bounded tail read,
+    reference parity for builder.rs's per-archive iteration at sizes the
+    reference never handled). Also covers the sentinel's interaction
+    with a trailing archive comment (the EOCD scan must skip past it)."""
+    import zipfile as zf
+
+    from zip_to_parquet_spark.sources.zipsource import _eocd_member_count
+
+    n = 65540  # > 0xFFFF - 1 forces the ZIP64 EOCD
+    zp = str(tmp_path / "z64.zip")
+    with zf.ZipFile(zp, "w") as z:
+        for i in range(n):
+            z.writestr(f"m{i:06d}.txt", b"")
+    assert _eocd_member_count(zp) == n
+
+    # Same archive with a zip comment: the signature scan must look back
+    # past the comment bytes before finding the EOCD pair.
+    zc = str(tmp_path / "z64c.zip")
+    with zf.ZipFile(zc, "w") as z:
+        for i in range(n):
+            z.writestr(f"m{i:06d}.txt", b"")
+        z.comment = b"trailing comment " * 100
+    assert _eocd_member_count(zc) == n
