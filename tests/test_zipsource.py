@@ -905,3 +905,18 @@ def test_zip64_eocd_member_count(tmp_path):
             z.writestr(f"m{i:06d}.txt", b"")
         z.comment = b"trailing comment " * 100
     assert _eocd_member_count(zc) == n
+
+    # Jumbo-split planning must work off the ZIP64 total: index-range
+    # partitions tile [0, n) exactly (reader-level, no Spark needed).
+    import json
+
+    from zip_to_parquet_spark.sources.zipsource import ZipMembersReader
+
+    rdr = ZipMembersReader(
+        {"paths": json.dumps([zp]), "split_members": "10000"}
+    )
+    parts = rdr.partitions()
+    spans = sorted((p.start, p.end) for p in parts)
+    assert spans[0][0] == 0 and spans[-1][1] == n
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    assert len(parts) == -(-n // 10000)  # ceil: 7 partitions
