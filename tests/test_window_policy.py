@@ -574,3 +574,55 @@ def test_headroom_linter_flags_stale_whitelist_and_source_sites():
     live_hits: list = []
     mod.scan_plans_sources(live_hits, set())
     assert live_hits == []
+
+
+def test_diff_units_properties_hold_on_generated_modules():
+    """Property coverage for the function-granular differ (it gates the
+    driver-window policy, so its blind spots become evidence gaps):
+    over a grid of generated modules, (a) identity diffs are empty,
+    (b) appending a NEW def flags only that def, (c) editing one def's
+    body flags exactly that def, (d) unit attribution is order-stable —
+    reordering two defs without changing their text flags nothing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.lists(
+        st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    )
+
+    def module_of(fnames, salt=""):
+        parts = ["import os\n", "CONST = 1\n"]
+        for fn in fnames:
+            parts.append(
+                f"def {fn}():\n    return CONST + {len(fn)}{salt}\n"
+            )
+        return "".join(parts)
+
+    @settings(max_examples=50, deadline=None)
+    @given(names)
+    def check(fnames):
+        src = module_of(fnames)
+        # (a) identity
+        d, b, loose = diff_units(src, src)
+        assert not d and not b and not loose
+        # (b) additive append
+        d, b, loose = diff_units(src, src + "def zz_new():\n    return 0\n")
+        assert d == {"zz_new"} and not b and not loose
+        # (c) single-def edit
+        target = fnames[0]
+        edited = src.replace(
+            f"def {target}():\n    return CONST + {len(target)}\n",
+            f"def {target}():\n    return CONST + {len(target)} + 1\n",
+        )
+        d, b, loose = diff_units(src, edited)
+        assert d == {target} and not b and not loose
+        # (d) reorder without text change
+        if len(fnames) >= 2:
+            reordered = module_of(list(reversed(fnames)))
+            d, b, loose = diff_units(src, reordered)
+            assert not d and not b and not loose
+
+    check()
