@@ -36,89 +36,77 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 # changed than the window holds, every slot must at least be spent on a
 # changed key.
 #
-# ROUND-10 pin (committed FIRST this round per VERDICT r9 ask #1; the r9
-# round ran on the stale r8 pin, so this window clears the whole debt):
-#   slots 1-3: the three keys whose engine changed in r8 (decimal(38,0)/
-#     HUGEINT headroom sweep) without a post-change driver row —
-#     stats_ks_statistic, dq_distribution_drift, mixture_rates_for_budget.
-#     Two rounds of policy debt; first in line.
-#   slots 4-45: the 42 never-driver-checked backlog keys (exact list from
-#     `python scripts/window_pin.py` at r10 start), alphabetical. This
-#     includes vector_int8_quant_error (empty-array short-circuit fixed in
-#     b226561 — changed code, never driver-checked) and the five r9
-#     additions (stats_kendall_tau_daily, stats_kruskal_wallis,
-#     sample_systematic_interval, split_leakage_neardup,
-#     events_page_hinkley).
-#   slots 46-50: oldest-green-first refresh (VERDICT r8 ask #3 / r9 ask #1):
-#     the §2 zip keys riding on round-4 driver evidence — zip_explode_hash,
-#     zip_glob_members, zip_null_projection, zip_union_sources,
-#     zip_count_members — re-anchoring reference parity (builder.rs:171-226
-#     semantics) on a current driver run.
-# Arithmetic: 3 changed + 42 backlog + 5 refresh = 50 = window size; after
-# this round every key registered at the r10 pin has a driver row and
-# rotation becomes oldest-green-first (scripts/window_pin.py emits the
-# r11 list mechanically). New-key ration this round: 5 (the VERDICT r9
-# cap) — events_attribution_time_decay, graph_resource_allocation,
-# stats_levene_bf, sample_class_balanced, ts_ljung_box, added AFTER this
-# pin with full oracles + sf0.001/sf0.01 parity; they are the r11
-# window's slots 1-5 by the never-checked-first rule.
+# ROUND-11 pin (committed FIRST this round per VERDICT r10 ask #1; the r10
+# window went 50/50 green and cleared the never-checked backlog down to the
+# five r10 additions):
+#   slots 1-5: the five never-driver-checked r10 additions —
+#     graph_resource_allocation, stats_levene_bf, ts_ljung_box,
+#     events_attribution_time_decay, sample_class_balanced — all
+#     full-oracle, sf0.001/sf0.01 parity-green in pytest. Slot 1 also
+#     re-verifies the hub-guard fix (VERDICT r10 ask #2) landing this round.
+#   slots 6-50: oldest-last-green-first refresh of the stale-closure debt
+#     surfaced by the function-granular differ (VERDICT r10 "What's
+#     missing" #1: 104 keys whose implementing closure changed since their
+#     last green row; this window takes the 45 oldest — r1/r2/r3 vintage
+#     set ops, scalar/date keys, q1, multiway q5, the dedup/text/multimodal
+#     families, and the join/agg relational core). Exact list emitted
+#     mechanically by `python scripts/window_pin.py --list` at r11 start.
+# New-key ration this round: held low per VERDICT r10 ask #3 until the
+# differ reports zero stale greens.
 # All keys outside the window remain value-verified by the sf0.001
 # oracle-parity suite on every test run plus the round-end sf0.01 sweep
 # and the type+overflow audit (scripts/audit_oracle_types.py).
 set_priority([
-    # slots 1-3: changed in r8, never re-verified
-    "stats_ks_statistic",
-    "dq_distribution_drift",
-    "mixture_rates_for_budget",
-    # slots 4-45: never-driver-checked backlog (42 keys)
-    "ann_nprobe_curve",
-    "corpus_token_budget_curve",
-    "dq_functional_dependency",
-    "events_gap_log2_histogram",
-    "events_page_hinkley",
-    "experiment_power_mde",
-    "feature_target_encode_loo",
-    "graph_jaccard_linkpred",
-    "multimodal_ahash_dedup",
-    "parts_abc_classification",
-    "pipeline_filter_interaction",
-    "privacy_dp_geometric_counts",
-    "privacy_randomized_response",
-    "recsys_item_item_topn",
-    "retrieval_prf_expansion",
-    "revenue_mom_yoy",
-    "sample_neyman_allocation",
-    "sample_poisson_replicate",
-    "sample_stratified_exact",
-    "sample_systematic_interval",
-    "select_coreset_kcenter",
-    "sketch_count_min",
-    "sketch_hll_registers",
-    "split_group_aware",
-    "split_leakage_neardup",
-    "stats_bootstrap_ci_poisson",
-    "stats_gini_permille",
-    "stats_kaplan_meier",
-    "stats_kendall_tau_daily",
-    "stats_kruskal_wallis",
-    "stats_ols_two_factor",
-    "stats_runs_test",
-    "stats_theil_sen_daily",
-    "stats_zipf_fit",
-    "text_lexical_diversity",
-    "text_rake_keywords",
-    "text_readability_fk",
-    "tokenizer_vocab_coverage",
-    "ts_autocorrelation",
-    "ts_ma_decompose",
-    "ts_rolling_median",
-    "vector_int8_quant_error",
-    # slots 46-50: r4-vintage §2 zip-key refresh (oldest-green-first)
-    "zip_explode_hash",
-    "zip_glob_members",
-    "zip_null_projection",
-    "zip_union_sources",
-    "zip_count_members",
+    "graph_resource_allocation",
+    "stats_levene_bf",
+    "ts_ljung_box",
+    "events_attribution_time_decay",
+    "sample_class_balanced",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "scalar_string_date",
+    "agg_collect_sorted",
+    "scalar_string_date_extra",
+    "agg_approx_percentile",
+    "unpivot_part_measures",
+    "q1_pricing_summary",
+    "glob_filter_names",
+    "join_multiway_q5",
+    "sha256_documents",
+    "events_tumbling_window",
+    "agg_salted_skew",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "text_stats",
+    "text_quality_score",
+    "lang_id_heuristic",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_meta",
+    "doc_winnow_fingerprints",
+    "multimodal_frame_sample",
+    "dedup_clusters",
+    "text_chunk_windows",
+    "pack_sequences",
+    "dataset_split",
+    "quality_gopher_rules",
+    "repetition_ratios",
+    "multimodal_wav_roundtrip",
+    "multimodal_png_roundtrip",
+    "decontam_ngram_overlap",
+    "pii_redact_counts",
+    "multimodal_png_resize",
+    "filter_pushdown_project",
+    "join_broadcast_dim",
+    "join_shuffle_facts",
+    "join_semi",
+    "join_anti",
+    "agg_rollup",
+    "agg_cube",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]
