@@ -39,12 +39,14 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 # ROUND-11 pin (committed FIRST this round per VERDICT r10 ask #1; the r10
 # window went 50/50 green and cleared the never-checked backlog down to the
 # five r10 additions):
-#   slots 1-5: the five never-driver-checked r10 additions —
+#   slots 1-6: the five never-driver-checked r10 additions —
 #     graph_resource_allocation, stats_levene_bf, ts_ljung_box,
 #     events_attribution_time_decay, sample_class_balanced — all
-#     full-oracle, sf0.001/sf0.01 parity-green in pytest. Slot 1 also
-#     re-verifies the hub-guard fix (VERDICT r10 ask #2) landing this round.
-#   slots 6-50: oldest-last-green-first refresh of the stale-closure debt
+#     full-oracle, sf0.001/sf0.01 parity-green in pytest, PLUS
+#     graph_jaccard_linkpred swapped into slot 2: the hub-guard fix
+#     (VERDICT r10 ask #2) changes both link-prediction keys' closures,
+#     so both re-verify on post-fix code this round.
+#   slots 7-50: oldest-last-green-first refresh of the stale-closure debt
 #     surfaced by the function-granular differ (VERDICT r10 "What's
 #     missing" #1: 104 keys whose implementing closure changed since their
 #     last green row; this window takes the 45 oldest — r1/r2/r3 vintage
@@ -58,6 +60,7 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 # and the type+overflow audit (scripts/audit_oracle_types.py).
 set_priority([
     "graph_resource_allocation",
+    "graph_jaccard_linkpred",
     "stats_levene_bf",
     "ts_ljung_box",
     "events_attribution_time_decay",
@@ -106,7 +109,6 @@ set_priority([
     "agg_rollup",
     "agg_cube",
     "agg_count_distinct",
-    "agg_approx_count_distinct",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

