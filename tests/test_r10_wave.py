@@ -1,7 +1,9 @@
-"""Semantic invariants of the round-10 key wave, checked on the oracle
-side with DuckDB (no JVM): properties the hash-parity compare cannot see
-because BOTH engines could violate them identically (the
-test_experiments.py discipline applied to the r10 additions).
+"""Semantic invariants of the round-10 key wave: properties the
+hash-parity compare cannot see because BOTH engines could violate them
+identically (the test_experiments.py discipline applied to the r10
+additions). Most run oracle-side with DuckDB (no JVM); the final section
+re-asserts the drift-prone invariants over the Spark DataFrames too
+(VERDICT r10 ask #5).
 """
 
 from __future__ import annotations
@@ -41,14 +43,19 @@ def test_time_decay_attribution_conserves_credit_per_conversion():
 
 def test_time_decay_weights_halve_per_day():
     # The weight column must be exactly 1000000 >> gap_days for every
-    # joined touch — no float decay anywhere.
+    # joined touch — no float decay anywhere. The lookback filter is
+    # INCLUSIVE (t_ts >= conv_ts - INTERVAL 7 DAY), so gap_days spans
+    # 0..7 and a touch landing exactly on the 7-day boundary is a legal
+    # 1000000 >> 7 = 7812 (ADVICE r10: the boundary value belongs in the
+    # whitelist even though no current fixture touch hits the exact
+    # microsecond).
     oracle = all_oracle_sql()["events_attribution_time_decay"]
     body = oracle[: oracle.rindex("SELECT")]
     rows = _run(
         body
         + """
         SELECT DISTINCT w IN (1000000, 500000, 250000, 125000,
-                              62500, 31250, 15625)
+                              62500, 31250, 15625, 7812)
         FROM j
         """
     )
@@ -112,3 +119,72 @@ def test_resource_allocation_score_respects_degree_bounds():
     assert rows, "top-20 must be non-empty on the fixture graph"
     for n_common, ra in rows:
         assert 0 < ra <= 500000 * n_common, (n_common, ra)
+
+
+# ---------------------------------------------------------------------------
+# JVM-side invariants (VERDICT r10 ask #5): the two keys where BOTH engines
+# could drift together on a future edit get the same semantic assertions
+# over the Spark DataFrames, not just the oracle CTEs.
+# ---------------------------------------------------------------------------
+
+
+def test_time_decay_credit_conserves_on_spark(spark):
+    # Sum of credit over the ACTUAL key output must equal 1000 milli per
+    # credited conversion, with the conversion count derived independently
+    # (a purchase with >= 1 view/click touch in its inclusive 7-day
+    # lookback) — catches a quantization/remainder drift even if both
+    # engines drift identically.
+    from pyspark.sql import functions as F
+
+    from zip_to_parquet_spark.plans import all_queries
+    from zip_to_parquet_spark.schema import load_table
+
+    out = all_queries()["events_attribution_time_decay"](spark, SF)
+    total = out.agg(F.sum("credit_milli").alias("s")).collect()[0]["s"]
+
+    e = load_table(spark, SF, "events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("t_ts")
+    )
+    credited = (
+        conv.join(touch, "user_id")
+        .filter(
+            (F.col("t_ts") < F.col("conv_ts"))
+            & (F.col("t_ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("conv_id")
+        .distinct()
+        .count()
+    )
+    assert credited > 0
+    assert total == 1000 * credited, (total, credited)
+
+
+def test_class_balanced_lands_exactly_equal_on_spark(spark):
+    # Every lang class in the ACTUAL key output must land at exactly the
+    # minority class's raw size, with n_min derived independently.
+    from pyspark.sql import functions as F
+
+    from zip_to_parquet_spark.plans import all_queries
+    from zip_to_parquet_spark.schema import load_table
+
+    out = all_queries()["sample_class_balanced"](spark, SF)
+    kept = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    raw = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_min = min(raw.values())
+    assert set(kept) == set(raw)  # every class survives
+    assert set(kept.values()) == {n_min}, (kept, n_min)

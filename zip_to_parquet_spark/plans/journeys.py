@@ -1881,8 +1881,10 @@ def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame
     Exactness contract: the decay weight is a RIGHT SHIFT —
     ``1000000 >> gap_days`` (gap in whole days from the exact µs
     difference, truncating division) — not an exp()/pow() float, so both
-    engines produce identical integer weights (gap 0..6 days → 1000000,
-    500000, …, 15625). Shares quantize by one truncating division per
+    engines produce identical integer weights (gap 0..7 days → 1000000,
+    500000, …, 15625, and 7812 for a touch landing exactly on the
+    INCLUSIVE 7-day lookback boundary). Shares quantize by one
+    truncating division per
     touch; the integer-division remainder goes to the MOST RECENT touch
     (ties on event_id), so each conversion's credit sums to exactly
     1000 — the same conservation law events_attribution_linear proves.

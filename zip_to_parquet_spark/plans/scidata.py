@@ -65,7 +65,7 @@ D38 = "decimal(38,0)"
     ),
     fin AS (
       SELECT ssb, ssw, n, k,
-             (ssb * (n - k) * 1000) // (ssw * (k - 1)) AS f_permille
+             (ssb * (n - k) * 1000) // nullif(ssw * (k - 1), 0) AS f_permille
       FROM ss
     )
     SELECT g2.prio, g2.n_g::BIGINT AS n_rows, g2.s_g::BIGINT AS sum_cents,
@@ -139,7 +139,14 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k"),
         )
         .withColumn(
-            "f_permille", F.expr("(ssb * (n - k) * 1000) div (ssw * (k - 1))")
+            # nullif: Spark's div returns NULL on a zero denominator while
+            # DuckDB's // raises — degenerate inputs (all-identical values
+            # => ssw=0, or a single group => k=1) must yield NULL in BOTH
+            # engines, not an error in one.
+            "f_permille",
+            F.expr(
+                "(ssb * (n - k) * 1000) div nullif(ssw * (k - 1), 0)"
+            ),
         )
     )
     return g2.crossJoin(F.broadcast(ss)).select(
@@ -2350,7 +2357,8 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g2, tot2
     ),
     fin AS (
-      SELECT (ssb * (n - k) * 1000) // (ssw * (k - 1)) AS f_permille, n, k
+      SELECT (ssb * (n - k) * 1000) // nullif(ssw * (k - 1), 0)
+               AS f_permille, n, k
       FROM ss
     )
     SELECT g2.grp AS event_type, g2.n_g::BIGINT AS n_days,
@@ -2447,7 +2455,10 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fin = ss.select(
-        F.expr("(ssb * (n - k) * 1000) div (ssw * (k - 1))").alias(
+        # nullif mirrors the oracle: NULL (not a DuckDB div-by-zero error)
+        # when every within-group |2x-med2| is identical (ssw=0) or only
+        # one event_type exists (k=1).
+        F.expr("(ssb * (n - k) * 1000) div nullif(ssw * (k - 1), 0)").alias(
             "f_permille"
         ),
         "n",
