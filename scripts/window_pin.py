@@ -11,6 +11,12 @@ Usage::
     python scripts/window_pin.py            # report + suggested window
     python scripts/window_pin.py --list     # suggested window only, one per
                                             # line (paste into set_priority)
+    python scripts/window_pin.py --blame    # per changed key: WHICH closure
+                                            # unit changed and in which
+                                            # commit, plus a unit-frequency
+                                            # summary showing how much of
+                                            # the debt is transitive (one
+                                            # ubiquitous helper) vs real
 
 Suggested-window ordering when more keys changed than the window holds:
 
@@ -64,7 +70,81 @@ def suggest() -> tuple[list[str], set[str], dict[str, int], list[str]]:
     return suggestion, changed, green, keys
 
 
+_blame_cache: dict[tuple[str, str], dict[str, tuple[str, str]]] = {}
+
+
+def _unit_blame(rel: str, since_sha: str) -> dict[str, tuple[str, str]]:
+    """def/bind name → (sha, subject) of the NEWEST commit after
+    ``since_sha`` whose diff changed that unit in file ``rel``;
+    ("worktree", "uncommitted") for units changed only in uncommitted
+    edits. Walks only the commits git says touched the file."""
+    if (rel, since_sha) in _blame_cache:
+        return _blame_cache[(rel, since_sha)]
+    log = _wp._git(
+        "log", "--format=%h\x1f%s", f"{since_sha}..HEAD", "--", rel
+    ).splitlines()
+    shas = [ln.split("\x1f", 1) for ln in log if ln]
+    wt = (REPO / rel).read_text() if (REPO / rel).exists() else None
+    # newest → oldest content chain: worktree, each touching commit, base.
+    chain: list[tuple[str, str, str | None]] = [("worktree", "uncommitted", wt)]
+    for sha, subject in shas:
+        chain.append((sha, subject, _wp._git_blob(sha, rel)))
+    chain.append((since_sha, "(round base)", _wp._git_blob(since_sha, rel)))
+    out: dict[str, tuple[str, str]] = {}
+    for (sha, subject, new_src), (_, _, old_src) in zip(chain, chain[1:]):
+        d, b, loose = _wp.diff_units(old_src, new_src)
+        for name in set(d) | set(b):
+            out.setdefault(name, (sha, subject))  # newest attribution wins
+        if loose:
+            # pseudo-unit "" = loose module-level statements (the file-level
+            # fallback's trigger) so file-kind reasons blame a commit too.
+            out.setdefault("", (sha, subject))
+    _blame_cache[(rel, since_sha)] = out
+    return out
+
+
+def blame() -> None:
+    changed, green, keys, reasons = _wp.compute_changed_keys(detail=True)
+    stale = sorted(
+        (k for k in changed if k in green), key=lambda k: (green[k], k)
+    )
+    from collections import Counter
+
+    unit_freq: Counter = Counter()
+    lines: list[str] = []
+    for key in stale:
+        parts = []
+        for kind, f, name in reasons.get(key, []):
+            if kind in ("def", "bind"):
+                unit_freq[(kind, f, name)] += 1
+                sha, subject = _unit_blame(f, _wp._round_commit(green[key])).get(
+                    name, ("?", "?")
+                )
+                parts.append(f"{kind} {f}:{name} @ {sha} ({subject})")
+            elif kind == "file":
+                unit_freq[(kind, f, "")] += 1
+                sha, subject = _unit_blame(f, _wp._round_commit(green[key])).get(
+                    "", ("?", "?")
+                )
+                parts.append(f"{kind} {f} (loose stmt) @ {sha} ({subject})")
+            else:
+                unit_freq[(kind, f, "")] += 1
+                parts.append(f"{kind} {f}")
+        lines.append(f"  {key} [last green r{green[key]}]")
+        lines.extend(f"      {p}" for p in parts)
+    print(f"stale-closure keys: {len(stale)}")
+    print("top flagging units (keys flagged ← unit):")
+    for (kind, f, name), n in unit_freq.most_common(15):
+        label = f"{kind} {f}" + (f":{name}" if name else "")
+        print(f"  {n:3d} ← {label}")
+    print("\nper-key blame:")
+    print("\n".join(lines))
+
+
 def main() -> None:
+    if "--blame" in sys.argv:
+        blame()
+        return
     suggestion, changed, green, keys = suggest()
     if "--list" in sys.argv:
         print("\n".join(suggestion))

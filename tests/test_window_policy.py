@@ -283,11 +283,20 @@ class _RefGraph:
         return visited, toks
 
 
-def compute_changed_keys() -> tuple[set[str], dict[str, int], list[str]]:
-    """(changed keys, key → last green round, registry order).
+def compute_changed_keys(
+    detail: bool = False,
+) -> (
+    tuple[set[str], dict[str, int], list[str]]
+    | tuple[set[str], dict[str, int], list[str], dict[str, list[tuple]]]
+):
+    """(changed keys, key → last green round, registry order[, reasons]).
 
     Shared by the policy test below and ``scripts/window_pin.py`` so the
-    re-pin suggestion and the test verdict can never disagree.
+    re-pin suggestion and the test verdict can never disagree. With
+    ``detail=True`` a fourth element maps each changed key to the concrete
+    units that flagged it — ``("def"|"bind"|"file"|"never"|"no-round-commit",
+    file, name)`` tuples — so the pin script can blame the debt
+    (VERDICT r10 ask #4: make the differ's conservatism visible).
     """
     from zip_to_parquet_spark.plans import all_queries
     from zip_to_parquet_spark.plans.registry import key_modules
@@ -326,19 +335,23 @@ def compute_changed_keys() -> tuple[set[str], dict[str, int], list[str]]:
         round_units[rnd] = (cdefs, cbinds, dirty_files, files)
 
     changed: set[str] = set()
+    reasons: dict[str, list[tuple]] = {}
     for key in keys:
         mod_file = _module_file(modules[key])
         if key not in green:
             changed.add(key)  # never had a driver row
+            reasons[key] = [("never", mod_file, "")]
             continue
         units = round_units[green[key]]
         if units is _ALL_CHANGED:
             changed.add(key)  # round commit unknown → assume changed (loud)
+            reasons[key] = [("no-round-commit", f"r{green[key]}", "")]
             continue
         cdefs, cbinds, dirty_files, git_files = units
         files = closure.get(mod_file, {mod_file})
         if files & dirty_files:
             changed.add(key)  # loose module-level change → file fallback
+            reasons[key] = [("file", f, "") for f in sorted(files & dirty_files)]
             continue
         reach = graph.reach(mod_file, qs[key].__name__)
         if reach is None:
@@ -346,15 +359,24 @@ def compute_changed_keys() -> tuple[set[str], dict[str, int], list[str]]:
             # file-level fallback (loud, never silent).
             if files & git_files:
                 changed.add(key)
+                reasons[key] = [
+                    ("file", f, "") for f in sorted(files & git_files)
+                ]
             continue
         visited, toks = reach
         # A changed module-level binding (constant / import alias) counts
         # only when it lives in a file of the key's import closure AND a
         # reachable def references its name — a reshuffled import block in
         # an unrelated module must not flag the whole registry.
-        bind_hit = any(f in files and n in toks for f, n in cbinds)
-        if visited & cdefs or bind_hit:
+        bind_hits = [(f, n) for f, n in cbinds if f in files and n in toks]
+        def_hits = sorted(visited & cdefs)
+        if def_hits or bind_hits:
             changed.add(key)
+            reasons[key] = [("def", f, n) for f, n in def_hits] + [
+                ("bind", f, n) for f, n in sorted(bind_hits)
+            ]
+    if detail:
+        return changed, green, keys, reasons
     return changed, green, keys
 
 
@@ -626,3 +648,18 @@ def test_diff_units_properties_hold_on_generated_modules():
             assert not d and not b and not loose
 
     check()
+
+
+def test_detail_mode_gives_every_changed_key_a_reason():
+    """VERDICT r10 ask #4: the differ must say WHICH closure unit flagged
+    each key so the pin script can blame the debt. Every changed key gets
+    at least one reason of a known kind; unchanged keys get none."""
+    changed, green, keys, reasons = compute_changed_keys(detail=True)
+    kinds = {"def", "bind", "file", "never", "no-round-commit"}
+    assert set(reasons) == changed
+    for key, rs in reasons.items():
+        assert rs, key
+        assert {k for k, _f, _n in rs} <= kinds, (key, rs)
+    # and the 3-tuple form is unchanged for existing callers
+    c3, g3, k3 = compute_changed_keys()
+    assert (c3, g3, k3) == (changed, green, keys)
