@@ -171,6 +171,16 @@ def parse_units(src: str) -> tuple[dict[str, str], dict[str, str], list[str]]:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             defs[node.name] = defs.get(node.name, "") + seg(node, True)
             continue
+        if (
+            isinstance(node, ast.Expr)
+            and isinstance(node.value, ast.Constant)
+            and isinstance(node.value.value, str)
+        ):
+            # Module docstring / bare string literal: evaluating a string
+            # expression has zero runtime effect, so an edit to one cannot
+            # change any key's result — never flag it (r11: the r10 debt
+            # audit found a docstring edit file-flagging 22 keys).
+            continue
         names: list[str] = []
         if isinstance(node, (ast.Import, ast.ImportFrom)):
             names = [(a.asname or a.name).split(".")[0] for a in node.names]
@@ -327,7 +337,27 @@ def compute_changed_keys(
                 dirty_files.add(rel)
                 continue
             wt = (REPO / rel).read_text() if (REPO / rel).exists() else None
-            d, b, loose = diff_units(_git_blob(sha, rel), wt)
+            old = _git_blob(sha, rel)
+            if old is None and wt is not None:
+                # File CREATED since the round: a key whose own code is
+                # unchanged since its green row cannot have depended on a
+                # file that did not exist then — Python has no cross-file
+                # shadowing, so new top-level defs/binds only matter to
+                # callers, and any real caller changed its OWN units (an
+                # import line or a def edit), which flags it directly.
+                # What a new file CAN do to old keys is import-time side
+                # effects, i.e. effective loose statements — only those
+                # dirty the file (same risk class the function-granular
+                # design already accepts for appended defs).
+                try:
+                    _nd, _nb, new_loose = parse_units(wt)
+                except SyntaxError:
+                    dirty_files.add(rel)
+                    continue
+                if new_loose:
+                    dirty_files.add(rel)
+                continue
+            d, b, loose = diff_units(old, wt)
             cdefs |= {(rel, n) for n in d}
             cbinds |= {(rel, n) for n in b}
             if loose:
@@ -663,3 +693,27 @@ def test_detail_mode_gives_every_changed_key_a_reason():
     # and the 3-tuple form is unchanged for existing callers
     c3, g3, k3 = compute_changed_keys()
     assert (c3, g3, k3) == (changed, green, keys)
+
+
+def test_docstring_edit_never_flags():
+    """A module/bare string literal evaluates to nothing — editing one
+    cannot change a key's result, so the differ must not flag it (r11:
+    a docstring edit had file-flagged 22 multimodal keys)."""
+    src = '"""module doc."""\nX = 1\ndef f():\n    return X\n'
+    edited = src.replace("module doc.", "much better module doc.")
+    d, b, loose = diff_units(src, edited)
+    assert not d and not b and not loose
+    # ... while a non-string loose statement still falls back loudly
+    d, b, loose = diff_units(src, src + "print(1)\n")
+    assert loose
+
+
+def test_created_file_with_only_defs_does_not_dirty(monkeypatch):
+    """A file created AFTER a key's last green round flags nothing by
+    itself (no cross-file shadowing in Python; real callers changed their
+    own units) — unless it executes effective loose statements on import."""
+    clean = '"""doc."""\nimport os\nK = 3\ndef helper():\n    return K\n'
+    effectful = clean + "os.environ.setdefault('X', '1')\n"
+    for src, expect_dirty in ((clean, False), (effectful, True)):
+        _d, _b, loose = parse_units(src)
+        assert bool(loose) == expect_dirty
