@@ -246,26 +246,67 @@ def _git_blob(sha: str, rel: str) -> str | None:
         return None  # file did not exist at that commit
 
 
+def _ast_ref_names(node: ast.AST) -> set[str]:
+    """Python names a def/class actually REFERENCES: Name identifiers,
+    attribute names, and import aliases, collected from the AST. Unlike
+    raw-text word matching this excludes words that only occur inside
+    string literals (docstrings, oracle SQL) — a def mentioned in prose is
+    not a dependency. Still an over-approximation of true dependencies
+    (cross-file name collisions add edges, never remove them): every way
+    Python code can reach another top-level unit without dynamic dispatch
+    surfaces as a Name or Attribute node, and the package has no
+    getattr/eval/exec/udf.register string dispatch (grep-verified r11)."""
+    names: set[str] = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Name):
+            names.add(n.id)
+        elif isinstance(n, ast.Attribute):
+            names.add(n.attr)
+        elif isinstance(n, ast.alias):
+            names.add((n.asname or n.name).split(".")[0])
+    return names
+
+
 class _RefGraph:
     """Name-reference graph over the working tree: which defs does a key's
-    registered function transitively mention?  Token matching is a sound
-    over-approximation (a name collision adds edges, never removes them)."""
+    registered function transitively reference?  AST-name matching (r11,
+    was raw-text tokens) is a sound over-approximation — see
+    _ast_ref_names; a name collision adds edges, never removes them."""
 
     def __init__(self) -> None:
         self.units: dict[str, tuple[dict[str, str], dict[str, str], list[str]]] = {}
+        asts: dict[str, ast.Module | None] = {}
         for f in (REPO / PKG).rglob("*.py"):
             rel = str(f.relative_to(REPO))
+            src = f.read_text()
             try:
-                self.units[rel] = parse_units(f.read_text())
+                self.units[rel] = parse_units(src)
+                asts[rel] = ast.parse(src)
             except SyntaxError:
-                self.units[rel] = ({}, {}, [f.read_text()])
+                self.units[rel] = ({}, {}, [src])
+                asts[rel] = None
         # def name → [(file, name)] across the package
         self.def_index: dict[str, list[tuple[str, str]]] = {}
         self.tokens: dict[tuple[str, str], set[str]] = {}
         for rel, (defs, _binds, _loose) in self.units.items():
+            ref_names: dict[str, set[str]] = {}
+            tree = asts[rel]
+            if tree is not None:
+                for node in tree.body:
+                    if isinstance(
+                        node,
+                        (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+                    ):
+                        ref_names.setdefault(node.name, set()).update(
+                            _ast_ref_names(node)
+                        )
             for name, segment in defs.items():
                 self.def_index.setdefault(name, []).append((rel, name))
-                self.tokens[(rel, name)] = set(_WORD.findall(segment))
+                # Fallback to raw-text tokens when the AST is unavailable
+                # (unparseable file) — loud, never silent.
+                self.tokens[(rel, name)] = ref_names.get(
+                    name, set(_WORD.findall(segment))
+                )
         self._reach_cache: dict[tuple[str, str], tuple[set, set]] = {}
 
     def reach(self, rel: str, fn_name: str) -> tuple[set, set] | None:
