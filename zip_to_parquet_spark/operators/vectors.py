@@ -190,6 +190,11 @@ def ivf_assign_udfs(codebook, nprobe: int):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if not codebook:
+        # Loud precondition, not a numpy AxisError downstream: an empty
+        # codebook means the centroid sample matched nothing — an
+        # ill-posed corpus for IVF (degenerate_sweep.py allowlist).
+        raise ValueError("IVF codebook is empty: centroid sample matched no vectors")
     cent_ids = np.array([c[0] for c in codebook], dtype=np.int64)
     cmat = np.array([c[1] for c in codebook], dtype=np.float64)
     cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True).clip(min=1e-300)

@@ -1282,9 +1282,17 @@ def stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.sxy").cast("string").alias("sxy"),
         F.col("p.sxx").cast("string").alias("sxx"),
         F.col("p.syy").cast("string").alias("syy"),
+        # try_divide: a constant measure (sxx or syy = 0) must yield NULL
+        # in both engines (DuckDB's /0 is NULL); plain `/` raises under
+        # Spark's ANSI default (degenerate_sweep.py finding, r11).
         F.round(
-            F.col("p.sxy").cast("double")
-            / F.sqrt(F.col("p.sxx").cast("double") * F.col("p.syy").cast("double")),
+            F.try_divide(
+                F.col("p.sxy").cast("double"),
+                F.sqrt(
+                    F.col("p.sxx").cast("double")
+                    * F.col("p.syy").cast("double")
+                ),
+            ),
             6,
         ).alias("corr_r6"),
     )

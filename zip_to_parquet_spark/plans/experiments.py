@@ -160,14 +160,18 @@ def experiment_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(cast(1000000 as {D38}) * syv) div nv")
         .cast("long")
         .alias("mean_raw_micro"),
+        # nullif: a constant pre-period covariate makes den (its variance
+        # numerator) 0 — theta and the adjusted mean are undefined and
+        # must be NULL in both engines, not a Spark ANSI error
+        # (degenerate_sweep.py finding, r11; DuckDB //0 is already NULL).
         F.expr(
             f"(cast(1000000 as {D38})"
             " * (syv * den * n - num * (sxv * n - sx * nv)))"
-            " div (nv * den * n)"
+            " div nullif(nv * den * n, 0)"
         )
         .cast("long")
         .alias("mean_adj_micro"),
-        F.expr(f"(cast(1000000 as {D38}) * num) div den")
+        F.expr(f"(cast(1000000 as {D38}) * num) div nullif(den, 0)")
         .cast("long")
         .alias("theta_micro"),
     )
@@ -868,15 +872,18 @@ def experiment_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_s",
         "n_t",
         "n_c",
+        # nullif: a stratum with only one arm (n_t or n_c = 0) has no
+        # within-stratum contrast — NULL in both engines, not a Spark
+        # ANSI error (degenerate_sweep.py finding, r11).
         F.expr(
             f"(cast(1000000 as {D38}) * (sy_t * n_c - sy_c * n_t))"
-            " div (n_t * n_c)"
+            " div nullif(n_t * n_c, 0)"
         )
         .cast("long")
         .alias("diff_micro"),
         F.expr(
             f"(cast(1000000 as {D38}) * n_s * (sy_t * n_c - sy_c * n_t))"
-            " div (n * n_t * n_c)"
+            " div nullif(n * n_t * n_c, 0)"
         )
         .cast("long")
         .alias("term_micro"),
@@ -981,12 +988,20 @@ def experiment_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         F.col("nt").cast("long").alias("n_treat"),
         F.col("nc").cast("long").alias("n_ctrl"),
-        F.expr(f"({m} * sxt) div nt").cast("long").alias("pre_treat_micro"),
-        F.expr(f"({m} * syt) div nt").cast("long").alias("post_treat_micro"),
-        F.expr(f"({m} * sxc) div nc").cast("long").alias("pre_ctrl_micro"),
-        F.expr(f"({m} * syc) div nc").cast("long").alias("post_ctrl_micro"),
+        # nullif: an empty arm (nt or nc = 0 — e.g. a single-user
+        # degenerate corpus) has no mean or contrast — NULL in both
+        # engines, not a Spark ANSI error (degenerate_sweep.py, r11).
+        F.expr(f"({m} * sxt) div nullif(nt, 0)")
+        .cast("long").alias("pre_treat_micro"),
+        F.expr(f"({m} * syt) div nullif(nt, 0)")
+        .cast("long").alias("post_treat_micro"),
+        F.expr(f"({m} * sxc) div nullif(nc, 0)")
+        .cast("long").alias("pre_ctrl_micro"),
+        F.expr(f"({m} * syc) div nullif(nc, 0)")
+        .cast("long").alias("post_ctrl_micro"),
         F.expr(
-            f"({m} * ((syt - sxt) * nc - (syc - sxc) * nt)) div (nt * nc)"
+            f"({m} * ((syt - sxt) * nc - (syc - sxc) * nt))"
+            " div nullif(nt * nc, 0)"
         )
         .cast("long")
         .alias("did_micro"),

@@ -505,7 +505,11 @@ def stats_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n * sx1y - sx1 * sy").alias("b1"),
         F.expr("n * sx2y - sx2 * sy").alias("b2"),
     )
-    det = "(a11 * a22 - a12 * a12)"
+    # nullif: collinear factors (singular normal matrix, det = 0) must
+    # yield NULL betas in both engines — DuckDB's //0 is NULL while
+    # Spark's ANSI div raises (degenerate_sweep.py finding, r11). The
+    # intercept then NULLs through the b1m/b2m casts.
+    det = "nullif(a11 * a22 - a12 * a12, 0)"
     b1m = f"(cast(1000000 as {D38}) * (a22 * b1 - a12 * b2)) div {det}"
     b2m = f"(cast(1000000 as {D38}) * (a11 * b2 - a12 * b1)) div {det}"
     return m.select(

@@ -2012,8 +2012,9 @@ def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source, substr(md5(source || ':' || doc_id), 1, 2) AS bucket
     FROM documents
     WHERE substr(md5(source || ':' || doc_id), 1, 2) <
-          CASE (substr(source, 4)::INT % 4)
-            WHEN 0 THEN '20' WHEN 1 THEN '40' WHEN 2 THEN '80' ELSE 'c0' END
+          CASE (TRY_CAST(substr(source, 4) AS INT) % 4)
+            WHEN 0 THEN '20' WHEN 1 THEN '40' WHEN 2 THEN '80'
+            WHEN 3 THEN 'c0' END
     """,
 )
 def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2022,9 +2023,15 @@ def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     75% — modeling a training-data recipe that up/downsamples sources.
     md5-prefix membership, so the oracle reproduces the exact sample.
     Outside the driver's 50-key window; value-verified by the pytest
-    oracle-parity sweep instead."""
+    oracle-parity sweep instead.
+
+    Degenerate-input contract (scripts/degenerate_sweep.py): a source name
+    without the srcN numeric suffix yields a NULL rate index in BOTH
+    engines (try_cast, and a WHEN-3 arm instead of ELSE so NULL falls
+    through) — the row is excluded, never an error: the plain ::INT cast
+    raised in DuckDB while Spark's cast returned NULL."""
     d = _documents_spread(spark, sf_dir)
-    n = F.substring("source", 4, 10).cast("int")
+    n = F.expr("try_cast(substring(source, 4, 10) as int)")
     thr = F.element_at(
         F.array(F.lit("20"), F.lit("40"), F.lit("80"), F.lit("c0")),
         (n % 4) + 1,
@@ -2604,9 +2611,12 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # Single bounded query: the fixture stand-in for a user query vector.
-    qvec = list(
-        emb.filter(F.col("vec_id") == 7).select("v").collect()[0][0]
-    )
+    qrows = emb.filter(F.col("vec_id") == 7).select("v").collect()
+    if not qrows:
+        # Loud precondition, not an IndexError: the ANN family's
+        # explanatory-error contract (degenerate_sweep.py allowlist).
+        raise ValueError("query vector vec_id=7 absent from embeddings")
+    qvec = list(qrows[0][0])
     cand = gemm_topk_candidates(emb, [7], [qvec], k=50)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("n_id"))
     sem = (

@@ -386,7 +386,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_k").cast("long").alias("n_pairs"),
         F.expr(
             "((n * n * c_k - n * s * (h_k + t_k) + m_k * s * s) * 1000000)"
-            " div (n * n * q - n * s * s)"
+            " div nullif(n * n * q - n * s * s, 0)"
         )
         .cast("long")
         .alias("acf_ppm"),
@@ -1100,10 +1100,16 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("day", "n_risk", "d"))
         ).alias("a")
     )
+    # if-guard: with zero event days (no purchases at all) `a` is empty
+    # and sequence(1, 0) yields the DESCENDING [1, 0], whose a[i-1]
+    # access raises INVALID_ARRAY_INDEX under ANSI — emit no rows
+    # instead, matching the oracle's empty unnest
+    # (degenerate_sweep.py finding, r11).
     return arr.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(a)), i -> struct("
+                "transform(if(size(a) = 0, array(), sequence(1, size(a))),"
+                " i -> struct("
                 " a[i-1].day AS t_day, a[i-1].n_risk AS n_risk,"
                 " a[i-1].d AS n_events,"
                 " aggregate(slice(a, 1, i), 1000000L,"
@@ -2191,13 +2197,17 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_micro",
         "sd_milli",
         F.col("weight").cast("long").alias("weight"),
+        # nullif: constant n_chars across every stratum means every
+        # sd_milli (and so w_tot) is 0 — the allocation is undefined and
+        # must be NULL in both engines, not a Spark ANSI error
+        # (degenerate_sweep.py finding, r11; DuckDB //0 is already NULL).
         F.expr(
             f"cast((cast({_NEYMAN_BUDGET} as decimal(38,0)) * weight)"
-            " div w_tot as bigint)"
+            " div nullif(w_tot, 0) as bigint)"
         ).alias("alloc_docs"),
         F.expr(
             "cast((cast(1000 as decimal(38,0)) * weight)"
-            " div w_tot as bigint)"
+            " div nullif(w_tot, 0) as bigint)"
         ).alias("alloc_permille"),
     )
 
@@ -2578,7 +2588,7 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr(
             "((n * n * c_k - n * s * (h_k + t_k) + m_k * s * s) * 1000000)"
-            " div (n * n * q - n * s * s)"
+            " div nullif(n * n * q - n * s * s, 0)"
         )
         .cast(D38)
         .alias("rho_ppm"),
@@ -2594,7 +2604,7 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = acf.withColumn(
         "cum_t",
-        F.sum(F.expr("(rho_ppm * rho_ppm) div (n - lag)")).over(wcum),
+        F.sum(F.expr("(rho_ppm * rho_ppm) div nullif(n - lag, 0)")).over(wcum),
     )
     return cum.select(
         F.col("lag").cast("long").alias("lag"),

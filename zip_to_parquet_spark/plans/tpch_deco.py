@@ -1531,9 +1531,12 @@ def stats_groupwise_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # string survives every materialization losslessly.
         num.cast(D38).cast("string").alias("slope_num"),
         den.cast(D38).cast("string").alias("slope_den"),
+        # nullif: constant x within a group (sxx variance 0) must yield a
+        # NULL slope in both engines — DuckDB's //0 is NULL while Spark's
+        # ANSI div raises (degenerate_sweep.py finding, r11).
         F.expr(
-            "cast((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
-            " as long)"
+            "cast((n * sxy - sx * sy) * 1000000"
+            " div nullif(n * sxx - sx * sx, 0) as long)"
         ).alias("slope_micro"),
     )
 
