@@ -27,6 +27,11 @@ Usage::
                                                      # the symmetric risk:
                                                      # Spark erroring where
                                                      # DuckDB survives)
+    python scripts/degenerate_sweep.py --empty [...] # all tables EMPTY —
+                                                     # the most common real
+                                                     # degenerate state (a
+                                                     # filter matching
+                                                     # nothing)
 
 Exit status 1 if anything errors.
 """
@@ -92,10 +97,14 @@ CREATE TABLE embeddings AS
 """
 
 
-def _build(con: duckdb.DuckDBPyConnection) -> None:
+def _build(con: duckdb.DuckDBPyConnection, empty: bool = False) -> None:
     for stmt in DDL.strip().split(";"):
         if stmt.strip():
             con.execute(stmt)
+    if empty:
+        for t in ("region nation customer supplier part orders "
+                  "lineitem events documents embeddings").split():
+            con.execute(f"DELETE FROM {t}")
 
 
 def _sweep_oracles(con: duckdb.DuckDBPyConnection, verbose: bool):
@@ -118,6 +127,7 @@ def _sweep_oracles(con: duckdb.DuckDBPyConnection, verbose: bool):
 # would hide an ill-posed request; the loud error IS the contract. Each
 # must raise ValueError (explanatory), never a bare Index/Axis error.
 EXPECTED_PRECONDITION_ERRORS = {
+    "customer_rfm_segments",  # quantile cuts need a non-empty corpus
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_ivf_trained",
@@ -167,11 +177,13 @@ def _sweep_spark(fixture_dir: str, verbose: bool):
 
 def main() -> int:
     verbose = "-v" in sys.argv
+    empty = "--empty" in sys.argv
+    label = "empty" if empty else "degenerate"
     con = duckdb.connect()
-    _build(con)
+    _build(con, empty=empty)
     failures = _sweep_oracles(con, verbose)
     n = len(all_oracle_sql())
-    print(f"swept {n} oracles on the degenerate fixture:"
+    print(f"swept {n} oracles on the {label} fixture:"
           f" {len(failures)} errored")
     if "--spark" in sys.argv:
         import tempfile

@@ -426,6 +426,12 @@ def train_pq_codebooks(
     x = deterministic_training_sample(
         emb, ksub, sample_per_centroid, id_col, vec_col
     )
+    if x.ndim < 2:
+        # Loud precondition, not an IndexError on .shape[1]: an empty
+        # corpus yields a 0-row (1-D) sample (degenerate_sweep allowlist).
+        raise ValueError(
+            f"sample of {len(x)} rows cannot seed {ksub} centroids"
+        )
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")

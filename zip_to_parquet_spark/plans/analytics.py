@@ -413,7 +413,12 @@ def join_partition_pruning_dynamic(spark: SparkSession, sf_dir: str) -> DataFram
         )
         write_partitioned(li, path, ["ship_yyyymm"])
         open(done, "w").close()
-    fact = spark.read.parquet(path)
+    # Explicit schema: an empty lineitem writes zero partition dirs and
+    # schema inference would fail (UNABLE_TO_INFER_SCHEMA, empty-fixture
+    # sweep r11); with the schema pinned, the empty layout reads as an
+    # empty DataFrame and partition discovery is unchanged when data
+    # exists.
+    fact = spark.read.schema("cents long, ship_yyyymm int").parquet(path)
     months = (
         load_table(spark, sf_dir, "orders")
         .filter(F.month("o_orderdate").isin(1, 2, 3))

@@ -778,9 +778,13 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("mean_micro")).alias("ms")
     ).select(
         F.lit(_BOOT_B).cast("long").alias("b_replicates"),
-        F.element_at("ms", 4).cast("long").alias("mean_p10_micro"),
-        F.element_at("ms", 16).cast("long").alias("mean_p50_micro"),
-        F.element_at("ms", 29).cast("long").alias("mean_p90_micro"),
+        # try_element_at: an empty corpus yields zero replicate means and
+        # an empty sorted array — NULL percentiles in both engines
+        # (DuckDB arr[i] out of range is NULL), not a Spark ANSI
+        # INVALID_ARRAY_INDEX error (empty-fixture sweep, r11).
+        F.try_element_at("ms", F.lit(4)).cast("long").alias("mean_p10_micro"),
+        F.try_element_at("ms", F.lit(16)).cast("long").alias("mean_p50_micro"),
+        F.try_element_at("ms", F.lit(29)).cast("long").alias("mean_p90_micro"),
     )
 
 

@@ -1333,8 +1333,11 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             F.col("n_empty").alias("n_empty_regs"),
             F.expr(est).cast("long").alias("est_raw"),
+            # nullif: zero distinct customers (empty corpus) has no
+            # relative error — NULL in both engines, not a Spark ANSI
+            # error (empty-fixture sweep, r11).
             F.expr(
-                f"(({est} - n_exact) * 1000) div n_exact"
+                f"(({est} - n_exact) * 1000) div nullif(n_exact, 0)"
             )
             .cast("long")
             .alias("err_permille"),

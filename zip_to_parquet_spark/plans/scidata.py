@@ -460,7 +460,9 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_orphan_keys"),
-            F.expr("count(k) * 1000 div count(*)")
+            # nullif: an empty child table has no match rate — NULL in
+            # both engines, not a Spark ANSI error (empty-fixture sweep).
+            F.expr("count(k) * 1000 div nullif(count(*), 0)")
             .cast("long")
             .alias("match_permille"),
         ).select(

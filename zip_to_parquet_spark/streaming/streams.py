@@ -363,6 +363,8 @@ def read_events_stream_staged(
             us = pc.cast(pc.cast(ts, "timestamp[us]"), "int64")
         mn = pc.min(us).as_py()
         mx = pc.max(us).as_py()
+        if mn is None:  # empty events: four empty batches, no time span
+            mn = mx = 0
         t1 = mn + (mx - mn) * 6 // 10
         t2 = mn + (mx - mn) * 9 // 10
         t3 = mn + (mx - mn) * 95 // 100
@@ -606,6 +608,8 @@ def read_events_stream_ordered(
         ).replace_schema_metadata(None)
         mn = pc.min(us).as_py()
         mx = pc.max(us).as_py()
+        if mn is None:  # empty events: n empty batches, no time span
+            mn = mx = 0
         cuts = [
             mn + (mx - mn) * i // n_batches for i in range(1, n_batches)
         ]
