@@ -54,3 +54,12 @@ def test_fixture_is_actually_degenerate():
         "SELECT min(list_sum(list_transform(embedding, x -> abs(x))))"
         " FROM embeddings"
     ).fetchone()[0] == 0.0  # a zero vector exists
+
+
+def test_every_oracle_survives_empty_tables():
+    """--empty mode's DuckDB half: all ten tables zero rows — the state
+    any filter-matching-nothing stage produces at 100 TB."""
+    con = duckdb.connect()
+    _ds._build(con, empty=True)
+    failures = _ds._sweep_oracles(con, verbose=False)
+    assert not failures, failures
