@@ -133,3 +133,43 @@ def test_linkpred_oracles_use_absolute_cap(key):
     sql = all_oracle_sql()[key]
     assert f"deg > {HUB_DEG_CAP}" in sql
     assert "n_nodes" not in sql and "250" not in sql
+
+
+def test_array_pair_wedges_match_join_formulation(spark):
+    """The r11 physical optimization (per-center sorted-array pair
+    explosion, used by both link-prediction keys) must produce the SAME
+    (cu, cv) -> count relation as the naive wedge self-join it replaced —
+    checked on the planted topology where expected counts are known."""
+    e = spark.createDataFrame(_edges(), "u long, v long")
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    undg = und.join(F.broadcast(hub_centers(deg, TEST_CAP)), "v", "left_anti")
+    join_cn = sorted(
+        tuple(r)
+        for r in undg.alias("x")
+        .join(undg.alias("y"), F.col("x.v") == F.col("y.v"))
+        .filter(F.col("x.u") < F.col("y.u"))
+        .groupBy(F.col("x.u").alias("cu"), F.col("y.u").alias("cv"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    adj = undg.groupBy("v").agg(F.sort_array(F.collect_list("u")).alias("us"))
+    array_cn = sorted(
+        tuple(r)
+        for r in adj.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(us, (x, i) ->"
+                    " transform(slice(us, i + 2, size(us) - i - 1),"
+                    " y -> struct(x AS cu, y AS cv))))"
+                )
+            ).alias("p")
+        )
+        .select("p.cu", "p.cv")
+        .groupBy("cu", "cv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert array_cn == join_cn and array_cn  # equal and non-empty
