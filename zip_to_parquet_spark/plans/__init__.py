@@ -36,79 +36,77 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 # changed than the window holds, every slot must at least be spent on a
 # changed key.
 #
-# ROUND-11 pin (committed FIRST this round per VERDICT r10 ask #1; the r10
-# window went 50/50 green and cleared the never-checked backlog down to the
-# five r10 additions):
-#   slots 1-6: the five never-driver-checked r10 additions —
-#     graph_resource_allocation, stats_levene_bf, ts_ljung_box,
-#     events_attribution_time_decay, sample_class_balanced — all
-#     full-oracle, sf0.001/sf0.01 parity-green in pytest, PLUS
-#     graph_jaccard_linkpred swapped into slot 2: the hub-guard fix
-#     (VERDICT r10 ask #2) changes both link-prediction keys' closures,
-#     so both re-verify on post-fix code this round.
-#   slots 7-50: oldest-last-green-first refresh of the stale-closure debt
-#     surfaced by the function-granular differ (VERDICT r10 "What's
-#     missing" #1: 104 keys whose implementing closure changed since their
-#     last green row; this window takes the 45 oldest — r1/r2/r3 vintage
-#     set ops, scalar/date keys, q1, multiway q5, the dedup/text/multimodal
-#     families, and the join/agg relational core). Exact list emitted
-#     mechanically by `python scripts/window_pin.py --list` at r11 start.
-# New-key ration this round: held low per VERDICT r10 ask #3 until the
-# differ reports zero stale greens.
+# ROUND-12 pin (committed FIRST this round per VERDICT r11 ask #1; the r11
+# window went 49/50 full-oracle green + the by-design rows-only sketch key):
+#   slots 1-3: the three keys whose implementing closures change THIS
+#     round — graph_resource_allocation + graph_jaccard_linkpred (the
+#     degree-dim joins go size-aware via runtime.size_aware_side and the
+#     wedge-pair shuffle key is packed into one long, VERDICT r11 asks #2
+#     and #4) and mixture_sample_by_source (negative-suffix element_at
+#     guard, ADVICE r11) — so all three re-verify on post-change code.
+#   slots 4-50: oldest-last-green-first refresh of the stale-closure
+#     backlog (VERDICT r11 "What's missing" #1: 111 keys, 71 of them the
+#     one mechanical registry/load_table shared-helper vintage). The
+#     mechanical suggestion from `python scripts/window_pin.py --list` at
+#     r12 start supplies these 47 (its last two top-up entries,
+#     stream_watermark_late_drop and ann_ndcg_eval — the youngest greens
+#     in the rotation — yield their slots to the two graph keys above).
+# New-key ration this round: 0 (VERDICT r11 ask #1 allows ≤5; all slots
+# spent burning the backlog).
 # All keys outside the window remain value-verified by the sf0.001
 # oracle-parity suite on every test run plus the round-end sf0.01 sweep
 # and the type+overflow audit (scripts/audit_oracle_types.py).
 set_priority([
     "graph_resource_allocation",
     "graph_jaccard_linkpred",
-    "stats_levene_bf",
-    "ts_ljung_box",
-    "events_attribution_time_decay",
-    "sample_class_balanced",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "scalar_string_date",
-    "agg_collect_sorted",
-    "scalar_string_date_extra",
-    "agg_approx_percentile",
-    "unpivot_part_measures",
-    "q1_pricing_summary",
-    "glob_filter_names",
-    "join_multiway_q5",
-    "sha256_documents",
-    "events_tumbling_window",
-    "agg_salted_skew",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_stats",
-    "text_quality_score",
-    "lang_id_heuristic",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_meta",
-    "doc_winnow_fingerprints",
-    "multimodal_frame_sample",
-    "dedup_clusters",
-    "text_chunk_windows",
-    "pack_sequences",
-    "dataset_split",
-    "quality_gopher_rules",
-    "repetition_ratios",
-    "multimodal_wav_roundtrip",
-    "multimodal_png_roundtrip",
-    "decontam_ngram_overlap",
-    "pii_redact_counts",
-    "multimodal_png_resize",
-    "filter_pushdown_project",
-    "join_broadcast_dim",
-    "join_shuffle_facts",
-    "join_semi",
-    "join_anti",
-    "agg_rollup",
-    "agg_cube",
-    "agg_count_distinct",
+    "mixture_sample_by_source",
+    "agg_approx_count_distinct",
+    "window_rank_topn",
+    "window_lag_delta",
+    "window_moving_sum",
+    "topk_orders",
+    "json_extract_events",
+    "pivot_event_counts",
+    "agg_grouping_sets",
+    "agg_percentiles",
+    "explode_top_words",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "join_salted_skew",
+    "scalar_null_handling",
+    "window_rank_battery",
+    "agg_having_exists",
+    "join_outer_full",
+    "subquery_min_per_group",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "multimodal_decode_features",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "text_clean_normalize",
+    "bm25_topk_docs",
+    "dsir_importance_weights",
+    "dedup_minhash_lsh",
+    "dedup_exact_spans",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "dedup_semantic",
+    "pipeline_prep_recipe",
+    "dedup_exact_spans_keep_first",
+    "corpus_snapshot_delta",
+    "stream_tumbling_window",
+    "stream_hopping_window",
+    "stream_sessionize",
+    "stream_stateful_totals",
+    "stream_stream_join",
+    "stream_dedup_keys",
+    "dedup_containment",
+    "dedup_edit_distance",
+    "format_orc_roundtrip",
+    "corpus_merge_upsert",
+    "dedup_cluster_keep_best",
+    "ann_recall_eval",
+    "retrieval_rrf_fusion",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]
