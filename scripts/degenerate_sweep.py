@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Degenerate-input robustness sweep over every DuckDB oracle.
 
-The Levene/Brown-Forsythe bug class (ADVICE r10): Spark's ``div`` returns
-NULL on a zero denominator while DuckDB's ``//`` raises, so a degenerate
-corpus (constant values, single categories, size-1 groups, zero vectors)
-can make the oracle ERROR where the engine answers — an engine-divergent
+The Levene/Brown-Forsythe bug class (ADVICE r10; direction corrected per
+ADVICE r11): DuckDB's ``//`` yields NULL on a zero denominator while
+Spark's ANSI ``div`` raises DIVIDE_BY_ZERO, so a degenerate corpus
+(constant values, single categories, size-1 groups, zero vectors) can
+make EITHER engine error where the other answers — an engine-divergent
 edge the sf0.001/sf0.01 fixtures never reach because they are generated
 non-degenerate. This sweep runs ALL registered oracles against a tiny
 hand-built worst-case fixture and reports every oracle that raises.

@@ -2029,12 +2029,21 @@ def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the srcN numeric suffix yields a NULL rate index in BOTH
     engines (try_cast, and a WHEN-3 arm instead of ELSE so NULL falls
     through) — the row is excluded, never an error: the plain ::INT cast
-    raised in DuckDB while Spark's cast returned NULL."""
+    raised in DuckDB while Spark's cast returned NULL. A NEGATIVE suffix
+    (e.g. 'src-1') is guarded the same way (ADVICE r11): both engines'
+    ``%`` follows the dividend's sign, so the oracle's CASE matches no
+    0..3 arm and yields NULL, while an unguarded ``element_at(arr,
+    (n%4)+1)`` would raise on index 0 or silently pick index -1 — the
+    ``when(n >= 0, ...)`` wrapper mirrors the oracle's NULL
+    fall-through exactly."""
     d = _documents_spread(spark, sf_dir)
     n = F.expr("try_cast(substring(source, 4, 10) as int)")
-    thr = F.element_at(
-        F.array(F.lit("20"), F.lit("40"), F.lit("80"), F.lit("c0")),
-        (n % 4) + 1,
+    thr = F.when(
+        n >= 0,
+        F.element_at(
+            F.array(F.lit("20"), F.lit("40"), F.lit("80"), F.lit("c0")),
+            (n % 4) + 1,
+        ),
     )
     return pipeline.mixture_sample(d, thr).select("doc_id", "source", "bucket")
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from zip_to_parquet_spark.plans.registry import query
-from zip_to_parquet_spark.runtime import spread
+from zip_to_parquet_spark.runtime import size_aware_side, spread
 from zip_to_parquet_spark.schema import load_table
 
 D38 = "decimal(38,0)"
@@ -139,10 +139,10 @@ def stats_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k"),
         )
         .withColumn(
-            # nullif: Spark's div returns NULL on a zero denominator while
-            # DuckDB's // raises — degenerate inputs (all-identical values
-            # => ssw=0, or a single group => k=1) must yield NULL in BOTH
-            # engines, not an error in one.
+            # nullif: DuckDB's //0 yields NULL while Spark's ANSI div
+            # raises DIVIDE_BY_ZERO — degenerate inputs (all-identical
+            # values => ssw=0, or a single group => k=1) must yield NULL
+            # in BOTH engines, not an error in one.
             "f_permille",
             F.expr(
                 "(ssb * (n - k) * 1000) div nullif(ssw * (k - 1), 0)"
@@ -1139,6 +1139,50 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (1/deg(hub) ≈ 0), so the cap drops only near-zero-scoring candidates.
 HUB_DEG_CAP = 1024
 
+# Row threshold under which the node-cardinality degree dims (deg / dx /
+# dy / dv / hub) may force-broadcast; above it every one of those joins
+# falls back to a plain shuffle join via runtime.size_aware_side (VERDICT
+# r11 finding #1: a 100 TB co-purchase graph has 10⁸–10⁹ nodes — an
+# unconditional F.broadcast of a node-sized dim is a driver/executor OOM
+# at exactly the scale the engine is designed for). Same threshold the
+# retrieval/pipeline vocabulary joins use (broadcast_max_types).
+DEG_BROADCAST_MAX = 2_000_000
+
+# Wedge-pair packing: a candidate pair (cu, cv) shuffles as ONE long
+# ``cu * 2³² + cv`` instead of a two-long struct whenever every node id
+# fits 31 bits (cu < 2³¹ keeps the product inside a signed 64-bit long
+# under ANSI; cv < 2³² then holds a fortiori) — halving the key width of
+# the registry's most expensive shuffle, the ~10⁸-pair → ~10⁸-group hash
+# aggregation (VERDICT r11 ask #4). TPC-H partkeys reach 2³¹ around
+# SF ≈ 10⁴ (~1 PB); the bound is probed per-run from the real data and
+# wider ids fall back to the struct key — never a silent collision.
+PACK_SHIFT = 4294967296  # 2³²
+PACK_MAX_NODE = 2147483648  # 2³¹
+
+
+def _max_node(deg: DataFrame) -> int:
+    """Largest node id, via one bounded 1-row driver aggregate over the
+    checkpointed degree table — the probe behind the packed-pair /
+    struct-pair decision above."""
+    row = deg.agg(F.coalesce(F.max("node"), F.lit(0)).alias("mx")).collect()
+    return int(row[0]["mx"])
+
+
+# C(deg, 2) ordered wedge pairs from a center's capped sorted neighbor
+# list, generated JVM-side in one whole-stage-codegen projection (the r11
+# array-pairs strategy — see graph_jaccard_linkpred's docstring). Two
+# interchangeable pair encodings, same pair set by construction:
+_WEDGE_PAIRS_PACKED = (
+    "flatten(transform(us, (x, i) ->"
+    " transform(slice(us, i + 2, size(us) - i - 1),"
+    " y -> x * 4294967296L + y)))"
+)
+_WEDGE_PAIRS_STRUCT = (
+    "flatten(transform(us, (x, i) ->"
+    " transform(slice(us, i + 2, size(us) - i - 1),"
+    " y -> struct(x AS cu, y AS cv))))"
+)
+
 
 def hub_centers(deg: DataFrame, cap: int = HUB_DEG_CAP) -> DataFrame:
     """Nodes pruned as wedge CENTERS from the link-prediction self-joins:
@@ -1211,8 +1255,14 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     bought" candidate generator makes, since hub-mediated pairs score
     near-zero Jaccard anyway (the union term stays the TRUE degree sum:
     scoring uses unguarded degrees). Existing edges drop out via one
-    equi anti-join; degrees are a node-sized broadcast; top-20 is
-    TakeOrdered, never a global sort.
+    equi anti-join; top-20 is TakeOrdered, never a global sort. The
+    degree dims and the hub set are NODE-cardinality — they broadcast
+    only under runtime.size_aware_side's bounded probe
+    (DEG_BROADCAST_MAX) and otherwise join as plain shuffle joins
+    (VERDICT r11 finding #1: 10⁸–10⁹ nodes at 100 TB would OOM an
+    unconditional broadcast; the candidate side is already
+    hash-partitioned, so the fallback is one extra node-keyed shuffle,
+    never a nested loop).
 
     Physical wedge strategy (r11, measured ~2x at sf0.1): instead of the
     und ⋈ und self-equi-join on the center (which materializes deg² rows
@@ -1220,10 +1270,14 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is collected sorted — ≤HUB_DEG_CAP longs, ≤8 KB, bounded by the
     guard — and the C(deg,2) ordered pairs are generated JVM-side in one
     whole-stage-codegen transform/slice/flatten projection feeding the
-    (cu, cv) partial aggregation directly: one shuffle to the center,
-    one shuffle of the partially-aggregated pair counts, no join, no
-    over-generation. The oracle keeps the equivalent wedge JOIN in SQL —
-    same pair set by construction."""
+    pair partial aggregation directly: one shuffle to the center, one
+    shuffle of the partially-aggregated pair counts, no join, no
+    over-generation. r12: the pair shuffles as ONE packed long
+    ``cu·2³² + cv`` (decoded after the anti-join) whenever the probed
+    max node id fits 31 bits — halving the key width of the dominant
+    pair-aggregation shuffle — with the r11 struct pair as the
+    wide-id fallback (see PACK_MAX_NODE). The oracle keeps the
+    equivalent wedge JOIN in SQL — same pair set by construction."""
     lp = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1244,34 +1298,47 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("deg")
     ).localCheckpoint(eager=True)
     hub = hub_centers(deg)
-    undg = und.join(F.broadcast(hub), "v", "left_anti")
+    undg = und.join(
+        size_aware_side(hub, hub, DEG_BROADCAST_MAX), "v", "left_anti"
+    )
     adj = undg.groupBy("v").agg(F.sort_array(F.collect_list("u")).alias("us"))
-    cn = (
-        adj.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(us, (x, i) ->"
-                    " transform(slice(us, i + 2, size(us) - i - 1),"
-                    " y -> struct(x AS cu, y AS cv))))"
-                )
-            ).alias("p")
+    if _max_node(deg) < PACK_MAX_NODE:
+        cn = (
+            adj.select(F.explode(F.expr(_WEDGE_PAIRS_PACKED)).alias("pk"))
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         )
-        .select("p.cu", "p.cv")
-        .groupBy("cu", "cv")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    # shuffle_hash hint: the anti-join's left side is the ~|pairs|-row
-    # candidate relation (101M at sf0.1) — a sort-merge join would SORT
-    # it; hashing the edge partitions instead probes without sorting and
-    # stays scale-safe (no broadcast of a corpus-sized edge set).
-    nonedge = cn.join(
-        e.hint("shuffle_hash"), (e.u == cn.cu) & (e.v == cn.cv), "left_anti"
-    )
-    dx = deg.select(F.col("node").alias("cu"), F.col("deg").alias("du"))
-    dy = deg.select(F.col("node").alias("cv"), F.col("deg").alias("dv"))
+        ep = e.select(
+            (F.col("u") * F.lit(PACK_SHIFT) + F.col("v")).alias("pk")
+        )
+        # shuffle_hash hint: the anti-join's left side is the ~|pairs|-row
+        # candidate relation (101M at sf0.1) — a sort-merge join would
+        # SORT it; hashing the edge partitions instead probes without
+        # sorting and stays scale-safe (no broadcast of a corpus-sized
+        # edge set).
+        nonedge = cn.join(ep.hint("shuffle_hash"), "pk", "left_anti").select(
+            F.shiftright("pk", 32).alias("cu"),
+            F.expr("pk & 4294967295").alias("cv"),
+            "n_common",
+        )
+    else:
+        cn = (
+            adj.select(F.explode(F.expr(_WEDGE_PAIRS_STRUCT)).alias("p"))
+            .select("p.cu", "p.cv")
+            .groupBy("cu", "cv")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        nonedge = cn.join(
+            e.hint("shuffle_hash"),
+            (e.u == cn.cu) & (e.v == cn.cv),
+            "left_anti",
+        )
+    deg_side = size_aware_side(deg, deg, DEG_BROADCAST_MAX)
+    dx = deg_side.select(F.col("node").alias("cu"), F.col("deg").alias("du"))
+    dy = deg_side.select(F.col("node").alias("cv"), F.col("deg").alias("dv"))
     scored = (
-        nonedge.join(F.broadcast(dx), "cu")
-        .join(F.broadcast(dy), "cv")
+        nonedge.join(dx, "cu")
+        .join(dy, "cv")
         .select(
             F.col("cu").alias("u"),
             F.col("cv").alias("v"),
@@ -2290,10 +2357,17 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub-only pair is missed, and under RA such a pair scores ≈ 0 by
     construction — Σ 1/deg(hub) — so the cap and the score agree about
     what matters; planted-hub test in tests/test_graph_hub_guard.py).
-    The center's degree rides the wedge rows (one broadcast join onto
-    the node-sized degree table before the wedge self-join — no
+    The center's degree rides the wedge rows (one join onto the
+    node-sized pre-divided weight dim before the wedge self-join — no
     post-aggregation re-join needed); existing edges drop via one
-    anti-join; top-20 is TakeOrdered, never a global sort."""
+    anti-join; top-20 is TakeOrdered, never a global sort. As in the
+    Jaccard key (r12): the weight dim and the hub set are
+    node-cardinality, so they broadcast only under
+    runtime.size_aware_side's bounded probe and otherwise shuffle-join
+    on the center key the adjacency aggregation already exchanges on
+    (VERDICT r11 finding #1); and the wedge pair shuffles as one packed
+    long ``cu·2³² + cv`` when the probed max node id fits 31 bits,
+    struct pair otherwise (PACK_MAX_NODE)."""
     lp = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -2322,10 +2396,9 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("v"),
         F.expr("1000000 div deg").cast("long").alias("w_v"),
     )
-    undg = (
-        und.join(F.broadcast(hub), "v", "left_anti")
-        .join(F.broadcast(dv), "v")
-    )
+    undg = und.join(
+        size_aware_side(hub, hub, DEG_BROADCAST_MAX), "v", "left_anti"
+    ).join(size_aware_side(dv, deg, DEG_BROADCAST_MAX), "v")
     # Array-pairs wedge strategy (r11, shared with the Jaccard key — see
     # its docstring): the center's capped sorted neighbor list explodes
     # into C(deg,2) ordered pairs JVM-side, each carrying the center's
@@ -2335,34 +2408,50 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("u")).alias("us"),
         F.min("w_v").alias("w"),
     )
-    cn = (
-        adj.select(
-            F.col("w"),
-            F.explode(
-                F.expr(
-                    "flatten(transform(us, (x, i) ->"
-                    " transform(slice(us, i + 2, size(us) - i - 1),"
-                    " y -> struct(x AS cu, y AS cv))))"
-                )
-            ).alias("p"),
+    if _max_node(deg) < PACK_MAX_NODE:
+        cn = (
+            adj.select(
+                F.col("w"), F.explode(F.expr(_WEDGE_PAIRS_PACKED)).alias("pk")
+            )
+            .groupBy("pk")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_common"),
+                F.sum("w").cast("long").alias("ra_micro"),
+            )
         )
-        .select("p.cu", "p.cv", "w")
-        .groupBy("cu", "cv")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_common"),
-            F.sum("w").cast("long").alias("ra_micro"),
+        ep = e.select(
+            (F.col("u") * F.lit(PACK_SHIFT) + F.col("v")).alias("pk")
         )
-    )
-    # shuffle_hash: see graph_jaccard_linkpred — probe 101M candidates
-    # against hashed edge partitions instead of sorting them.
-    nonedge = cn.join(
-        e.hint("shuffle_hash"), (e.u == cn.cu) & (e.v == cn.cv), "left_anti"
-    ).select(
-        F.col("cu").alias("u"),
-        F.col("cv").alias("v"),
-        "n_common",
-        "ra_micro",
-    )
+        # shuffle_hash: see graph_jaccard_linkpred — probe 101M candidates
+        # against hashed edge partitions instead of sorting them.
+        nonedge = cn.join(ep.hint("shuffle_hash"), "pk", "left_anti").select(
+            F.shiftright("pk", 32).alias("u"),
+            F.expr("pk & 4294967295").alias("v"),
+            "n_common",
+            "ra_micro",
+        )
+    else:
+        cn = (
+            adj.select(
+                F.col("w"), F.explode(F.expr(_WEDGE_PAIRS_STRUCT)).alias("p")
+            )
+            .select("p.cu", "p.cv", "w")
+            .groupBy("cu", "cv")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_common"),
+                F.sum("w").cast("long").alias("ra_micro"),
+            )
+        )
+        nonedge = cn.join(
+            e.hint("shuffle_hash"),
+            (e.u == cn.cu) & (e.v == cn.cv),
+            "left_anti",
+        ).select(
+            F.col("cu").alias("u"),
+            F.col("cv").alias("v"),
+            "n_common",
+            "ra_micro",
+        )
     return nonedge.orderBy(F.col("ra_micro").desc(), "u", "v").limit(20)
 
 
