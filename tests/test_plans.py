@@ -1522,3 +1522,84 @@ def test_boilerplate_hash_keys_narrow_shuffle_and_value_identity(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_linkpred_pair_agg_is_joinless_packed_and_smj_free(spark):
+    # r12 plan locks for the re-planned wedge pipeline (VERDICT r11 ask
+    # #3), both link-prediction keys:
+    #   1. the candidate anti-join holds the shuffle_hash hint — a
+    #      SortMergeJoin would sort the ~10^8-row candidate side;
+    #   2. array-pair wedge generation — the pair aggregation sits
+    #      DIRECTLY on a Generate over the adjacency aggregation, with
+    #      no Join node in between (the r10-era self-join materialized
+    #      deg^2 rows per center);
+    #   3. the pair shuffles as the ONE packed long `pk` (node ids fit
+    #      31 bits at every test sf), not a two-long struct;
+    #   4. the hub-center cap literal reaches the degree filter.
+    for name in ("graph_jaccard_linkpred", "graph_resource_allocation"):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "ShuffledHashJoin LeftAnti" in plan, name
+        assert re.search(
+            r"HashAggregate \(\d+\)\s*\n[\s:+-]*Generate \(\d+\)\s*\n"
+            r"[\s:+-]*ObjectHashAggregate",
+            plan,
+        ), f"{name}: pair agg not joinless over the adjacency agg"
+        assert re.search(r"Keys \[\d\]: \[pk#", plan), (
+            f"{name}: pair key not packed"
+        )
+        assert "1024" in plan, f"{name}: hub cap filter missing"
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_linkpred_degree_dims_size_aware_fallback(spark, monkeypatch):
+    # VERDICT r11 finding #1: the degree dims / hub set are
+    # node-cardinality, so above the size_aware_side threshold they must
+    # join WITHOUT a force-broadcast (fallback = plain shuffle join,
+    # never a nested loop) and still produce identical values. As in
+    # test_lm_surprisal_shuffle_fallback_over_threshold, the physical
+    # plan can't distinguish (AQE auto-broadcasts any small side), so
+    # the HINT count is read from the analyzed logical plan.
+    from zip_to_parquet_spark.plans import scidata
+
+    q = all_queries()["graph_jaccard_linkpred"]
+    default = q(spark, SF)
+    analyzed_default = default._jdf.queryExecution().analyzed().toString()
+    # hub + the shared deg side used for both dx and dy scoring joins.
+    assert analyzed_default.count("strategy=broadcast") >= 3
+
+    # -1, not 0: an EMPTY hub set passes a 0-row probe (0 <= 0) and
+    # force-broadcasts legitimately; -1 fails every probe.
+    monkeypatch.setattr(scidata, "DEG_BROADCAST_MAX", -1)
+    forced = q(spark, SF)
+    analyzed = forced._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("strategy=broadcast") == 0
+    fplan_buf = io.StringIO()
+    with contextlib.redirect_stdout(fplan_buf):
+        forced.explain("formatted")
+    fplan = fplan_buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in fplan
+    assert "CartesianProduct" not in fplan
+    assert [tuple(r) for r in forced.collect()] == [
+        tuple(r) for r in default.collect()
+    ]
+
+
+def test_linkpred_struct_pair_fallback_same_values(spark, monkeypatch):
+    # Wide-node-id fallback: with the packed-key bound forced to 0 the
+    # wedge pair must ride the r11 struct encoding and produce the SAME
+    # top-20 — packing is an encoding choice, never a semantic one.
+    from zip_to_parquet_spark.plans import scidata
+
+    q = all_queries()["graph_resource_allocation"]
+    packed = [tuple(r) for r in q(spark, SF).collect()]
+    monkeypatch.setattr(scidata, "PACK_MAX_NODE", 0)
+    unpacked_df = q(spark, SF)
+    plan_buf = io.StringIO()
+    with contextlib.redirect_stdout(plan_buf):
+        unpacked_df.explain("formatted")
+    plan = plan_buf.getvalue()
+    assert "Keys: [pk#" not in plan  # struct path taken
+    assert "SortMergeJoin" not in plan  # shuffle_hash holds there too
+    assert [tuple(r) for r in unpacked_df.collect()] == packed
