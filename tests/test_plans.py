@@ -1524,7 +1524,7 @@ def test_boilerplate_hash_keys_narrow_shuffle_and_value_identity(spark):
     assert got == want and len(got) > 0
 
 
-def test_linkpred_pair_agg_is_joinless_packed_and_smj_free(spark):
+def test_linkpred_pair_agg_is_joinless_and_smj_free(spark):
     # r12 plan locks for the re-planned wedge pipeline (VERDICT r11 ask
     # #3), both link-prediction keys:
     #   1. the candidate anti-join holds the shuffle_hash hint — a
@@ -1533,20 +1533,22 @@ def test_linkpred_pair_agg_is_joinless_packed_and_smj_free(spark):
     #      DIRECTLY on a Generate over the adjacency aggregation, with
     #      no Join node in between (the r10-era self-join materialized
     #      deg^2 rows per center);
-    #   3. the pair shuffles as the ONE packed long `pk` (node ids fit
-    #      31 bits at every test sf), not a two-long struct;
+    #   3. the pair rides the STRUCT encoding by default (the
+    #      packed-long alternative measured slower on local shuffle —
+    #      see scidata.WEDGE_PAIR_ENCODING);
     #   4. the hub-center cap literal reaches the degree filter.
     for name in ("graph_jaccard_linkpred", "graph_resource_allocation"):
         plan = plan_of(spark, name)
         assert "SortMergeJoin" not in plan, name
         assert "ShuffledHashJoin LeftAnti" in plan, name
         assert re.search(
-            r"HashAggregate \(\d+\)\s*\n[\s:+-]*Generate \(\d+\)\s*\n"
-            r"[\s:+-]*ObjectHashAggregate",
+            r"HashAggregate \(\d+\)\s*\n(?:[\s:+-]*Project \(\d+\)\s*\n)?"
+            r"[\s:+-]*Generate \(\d+\)\s*\n"
+            r"(?:[\s:+-]*Project \(\d+\)\s*\n)?[\s:+-]*ObjectHashAggregate",
             plan,
         ), f"{name}: pair agg not joinless over the adjacency agg"
-        assert re.search(r"Keys \[\d\]: \[pk#", plan), (
-            f"{name}: pair key not packed"
+        assert not re.search(r"Keys \[\d\]: \[pk#", plan), (
+            f"{name}: default encoding must be struct, found packed"
         )
         assert "1024" in plan, f"{name}: hub cap filter missing"
         assert "CartesianProduct" not in plan, name
@@ -1586,20 +1588,22 @@ def test_linkpred_degree_dims_size_aware_fallback(spark, monkeypatch):
     ]
 
 
-def test_linkpred_struct_pair_fallback_same_values(spark, monkeypatch):
-    # Wide-node-id fallback: with the packed-key bound forced to 0 the
-    # wedge pair must ride the r11 struct encoding and produce the SAME
-    # top-20 — packing is an encoding choice, never a semantic one.
+def test_linkpred_packed_pair_optin_same_values(spark, monkeypatch):
+    # The packed-long pair encoding (kept behind WEDGE_PAIR_ENCODING
+    # for network-shuffled clusters) must produce the SAME top-20 as
+    # the default struct encoding — packing is an encoding choice,
+    # never a semantic one — and must hold the shuffle_hash hint on
+    # its single-key anti-join.
     from zip_to_parquet_spark.plans import scidata
 
     q = all_queries()["graph_resource_allocation"]
-    packed = [tuple(r) for r in q(spark, SF).collect()]
-    monkeypatch.setattr(scidata, "PACK_MAX_NODE", 0)
-    unpacked_df = q(spark, SF)
+    struct_rows = [tuple(r) for r in q(spark, SF).collect()]
+    monkeypatch.setattr(scidata, "WEDGE_PAIR_ENCODING", "packed")
+    packed_df = q(spark, SF)
     plan_buf = io.StringIO()
     with contextlib.redirect_stdout(plan_buf):
-        unpacked_df.explain("formatted")
+        packed_df.explain("formatted")
     plan = plan_buf.getvalue()
-    assert "Keys: [pk#" not in plan  # struct path taken
+    assert re.search(r"Keys \[\d\]: \[pk#", plan)  # packed path taken
     assert "SortMergeJoin" not in plan  # shuffle_hash holds there too
-    assert [tuple(r) for r in unpacked_df.collect()] == packed
+    assert [tuple(r) for r in packed_df.collect()] == struct_rows

@@ -40,10 +40,12 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 # window went 49/50 full-oracle green + the by-design rows-only sketch key):
 #   slots 1-3: the three keys whose implementing closures change THIS
 #     round — graph_resource_allocation + graph_jaccard_linkpred (the
-#     degree-dim joins go size-aware via runtime.size_aware_side and the
-#     wedge-pair shuffle key is packed into one long, VERDICT r11 asks #2
-#     and #4) and mixture_sample_by_source (negative-suffix element_at
-#     guard, ADVICE r11) — so all three re-verify on post-change code.
+#     degree-dim joins go size-aware via runtime.size_aware_side, VERDICT
+#     r11 ask #2; the ask-#4 packed-long pair key was built, A/B-measured
+#     slower than struct on local shuffle, and kept opt-in — see
+#     scidata.WEDGE_PAIR_ENCODING) and mixture_sample_by_source
+#     (negative-suffix element_at guard, ADVICE r11) — so all three
+#     re-verify on post-change code.
 #   slots 4-50: oldest-last-green-first refresh of the stale-closure
 #     backlog (VERDICT r11 "What's missing" #1: 111 keys, 71 of them the
 #     one mechanical registry/load_table shared-helper vintage). The

