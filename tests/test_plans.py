@@ -1565,27 +1565,34 @@ def test_linkpred_degree_dims_size_aware_fallback(spark, monkeypatch):
     # the HINT count is read from the analyzed logical plan.
     from zip_to_parquet_spark.plans import scidata
 
-    q = all_queries()["graph_jaccard_linkpred"]
-    default = q(spark, SF)
-    analyzed_default = default._jdf.queryExecution().analyzed().toString()
-    # hub + the shared deg side used for both dx and dy scoring joins.
-    assert analyzed_default.count("strategy=broadcast") >= 3
+    # Jaccard force-broadcasts hub + the shared deg side (dx and dy);
+    # RA force-broadcasts hub + the pre-divided weight dim.
+    default_max = scidata.DEG_BROADCAST_MAX
+    for name, n_hints in (
+        ("graph_jaccard_linkpred", 3),
+        ("graph_resource_allocation", 2),
+    ):
+        q = all_queries()[name]
+        monkeypatch.setattr(scidata, "DEG_BROADCAST_MAX", default_max)
+        default = q(spark, SF)
+        analyzed_default = default._jdf.queryExecution().analyzed().toString()
+        assert analyzed_default.count("strategy=broadcast") >= n_hints, name
 
-    # -1, not 0: an EMPTY hub set passes a 0-row probe (0 <= 0) and
-    # force-broadcasts legitimately; -1 fails every probe.
-    monkeypatch.setattr(scidata, "DEG_BROADCAST_MAX", -1)
-    forced = q(spark, SF)
-    analyzed = forced._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("strategy=broadcast") == 0
-    fplan_buf = io.StringIO()
-    with contextlib.redirect_stdout(fplan_buf):
-        forced.explain("formatted")
-    fplan = fplan_buf.getvalue()
-    assert "BroadcastNestedLoopJoin" not in fplan
-    assert "CartesianProduct" not in fplan
-    assert [tuple(r) for r in forced.collect()] == [
-        tuple(r) for r in default.collect()
-    ]
+        # -1, not 0: an EMPTY hub set passes a 0-row probe (0 <= 0) and
+        # force-broadcasts legitimately; -1 fails every probe.
+        monkeypatch.setattr(scidata, "DEG_BROADCAST_MAX", -1)
+        forced = q(spark, SF)
+        analyzed = forced._jdf.queryExecution().analyzed().toString()
+        assert analyzed.count("strategy=broadcast") == 0, name
+        fplan_buf = io.StringIO()
+        with contextlib.redirect_stdout(fplan_buf):
+            forced.explain("formatted")
+        fplan = fplan_buf.getvalue()
+        assert "BroadcastNestedLoopJoin" not in fplan, name
+        assert "CartesianProduct" not in fplan, name
+        assert [tuple(r) for r in forced.collect()] == [
+            tuple(r) for r in default.collect()
+        ], name
 
 
 def test_linkpred_packed_pair_optin_same_values(spark, monkeypatch):
