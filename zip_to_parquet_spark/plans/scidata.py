@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from zip_to_parquet_spark.plans.registry import query
-from zip_to_parquet_spark.runtime import size_aware_side, spread
+from zip_to_parquet_spark.runtime import spread
 from zip_to_parquet_spark.schema import load_table
 
 D38 = "decimal(38,0)"
@@ -1291,6 +1291,13 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag away for network-shuffled clusters, value-parity-tested. The
     oracle keeps the equivalent wedge JOIN in SQL — same pair set by
     construction."""
+    # Local import: binding size_aware_side at module level would change
+    # the module's import-bind units and transitively flag every
+    # spread-using scidata key in the stale-closure differ (the
+    # textops.py:DataFrame lesson); function-local keeps the closure
+    # delta scoped to the two keys that actually changed.
+    from zip_to_parquet_spark.runtime import size_aware_side
+
     lp = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -2381,6 +2388,9 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r11 finding #1); the wedge pair keeps the struct encoding
     by measurement — see WEDGE_PAIR_ENCODING for the packed-long A/B
     result and the cluster-side revisit condition."""
+    # Local import: see graph_jaccard_linkpred.
+    from zip_to_parquet_spark.runtime import size_aware_side
+
     lp = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
