@@ -123,7 +123,12 @@ def test_oracle_guard_matches_spark_guard(spark):
 
 
 @pytest.mark.parametrize(
-    "key", ["graph_jaccard_linkpred", "graph_resource_allocation"]
+    "key",
+    [
+        "graph_jaccard_linkpred",
+        "graph_resource_allocation",
+        "graph_adamic_adar",
+    ],
 )
 def test_linkpred_oracles_use_absolute_cap(key):
     """Both oracles carry the absolute cap verbatim and no trace of the

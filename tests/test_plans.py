@@ -1536,8 +1536,19 @@ def test_linkpred_pair_agg_is_joinless_and_smj_free(spark):
     #   3. the pair rides the STRUCT encoding by default (the
     #      packed-long alternative measured slower on local shuffle —
     #      see scidata.WEDGE_PAIR_ENCODING);
-    #   4. the hub-center cap literal reaches the degree filter.
-    for name in ("graph_jaccard_linkpred", "graph_resource_allocation"):
+    #   4. the hub-center cap literal reaches the degree filter — anchored
+    #      to the Filter condition text, not a bare substring ("1024"
+    #      also appears as expression ids / size stats; ADVICE r12), and
+    #      derived from HUB_DEG_CAP so a cap change re-pins the lock.
+    # r13: graph_adamic_adar shares _weighted_linkpred with RA — same
+    # locks apply.
+    from zip_to_parquet_spark.plans.scidata import HUB_DEG_CAP
+
+    for name in (
+        "graph_jaccard_linkpred",
+        "graph_resource_allocation",
+        "graph_adamic_adar",
+    ):
         plan = plan_of(spark, name)
         assert "SortMergeJoin" not in plan, name
         assert "ShuffledHashJoin LeftAnti" in plan, name
@@ -1550,7 +1561,9 @@ def test_linkpred_pair_agg_is_joinless_and_smj_free(spark):
         assert not re.search(r"Keys \[\d\]: \[pk#", plan), (
             f"{name}: default encoding must be struct, found packed"
         )
-        assert "1024" in plan, f"{name}: hub cap filter missing"
+        assert re.search(
+            rf"\(deg#\d+L? > {HUB_DEG_CAP}\)", plan
+        ), f"{name}: hub cap filter missing"
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
 
@@ -1566,11 +1579,13 @@ def test_linkpred_degree_dims_size_aware_fallback(spark, monkeypatch):
     from zip_to_parquet_spark.plans import scidata
 
     # Jaccard force-broadcasts hub + the shared deg side (dx and dy);
-    # RA force-broadcasts hub + the pre-divided weight dim.
+    # RA and AA (shared _weighted_linkpred) force-broadcast hub + the
+    # pre-divided weight dim.
     default_max = scidata.DEG_BROADCAST_MAX
     for name, n_hints in (
         ("graph_jaccard_linkpred", 3),
         ("graph_resource_allocation", 2),
+        ("graph_adamic_adar", 2),
     ):
         q = all_queries()[name]
         monkeypatch.setattr(scidata, "DEG_BROADCAST_MAX", default_max)

@@ -36,79 +36,77 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 # changed than the window holds, every slot must at least be spent on a
 # changed key.
 #
-# ROUND-12 pin (committed FIRST this round per VERDICT r11 ask #1; the r11
-# window went 49/50 full-oracle green + the by-design rows-only sketch key):
-#   slots 1-3: the three keys whose implementing closures change THIS
-#     round — graph_resource_allocation + graph_jaccard_linkpred (the
-#     degree-dim joins go size-aware via runtime.size_aware_side, VERDICT
-#     r11 ask #2; the ask-#4 packed-long pair key was built, A/B-measured
-#     slower than struct on local shuffle, and kept opt-in — see
-#     scidata.WEDGE_PAIR_ENCODING) and mixture_sample_by_source
-#     (negative-suffix element_at guard, ADVICE r11) — so all three
-#     re-verify on post-change code.
-#   slots 4-50: oldest-last-green-first refresh of the stale-closure
-#     backlog (VERDICT r11 "What's missing" #1: 111 keys, 71 of them the
-#     one mechanical registry/load_table shared-helper vintage). The
-#     mechanical suggestion from `python scripts/window_pin.py --list` at
-#     r12 start supplies these 47 (its last two top-up entries,
-#     stream_watermark_late_drop and ann_ndcg_eval — the youngest greens
-#     in the rotation — yield their slots to the two graph keys above).
-# New-key ration this round: 0 (VERDICT r11 ask #1 allows ≤5; all slots
-# spent burning the backlog).
+# ROUND-13 pin (the mechanical `python scripts/window_pin.py --list`
+# suggestion, verbatim; the r12 window went 49/50 full-oracle green + the
+# by-design rows-only sketch key):
+#   26 changed keys first — the 18 remaining stale-closure keys (VERDICT
+#     r12 ask #1: the r6/r7/r9/r10-vintage tail, the WHOLE backlog), the
+#     7 keys whose closures change THIS round (basket-capped pair
+#     generation per VERDICT r12 ask #2 / finding #1:
+#     graph_jaccard_linkpred, graph_resource_allocation,
+#     basket_pair_lift, graph_triangle_count, graph_bfs_hops,
+#     graph_local_clustering; plus mixture_sample_by_source's
+#     modulus-guard fix, ADVICE r12), and the one NEW key
+#     graph_adamic_adar (VERDICT r12 ask #4 — completes the
+#     link-prediction triad on the shared _weighted_linkpred pipeline).
+#   slots 27-50: oldest-last-green-first top-up (the r4/r6 vintage:
+#     zip_csv_members, zip_jsonl_members, zip_federated_join,
+#     tar_explode_hash, the early relational core).
+# New-key ration this round: 1 of ≤5 (graph_adamic_adar).
 # All keys outside the window remain value-verified by the sf0.001
 # oracle-parity suite on every test run plus the round-end sf0.01 sweep
 # and the type+overflow audit (scripts/audit_oracle_types.py).
 set_priority([
+    "graph_adamic_adar",
+    "graph_triangle_count",
+    "stream_watermark_late_drop",
+    "graph_bfs_hops",
+    "ann_ndcg_eval",
+    "join_partition_pruning_dynamic",
+    "stats_corr_exact",
+    "stats_groupwise_linreg",
+    "basket_pair_lift",
+    "stats_anova_f",
+    "stream_pattern_strict_funnel",
+    "graph_local_clustering",
+    "dq_referential_integrity",
+    "experiment_cuped_adjust",
+    "experiment_stratified_ate",
+    "experiment_diff_in_diff",
+    "ann_nprobe_curve",
+    "ts_autocorrelation",
+    "stats_kaplan_meier",
+    "sample_neyman_allocation",
+    "stats_ols_two_factor",
+    "sketch_hll_registers",
+    "stats_bootstrap_ci_poisson",
     "graph_resource_allocation",
     "graph_jaccard_linkpred",
     "mixture_sample_by_source",
-    "agg_approx_count_distinct",
-    "window_rank_topn",
-    "window_lag_delta",
-    "window_moving_sum",
-    "topk_orders",
-    "json_extract_events",
-    "pivot_event_counts",
-    "agg_grouping_sets",
-    "agg_percentiles",
-    "explode_top_words",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "join_salted_skew",
-    "scalar_null_handling",
-    "window_rank_battery",
-    "agg_having_exists",
-    "join_outer_full",
-    "subquery_min_per_group",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "multimodal_decode_features",
-    "ann_ivf_topk",
-    "ann_ivf_trained",
-    "text_clean_normalize",
-    "bm25_topk_docs",
-    "dsir_importance_weights",
-    "dedup_minhash_lsh",
-    "dedup_exact_spans",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "dedup_semantic",
-    "pipeline_prep_recipe",
-    "dedup_exact_spans_keep_first",
-    "corpus_snapshot_delta",
-    "stream_tumbling_window",
-    "stream_hopping_window",
-    "stream_sessionize",
-    "stream_stateful_totals",
-    "stream_stream_join",
-    "stream_dedup_keys",
-    "dedup_containment",
-    "dedup_edit_distance",
-    "format_orc_roundtrip",
-    "corpus_merge_upsert",
-    "dedup_cluster_keep_best",
-    "ann_recall_eval",
-    "retrieval_rrf_fusion",
+    "events_sessionize",
+    "ann_cosine_topk",
+    "lm_surprisal_scores",
+    "multimodal_mp4_meta",
+    "lm_bigram_surprisal",
+    "topic_lexicon_classify",
+    "graph_pagerank_nations",
+    "zip_csv_members",
+    "zip_jsonl_members",
+    "zip_federated_join",
+    "join_asof_last_click",
+    "join_range_within_5min",
+    "tfidf_topk_terms",
+    "events_funnel",
+    "events_retention_cohort",
+    "dim_scd2_history",
+    "events_rolling_active_users",
+    "events_interval_islands",
+    "window_time_range_sum",
+    "events_funnel_partitioned",
+    "scalar_array_battery",
+    "events_timeseries_gapfill",
+    "events_minmax_scaled",
+    "q14_promo_revenue",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]

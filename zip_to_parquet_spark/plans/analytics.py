@@ -279,7 +279,14 @@ def curriculum_quantile_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangle_count",
     oracle="""
-    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH lp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    lp AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               count(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM lp0)
+      WHERE bsz <= 256
+    ),
     e AS (
       SELECT DISTINCT a.l_partkey u, b.l_partkey v
       FROM lp a JOIN lp b
@@ -299,8 +306,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine: degree-ordered edge-iterator (operators.graph.triangle_count)
     — orientation bounds wedge fan-out by O(√m) out-degree, the power-law
     skew fix; oracle: the naive a<b<c 3-way join, which counts the same
-    triangles at fixture scale."""
-    lp = (
+    triangles at fixture scale. Edge generation itself is basket-capped
+    (operators.graph.BASKET_CAP, r13 — C(basket, 2) pairs per order is
+    quadratic in a data-dependent quantity; mirrored in the oracle,
+    never fires on fixtures)."""
+    from zip_to_parquet_spark.operators.graph import capped_baskets
+
+    lp = capped_baskets(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
@@ -1124,8 +1136,15 @@ def events_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_bfs_hops",
     oracle="""
-    WITH RECURSIVE lp AS (
+    WITH RECURSIVE lp0 AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    lp AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               count(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM lp0)
+      WHERE bsz <= 256
     ),
     e AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -1148,10 +1167,12 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 hops (operators/graph.bfs_hops). The iterative frontier-join
     algorithm gets a FULL value oracle — integer hop counts against a
     bounded recursive CTE — extending the repo's exact-iterative family
-    (PageRank, k-means, connected components) with traversal."""
-    from zip_to_parquet_spark.operators.graph import bfs_hops
+    (PageRank, k-means, connected components) with traversal. Edge
+    generation is basket-capped (operators.graph.BASKET_CAP, r13 —
+    mirrored in the oracle, never fires on fixtures)."""
+    from zip_to_parquet_spark.operators.graph import bfs_hops, capped_baskets
 
-    lp = (
+    lp = capped_baskets(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
@@ -1794,8 +1815,15 @@ def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_local_clustering",
     oracle="""
-    WITH lp AS (
+    WITH lp0 AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    lp AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               count(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM lp0)
+      WHERE bsz <= 256
     ),
     e AS (
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -1840,10 +1868,15 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-law skew fix), with each triangle's three nodes exploded once
     into a node-keyed rollup. Oracle: the naive a<b<c 3-way self-join
     unpivoted per node — orientation changes join volume, never
-    membership."""
-    from zip_to_parquet_spark.operators.graph import local_clustering
+    membership. Edge generation is basket-capped
+    (operators.graph.BASKET_CAP, r13 — mirrored in the oracle, never
+    fires on fixtures)."""
+    from zip_to_parquet_spark.operators.graph import (
+        capped_baskets,
+        local_clustering,
+    )
 
-    lp = (
+    lp = capped_baskets(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()

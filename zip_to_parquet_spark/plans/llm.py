@@ -2030,19 +2030,27 @@ def mixture_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (try_cast, and a WHEN-3 arm instead of ELSE so NULL falls
     through) — the row is excluded, never an error: the plain ::INT cast
     raised in DuckDB while Spark's cast returned NULL. A NEGATIVE suffix
-    (e.g. 'src-1') is guarded the same way (ADVICE r11): both engines'
-    ``%`` follows the dividend's sign, so the oracle's CASE matches no
-    0..3 arm and yields NULL, while an unguarded ``element_at(arr,
-    (n%4)+1)`` would raise on index 0 or silently pick index -1 — the
-    ``when(n >= 0, ...)`` wrapper mirrors the oracle's NULL
-    fall-through exactly."""
+    (e.g. 'src-1') is guarded on the MODULUS, not the operand (ADVICE
+    r12): both engines' ``%`` follows the dividend's sign, so for most
+    negatives the oracle's CASE matches no 0..3 arm and yields NULL —
+    but a negative MULTIPLE of 4 (e.g. 'src-4') has ``n % 4 == 0`` and
+    DOES match WHEN 0 in both engines, so an operand guard (``n >= 0``)
+    would wrongly exclude it on the Spark side only. ``when((n % 4) >=
+    0, element_at(arr, (n%4)+1))`` NULLs exactly the indexes that are
+    invalid for element_at (0 and negative) — the same rows the oracle's
+    CASE falls through on — and keeps n = -4k parity. The suffix parse
+    is uncapped (``substring(source, 4)``) to match the oracle's
+    ``substr(source, 4)``: an 11+-digit suffix overflows try_cast to
+    NULL identically in both engines instead of truncating to a valid
+    INT on one side."""
     d = _documents_spread(spark, sf_dir)
-    n = F.expr("try_cast(substring(source, 4, 10) as int)")
+    n = F.expr("try_cast(substring(source, 4) as int)")
+    m = n % 4
     thr = F.when(
-        n >= 0,
+        m >= 0,
         F.element_at(
             F.array(F.lit("20"), F.lit("40"), F.lit("80"), F.lit("c0")),
-            (n % 4) + 1,
+            m + 1,
         ),
     )
     return pipeline.mixture_sample(d, thr).select("doc_id", "source", "bucket")

@@ -212,7 +212,14 @@ def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "basket_pair_lift",
     oracle="""
-    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH po0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    po AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               count(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM po0)
+      WHERE bsz <= 256
+    ),
     n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM po),
     pc AS (SELECT l_partkey, count(*)::BIGINT AS n_part FROM po GROUP BY 1),
     pairs AS (
@@ -239,13 +246,21 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact 128-bit integer arithmetic, no float probabilities).
 
     Scale shape: the pair generation is a self-equi-join ON THE ORDER KEY
-    — candidate volume is Σ|basket|², bounded by the max lines-per-order
-    (TPC-H: 7; this fixture: 12 → ≤66 pairs/order), never |parts|². The
+    — candidate volume is Σ|basket|², never |parts|² — and |basket| is
+    DATA-dependent, so baskets above operators.graph.BASKET_CAP distinct
+    parts are dropped before the join (r13, VERDICT r12 finding #1: one
+    pathological 10⁶-item bot basket is 5×10¹¹ pairs in a single task;
+    a jumbo basket carries ≈0 pairwise-affinity signal, so the cap drops
+    only noise — mirrored verbatim in the oracle and in the capped
+    order-count/part-frequency denominators, and it never fires on the
+    fixtures: max basket 17 at sf0.1, ≤66 pairs/order). The
     part-frequency table is part-dimension-sized (size-aware broadcast),
     and the scalar order count is a broadcast 1-row cross join — the
     house pattern for global denominators."""
+    from zip_to_parquet_spark.operators.graph import capped_baskets
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    po = li.distinct()
+    po = capped_baskets(li.distinct())
     n = po.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )
@@ -271,9 +286,14 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb = pc.select(
         F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
     )
+    # The part-frequency dim is PART-cardinality (the degree-dim lesson,
+    # VERDICT r11 finding #1): force-broadcast only under the bounded
+    # size probe, else shuffle-join on the part key.
+    from zip_to_parquet_spark.runtime import size_aware_side
+
     return (
-        pairs.join(F.broadcast(pa), "part_a")
-        .join(F.broadcast(pb), "part_b")
+        pairs.join(size_aware_side(pa, pc, 2_000_000), "part_a")
+        .join(size_aware_side(pb, pc, 2_000_000), "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a",
