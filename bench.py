@@ -40,14 +40,18 @@ HEADLINE = [
     "stream_tumbling_window",
 ]
 
-# Registry-heaviest keys (~40 s each at sf0.1), measured OUTSIDE the
+# Registry-heaviest keys (~35-45 s each at sf0.1), measured OUTSIDE the
 # headline so their cost trend is driver-recorded every round (VERDICT
 # r11 ask #5) without inflating the comparable headline total. Reported
-# under "heavy_queries" in the JSON; min-of-2 with the same steal
-# accounting. SPARK_GRAFT_SKIP_HEAVY=1 skips them for fast local loops.
+# under "heavy_queries" in the JSON; run FIRST in the session (r13: the
+# r12 storms clustered late and steal-marked both samples), min-of-2
+# plus bounded retries for keys without a clean sample — a steal-clean
+# sample is preferred over a faster contaminated one, since steal only
+# inflates. SPARK_GRAFT_SKIP_HEAVY=1 skips them for fast local loops.
 HEAVY = [
     "graph_jaccard_linkpred",
     "graph_resource_allocation",
+    "graph_adamic_adar",
 ]
 
 
@@ -154,6 +158,49 @@ def main() -> int:
             )
 
     print(f"  load at start: {os.getloadavg()[0]:.2f}", file=sys.stderr)
+
+    # Heavy keys run FIRST (VERDICT r12 ask #3): both r12 heavy samples
+    # were steal-marked because the box's storms clustered late in the
+    # session — fronting the ~40 s/key section maximizes the odds of a
+    # steal-clean driver-visible record. Two passes always (min-of-2, the
+    # steady-state policy), plus up to two retry passes ONLY for keys
+    # whose recorded minimum is still dirty.
+    heavy_timings: dict[str, float] = {}
+    heavy_best_clean: dict[str, bool] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_HEAVY") != "1":
+        heavy_t0 = time.perf_counter()
+        for _pass in range(4):
+            if _pass >= 2 and all(heavy_best_clean.get(n) for n in HEAVY):
+                break
+            # Wall budget: on a hopeless box the retry passes must not
+            # starve the headline section (min-of-2 is already recorded).
+            if _pass >= 2 and time.perf_counter() - heavy_t0 > 600:
+                print("  heavy wall budget reached", file=sys.stderr)
+                break
+            _await_quiet(max_wait=240.0 if _pass == 0 else 90.0)
+            for name in HEAVY:
+                if _pass >= 2 and heavy_best_clean.get(name):
+                    continue
+                s0 = _steal()
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.perf_counter() - t0, 3)
+                dirty = _steal() - s0 >= 0.5
+                if (
+                    name not in heavy_timings
+                    or dt < heavy_timings[name]
+                    or (not dirty and not heavy_best_clean.get(name))
+                ):
+                    heavy_timings[name] = dt
+                    heavy_best_clean[name] = not dirty
+                print(
+                    f"  heavy{_pass} {name}: {dt:.2f}s"
+                    + (" [steal]" if dirty else ""),
+                    file=sys.stderr,
+                )
+
     _await_quiet(max_wait=180.0)
     bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
@@ -201,28 +248,6 @@ def main() -> int:
             f"load: {os.getloadavg()[0]:.2f}",
             file=sys.stderr,
         )
-
-    heavy_timings: dict[str, float] = {}
-    heavy_best_clean: dict[str, bool] = {}
-    if os.environ.get("SPARK_GRAFT_SKIP_HEAVY") != "1":
-        for _pass in range(2):
-            _await_quiet(max_wait=60.0)
-            for name in HEAVY:
-                s0 = _steal()
-                t0 = time.perf_counter()
-                queries[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = round(time.perf_counter() - t0, 3)
-                dirty = _steal() - s0 >= 0.5
-                if name not in heavy_timings or dt < heavy_timings[name]:
-                    heavy_timings[name] = dt
-                    heavy_best_clean[name] = not dirty
-                print(
-                    f"  heavy{_pass} {name}: {dt:.2f}s"
-                    + (" [steal]" if dirty else ""),
-                    file=sys.stderr,
-                )
 
     total = round(sum(timings.values()), 3)
     # Round-6 lesson: a steal-contaminated headline recorded without a
