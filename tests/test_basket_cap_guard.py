@@ -226,3 +226,50 @@ def test_aa_weight_deg1_is_null_not_error(spark):
         )
     ).collect()
     assert row[0]["w"] is None
+
+
+# ---------------------------------------------------------------------------
+# LSH mega-bucket star expansion (the same C(group, 2) family, one stage
+# over: operators/dedupe._bucket_pairs / LSH_BUCKET_CAP)
+# ---------------------------------------------------------------------------
+def _expand(spark, ids, cap):
+    from zip_to_parquet_spark.operators.dedupe import _bucket_pairs
+
+    df = spark.createDataFrame([(sorted(ids),)], "ids array<long>")
+    return sorted(
+        (r.p.doc_a, r.p.doc_b)
+        for r in df.select(
+            F.explode(_bucket_pairs(F.col("ids"), cap)).alias("p")
+        ).collect()
+    )
+
+
+def test_bucket_pairs_all_pairs_at_or_below_cap(spark):
+    from itertools import combinations
+
+    ids = list(range(10, 18))  # 8 ids, cap 8: at-cap keeps all pairs
+    assert _expand(spark, ids, 8) == sorted(combinations(sorted(ids), 2))
+
+
+def test_mega_bucket_expands_linear_star(spark):
+    # Above the cap the expansion is the bucket-minimum star: b-1 pairs,
+    # every member connected to the representative — never C(b, 2).
+    ids = list(range(100, 140))  # 40 ids >> cap 8
+    got = _expand(spark, ids, 8)
+    assert got == [(100, x) for x in range(101, 140)]
+    assert len(got) == len(ids) - 1  # linear, and connectivity preserved
+
+
+def test_lsh_cap_never_fires_on_fixture_scale_buckets(spark):
+    # The measured fixture maxima (minhash 4, cosine 37 at sf0.1) sit far
+    # below LSH_BUCKET_CAP, so oracle hashes are unchanged — pin the
+    # at-cap boundary exactly: cap-sized buckets still expand all pairs.
+    from itertools import combinations
+
+    from zip_to_parquet_spark.operators.dedupe import LSH_BUCKET_CAP
+
+    ids = list(range(37))  # the largest bucket observed on any fixture
+    assert LSH_BUCKET_CAP >= 256 and len(ids) < LSH_BUCKET_CAP
+    assert _expand(spark, ids, LSH_BUCKET_CAP) == sorted(
+        combinations(ids, 2)
+    )

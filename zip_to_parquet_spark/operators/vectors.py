@@ -136,6 +136,11 @@ def cosine_lsh_pairs(
     (same bucket-then-expand idiom as minhash_lsh_pairs — no self-join, no
     cartesian); the exact `cosine ≥ threshold` predicate then decides every
     surviving pair, so precision is exact and only recall is probabilistic.
+    Bucket count per table is FIXED at 2^n_planes, so bucket size grows
+    linearly with the corpus — n_planes must scale with log2(corpus) on a
+    real deployment, and mis-sizing is bounded rather than fatal: above
+    dedupe.LSH_BUCKET_CAP ids a bucket expands the linear bucket-minimum
+    star instead of C(b, 2) pairs (r13; recall contract at _bucket_pairs).
 
     Recall at the default 0.95/8-plane/32-table setting: a qualifying pair
     (θ ≤ 18.2°) collides in one table with p = (1-θ/π)^8 ≈ 0.43, so the
