@@ -188,10 +188,16 @@ def main() -> int:
                 ).save()
                 dt = round(time.perf_counter() - t0, 3)
                 dirty = _steal() - s0 >= 0.5
-                if (
-                    name not in heavy_timings
-                    or dt < heavy_timings[name]
-                    or (not dirty and not heavy_best_clean.get(name))
+                # A clean sample is never displaced by a faster dirty
+                # one (steal only inflates — a "faster" dirty sample is
+                # variance, and the marker matters more than the ms).
+                cur_clean = heavy_best_clean.get(name, False)
+                if name not in heavy_timings or (
+                    not (dirty and cur_clean)
+                    and (
+                        dt < heavy_timings[name]
+                        or (not dirty and not cur_clean)
+                    )
                 ):
                     heavy_timings[name] = dt
                     heavy_best_clean[name] = not dirty
