@@ -2155,3 +2155,35 @@ def test_apss_prefix_property_vs_brute_force(spark):
         assert got == want, (docs, got, want)
 
     prop()
+
+
+def test_lsh_params_corpus_sized():
+    """lsh_params_for (r13): fixture scales resolve to the historical
+    (8, 32) exactly — oracle hashes unchanged — and at corpus scale the
+    dials keep candidate volume linear while holding the recall bound."""
+    import math
+
+    from zip_to_parquet_spark.operators.vectors import lsh_params_for
+
+    # Every fixture scale (sf0.001 .. sf0.1 embeddings: 50..2000 vecs).
+    for n in (0, 50, 500, 2000):
+        assert lsh_params_for(n, threshold=0.95) == {
+            "n_planes": 8,
+            "n_tables": 32,
+        }
+    # 10^9 vectors: planes track log2(n/target), tables rise to hold the
+    # OR-amplification miss probability at <= 1e-6.
+    big = lsh_params_for(1_000_000_000, threshold=0.95)
+    assert big["n_planes"] == 24
+    q = 1.0 - math.acos(0.95) / math.pi
+    miss = (1.0 - q ** big["n_planes"]) ** big["n_tables"]
+    assert miss <= 1e-6
+    # Planes never exceed the UDF's packing bound and grow monotonically.
+    last = 0
+    for n in (10**3, 10**5, 10**7, 10**9, 10**12):
+        p = lsh_params_for(n, threshold=0.95)["n_planes"]
+        assert last <= p <= 24
+        last = p
+    # A softer threshold (wider angle) needs MORE tables at equal planes.
+    soft = lsh_params_for(1_000_000_000, threshold=0.80)
+    assert soft["n_tables"] >= big["n_tables"]

@@ -117,6 +117,53 @@ def hyperplane_multitable_udf(
     return buckets
 
 
+def lsh_params_for(
+    n_vectors: int,
+    threshold: float,
+    target_bucket: int = 64,
+    max_miss: float = 1e-6,
+    min_planes: int = 8,
+    max_planes: int = 24,
+    min_tables: int = 32,
+) -> dict:
+    """Corpus-sized hyperplane-LSH parameters for :func:`cosine_lsh_pairs`.
+
+    A FIXED plane count is a scale bug: 2^n_planes buckets per table
+    means bucket occupancy — and with it C(bucket, 2) candidate volume —
+    grows linearly with the corpus (n²/2^(planes+1) pairs per table; the
+    LSH_BUCKET_CAP star guard bounds the damage but collapses recall
+    inside oversized buckets). Sizing both dials from the corpus keeps
+    candidate volume LINEAR in n with recall held:
+
+    - ``n_planes`` = log2(n / target_bucket), clamped: expected bucket
+      occupancy stays near ``target_bucket``, so per-table candidate
+      volume is ~n/target · C(target, 2) ∝ n.
+    - ``n_tables`` from the OR-amplification bound: a qualifying pair at
+      angle θ = arccos(threshold) collides per table with
+      q^planes (q = 1 - θ/π), so tables = ln(max_miss)/ln(1 - q^planes)
+      holds the miss probability at ``max_miss`` as planes rise.
+
+    At every fixture scale (≤ 2000 vectors) this resolves to exactly the
+    historical (8, 32) — plan and oracle hashes unchanged; the dials move
+    only when the corpus does (e.g. n = 10⁹ → 24 planes, ~170 tables:
+    ~5×10³ candidates per vector instead of ~n/16). Enumerated in
+    tests/test_operators.py."""
+    import math
+
+    planes = max(
+        min_planes,
+        min(
+            max_planes,
+            math.ceil(math.log2(max(1.0, n_vectors / target_bucket))),
+        ),
+    )
+    q = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    tables = max(
+        min_tables, math.ceil(math.log(max_miss) / math.log(1.0 - q**planes))
+    )
+    return {"n_planes": planes, "n_tables": tables}
+
+
 def cosine_lsh_pairs(
     emb,
     threshold: float,

@@ -375,14 +375,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.95) via hyperplane-LSH
     candidate buckets + exact cosine verify — shuffle-bounded, no cartesian
     (the round-1 version was an O(n²) all-pairs theta join; the brute-force
-    form survives only as the ground truth in tests). The oracle IS the
-    exact all-pairs scan: with 8 planes × 32 tables a qualifying pair is
-    missed with p ≈ 2e-8, so LSH output == exact output deterministically
-    at fixture scale."""
+    form survives only as the ground truth in tests). r13: the LSH dials
+    are CORPUS-SIZED (operators.vectors.lsh_params_for, one bounded 1-row
+    count probe) — a fixed 8 planes puts n/256 vectors in every bucket at
+    scale, so plane count now tracks log2(n) with the table count raised
+    to hold the OR-amplification miss bound at 1e-6, and the
+    LSH_BUCKET_CAP star guard remains the backstop for skewed buckets.
+    At every fixture scale the dials resolve to exactly the historical
+    (8 planes, 32 tables), so the oracle — the exact all-pairs scan —
+    still matches deterministically (pair miss p ≈ 2e-8 there)."""
+    from zip_to_parquet_spark.operators.vectors import lsh_params_for
+
     emb = _embeddings_spread(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return cosine_lsh_pairs(emb, threshold=0.95, dim=64, n_planes=8, n_tables=32)
+    n = emb.agg(F.count(F.lit(1))).collect()[0][0]
+    return cosine_lsh_pairs(
+        emb, threshold=0.95, dim=64, **lsh_params_for(n, threshold=0.95)
+    )
 
 
 @query(
