@@ -273,3 +273,25 @@ def test_lsh_cap_never_fires_on_fixture_scale_buckets(spark):
     assert _expand(spark, ids, LSH_BUCKET_CAP) == sorted(
         combinations(ids, 2)
     )
+
+
+def test_simhash_mega_bucket_star_guard(spark):
+    """simhash_pairs falls back to the bucket-minimum star above
+    bucket_cap: plant one low-bits band bucket of 6 docs (> cap 4) where
+    doc 0 (the rep) is within hamming 1 of everyone — the star keeps all
+    (0, x) pairs; with the cap above the bucket size the full C(6, 2)
+    clique comes back. Exactness therefore holds verbatim at fixture
+    scale (SIMHASH_BUCKET_CAP 1024 > the measured 501 max at sf0.1)."""
+    from zip_to_parquet_spark.operators.dedupe import simhash_pairs
+
+    # 6 simhashes equal in the low 15 bits (band 0), differing only in
+    # one high bit each -> pairwise hamming <= 2, all near-dups.
+    rows = [(0, 7)] + [(i, 7 | (1 << (20 + i))) for i in range(1, 6)]
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+    starred = simhash_pairs(sh, max_hamming=2, bucket_cap=4)
+    star_pairs = sorted(
+        (r.doc_a, r.doc_b) for r in starred.collect()
+    )
+    assert star_pairs == [(0, x) for x in range(1, 6)]  # linear star
+    full = simhash_pairs(sh, max_hamming=2, bucket_cap=64)
+    assert full.count() == 15  # C(6,2): all-pairs below the cap

@@ -556,14 +556,43 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return df.select(F.col(id_col).alias("doc_id"), signature(text_col).alias("simhash"))
 
 
+# simhash's own bucket cap sits HIGHER than LSH_BUCKET_CAP: 15-bit bands
+# are low-entropy on template-heavy corpora (measured fixture max 501 at
+# sf0.1 — vs 4 for minhash bands, 37 for the cosine tables), and the cap
+# must clear every fixture so the exact pigeonhole oracle keeps matching
+# hash-for-hash. The in-row bound at the cap is C(1024, 2) ≈ 0.5M pair
+# structs ≈ 10 MB transient row — the same per-row ceiling the
+# link-prediction wedge pipeline accepts at HUB_DEG_CAP.
+SIMHASH_BUCKET_CAP = 1024
+
+
 def simhash_pairs(
-    simhashed: DataFrame, max_hamming: int = 3, bands: int = 4, bits: int = 60
+    simhashed: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 60,
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) ≤ max_hamming via 15-bit band buckets.
 
     Pigeonhole: with 4 bands, any pair within Hamming distance 3 matches on
     at least one full band — the bucket join is *complete* for d ≤ bands-1,
     so this is exact, not approximate, at the default threshold.
+
+    Completeness boundary (r13): a band bucket is one of 2^15 values, so
+    bucket occupancy grows linearly with the corpus — random collisions
+    alone put ~n/32768 docs in an average bucket, an O(n²/2^width) pair
+    expansion by construction, and in practice far sooner: simhash bits
+    are SKEWED on template-heavy corpora (shared vocabulary pushes the
+    same votes), measured max band bucket 501 at sf0.1's 5000 docs.
+    Buckets above SIMHASH_BUCKET_CAP therefore fall back to the
+    bucket-minimum star (same recipe as _bucket_pairs), which keeps the
+    expansion linear and every member connected to a representative; the
+    exactness claim holds verbatim while every bucket is ≤ cap — true on
+    every fixture (cap 1024 > the 501 max, so oracle hashes are
+    unchanged). Past that, the honest scale dial is a WIDER simhash
+    (more bits per band shrinks occupancy exponentially), not more pair
+    volume.
     """
     width = bits // bands
     mask = (1 << width) - 1
@@ -590,21 +619,34 @@ def simhash_pairs(
     members = F.array_sort(
         F.collect_list(F.struct(F.col("doc_id"), F.col("simhash")))
     )
-    pairs = F.flatten(
+    def _pair(x, y):
+        return F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                "hamming"
+            ),
+        )
+
+    all_pairs = F.flatten(
         F.transform(
             F.col("ms"),
             lambda x, i: F.transform(
                 F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
-                        "hamming"
-                    ),
-                ),
+                lambda y: _pair(x, y),
             ),
         )
     )
+    # Mega-bucket guard, same shape as _bucket_pairs: linear star over
+    # the bucket minimum above bucket_cap (completeness contract in the
+    # docstring).
+    star_pairs = F.transform(
+        F.slice(F.col("ms"), 2, F.size(F.col("ms"))),
+        lambda y: _pair(F.element_at(F.col("ms"), 1), y),
+    )
+    pairs = F.when(
+        F.size("ms") <= F.lit(bucket_cap), all_pairs
+    ).otherwise(star_pairs)
     return (
         banded.groupBy("band_idx", "band_val")
         .agg(members.alias("ms"))

@@ -39,7 +39,7 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 # ROUND-13 pin (the mechanical `python scripts/window_pin.py --list`
 # suggestion, verbatim; the r12 window went 49/50 full-oracle green + the
 # by-design rows-only sketch key):
-#   28 changed keys first — the 18 remaining stale-closure keys (VERDICT
+#   29 changed keys first — the 18 remaining stale-closure keys (VERDICT
 #     r12 ask #1: the r6/r7/r9/r10-vintage tail, the WHOLE backlog), the
 #     7 keys whose closures change THIS round (basket-capped pair
 #     generation per VERDICT r12 ask #2 / finding #1:
@@ -49,10 +49,14 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 #     modulus-guard fix, ADVICE r12; plus dedup_minhash_lsh and
 #     dedup_embedding_cosine, whose LSH bucket expansion gains the
 #     star-above-cap guard — dedupe.LSH_BUCKET_CAP, the same C(group,2)
-#     family one stage over), and the one NEW key
+#     family one stage over; plus dedup_simhash, whose band buckets get
+#     the same star guard at its own SIMHASH_BUCKET_CAP — 15-bit bands
+#     are low-entropy, fixture max 501 — and corpus-sized LSH dials land
+#     in dedup_embedding_cosine via vectors.lsh_params_for), and the one
+#     NEW key
 #     graph_adamic_adar (VERDICT r12 ask #4 — completes the
 #     link-prediction triad on the shared _weighted_linkpred pipeline).
-#   slots 29-50: oldest-last-green-first top-up (the r4/r6 vintage:
+#   slots 30-50: oldest-last-green-first top-up (the r4/r6 vintage:
 #     zip_csv_members, zip_jsonl_members, zip_federated_join,
 #     tar_explode_hash, the early relational core).
 # New-key ration this round: 1 of ≤5 (graph_adamic_adar).
@@ -88,6 +92,7 @@ set_priority([
     "graph_jaccard_linkpred",
     "mixture_sample_by_source",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "events_sessionize",
     "ann_cosine_topk",
     "lm_surprisal_scores",
@@ -109,7 +114,6 @@ set_priority([
     "window_time_range_sum",
     "events_funnel_partitioned",
     "scalar_array_battery",
-    "events_timeseries_gapfill",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]
