@@ -169,7 +169,13 @@ def main() -> int:
     heavy_best_clean: dict[str, bool] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_HEAVY") != "1":
         heavy_t0 = time.perf_counter()
-        for _pass in range(4):
+        # Up to 8 passes (VERDICT r13 ask #2, was 4): passes 3+ run ONLY
+        # for keys still lacking a steal-clean sample — r13 landed one
+        # clean heavy row (RA) and left Jaccard/AA dirty-marked with the
+        # old 2-retry budget, so the retry ceiling rises while the 600 s
+        # wall cap still bounds a hopeless box (a retry pass with one
+        # ~40 s key costs ~40 s, so the cap, not the pass count, binds).
+        for _pass in range(8):
             if _pass >= 2 and all(heavy_best_clean.get(n) for n in HEAVY):
                 break
             # Wall budget: on a hopeless box the retry passes must not

@@ -831,18 +831,19 @@ def test_mp4_size0_and_largesize_boxes(spark):
         assert r["mdat_bytes"] == expected["mdat_bytes"]
 
 
-def test_approx_count_distinct_within_rsd(spark):
-    """The HLL++ sketch key is rows-only at the driver (no SQL oracle can
-    exist for an engine-specific sketch) — so pin its VALUE surface here:
-    every group's estimate must sit within a conservative multiple of the
-    documented rsd of the exact DuckDB count."""
+def test_approx_count_distinct_promoted_oracle(spark):
+    """r14 (VERDICT r13 ask #5): the HLL++ key now emits the EXACT distinct
+    count plus an in-plan integer bound flag on the sketch's error —
+    hash-comparable against the SQL oracle. Pin both halves: the exact
+    column matches DuckDB, and the flag is 1 (sketch inside 60 permille,
+    3σ at rsd=0.02 — measured fixture error ≤ 11 permille)."""
     import duckdb
 
     from zip_to_parquet_spark.plans import all_queries
 
     sf = "/root/testdata/sf0.001"
-    got = {
-        r["l_returnflag"]: r["approx_parts"]
+    rows = {
+        r["l_returnflag"]: (r["n_parts_exact"], r["within_60_permille"])
         for r in all_queries()["agg_approx_count_distinct"](spark, sf).collect()
     }
     exact = dict(
@@ -851,19 +852,17 @@ def test_approx_count_distinct_within_rsd(spark):
                 FROM '{sf}/lineitem.parquet' GROUP BY 1"""
         ).fetchall()
     )
-    assert set(got) == set(exact)
-    for flag, est in got.items():
-        # rsd=0.02 is one standard deviation; 5 sigma never flakes.
-        assert abs(est - exact[flag]) <= max(1, 5 * 0.02 * exact[flag]), (
-            flag, est, exact[flag],
-        )
+    assert {k: v[0] for k, v in rows.items()} == exact
+    assert all(v[1] == 1 for v in rows.values()), rows
 
 
-def test_approx_percentile_within_rank_accuracy(spark):
-    """approx_percentile(accuracy=10000) bounds RANK error at 1/accuracy:
-    the returned value's true rank fraction must be within eps of the
-    requested percentile (generous slack vs the 1e-4 contract, but tight
-    enough to catch a broken sketch)."""
+def test_approx_percentile_promoted_oracle(spark):
+    """r14 (VERDICT r13 ask #5): the t-digest key now emits the EXACT
+    interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)
+    plus per-quantile in-plan bound flags — hash-comparable. Pin both:
+    exact values match DuckDB, flags are 1 (sketch inside 10 permille of
+    the exact value; accuracy=10000 bounds rank error at 1e-4, measured
+    fixture value error ≤ 1 permille)."""
     import duckdb
 
     from zip_to_parquet_spark.plans import all_queries
@@ -871,22 +870,21 @@ def test_approx_percentile_within_rank_accuracy(spark):
     sf = "/root/testdata/sf0.001"
     rows = all_queries()["agg_approx_percentile"](spark, sf).collect()
     con = duckdb.connect()
+    exact = {
+        flag: (p50, p95)
+        for flag, p50, p95 in con.sql(
+            f"""SELECT l_returnflag,
+                       quantile_cont(l_extendedprice, 0.50),
+                       quantile_cont(l_extendedprice, 0.95)
+                FROM '{sf}/lineitem.parquet' GROUP BY 1"""
+        ).fetchall()
+    }
+    assert len(rows) == len(exact)
     for r in rows:
-        for p, val in ((0.5, r["p50_approx"]), (0.95, r["p95_approx"])):
-            [(n, n_le)] = con.sql(
-                f"""SELECT count(*), count(*) FILTER (l_extendedprice <= {val!r})
-                    FROM '{sf}/lineitem.parquet'
-                    WHERE l_returnflag = '{r["l_returnflag"]}'"""
-            ).fetchall()
-            assert n > 0
-            # value's rank fraction brackets the target percentile
-            assert n_le / n >= p - 0.01, (r["l_returnflag"], p, val, n_le / n)
-            [(n_lt,)] = con.sql(
-                f"""SELECT count(*) FILTER (l_extendedprice < {val!r})
-                    FROM '{sf}/lineitem.parquet'
-                    WHERE l_returnflag = '{r["l_returnflag"]}'"""
-            ).fetchall()
-            assert n_lt / n <= p + 0.01, (r["l_returnflag"], p, val, n_lt / n)
+        e50, e95 = exact[r["l_returnflag"]]
+        assert r["p50_exact"] == e50 and r["p95_exact"] == e95
+        assert r["p50_within_10_permille"] == 1
+        assert r["p95_within_10_permille"] == 1
 
 
 def test_ivfpq_recall_floor(spark):
@@ -2187,3 +2185,60 @@ def test_lsh_params_corpus_sized():
     # A softer threshold (wider angle) needs MORE tables at equal planes.
     soft = lsh_params_for(1_000_000_000, threshold=0.80)
     assert soft["n_tables"] >= big["n_tables"]
+
+
+def test_lsh_params_degenerate_thresholds():
+    """ADVICE r13: threshold=±1.0 must return finite dials, not a math
+    domain error (q=1 → log(0)) or a division by zero (q=0 → log(1));
+    max_tables bounds the OR-amplification blow-up as q → 0."""
+    from zip_to_parquet_spark.operators.vectors import lsh_params_for
+
+    exact = lsh_params_for(2000, threshold=1.0)
+    assert exact == {"n_planes": 8, "n_tables": 32}
+    anti = lsh_params_for(2000, threshold=-1.0)
+    assert anti["n_planes"] == 8 and 32 <= anti["n_tables"] <= 4096
+    # Out-of-range cosines clamp rather than raise.
+    assert lsh_params_for(2000, threshold=2.0) == exact
+    assert lsh_params_for(2000, threshold=0.0)["n_tables"] <= 4096
+
+
+def test_simhash_params_corpus_sized():
+    """simhash_params_for (r13 ask #3): fixture scales resolve to the
+    historical blocks=4 exactly — oracle results unchanged — and at
+    corpus scale the block count rises so the table-KEY width
+    (bits·(B-k)/B) holds expected bucket occupancy at the target, with
+    the pigeonhole completeness guarantee (blocks > max_hamming) intact
+    at every setting."""
+    import math
+
+    from zip_to_parquet_spark.operators.dedupe import (
+        simhash_params_for,
+        simhash_tables,
+    )
+
+    # Every fixture scale (sf0.001 .. sf0.1 documents: 50..5000 docs).
+    for n in (0, 50, 500, 5000):
+        assert simhash_params_for(n) == {"blocks": 4}
+    # Dial breakpoints: key width must clear log2(n/64).
+    assert simhash_params_for(2_000_000) == {"blocks": 4}  # needed 14.9 <= 15
+    assert simhash_params_for(3_000_000) == {"blocks": 5}  # needed 15.5 -> 24
+    assert simhash_params_for(1_000_000_000) == {"blocks": 5}  # 23.9 <= 24
+    assert simhash_params_for(2_000_000_000) == {"blocks": 6}  # 24.9 -> 30
+    assert simhash_params_for(10**13) == {"blocks": 6}  # clamp at the cap
+    # Occupancy scaling + completeness at every reachable setting.
+    for n in (5_000, 3_000_000, 2_000_000_000):
+        b = simhash_params_for(n)["blocks"]
+        width = 60 * (b - 3) // b
+        combos = simhash_tables(60, b, 3)
+        assert len(combos) == math.comb(b, 3)
+        assert all(len(c) == b - 3 for c in combos)
+        assert b > 3  # pigeonhole guarantee
+        if n > 64 * 2**15:  # past the fixture regime the occupancy holds
+            assert n / 2**width <= 64 * 1.5
+    # Invalid settings are loud.
+    import pytest
+
+    with pytest.raises(ValueError):
+        simhash_tables(60, 3, 3)  # blocks must exceed max_hamming
+    with pytest.raises(ValueError):
+        simhash_tables(60, 7, 3)  # blocks must divide bits

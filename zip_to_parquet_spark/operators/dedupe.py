@@ -36,6 +36,8 @@ __all__ = [
     "minhash_lsh_pairs_docs",
     "simhash",
     "simhash_pairs",
+    "simhash_params_for",
+    "simhash_tables",
     "span_dedup",
     "containment_pairs",
     "word_edit_pairs",
@@ -103,12 +105,16 @@ def _jaccard(sh_a: Column, sh_b: Column) -> Column:
 # STAR over the bucket minimum — b-1 pairs, linear — instead of dropping
 # the bucket: a mega-bucket is the densest DUPLICATE signal in the
 # corpus, and for dedup/clustering purposes connectivity through the
-# representative is what matters (dedup_clusters_star's components are
-# preserved: every member still reaches the rep). Recall contract: a
-# pair (x, y) BOTH non-representative whose only collisions are in
-# above-cap buckets is not emitted directly — it is reachable through
-# the rep's verified edges, exactly the trade every production near-dup
-# pipeline makes on mega-clusters. The cap never fires on the fixtures
+# representative is what usually matters. Recall contract (r14, was
+# overstated): the star preserves only CANDIDATE connectivity — each
+# member is paired with the bucket-minimum rep, and downstream exact
+# verification (jaccard/hamming/cosine thresholds) still decides every
+# emitted pair, so a member whose similarity to the REP falls below the
+# threshold loses all connectivity through this bucket even though it
+# shared the band. A pair (x, y) BOTH non-representative whose only
+# collisions are in above-cap buckets is likewise only reachable through
+# rep edges that pass verification — the trade production near-dup
+# pipelines make on mega-clusters. The cap never fires on the fixtures
 # (measured max bucket at sf0.1: 4 for the minhash bands, 37 for the
 # 8-plane cosine tables), so every oracle hash is unchanged.
 LSH_BUCKET_CAP = 256
@@ -566,36 +572,133 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 SIMHASH_BUCKET_CAP = 1024
 
 
+def simhash_tables(
+    bits: int = 60, blocks: int = 4, max_hamming: int = 3
+) -> list[tuple[int, ...]]:
+    """Block combinations for the exact Hamming-≤k table scheme.
+
+    Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling"
+    (WWW 2007), §3: split the ``bits``-bit signature into ``blocks`` equal
+    blocks and build one bucket table per combination of
+    ``blocks - max_hamming`` blocks (the table's key is those blocks'
+    bits).  A pair within Hamming distance ``max_hamming`` differs in at
+    most ``max_hamming`` blocks, so at least one combination is untouched
+    and the pair collides EXACTLY on that table — completeness is the
+    pigeonhole over blocks, the same argument at every scale.  The
+    historical 4×15-bit banding is precisely ``blocks=4``: C(4, 1) = 4
+    tables keyed on one 15-bit block each.
+
+    Returns the combinations (tuples of block indices, ascending) shared
+    by the Spark plan and the generated DuckDB oracle so the two can
+    never desync.
+    """
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks={blocks} must exceed max_hamming={max_hamming} "
+            "(pigeonhole completeness needs one untouched combination)"
+        )
+    if bits % blocks:
+        raise ValueError(f"blocks={blocks} must divide bits={bits} evenly")
+    import itertools
+
+    return list(itertools.combinations(range(blocks), blocks - max_hamming))
+
+
+def simhash_params_for(
+    n_docs: int,
+    bits: int = 60,
+    max_hamming: int = 3,
+    target_bucket: int = 64,
+    block_choices: tuple[int, ...] = (4, 5, 6),
+) -> dict:
+    """Corpus-sized block count for :func:`simhash_pairs` (r13 ask #3).
+
+    A FIXED 4×15-bit banding is a scale dial left on its smallest
+    setting: table-key entropy is 15 bits, so expected bucket occupancy
+    n/2^15 — and with it the C(bucket, 2) in-row pair expansion — grows
+    linearly with the corpus (measured worse on template-heavy corpora:
+    max band bucket 501 at sf0.1's 5 000 docs, ~3 300× the uniform
+    expectation, because shared vocabulary pushes the same votes).  More
+    blocks make the table KEY wider — ``bits·(B-k)/B`` — which shrinks
+    occupancy exponentially at the cost of C(B, k) tables instead of 4:
+
+    ========  ==========  =======  ==========================
+    blocks B  key width   tables   uniform occupancy = target
+    ========  ==========  =======  ==========================
+    4         15 bits     4        n ≈ 64·2^15 ≈ 2.1M docs
+    5         24 bits     10       n ≈ 64·2^24 ≈ 1.1G docs
+    6         30 bits     20       n ≈ 64·2^30 ≈ 69G docs
+    ========  ==========  =======  ==========================
+
+    Rule: the smallest B whose key width ≥ log2(n/target_bucket) — the
+    same hold-occupancy-constant shape as vectors.lsh_params_for, with
+    completeness EXACT at every setting (unlike the probabilistic
+    hyperplane tables).  At every fixture scale (n ≤ 5 000 docs, needed
+    width ≤ 7 bits) this resolves to the historical blocks=4, so plan
+    and oracle results are unchanged; SIMHASH_BUCKET_CAP remains the
+    backstop for skew beyond the uniform model.  Enumerated in
+    tests/test_operators.py.
+    """
+    import math
+
+    needed = math.log2(max(1.0, n_docs / max(1, target_bucket)))
+    k = max_hamming
+    for b in block_choices:
+        if b > k and bits % b == 0 and bits * (b - k) // b >= needed:
+            return {"blocks": b}
+    return {"blocks": block_choices[-1]}
+
+
 def simhash_pairs(
     simhashed: DataFrame,
     max_hamming: int = 3,
-    bands: int = 4,
+    blocks: int = 4,
     bits: int = 60,
     bucket_cap: int = SIMHASH_BUCKET_CAP,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) ≤ max_hamming via 15-bit band buckets.
+    """Pairs with Hamming(simhash) ≤ max_hamming via block-combination
+    bucket tables (Manku et al. WWW'07 — see :func:`simhash_tables`).
 
-    Pigeonhole: with 4 bands, any pair within Hamming distance 3 matches on
-    at least one full band — the bucket join is *complete* for d ≤ bands-1,
-    so this is exact, not approximate, at the default threshold.
+    Pigeonhole: a pair within Hamming distance ``max_hamming`` differs in
+    at most that many of the ``blocks`` blocks, so at least one
+    C(blocks, blocks-max_hamming) combination of blocks is untouched and
+    the pair matches that table's key exactly — the bucket join is
+    *complete*, exact rather than approximate, at EVERY block setting.
+    ``blocks=4`` is the historical 4×15-bit banding; more blocks widen
+    the table key (shrinking bucket occupancy exponentially) at the cost
+    of more tables — :func:`simhash_params_for` picks the smallest
+    setting whose key width holds expected occupancy at the target as
+    the corpus grows (r13 left this dial fixed; measured max band bucket
+    501 at sf0.1's 5 000 docs — simhash bits are SKEWED on
+    template-heavy corpora, so occupancy outruns the uniform n/2^width
+    model ~3 300×).
 
-    Completeness boundary (r13): a band bucket is one of 2^15 values, so
-    bucket occupancy grows linearly with the corpus — random collisions
-    alone put ~n/32768 docs in an average bucket, an O(n²/2^width) pair
-    expansion by construction, and in practice far sooner: simhash bits
-    are SKEWED on template-heavy corpora (shared vocabulary pushes the
-    same votes), measured max band bucket 501 at sf0.1's 5000 docs.
-    Buckets above SIMHASH_BUCKET_CAP therefore fall back to the
-    bucket-minimum star (same recipe as _bucket_pairs), which keeps the
-    expansion linear and every member connected to a representative; the
-    exactness claim holds verbatim while every bucket is ≤ cap — true on
-    every fixture (cap 1024 > the 501 max, so oracle hashes are
-    unchanged). Past that, the honest scale dial is a WIDER simhash
-    (more bits per band shrinks occupancy exponentially), not more pair
-    volume.
+    Buckets above SIMHASH_BUCKET_CAP still fall back to the
+    bucket-minimum star (same recipe and recall contract as
+    _bucket_pairs: candidate connectivity through the rep only, with the
+    exact Hamming filter deciding every emitted pair), which keeps the
+    in-row expansion linear; the completeness claim holds verbatim while
+    every bucket is ≤ cap — true on every fixture (cap 1024 > the 501
+    max, so oracle hashes are unchanged).
     """
-    width = bits // bands
+    width = bits // blocks
     mask = (1 << width) - 1
+    combos = simhash_tables(bits, blocks, max_hamming)
+
+    def _key(combo: tuple[int, ...]) -> Column:
+        # Pack the combo's blocks (ascending) into one ≤60-bit bucket key.
+        out = F.lit(0).cast("long")
+        for pos, blk in enumerate(combo):
+            out = out.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned("simhash", blk * width).bitwiseAND(
+                        F.lit(mask)
+                    ),
+                    pos * width,
+                )
+            )
+        return out
+
     banded = simhashed.select(
         "doc_id",
         "simhash",
@@ -604,11 +707,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned("simhash", i * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
+                        _key(combo).alias("band_val"),
                     )
-                    for i in range(bands)
+                    for i, combo in enumerate(combos)
                 ]
             )
         ).alias("band"),

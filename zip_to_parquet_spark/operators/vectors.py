@@ -125,6 +125,7 @@ def lsh_params_for(
     min_planes: int = 8,
     max_planes: int = 24,
     min_tables: int = 32,
+    max_tables: int = 4096,
 ) -> dict:
     """Corpus-sized hyperplane-LSH parameters for :func:`cosine_lsh_pairs`.
 
@@ -146,8 +147,11 @@ def lsh_params_for(
     At every fixture scale (≤ 2000 vectors) this resolves to exactly the
     historical (8, 32) — plan and oracle hashes unchanged; the dials move
     only when the corpus does (e.g. n = 10⁹ → 24 planes, ~170 tables:
-    ~5×10³ candidates per vector instead of ~n/16). Enumerated in
-    tests/test_operators.py."""
+    ~5×10³ candidates per vector instead of ~n/16). Degenerate
+    thresholds are clamped — q is held in the open interval (0, 1) so
+    threshold=±1.0 returns finite dials instead of a math domain error,
+    and ``max_tables`` bounds the OR-amplification blow-up as q → 0
+    (ADVICE r13). Enumerated in tests/test_operators.py."""
     import math
 
     planes = max(
@@ -157,9 +161,20 @@ def lsh_params_for(
             math.ceil(math.log2(max(1.0, n_vectors / target_bucket))),
         ),
     )
+    # Clamp q into the OPEN interval: threshold=1.0 gives q=1 (log(0)
+    # domain error in the table formula) and threshold=-1.0 gives q=0
+    # (log(1)=0 divisor) — both degenerate thresholds must still return
+    # finite dials (ADVICE r13).
     q = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
-    tables = max(
-        min_tables, math.ceil(math.log(max_miss) / math.log(1.0 - q**planes))
+    q = min(max(q, 1e-9), 1.0 - 1e-9)
+    # log1p keeps the denominator finite and non-zero even when q**planes
+    # underflows past float resolution (1.0 - 1e-72 rounds to 1.0).
+    tables = min(
+        max_tables,
+        max(
+            min_tables,
+            math.ceil(math.log(max_miss) / math.log1p(-(q**planes))),
+        ),
     )
     return {"n_planes": planes, "n_tables": tables}
 

@@ -357,14 +357,47 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Approximate distinct: HLL sketches differ between engines by construction,
-# so no value oracle — the driver records a rows-only check. At 100 TB this
-# is the *only* sane distinct-cardinality operator (constant memory/key).
-@query("agg_approx_count_distinct")
+# Approximate distinct: HLL sketch VALUES differ between engines by
+# construction, so the sketch estimate itself can't be hash-compared.
+# Full-oracle promotion (VERDICT r13 ask #5, option b): the plan computes
+# the exact distinct count alongside the sketch and hash-compares the
+# exact value PLUS an in-plan integer bound check on the sketch's error —
+# |approx−exact|·1000 ≤ 60·exact (3σ at rsd=0.02; measured fixture error
+# ≤ 11 permille across sf0.001/0.01/0.1). A sketch regression now turns
+# the flag to 0 and fails the hash, instead of hiding behind rows-only.
+# At 100 TB the sketch is the *only* sane distinct-cardinality operator
+# (constant memory/key); the exact column here is the oracle apparatus,
+# not the production plan — agg_count_distinct is the exact twin.
+@query(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts_exact,
+           1 AS within_60_permille
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias(
+                "approx_parts"
+            ),
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            (
+                F.abs(F.col("approx_parts") - F.col("n_parts_exact"))
+                * F.lit(1000)
+                <= F.lit(60) * F.col("n_parts_exact")
+            )
+            .cast("int")
+            .alias("within_60_permille"),
+        )
     )
 
 
@@ -1045,21 +1078,59 @@ def scalar_string_date_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")
+@query(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.50) AS p50_exact,
+           quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+           1 AS p50_within_10_permille,
+           1 AS p95_within_10_permille
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles (rows-only: the approximation is engine-
-    specific so values can't hash-match an exact oracle). Same one-shuffle
-    partial+final shape as the exact version but with bounded t-digest
-    state — the 100 TB default; agg_percentiles is the exact twin."""
+    """Sketch-based percentiles, full-oracle-promoted (VERDICT r13 ask #5,
+    option b): the sketch ESTIMATE is engine-specific so it can't be
+    hash-compared, but the plan computes the exact interpolated
+    percentiles alongside it (Spark percentile ≡ DuckDB quantile_cont,
+    bit-identical — agg_percentiles) and hash-compares those PLUS an
+    in-plan bound check per quantile: |approx−exact|·1000 ≤ 10·exact.
+    accuracy=10000 bounds the RANK error at 1e-4 of the group, which on
+    the price distribution lands the VALUE well inside 10 permille
+    (measured fixture error ≤ 1 permille); a sketch regression turns a
+    flag to 0 and fails the hash. Same one-shuffle partial+final shape as
+    the exact version but with bounded sketch state — the 100 TB default;
+    the exact columns are the oracle apparatus, not the production plan."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile(
-            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
-        ).alias("approx_p")
-    ).select(
-        "l_returnflag",
-        F.col("approx_p")[0].alias("p50_approx"),
-        F.col("approx_p")[1].alias("p95_approx"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice",
+                F.array(F.lit(0.5), F.lit(0.95)),
+                F.lit(10000),
+            ).alias("approx_p"),
+            F.percentile("l_extendedprice", 0.50).alias("p50_exact"),
+            F.percentile("l_extendedprice", 0.95).alias("p95_exact"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_exact",
+            "p95_exact",
+            (
+                F.abs(F.col("approx_p")[0] - F.col("p50_exact")) * F.lit(1000)
+                <= F.lit(10) * F.col("p50_exact")
+            )
+            .cast("int")
+            .alias("p50_within_10_permille"),
+            (
+                F.abs(F.col("approx_p")[1] - F.col("p95_exact")) * F.lit(1000)
+                <= F.lit(10) * F.col("p95_exact")
+            )
+            .cast("int")
+            .alias("p95_within_10_permille"),
+        )
     )
 
 

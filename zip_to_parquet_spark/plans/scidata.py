@@ -2558,7 +2558,14 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumed: wedge centers have 2 ≤ deg ≤ HUB_DEG_CAP (a center needs
     ≥2 neighbors; above-cap hubs are pruned), and
     tests/test_basket_cap_guard.py enumerates the ENTIRE domain —
-    floor(ln(d)·10⁶) for every d in [2, 1024] — against DuckDB. The
+    floor(ln(d)·10⁶) for every d in [2, 1024] — against DuckDB.
+    Platform assumption (ADVICE r13): that enumeration proves JVM
+    Math.log and DuckDB's libm agree on the floor ON THE BOX IT RUNS ON
+    — the repo's single-box oracle environment; a different libm could
+    flip a floor at a near-integer ln(d)·10⁶ boundary, so a
+    cross-platform deployment should pin the 1023 micro-nat values as a
+    literal table shared by engine and oracle instead of re-deriving
+    them per engine. The
     nullif guard covers deg-1 nodes in the weight DIM (ln(1) = 0 would
     be an ANSI division by zero): such nodes emit zero wedge pairs
     (C(1,2) = 0), so the NULL weight never reaches a sum — the oracle
@@ -2573,6 +2580,148 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         F.expr("1000000000000 div nullif(floor(ln(deg) * 1000000), 0)"),
         "aa_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link-prediction evaluation: precision@k on a held-out edge split
+# ---------------------------------------------------------------------------
+# Deterministic holdout: edges with (u + v) % 5 == 0 (~20%) are REMOVED
+# from the training graph and become the ground truth the predictions are
+# scored against — the replay-the-split trick ann_recall_eval uses, so
+# the oracle reconstructs the identical split with no shared state.
+_LINKPRED_HOLDOUT_MOD = 5
+_LINKPRED_EVAL_K = (10, 20, 50, 100)
+
+_LINKPRED_PREC_ORACLE = f"""
+    WITH lp0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    lp AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               count(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM lp0)
+      WHERE bsz <= 256
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey u, b.l_partkey v
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tr AS (SELECT u, v FROM e WHERE (u + v) % {_LINKPRED_HOLDOUT_MOD} <> 0),
+    te AS (SELECT u, v FROM e WHERE (u + v) % {_LINKPRED_HOLDOUT_MOD} = 0),
+    und AS (SELECT u, v FROM tr UNION ALL SELECT v, u FROM tr),
+    deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM und GROUP BY u),
+    hub AS (SELECT node FROM deg WHERE deg > 1024),
+    undg AS (
+      SELECT und.u, und.v FROM und
+      LEFT JOIN hub ON hub.node = und.v WHERE hub.node IS NULL
+    ),
+    cn AS (
+      SELECT a.u AS x, b.u AS y, count(*)::BIGINT AS common
+      FROM undg a JOIN undg b ON a.v = b.v AND a.u < b.u
+      GROUP BY a.u, b.u
+    ),
+    nonedge AS (
+      SELECT cn.x, cn.y, cn.common FROM cn
+      LEFT JOIN tr ON tr.u = cn.x AND tr.v = cn.y
+      WHERE tr.u IS NULL
+    ),
+    topk AS (
+      SELECT x AS u, y AS v,
+             row_number() OVER (ORDER BY common DESC, x, y) AS r
+      FROM nonedge ORDER BY common DESC, x, y
+      LIMIT {max(_LINKPRED_EVAL_K)}
+    ),
+    scored AS (
+      SELECT topk.r, CASE WHEN te.u IS NULL THEN 0 ELSE 1 END AS hit
+      FROM topk LEFT JOIN te ON te.u = topk.u AND te.v = topk.v
+    )
+    SELECT ks.k::BIGINT AS k,
+           count(*)::BIGINT AS n_preds,
+           sum(scored.hit)::BIGINT AS hits,
+           (sum(scored.hit) * 1000 // ks.k)::BIGINT AS precision_permille
+    FROM (SELECT unnest({list(_LINKPRED_EVAL_K)})::BIGINT AS k) ks
+    JOIN scored ON scored.r <= ks.k
+    GROUP BY ks.k
+    """
+
+
+@query("linkpred_precision_at_k", oracle=_LINKPRED_PREC_ORACLE)
+def linkpred_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@k evaluation for the link-prediction family (VERDICT r13
+    ask #7) — the loop-closer that says whether the triad's scores
+    PREDICT: hold out a deterministic ~20% of the co-purchase edges
+    ((u+v) mod 5 == 0, replayed verbatim by the oracle — the
+    ann_recall_eval split trick), score every non-adjacent pair of the
+    TRAINING graph by common-neighbor count (Liben-Nowell & Kleinberg
+    2003's baseline score, the family's unweighted member), and report
+    exact integer hits / precision_permille at k ∈ {10, 20, 50, 100}
+    against the held-out edges.
+
+    Scale shape: identical to graph_jaccard_linkpred — the same
+    basket-capped edge generation (_copurchase_edges, reused verbatim),
+    hub-capped joinless array-pair wedge stage, size-aware hub dim, and
+    shuffle_hash anti-join; the evaluation tail (rank ≤ 100 rows, one
+    broadcast k-grid join) is constant-size at any corpus. Precision is
+    measured at the top-100 TakeOrdered — never a global sort. The
+    denominator is k itself even when fewer than k predictions exist
+    (n_preds makes that visible), mirrored in the oracle."""
+    from zip_to_parquet_spark.runtime import size_aware_side
+
+    e = _copurchase_edges(spark, sf_dir)
+    is_test = (F.col("u") + F.col("v")) % _LINKPRED_HOLDOUT_MOD == 0
+    train = e.filter(~is_test).localCheckpoint(eager=True)
+    test = e.filter(is_test)
+    und = train.unionAll(
+        train.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = (
+        und.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    hub = hub_centers(deg)
+    undg = und.join(
+        size_aware_side(hub, hub, DEG_BROADCAST_MAX), "v", "left_anti"
+    )
+    adj = undg.groupBy("v").agg(F.sort_array(F.collect_list("u")).alias("us"))
+    cn = (
+        adj.select(F.explode(F.expr(_WEDGE_PAIRS_STRUCT)).alias("p"))
+        .select("p.cu", "p.cv")
+        .groupBy("cu", "cv")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    nonedge = cn.join(
+        train.hint("shuffle_hash"),
+        (train.u == cn.cu) & (train.v == cn.cv),
+        "left_anti",
+    ).select(F.col("cu").alias("u"), F.col("cv").alias("v"), "n_common")
+    topk = nonedge.orderBy(F.col("n_common").desc(), "u", "v").limit(
+        max(_LINKPRED_EVAL_K)
+    )
+    ranked = topk.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.col("n_common").desc(), "u", "v")
+        ),
+    )
+    scored = ranked.join(
+        test.withColumn("hit", F.lit(1)), ["u", "v"], "left"
+    ).select("r", F.coalesce("hit", F.lit(0)).alias("hit"))
+    ks = spark.createDataFrame([(k,) for k in _LINKPRED_EVAL_K], "k long")
+    return (
+        scored.join(F.broadcast(ks), F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_preds"),
+            F.sum("hit").cast("long").alias("hits"),
+        )
+        .select(
+            "k",
+            "n_preds",
+            "hits",
+            F.expr("hits * 1000 div k").alias("precision_permille"),
+        )
     )
 
 
