@@ -52,6 +52,9 @@ HEAVY = [
     "graph_jaccard_linkpred",
     "graph_resource_allocation",
     "graph_adamic_adar",
+    # r14: the holdout-split precision@k evaluation — Jaccard-shaped wedge
+    # pipeline on the 80% training graph plus a constant-size eval tail.
+    "linkpred_precision_at_k",
 ]
 
 
