@@ -1568,6 +1568,32 @@ def test_linkpred_pair_agg_is_joinless_and_smj_free(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_linkpred_precision_eval_tail_streams_heldout(spark):
+    # r14 plan locks for linkpred_precision_at_k: the wedge stage inherits
+    # the family locks (shuffle_hash anti-join, hub-cap filter, no
+    # cartesian), and the EVALUATION tail must keep the corpus-sized
+    # held-out edge set stream-side — hit detection is a
+    # BroadcastHashJoin against the broadcast ≤100-row ranked relation.
+    # The first version's ranked-LEFT-JOIN-test compiled to a
+    # SortMergeJoin that sorts the held-out set; lock: no SortMergeJoin
+    # may key on the edge columns (u, v) — the only tolerated SMJ is the
+    # constant-size k-grid join.
+    from zip_to_parquet_spark.plans.scidata import HUB_DEG_CAP
+
+    plan = plan_of(spark, "linkpred_precision_at_k")
+    assert "ShuffledHashJoin LeftAnti" in plan
+    assert re.search(rf"\(deg#\d+L? > {HUB_DEG_CAP}\)", plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    raw = (
+        all_queries()["linkpred_precision_at_k"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"SortMergeJoin \[u#", raw), raw[:3000]
+
+
 def test_linkpred_degree_dims_size_aware_fallback(spark, monkeypatch):
     # VERDICT r11 finding #1: the degree dims / hub set are
     # node-cardinality, so above the size_aware_side threshold they must
