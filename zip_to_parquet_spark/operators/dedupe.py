@@ -525,7 +525,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     all-Catalyst version unrolled 60 aggregate expressions; that generated
     enough code to pressure the JIT code cache — see session.py — and was
     slower.) 60 bits keeps every packed value positive in a signed long and
-    divides evenly into 4×15-bit bands for the pigeonhole pair search.
+    divides evenly into the block tables of the pigeonhole pair search
+    (4, 5, or 6 blocks — see simhash_tables / simhash_params_for).
 
     Token hash = the last 8 md5 digest bytes little-endian — exactly
     DuckDB's ``md5_number_lower``, which is what makes the whole operator
