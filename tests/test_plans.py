@@ -1526,16 +1526,21 @@ def test_boilerplate_hash_keys_narrow_shuffle_and_value_identity(spark):
 
 def test_linkpred_pair_agg_is_joinless_and_smj_free(spark):
     # r12 plan locks for the re-planned wedge pipeline (VERDICT r11 ask
-    # #3), both link-prediction keys:
+    # #3), re-pinned r14 for the measured wide+packed+raw-exchange
+    # rewrite (scidata.WEDGE_PAIR_ENCODING), all three link-prediction
+    # keys:
     #   1. the candidate anti-join holds the shuffle_hash hint — a
     #      SortMergeJoin would sort the ~10^8-row candidate side;
-    #   2. array-pair wedge generation — the pair aggregation sits
-    #      DIRECTLY on a Generate over the adjacency aggregation, with
-    #      no Join node in between (the r10-era self-join materialized
-    #      deg^2 rows per center);
-    #   3. the pair rides the STRUCT encoding by default (the
-    #      packed-long alternative measured slower on local shuffle —
-    #      see scidata.WEDGE_PAIR_ENCODING);
+    #   2. array-pair wedge generation — the pair aggregation sits on a
+    #      Generate over the adjacency aggregation with no Join node in
+    #      between (the r10-era self-join materialized deg^2 rows per
+    #      center), and r14: the RAW packed pairs exchange BEFORE the
+    #      aggregation (Generate → Exchange → HashAggregate), so the
+    #      explode stage streams into shuffle writers instead of
+    #      building ~10^8-entry map-side partial-agg hash tables;
+    #   3. the pair rides the PACKED single-long encoding by default
+    #      (r14 A/B: branch-free shiftleft/or — see the measurement
+    #      history at scidata.WEDGE_PAIR_ENCODING);
     #   4. the hub-center cap literal reaches the degree filter — anchored
     #      to the Filter condition text, not a bare substring ("1024"
     #      also appears as expression ids / size stats; ADVICE r12), and
@@ -1553,13 +1558,15 @@ def test_linkpred_pair_agg_is_joinless_and_smj_free(spark):
         assert "SortMergeJoin" not in plan, name
         assert "ShuffledHashJoin LeftAnti" in plan, name
         assert re.search(
-            r"HashAggregate \(\d+\)\s*\n(?:[\s:+-]*Project \(\d+\)\s*\n)?"
+            r"HashAggregate \(\d+\)\s*\n[\s:+-]*HashAggregate \(\d+\)\s*\n"
+            r"[\s:+-]*Exchange \(\d+\)\s*\n"
+            r"(?:[\s:+-]*Project \(\d+\)\s*\n)?"
             r"[\s:+-]*Generate \(\d+\)\s*\n"
             r"(?:[\s:+-]*Project \(\d+\)\s*\n)?[\s:+-]*ObjectHashAggregate",
             plan,
-        ), f"{name}: pair agg not joinless over the adjacency agg"
-        assert not re.search(r"Keys \[\d\]: \[pk#", plan), (
-            f"{name}: default encoding must be struct, found packed"
+        ), f"{name}: pair agg not raw-exchange-over-Generate-over-adj"
+        assert re.search(r"Keys \[\d\]: \[pk#", plan), (
+            f"{name}: default encoding must be packed"
         )
         assert re.search(
             rf"\(deg#\d+L? > {HUB_DEG_CAP}\)", plan
@@ -1636,22 +1643,22 @@ def test_linkpred_degree_dims_size_aware_fallback(spark, monkeypatch):
         ], name
 
 
-def test_linkpred_packed_pair_optin_same_values(spark, monkeypatch):
-    # The packed-long pair encoding (kept behind WEDGE_PAIR_ENCODING
-    # for network-shuffled clusters) must produce the SAME top-20 as
-    # the default struct encoding — packing is an encoding choice,
-    # never a semantic one — and must hold the shuffle_hash hint on
-    # its single-key anti-join.
+def test_linkpred_struct_pair_fallback_same_values(spark, monkeypatch):
+    # The struct pair encoding (the automatic fallback for node ids
+    # ≥ 2³¹, where the single-long pack would collide) must produce the
+    # SAME top-20 as the default packed encoding — packing is an
+    # encoding choice, never a semantic one — and must hold the
+    # shuffle_hash hint on its two-key anti-join.
     from zip_to_parquet_spark.plans import scidata
 
     q = all_queries()["graph_resource_allocation"]
-    struct_rows = [tuple(r) for r in q(spark, SF).collect()]
-    monkeypatch.setattr(scidata, "WEDGE_PAIR_ENCODING", "packed")
-    packed_df = q(spark, SF)
+    packed_rows = [tuple(r) for r in q(spark, SF).collect()]
+    monkeypatch.setattr(scidata, "WEDGE_PAIR_ENCODING", "struct")
+    struct_df = q(spark, SF)
     plan_buf = io.StringIO()
     with contextlib.redirect_stdout(plan_buf):
-        packed_df.explain("formatted")
+        struct_df.explain("formatted")
     plan = plan_buf.getvalue()
-    assert re.search(r"Keys \[\d\]: \[pk#", plan)  # packed path taken
+    assert not re.search(r"Keys \[\d\]: \[pk#", plan)  # struct path taken
     assert "SortMergeJoin" not in plan  # shuffle_hash holds there too
-    assert [tuple(r) for r in packed_df.collect()] == struct_rows
+    assert [tuple(r) for r in struct_df.collect()] == packed_rows

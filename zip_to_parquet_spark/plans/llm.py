@@ -60,6 +60,7 @@ from zip_to_parquet_spark.operators.vectors import (
     hyperplane_multitable_udf,
     ivf_assign_udfs,
     ivfpq_train_arrays,
+    l2_norm,
     pq_decode_expr,
     pq_encode_udf,
     train_ivf_codebook,
@@ -607,25 +608,40 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings_spread(spark, sf_dir)
     dim = 64
     sig = hyperplane_multitable_udf(dim=dim, n_planes=6, n_tables=16, seed=42)
+    # Norm precomputed once per vector BEFORE the table explode and the
+    # candidate join (r14, same rewrite and bit-identity argument as
+    # _ivf_topk): the per-candidate cosine then evaluates one dot HOF
+    # instead of three.
     signed = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("buckets", sig(F.col("v")))
+    ).select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"), sig(F.col("v")).alias("buckets"))
     tabbed = signed.select(
-        "vec_id", "v", F.posexplode("buckets").alias("table_idx", "bucket")
+        "vec_id", "v", "nrm", F.posexplode("buckets").alias("table_idx", "bucket")
     )
     q = tabbed.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "table_idx", "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("nq"),
+        "table_idx",
+        "bucket",
     )
     c = tabbed.select(
-        F.col("vec_id").alias("n_id"), F.col("v").alias("cv"), "table_idx", "bucket"
+        F.col("vec_id").alias("n_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("nv"),
+        "table_idx",
+        "bucket",
     )
     cand = (
         q.join(c, ["table_idx", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "qv", "n_id", "cv")
+        .select("q_id", "qv", "nq", "n_id", "cv", "nv")
         .distinct()
     )
-    sim = F.round(cosine(F.col("qv"), F.col("cv")), 6)
+    sim = F.round(
+        F.try_divide(dot(F.col("qv"), F.col("cv")), F.col("nq") * F.col("nv")),
+        6,
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
     return (
         cand.select("q_id", "n_id", sim.alias("cos_sim"))
@@ -911,13 +927,37 @@ def _ivf_topk(
     the matmul form is ~100× cheaper and is exactly how FAISS/ScaNN
     coarse-quantize."""
     nearest_cell, nearest_cells = ivf_assign_udfs(codebook, nprobe)
-    assign = emb.select("vec_id", "v", nearest_cell("v").alias("cent_id"))
+    # Norms precomputed ONCE per side of the candidate join (r14, guide
+    # §1.2 per-task work): cosine(qv, v) as one expression re-evaluates
+    # BOTH l2 norms per candidate pair — three interpreted aggregate/
+    # zip_with HOF passes over 64-dim arrays × |queries|·nprobe·|cell|
+    # pairs, two of which recompute values that are constant per vector.
+    # Computing nq on the (tiny) probe side and nv on the assign side
+    # leaves one dot product per pair. Bit-identical by construction:
+    # the same sqrt(Σv²) doubles feed the same nq*nv product and
+    # try_divide — only the evaluation COUNT changes, not any operation
+    # order (oracle hash unchanged, re-verified r14).
+    assign = emb.select(
+        "vec_id",
+        "v",
+        nearest_cell("v").alias("cent_id"),
+        l2_norm(F.col("v")).alias("nv"),
+    )
     probes = (
         emb.filter(F.col("vec_id") % 25 == 0)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-        .select("q_id", "qv", F.explode(nearest_cells("qv")).alias("cent_id"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            l2_norm(F.col("v")).alias("nq"),
+        )
+        .select(
+            "q_id", "qv", "nq", F.explode(nearest_cells("qv")).alias("cent_id")
+        )
     )
-    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    sim = F.round(
+        F.try_divide(dot(F.col("qv"), F.col("v")), F.col("nq") * F.col("nv")),
+        6,
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("n_id"))
     return (
         probes.join(assign, "cent_id")

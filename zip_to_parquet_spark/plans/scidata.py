@@ -21,6 +21,8 @@ training-data-pipeline family on the synthetic fixture tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1148,26 +1150,26 @@ HUB_DEG_CAP = 1024
 # retrieval/pipeline vocabulary joins use (broadcast_max_types).
 DEG_BROADCAST_MAX = 2_000_000
 
-# Wedge-pair packing (VERDICT r11 ask #4, built and MEASURED r12): a
-# candidate pair (cu, cv) can shuffle as ONE long ``cu * 2³² + cv``
-# instead of a two-long struct whenever every node id fits 31 bits
-# (cu < 2³¹ keeps the product inside a signed 64-bit long under ANSI;
-# cv < 2³² then holds a fortiori) — narrowing the key of the registry's
-# most expensive shuffle, the ~10⁸-pair → ~10⁸-group hash aggregation.
-# Measured result (r12, quiet-gated interleaved full-query A/B at sf0.1,
-# steal-clean samples only): packed is NOT a win on local[32] — Jaccard
-# 49.5 s packed vs 42.7/48.3 s struct, RA 65.6 s packed vs
-# 33.9/46.6/48.1 s struct. Higher-order-function lambdas are evaluated
-# interpreted, so the ANSI overflow-checked multiply+add per wedge row
-# costs more than the 8-bytes-narrower key saves when shuffle is local
-# memory, not network. Struct therefore stays the DEFAULT; the packed
-# path is kept behind WEDGE_PAIR_ENCODING (value-parity-tested in
-# test_plans.py) because on a network-shuffled 1000-executor cluster the
-# byte reduction, not the per-element CPU, is the scarce resource —
-# re-measure there before flipping. TPC-H partkeys reach 2³¹ around
-# SF ≈ 10⁴ (~1 PB); the bound is probed per-run from the real data and
-# wider ids keep the struct key — never a silent collision.
-WEDGE_PAIR_ENCODING = "struct"  # "packed" opts in after a cluster A/B
+# Wedge-pair packing (VERDICT r11 ask #4; r12 measured the multiply
+# encoding as a LOSS, r14 re-measured a bitwise encoding as the WIN):
+# a candidate pair (cu, cv) shuffles as ONE long ``shiftleft(cu, 32) |
+# cv`` instead of a two-long struct whenever every node id fits 31 bits
+# (cu < 2³¹ keeps the packed long positive, so the arithmetic
+# shiftright decode is exact; cv < 2³² then holds a fortiori) —
+# narrowing the key of the registry's most expensive shuffle, the
+# ~10⁸-pair → ~10⁸-group hash aggregation. The r12 A/B packed with an
+# ANSI overflow-CHECKED ``cu * 2³² + cv`` inside the interpreted
+# higher-order-function lambda and lost (Jaccard 49.5 s packed vs
+# 42.7 s struct); the r14 A/B (interleaved, same-session, sf0.1 —
+# scripts/ab_heavy.py) packs with branch-free shiftleft/or and WINS,
+# and compounds with the wide wedge stage + raw-pair exchange below:
+# base struct pipeline 47.2/50.5 s vs wide+packed+raw-exchange
+# 15.28/15.39 s across passes. Packed is therefore the DEFAULT; the
+# struct path remains the fallback for wider-than-31-bit ids (TPC-H
+# partkeys reach 2³¹ around SF ≈ 10⁴, ~1 PB; the bound is probed
+# per-run from the real data — never a silent collision) and is still
+# value-parity-tested in test_plans.py.
+WEDGE_PAIR_ENCODING = "packed"  # struct fallback auto-fires at ids ≥ 2³¹
 PACK_SHIFT = 4294967296  # 2³²
 PACK_MAX_NODE = 2147483648  # 2³¹
 
@@ -1183,17 +1185,37 @@ def _max_node(deg: DataFrame) -> int:
 # C(deg, 2) ordered wedge pairs from a center's capped sorted neighbor
 # list, generated JVM-side in one whole-stage-codegen projection (the r11
 # array-pairs strategy — see graph_jaccard_linkpred's docstring). Two
-# interchangeable pair encodings, same pair set by construction:
+# interchangeable pair encodings, same pair set by construction (the
+# packed lambda is branch-free bitwise — no ANSI overflow check runs per
+# wedge row, the r12-vs-r14 difference recorded at WEDGE_PAIR_ENCODING):
 _WEDGE_PAIRS_PACKED = (
     "flatten(transform(us, (x, i) ->"
     " transform(slice(us, i + 2, size(us) - i - 1),"
-    " y -> x * 4294967296L + y)))"
+    " y -> shiftleft(x, 32) | y)))"
 )
 _WEDGE_PAIRS_STRUCT = (
     "flatten(transform(us, (x, i) ->"
     " transform(slice(us, i + 2, size(us) - i - 1),"
     " y -> struct(x AS cu, y AS cv))))"
 )
+
+
+def _wedge_width(spark: SparkSession) -> int:
+    """Partition width for the wedge-explode stage (guide §2.2/§2.5).
+
+    AQE sizes the adjacency groupBy's exchange on the PRE-explode bytes
+    (a few MB of neighbor arrays at sf0.1) and coalesces it to ~12
+    partitions — but the stage's output is the C(deg,2) wedge explode,
+    ~1000× larger, so the coalesced width serializes the registry's
+    single most expensive stage on a sliver of the machine (r14 measured:
+    12 tasks × ~12M pairs each). An explicit hash repartition on the
+    center key pins the stage at full parallelism; the groupBy reuses
+    that exchange, so the partition count changes and the exchange count
+    does not. Scale-adaptive: tracks defaultParallelism (= the
+    SPARK_GRAFT_CPUS master locally, the executor-core total on a
+    cluster); SPARK_GRAFT_WEDGE_WIDTH overrides for cluster tuning."""
+    env = os.environ.get("SPARK_GRAFT_WEDGE_WIDTH")
+    return int(env) if env else spark.sparkContext.defaultParallelism
 
 
 def hub_centers(deg: DataFrame, cap: int = HUB_DEG_CAP) -> DataFrame:
@@ -1349,16 +1371,26 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     undg = und.join(
         size_aware_side(hub, hub, DEG_BROADCAST_MAX), "v", "left_anti"
     )
+    # Wide wedge stage + raw-pair exchange (r14, measured 47.2 → 15.3 s
+    # interleaved at sf0.1 — scripts/ab_heavy.py): pin the explode stage
+    # at full width (_wedge_width), and exchange the RAW packed pairs
+    # before the count aggregation instead of partial-aggregating them
+    # map-side — at ~1.47 raw-to-group duplication the partial agg's
+    # ~10⁸-entry per-task hash tables cost far more than the ~30% byte
+    # reduction saves (guide §2.3 "aggregate before you shuffle" assumes
+    # the aggregation actually reduces), and the 8-byte packed key makes
+    # the raw exchange SMALLER than the partially-aggregated struct one.
+    W = _wedge_width(spark)
+    undg = undg.repartition(W, "v")
     adj = undg.groupBy("v").agg(F.sort_array(F.collect_list("u")).alias("us"))
     if WEDGE_PAIR_ENCODING == "packed" and _max_node(deg) < PACK_MAX_NODE:
         cn = (
             adj.select(F.explode(F.expr(_WEDGE_PAIRS_PACKED)).alias("pk"))
+            .repartition(2 * W, "pk")
             .groupBy("pk")
             .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         )
-        ep = e.select(
-            (F.col("u") * F.lit(PACK_SHIFT) + F.col("v")).alias("pk")
-        )
+        ep = e.select(F.shiftleft("u", 32).bitwiseOR(F.col("v")).alias("pk"))
         # shuffle_hash hint: the anti-join's left side is the ~|pairs|-row
         # candidate relation (101M at sf0.1) — a sort-merge join would
         # SORT it; hashing the edge partitions instead probes without
@@ -2392,7 +2424,12 @@ def _weighted_linkpred(
     # its docstring): the center's capped sorted neighbor list explodes
     # into C(deg,2) ordered pairs JVM-side, each carrying the center's
     # pre-divided weight (constant per center, so min() == the value) —
-    # no self-join, no deg²-then-filter over-generation.
+    # no self-join, no deg²-then-filter over-generation. r14: wide wedge
+    # stage + raw-pair exchange, shared rationale and A/B numbers at
+    # graph_jaccard_linkpred (the weight column adds 8 bytes per raw
+    # pair; the trade held in the interleaved heavy re-measurement).
+    W = _wedge_width(spark)
+    undg = undg.repartition(W, "v")
     adj = undg.groupBy("v").agg(
         F.sort_array(F.collect_list("u")).alias("us"),
         F.min("w_v").alias("w"),
@@ -2402,15 +2439,14 @@ def _weighted_linkpred(
             adj.select(
                 F.col("w"), F.explode(F.expr(_WEDGE_PAIRS_PACKED)).alias("pk")
             )
+            .repartition(2 * W, "pk")
             .groupBy("pk")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_common"),
                 F.sum("w").cast("long").alias(score),
             )
         )
-        ep = e.select(
-            (F.col("u") * F.lit(PACK_SHIFT) + F.col("v")).alias("pk")
-        )
+        ep = e.select(F.shiftleft("u", 32).bitwiseOR(F.col("v")).alias("pk"))
         # shuffle_hash: see graph_jaccard_linkpred — probe 101M candidates
         # against hashed edge partitions instead of sorting them.
         nonedge = cn.join(ep.hint("shuffle_hash"), "pk", "left_anti").select(
@@ -2684,18 +2720,39 @@ def linkpred_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     undg = und.join(
         size_aware_side(hub, hub, DEG_BROADCAST_MAX), "v", "left_anti"
     )
+    # r14: wide wedge stage + packed raw-pair exchange, shared rationale
+    # and A/B numbers at graph_jaccard_linkpred; anti-join runs against
+    # the TRAINING edges here, packed the same way.
+    W = _wedge_width(spark)
+    undg = undg.repartition(W, "v")
     adj = undg.groupBy("v").agg(F.sort_array(F.collect_list("u")).alias("us"))
-    cn = (
-        adj.select(F.explode(F.expr(_WEDGE_PAIRS_STRUCT)).alias("p"))
-        .select("p.cu", "p.cv")
-        .groupBy("cu", "cv")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    nonedge = cn.join(
-        train.hint("shuffle_hash"),
-        (train.u == cn.cu) & (train.v == cn.cv),
-        "left_anti",
-    ).select(F.col("cu").alias("u"), F.col("cv").alias("v"), "n_common")
+    if WEDGE_PAIR_ENCODING == "packed" and _max_node(deg) < PACK_MAX_NODE:
+        cn = (
+            adj.select(F.explode(F.expr(_WEDGE_PAIRS_PACKED)).alias("pk"))
+            .repartition(2 * W, "pk")
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        ep = train.select(
+            F.shiftleft("u", 32).bitwiseOR(F.col("v")).alias("pk")
+        )
+        nonedge = cn.join(ep.hint("shuffle_hash"), "pk", "left_anti").select(
+            F.shiftright("pk", 32).alias("u"),
+            F.expr("pk & 4294967295").alias("v"),
+            "n_common",
+        )
+    else:
+        cn = (
+            adj.select(F.explode(F.expr(_WEDGE_PAIRS_STRUCT)).alias("p"))
+            .select("p.cu", "p.cv")
+            .groupBy("cu", "cv")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        nonedge = cn.join(
+            train.hint("shuffle_hash"),
+            (train.u == cn.cu) & (train.v == cn.cv),
+            "left_anti",
+        ).select(F.col("cu").alias("u"), F.col("cv").alias("v"), "n_common")
     topk = nonedge.orderBy(F.col("n_common").desc(), "u", "v").limit(
         max(_LINKPRED_EVAL_K)
     )
