@@ -70,6 +70,35 @@ def test_minhash_banding_has_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_minhash_candidates_materialized_once(spark):
+    # r14: the candidate pair set is localCheckpointed inside
+    # minhash_lsh_pairs_docs — before that, the three downstream
+    # consumers (pair join + both cand_ids legs) re-expanded the
+    # corpus-signature subtree, 10 ArrowEvalPython copies in the static
+    # plan (plans/r14/dedup_minhash_lsh_before.txt; measured 1.87 →
+    # 1.55 s steal-clean at sf0.1, scripts/ab_minhash.py). The final
+    # plan must read the materialized candidates (ExistingRDD) and hold
+    # ZERO banding-UDF evaluations — the signature pass runs exactly
+    # once, at checkpoint time, still inside the timed query call.
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "ExistingRDD" in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_ivf_assign_udf_not_duplicated(spark):
+    # r14 (guide §4.4): the join's inferred isnotnull(cent_id) used to
+    # push below the assign projection and duplicate the full-corpus
+    # nearest_cell ArrowEvalPython (3 nodes in
+    # plans/r14/ann_ivf_topk_before.txt, one feeding only the vacuous
+    # null check). nearest_cell is marked asNondeterministic, so the
+    # plan must hold exactly two evaluations: nearest_cells on the
+    # probe side, nearest_cell on the assign side.
+    import re
+
+    plan = plan_of(spark, "ann_ivf_topk")
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
+
+
 def test_embedding_dedup_has_no_cross_join(spark):
     # Round 1's version was an all-pairs `vec_a < vec_b` theta join — a
     # BroadcastNestedLoopJoin that goes O(n²) at scale. The LSH-bucketed

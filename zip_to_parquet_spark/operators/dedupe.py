@@ -439,6 +439,16 @@ def minhash_lsh_pairs_docs(
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    # The candidate set is consumed THREE times downstream (the pair join
+    # plus both cand_ids union legs), and each consumer re-expands the
+    # whole corpus-signature subtree — the static plan holds 10 copies of
+    # the banding ArrowEvalPython, and AQE stage reuse does not collapse
+    # them all. Materializing the (duplicate-density-sized, tiny) pair
+    # set truncates the subtree for every consumer: measured 1.87 → 1.55 s
+    # at sf0.1 (interleaved steal-clean A/B, scripts/ab_minhash.py),
+    # identical pair output. localCheckpoint, not persist() — same
+    # ContextCleaner rationale as semantic_dedup_pairs in vectors.py.
+    cand = cand.localCheckpoint(eager=True)
     cand_ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))

@@ -275,6 +275,17 @@ def ivf_assign_udfs(codebook, nprobe: int):
     def nearest_cell(v: pd.Series) -> pd.Series:
         return pd.Series(cent_ids[_sims(v).argmax(axis=1)])
 
+    # asNondeterministic: every consumer joins/groups on the assigned cell
+    # id, and the join's inferred isnotnull(cent_id) filter gets pushed
+    # BELOW the projection, duplicating the full-corpus argmax UDF — the
+    # plan showed two ArrowEvalPython[nearest_cell] nodes on the assign
+    # path, one only feeding the vacuous null check (guide §4.4; the UDF
+    # never returns null). The marking stops the optimizer from copying
+    # the expression; the function itself is pure and the assigned ids
+    # are unchanged. Trade-off per the guide: filters no longer push past
+    # the projection — the only one here is that same vacuous isnotnull.
+    nearest_cell = nearest_cell.asNondeterministic()
+
     @pandas_udf("array<long>")
     def nearest_cells(v: pd.Series) -> pd.Series:
         idx = np.argsort(-_sims(v), axis=1, kind="stable")[:, :nprobe]
