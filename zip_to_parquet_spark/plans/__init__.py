@@ -72,55 +72,55 @@ from zip_to_parquet_spark.plans import experiments  # noqa: E402,F401
 # and the type+overflow audit (scripts/audit_oracle_types.py).
 set_priority([
     "linkpred_precision_at_k",
-    "agg_approx_count_distinct",
+    "retrieval_mmr_rerank",
+    "vector_matryoshka_recall",
+    "ts_changepoint_binary",
+    "sample_ht_estimate",
+    "sample_effective_size",
+    "ts_pinball_loss",
+    "ts_seasonal_strength",
+    "stats_dispersion_index",
+    "experiment_srm_check",
+    "events_locf_fill",
+    "experiment_lift_t2",
+    "stats_bh_fdr_cells",
+    "stats_conformal_coverage",
+    "privacy_l_diversity",
+    "experiment_group_sequential",
+    "stats_kruskal_wallis",
+    "select_coreset_kcenter",
+    "tokenizer_vocab_coverage",
+    "text_lexical_diversity",
+    "ts_rolling_median",
+    "stats_theil_sen_daily",
+    "stats_zipf_fit",
+    "sample_poisson_replicate",
+    "sketch_count_min",
+    "stats_runs_test",
+    "privacy_randomized_response",
+    "feature_target_encode_loo",
+    "sample_stratified_exact",
+    "sample_systematic_interval",
+    "privacy_dp_geometric_counts",
+    "experiment_power_mde",
     "agg_approx_percentile",
+    "stats_levene_bf",
+    "ts_ljung_box",
+    "sample_class_balanced",
+    "agg_approx_count_distinct",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_recall_eval",
+    "ann_ivf_trained",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "dedup_semantic",
+    "retrieval_rrf_fusion",
     "graph_adamic_adar",
-    "graph_triangle_count",
-    "stream_watermark_late_drop",
-    "graph_bfs_hops",
     "ann_ndcg_eval",
-    "join_partition_pruning_dynamic",
-    "stats_corr_exact",
-    "stats_groupwise_linreg",
-    "basket_pair_lift",
     "stats_anova_f",
-    "stream_pattern_strict_funnel",
-    "graph_local_clustering",
     "dq_referential_integrity",
     "experiment_cuped_adjust",
-    "experiment_stratified_ate",
-    "experiment_diff_in_diff",
-    "ann_nprobe_curve",
-    "ts_autocorrelation",
-    "stats_kaplan_meier",
-    "sample_neyman_allocation",
-    "stats_ols_two_factor",
-    "sketch_hll_registers",
-    "stats_bootstrap_ci_poisson",
-    "dedup_embedding_cosine",
-    "graph_resource_allocation",
-    "graph_jaccard_linkpred",
-    "mixture_sample_by_source",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "events_sessionize",
-    "ann_cosine_topk",
-    "lm_surprisal_scores",
-    "multimodal_mp4_meta",
-    "lm_bigram_surprisal",
-    "topic_lexicon_classify",
-    "graph_pagerank_nations",
-    "zip_csv_members",
-    "zip_jsonl_members",
-    "zip_federated_join",
-    "join_asof_last_click",
-    "join_range_within_5min",
-    "tfidf_topk_terms",
-    "events_funnel",
-    "events_retention_cohort",
-    "dim_scd2_history",
-    "events_rolling_active_users",
-    "events_interval_islands",
 ])
 
 __all__ = ["all_queries", "all_oracle_sql", "query", "set_priority"]
