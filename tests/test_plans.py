@@ -85,6 +85,24 @@ def test_minhash_candidates_materialized_once(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_lsh_signature_materialized_and_distinct_narrow(spark):
+    # r14 (guide §8 fingerprint-table shape, A/B scripts/ab_lsh.py
+    # 1.37 → 1.24 s): the signed corpus localCheckpoints once — before,
+    # the hyperplane-signature subtree expanded 4× in the static plan —
+    # and the candidate distinct runs over bare (q_id, n_id) pairs, with
+    # vectors joined back from the materialized table. The final plan
+    # must read ExistingRDD and hold ZERO signature-UDF evaluations; the
+    # distinct aggregation must key on the two ids only (no vector
+    # columns in its keys).
+    import re
+
+    plan = plan_of(spark, "ann_lsh_topk")
+    assert "ExistingRDD" in plan
+    assert "ArrowEvalPython" not in plan
+    keys = re.findall(r"Keys \[2\]: \[q_id#\d+L, n_id#\d+L\]", plan)
+    assert keys, "candidate distinct no longer keyed on bare id pairs"
+
+
 def test_ivf_assign_udf_not_duplicated(spark):
     # r14 (guide §4.4): the join's inferred isnotnull(cent_id) used to
     # push below the assign projection and duplicate the full-corpus

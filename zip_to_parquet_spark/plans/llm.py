@@ -615,29 +615,42 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"), sig(F.col("v")).alias("buckets"))
+    # r14 guide-§8 fingerprint-table shape (A/B: scripts/ab_lsh.py, base
+    # 1.37 s vs this 1.24 s at sf0.1, identical 400-row output): the
+    # signed corpus materializes ONCE (before: the signature subtree
+    # expanded 4× in the static plan — q/c legs under two consumers);
+    # the bucket join and candidate distinct then run over bare
+    # (q_id, n_id) ID PAIRS — 16 bytes/row instead of the two 64-dim
+    # vectors (~1 KB/row) the old distinct shuffled (guide §2.3: shuffle
+    # keys, not payloads) — and the vectors+norms join back from the
+    # materialized table only for rows that survived. distinct-over-ids
+    # equals distinct-over-ids+payload (the payload is a function of the
+    # id), so the candidate set and every cosine are unchanged.
+    signed = signed.localCheckpoint(eager=True)
     tabbed = signed.select(
-        "vec_id", "v", "nrm", F.posexplode("buckets").alias("table_idx", "bucket")
+        "vec_id", F.posexplode("buckets").alias("table_idx", "bucket")
     )
-    q = tabbed.filter(F.col("vec_id") % 25 == 0).select(
+    qk = tabbed.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"), "table_idx", "bucket"
+    )
+    ck = tabbed.select(F.col("vec_id").alias("n_id"), "table_idx", "bucket")
+    ids = (
+        qk.join(ck, ["table_idx", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    qv = signed.select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("nq"),
-        "table_idx",
-        "bucket",
     )
-    c = tabbed.select(
+    cv = signed.select(
         F.col("vec_id").alias("n_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("nv"),
-        "table_idx",
-        "bucket",
     )
-    cand = (
-        q.join(c, ["table_idx", "bucket"])
-        .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "qv", "nq", "n_id", "cv", "nv")
-        .distinct()
-    )
+    cand = ids.join(qv, "q_id").join(cv, "n_id")
     sim = F.round(
         F.try_divide(dot(F.col("qv"), F.col("cv")), F.col("nq") * F.col("nv")),
         6,
