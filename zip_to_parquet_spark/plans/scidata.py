@@ -1348,13 +1348,14 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage-codegen transform/slice/flatten projection feeding the
     pair partial aggregation directly: one shuffle to the center, one
     shuffle of the partially-aggregated pair counts, no join, no
-    over-generation. r12: a packed-long pair encoding (``cu·2³² + cv``,
-    decoded after the anti-join) was built and A/B-measured against the
-    struct pair; struct stays the default — see the honest negative
-    result at WEDGE_PAIR_ENCODING — and the packed path remains one
-    flag away for network-shuffled clusters, value-parity-tested. The
-    oracle keeps the equivalent wedge JOIN in SQL — same pair set by
-    construction."""
+    over-generation. Pair encoding: r12 A/B-measured an ANSI
+    overflow-checked ``cu·2³² + cv`` arithmetic pack and it LOST to the
+    struct pair; the r14 branch-free ``shiftleft(cu,32)|cv`` pack wins
+    (see the measurement history at WEDGE_PAIR_ENCODING) and is now the
+    default, with the struct encoding the automatic fallback for node
+    ids ≥ 2³¹ (probed per-run via _max_node — never a silent collision),
+    value-parity-tested. The oracle keeps the equivalent wedge JOIN in
+    SQL — same pair set by construction."""
     # Local imports: binding these at module level would change the
     # module's import-bind units and transitively flag every
     # spread-using scidata key in the stale-closure differ (the
