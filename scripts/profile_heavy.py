@@ -1,8 +1,10 @@
 """Phase-level timing for the heavy link-prediction pipeline (guide §1).
 
-Times each stage of the graph_jaccard_linkpred / _weighted_linkpred shape
-in isolation (noop sink), at $SPARK_GRAFT_SF_DIR, so the optimization
-round targets the measured bottleneck instead of the assumed one.
+Times each stage of the SHIPPED (r14 wide+packed+raw-exchange)
+graph_jaccard_linkpred shape in isolation (noop sink), at
+$SPARK_GRAFT_SF_DIR, so the optimization round targets the measured
+bottleneck instead of the assumed one.  Per-pass steal is printed so a
+storm-contaminated phase is diagnosable.
 """
 
 from __future__ import annotations
@@ -14,11 +16,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _steal() -> float:
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        return int(parts[7]) / 100.0 if len(parts) > 7 else 0.0
+    except OSError:  # pragma: no cover
+        return 0.0
+
+
 def t(label, fn):
+    s0 = _steal()
     t0 = time.perf_counter()
     out = fn()
     dt = time.perf_counter() - t0
-    print(f"  {label}: {dt:.2f}s", file=sys.stderr)
+    d = _steal() - s0
+    mark = " [steal %.1fs]" % d if d >= 0.5 else ""
+    print(f"  {label}: {dt:.2f}s{mark}", file=sys.stderr)
     return out
 
 
@@ -47,10 +61,13 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from zip_to_parquet_spark.operators.graph import capped_baskets
     from zip_to_parquet_spark.plans.scidata import (
         DEG_BROADCAST_MAX,
-        _WEDGE_PAIRS_STRUCT,
+        _WEDGE_PAIRS_PACKED,
         _copurchase_edges,
+        _max_node,
+        _wedge_width,
         hub_centers,
     )
     from zip_to_parquet_spark.runtime import size_aware_side
@@ -67,6 +84,20 @@ def main() -> int:
     )
     t("warm lineitem distinct", lambda: noop(lp))
 
+    # --- edge-build sub-phases -------------------------------------------
+    sc.setJobDescription("phase0a: lp distinct")
+    t("phase0a lp distinct noop", lambda: noop(lp))
+    sc.setJobDescription("phase0b: capped self-join pre-distinct")
+    cb = capped_baskets(lp)
+    raw_pairs = (
+        cb.alias("a")
+        .join(cb.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    )
+    t("phase0b raw pairs noop", lambda: noop(raw_pairs))
+    print(f"    |raw pairs| = {raw_pairs.count()}", file=sys.stderr)
+
     sc.setJobDescription("phase1: copurchase edges (eager checkpoint)")
     e = t("phase1 edges ckpt", lambda: _copurchase_edges(spark, sf_dir))
     print(f"    |e| = {e.count()}", file=sys.stderr)
@@ -80,35 +111,40 @@ def main() -> int:
         .localCheckpoint(eager=True),
     )
     print(f"    |nodes| = {deg.count()}", file=sys.stderr)
+    t("phase2b max_node probe", lambda: _max_node(deg))
 
     hub = hub_centers(deg)
     undg = und.join(
         size_aware_side(hub, hub, DEG_BROADCAST_MAX), "v", "left_anti"
     )
-    sc.setJobDescription("phase3: adjacency collect_list only")
+    W = _wedge_width(spark)
+    undg = undg.repartition(W, "v")
+    sc.setJobDescription("phase3: adjacency collect_list (wide)")
     adj = undg.groupBy("v").agg(
         F.sort_array(F.collect_list("u")).alias("us")
     )
     t("phase3 adj noop", lambda: noop(adj))
 
-    sc.setJobDescription("phase4: wedge explode only (no agg)")
-    pairs = adj.select(
-        F.explode(F.expr(_WEDGE_PAIRS_STRUCT)).alias("p")
-    ).select("p.cu", "p.cv")
+    sc.setJobDescription("phase4: packed wedge explode only (no exchange)")
+    pairs = adj.select(F.explode(F.expr(_WEDGE_PAIRS_PACKED)).alias("pk"))
     t("phase4 wedge explode noop", lambda: noop(pairs))
+    print(f"    |pairs raw| = {pairs.count()}", file=sys.stderr)
 
-    sc.setJobDescription("phase5: wedge + pair-count aggregation")
-    cn = pairs.groupBy("cu", "cv").agg(
-        F.count(F.lit(1)).cast("long").alias("n_common")
+    sc.setJobDescription("phase5: + raw-pair exchange + count agg")
+    cn = (
+        pairs.repartition(2 * W, "pk")
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
     )
     t("phase5 cn agg noop", lambda: noop(cn))
     print(f"    |cn| = {cn.count()}", file=sys.stderr)
 
     sc.setJobDescription("phase6: + anti-join")
-    nonedge = cn.join(
-        e.hint("shuffle_hash"),
-        (e.u == cn.cu) & (e.v == cn.cv),
-        "left_anti",
+    ep = e.select(F.shiftleft("u", 32).bitwiseOR(F.col("v")).alias("pk"))
+    nonedge = cn.join(ep.hint("shuffle_hash"), "pk", "left_anti").select(
+        F.shiftright("pk", 32).alias("cu"),
+        F.expr("pk & 4294967295").alias("cv"),
+        "n_common",
     )
     t("phase6 antijoin noop", lambda: noop(nonedge))
 
@@ -139,7 +175,8 @@ def main() -> int:
     from zip_to_parquet_spark.plans import all_queries
 
     q = all_queries()["graph_jaccard_linkpred"]
-    t("full graph_jaccard_linkpred", lambda: noop(q(spark, sf_dir)))
+    for i in range(3):
+        t(f"full graph_jaccard_linkpred #{i}", lambda: noop(q(spark, sf_dir)))
 
     spark.stop()
     return 0

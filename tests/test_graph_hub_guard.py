@@ -178,3 +178,62 @@ def test_array_pair_wedges_match_join_formulation(spark):
         .collect()
     )
     assert array_cn == join_cn and array_cn  # equal and non-empty
+
+
+def test_fused_adjacency_size_filter_matches_anti_join_prune(spark):
+    """r15 fused adjacency: the shipped pipeline prunes hub CENTERS with a
+    ``size(us) <= cap`` filter on the collected neighbor lists instead of
+    the r14 hub_centers anti-join (one und exchange instead of two). On
+    the planted topology the two formulations must produce the SAME
+    (cu, cv) -> count relation — including the boundary (deg == cap
+    survives, deg > cap is cut) — and the fused degree table
+    (size(us) over the UNPRUNED adjacency) must equal the groupBy count."""
+    pairs_expr = (
+        "flatten(transform(us, (x, i) ->"
+        " transform(slice(us, i + 2, size(us) - i - 1),"
+        " y -> struct(x AS cu, y AS cv))))"
+    )
+    e = spark.createDataFrame(_edges(), "u long, v long")
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    # r14 formulation: separate degree pass + hub anti-join.
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    undg = und.join(F.broadcast(hub_centers(deg, TEST_CAP)), "v", "left_anti")
+    adj_r14 = undg.groupBy("v").agg(
+        F.sort_array(F.collect_list("u")).alias("us")
+    )
+    cn_r14 = sorted(
+        tuple(r)
+        for r in adj_r14.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.cu", "p.cv")
+        .groupBy("cu", "cv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+    # r15 fused formulation: one adjacency, size-filtered.
+    adjf = und.groupBy("v").agg(
+        F.sort_array(F.collect_list("u")).alias("us")
+    )
+    cn_fused = sorted(
+        tuple(r)
+        for r in adjf.filter(F.size("us") <= TEST_CAP)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.cu", "p.cv")
+        .groupBy("cu", "cv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert cn_fused == cn_r14 and cn_fused
+
+    # Degree parity: size(us) over the UNPRUNED adjacency == groupBy count.
+    fused_deg = sorted(
+        (r.node, r.deg)
+        for r in adjf.select(
+            F.col("v").alias("node"), F.size("us").cast("long").alias("deg")
+        ).collect()
+    )
+    counted_deg = sorted((r.node, r.deg) for r in deg.collect())
+    assert fused_deg == counted_deg

@@ -1091,16 +1091,17 @@ def test_kaplan_meier_folds_over_day_grain(spark):
 
 
 def test_linkpred_wedge_join_is_equi_and_topk(spark):
-    # Candidate scoring is the wedge equi-join; the hub-center guard
-    # (ON by default) must appear as a broadcast anti-join on the
-    # center before the quadratic self-join; existing edges leave via
-    # an equi anti-join; top-20 is TakeOrdered, not a global sort. The
-    # only nested-loop allowed is the 1-row node-count broadcast.
+    # Candidate scoring is the joinless wedge explode; the hub-center
+    # guard (ON by default) is the size(us) <= cap filter on the fused
+    # adjacency (r15 — locked with the cap literal in
+    # test_linkpred_pair_agg_is_joinless_and_smj_free); existing edges
+    # leave via an equi anti-join; top-20 is TakeOrdered, not a global
+    # sort.
     plan = plan_of(spark, "graph_jaccard_linkpred")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "lineitem.parquet" not in plan, "edge set re-derived per leg"
-    assert len(re.findall(r"LeftAnti", plan)) >= 2, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
 
 
 def test_poisson_replicate_is_map_only(spark):
@@ -1574,24 +1575,27 @@ def test_boilerplate_hash_keys_narrow_shuffle_and_value_identity(spark):
 def test_linkpred_pair_agg_is_joinless_and_smj_free(spark):
     # r12 plan locks for the re-planned wedge pipeline (VERDICT r11 ask
     # #3), re-pinned r14 for the measured wide+packed+raw-exchange
-    # rewrite (scidata.WEDGE_PAIR_ENCODING), all three link-prediction
-    # keys:
+    # rewrite (scidata.WEDGE_PAIR_ENCODING) and r15 for the fused
+    # adjacency (deg/hub derive from size(us) over the checkpointed
+    # neighbor lists), all three link-prediction keys:
     #   1. the candidate anti-join holds the shuffle_hash hint — a
     #      SortMergeJoin would sort the ~10^8-row candidate side;
     #   2. array-pair wedge generation — the pair aggregation sits on a
-    #      Generate over the adjacency aggregation with no Join node in
-    #      between (the r10-era self-join materialized deg^2 rows per
-    #      center), and r14: the RAW packed pairs exchange BEFORE the
+    #      Generate over the MATERIALIZED adjacency (r15: a Filter over
+    #      the checkpoint scan; no Join node, no second und exchange —
+    #      the r10-era self-join materialized deg^2 rows per center),
+    #      and r14: the RAW packed pairs exchange BEFORE the
     #      aggregation (Generate → Exchange → HashAggregate), so the
     #      explode stage streams into shuffle writers instead of
     #      building ~10^8-entry map-side partial-agg hash tables;
     #   3. the pair rides the PACKED single-long encoding by default
     #      (r14 A/B: branch-free shiftleft/or — see the measurement
     #      history at scidata.WEDGE_PAIR_ENCODING);
-    #   4. the hub-center cap literal reaches the degree filter — anchored
-    #      to the Filter condition text, not a bare substring ("1024"
-    #      also appears as expression ids / size stats; ADVICE r12), and
-    #      derived from HUB_DEG_CAP so a cap change re-pins the lock.
+    #   4. the hub-center cap literal reaches the adjacency size filter
+    #      — anchored to the Filter condition text, not a bare substring
+    #      ("1024" also appears as expression ids / size stats; ADVICE
+    #      r12), and derived from HUB_DEG_CAP so a cap change re-pins
+    #      the lock.
     # r13: graph_adamic_adar shares _weighted_linkpred with RA — same
     # locks apply.
     from zip_to_parquet_spark.plans.scidata import HUB_DEG_CAP
@@ -1609,15 +1613,17 @@ def test_linkpred_pair_agg_is_joinless_and_smj_free(spark):
             r"[\s:+-]*Exchange \(\d+\)\s*\n"
             r"(?:[\s:+-]*Project \(\d+\)\s*\n)?"
             r"[\s:+-]*Generate \(\d+\)\s*\n"
-            r"(?:[\s:+-]*Project \(\d+\)\s*\n)?[\s:+-]*ObjectHashAggregate",
+            r"(?:[\s:+-]*Project \(\d+\)\s*\n)?"
+            r"[\s:+-]*Filter \(\d+\)\s*\n"
+            r"[\s:+-]*Scan ExistingRDD",
             plan,
-        ), f"{name}: pair agg not raw-exchange-over-Generate-over-adj"
+        ), f"{name}: pair agg not raw-exchange-over-Generate-over-ckpt-adj"
         assert re.search(r"Keys \[\d\]: \[pk#", plan), (
             f"{name}: default encoding must be packed"
         )
         assert re.search(
-            rf"\(deg#\d+L? > {HUB_DEG_CAP}\)", plan
-        ), f"{name}: hub cap filter missing"
+            rf"size\(us#\d+(?:, true)?\) <= {HUB_DEG_CAP}", plan
+        ), f"{name}: hub cap size filter missing"
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
 
@@ -1636,7 +1642,7 @@ def test_linkpred_precision_eval_tail_streams_heldout(spark):
 
     plan = plan_of(spark, "linkpred_precision_at_k")
     assert "ShuffledHashJoin LeftAnti" in plan
-    assert re.search(rf"\(deg#\d+L? > {HUB_DEG_CAP}\)", plan)
+    assert re.search(rf"size\(us#\d+(?:, true)?\) <= {HUB_DEG_CAP}", plan)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     raw = (
@@ -1658,14 +1664,16 @@ def test_linkpred_degree_dims_size_aware_fallback(spark, monkeypatch):
     # the HINT count is read from the analyzed logical plan.
     from zip_to_parquet_spark.plans import scidata
 
-    # Jaccard force-broadcasts hub + the shared deg side (dx and dy);
-    # RA and AA (shared _weighted_linkpred) force-broadcast hub + the
-    # pre-divided weight dim.
+    # r15 fused adjacency: the hub prune is a size filter and the
+    # weighted keys compute their per-center weight in-row, so the only
+    # remaining size-aware dims are Jaccard's shared deg side (dx and
+    # dy). RA/AA have ZERO force-broadcast joins — their rows below
+    # assert exactly that (and that values are unchanged either way).
     default_max = scidata.DEG_BROADCAST_MAX
     for name, n_hints in (
-        ("graph_jaccard_linkpred", 3),
-        ("graph_resource_allocation", 2),
-        ("graph_adamic_adar", 2),
+        ("graph_jaccard_linkpred", 2),
+        ("graph_resource_allocation", 0),
+        ("graph_adamic_adar", 0),
     ):
         q = all_queries()[name]
         monkeypatch.setattr(scidata, "DEG_BROADCAST_MAX", default_max)

@@ -687,24 +687,34 @@ def gemm_topk_candidates(
                     sim = dot / den
                 sim[den == 0.0] = np.nan
             sim[cid[:, None] == qid[None, :]] = np.nan  # self-match
-            out_q, out_n, out_s = [], [], []
-            for j in range(len(qm)):
-                col = sim[:, j]
-                valid = ~np.isnan(col)
-                idx = np.flatnonzero(valid)
-                if not len(idx):
-                    continue
-                # Preselect by the FINAL ordering (rounded desc, id asc);
-                # margin absorbs numpy-vs-JVM rounding drift at the cut.
-                order = np.lexsort((cid[idx], -np.round(col[idx], 6)))
-                sel = idx[order[:take]]
-                out_q.extend([qid[j]] * len(sel))
-                out_n.extend(cid[sel])
-                out_s.extend(col[sel])
+            # Preselect by the FINAL ordering (rounded desc, id asc);
+            # margin absorbs numpy-vs-JVM rounding drift at the cut.
+            # r15 (guide §4.2): ONE lexsort over the whole (N × Q) batch
+            # keyed (query, rounded desc, id asc) replaces the Q-iteration
+            # Python loop of per-column lexsorts — the selected set is
+            # identical by construction (same keys, same order, same
+            # take cut; NaNs sort last under -rounded ascending and are
+            # excluded by the per-query valid count, exactly as the
+            # per-column valid mask did).
+            n_c, n_q = sim.shape
+            rounded = np.round(sim, 6)
+            qcol = np.broadcast_to(np.arange(n_q), (n_c, n_q))
+            crow = np.broadcast_to(cid[:, None], (n_c, n_q))
+            order = np.lexsort(
+                (crow.ravel(), -rounded.ravel(), qcol.ravel())
+            ).reshape(n_q, n_c)  # row j = that query's rows, best first
+            n_valid = n_c - np.isnan(sim).sum(axis=0)
+            n_take = np.minimum(n_valid, take)
+            col_idx = np.broadcast_to(np.arange(n_c), (n_q, n_c))
+            keep = col_idx < n_take[:, None]
+            flat = order[keep]  # flat indices into the (N × Q) C-order grid
+            out_q = qid[flat % n_q]
+            out_n = cid[flat // n_q]
+            out_s = sim.ravel()[flat]
             yield pd.DataFrame(
-                {"q_id": np.array(out_q, dtype=np.int64),
-                 "n_id": np.array(out_n, dtype=np.int64),
-                 "cos_sim_raw": np.array(out_s, dtype=np.float64)}
+                {"q_id": out_q.astype(np.int64),
+                 "n_id": out_n.astype(np.int64),
+                 "cos_sim_raw": out_s.astype(np.float64)}
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(

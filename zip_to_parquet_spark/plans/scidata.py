@@ -1219,9 +1219,13 @@ def _wedge_width(spark: SparkSession) -> int:
 
 
 def hub_centers(deg: DataFrame, cap: int = HUB_DEG_CAP) -> DataFrame:
-    """Nodes pruned as wedge CENTERS from the link-prediction self-joins:
-    ``deg > cap``, mirrored verbatim in both keys' oracles. Exercised by the
-    planted-hub property test in tests/test_graph_hub_guard.py."""
+    """Nodes pruned as wedge CENTERS from the link-prediction pipelines:
+    ``deg > cap``, mirrored verbatim in every consuming oracle's hub CTE.
+    r15: the shipped pipelines prune with the equivalent
+    ``size(us) <= cap`` filter on the fused adjacency (one exchange
+    instead of two); this helper remains the REFERENCE formulation the
+    planted-hub property tests in tests/test_graph_hub_guard.py compare
+    against."""
     return deg.filter(F.col("deg") > cap).select(F.col("node").alias("v"))
 
 
@@ -1315,9 +1319,11 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the wedge join on the shared-neighbor key is the
     Σdeg² candidate bound inherent to exact common-neighbor counting —
     and because that is quadratic PER CENTER, hub centers above the
-    ABSOLUTE per-center degree cap are guarded OFF (``deg >
-    HUB_DEG_CAP``, see hub_centers above; mirrored in the oracle,
-    planted-hub property test in tests/test_graph_hub_guard.py). The
+    ABSOLUTE per-center degree cap are guarded OFF (r15: one
+    ``size(us) <= HUB_DEG_CAP`` filter on the collected neighbor lists —
+    the same set hub_centers excludes, mirrored as the ``deg > cap`` hub
+    CTE in the oracle; planted-hub property test in
+    tests/test_graph_hub_guard.py). The
     r10-era corpus-relative threshold (250‰ of nodes) provably never
     fired on realistic sparse graphs — a skewed-graph shuffle bomb the
     guard was supposed to prevent and did not (VERDICT r10 finding #1);
@@ -1326,11 +1332,12 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     above-cap hubs is missed — the same trade every production "also
     bought" candidate generator makes, since hub-mediated pairs score
     near-zero Jaccard anyway (the union term stays the TRUE degree sum:
-    scoring uses unguarded degrees). Existing edges drop out via one
-    equi anti-join; top-20 is TakeOrdered, never a global sort. The
-    degree dims and the hub set are NODE-cardinality — they broadcast
-    only under runtime.size_aware_side's bounded probe
-    (DEG_BROADCAST_MAX) and otherwise join as plain shuffle joins
+    scoring uses unguarded degrees — size(us) over the UNPRUNED
+    adjacency). Existing edges drop out via one equi anti-join; top-20
+    is TakeOrdered, never a global sort. The degree dims are
+    NODE-cardinality — they broadcast only under
+    runtime.size_aware_side's bounded probe (DEG_BROADCAST_MAX) and
+    otherwise join as plain shuffle joins
     (VERDICT r11 finding #1: 10⁸–10⁹ nodes at 100 TB would OOM an
     unconditional broadcast; the candidate side is already
     hash-partitioned, so the fallback is one extra node-keyed shuffle,
@@ -1365,13 +1372,19 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _copurchase_edges(spark, sf_dir)
     und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    ).localCheckpoint(eager=True)
-    hub = hub_centers(deg)
-    undg = und.join(
-        size_aware_side(hub, hub, DEG_BROADCAST_MAX), "v", "left_anti"
-    )
+    # Fused adjacency (r15, guide §2.4 "remove shuffles outright"): ONE
+    # wide exchange of und builds the neighbor lists; the degree table,
+    # the hub-center prune, and the max-node encoding probe all derive
+    # from ``size(us)`` — the r14 shape exchanged und TWICE (a separate
+    # deg groupBy + eager checkpoint, then the hub anti-join feeding the
+    # adjacency exchange). deg(v) == size(us) exactly: e is distinct, so
+    # each neighbor appears once per direction, and the hub prune keeps
+    # centers with size(us) <= cap — the same set hub_centers excluded.
+    # The adjacency checkpoint replaces the degree checkpoint (Σdeg = 2|e|
+    # longs — edge-sized payload in node-sized rows, the same class as
+    # e's own checkpoint); every downstream consumer (max-node probe,
+    # degree dims, wedge explode) reads the materialized lists.
+    #
     # Wide wedge stage + raw-pair exchange (r14, measured 47.2 → 15.3 s
     # interleaved at sf0.1 — scripts/ab_heavy.py): pin the explode stage
     # at full width (_wedge_width), and exchange the RAW packed pairs
@@ -1382,8 +1395,16 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the aggregation actually reduces), and the 8-byte packed key makes
     # the raw exchange SMALLER than the partially-aggregated struct one.
     W = _wedge_width(spark)
-    undg = undg.repartition(W, "v")
-    adj = undg.groupBy("v").agg(F.sort_array(F.collect_list("u")).alias("us"))
+    adjf = (
+        und.repartition(W, "v")
+        .groupBy("v")
+        .agg(F.sort_array(F.collect_list("u")).alias("us"))
+        .localCheckpoint(eager=True)
+    )
+    deg = adjf.select(
+        F.col("v").alias("node"), F.size("us").cast("long").alias("deg")
+    )
+    adj = adjf.filter(F.size("us") <= HUB_DEG_CAP)
     if WEDGE_PAIR_ENCODING == "packed" and _max_node(deg) < PACK_MAX_NODE:
         cn = (
             adj.select(F.explode(F.expr(_WEDGE_PAIRS_PACKED)).alias("pk"))
@@ -2394,46 +2415,48 @@ def _weighted_linkpred(
     """Shared capped-wedge pipeline for the degree-WEIGHTED link-prediction
     family — resource allocation and Adamic-Adar are the SAME plan with a
     different per-node weight: score(u, v) = Σ_{z ∈ N(u)∩N(v)} w(z), w
-    pre-computed once in the node-sized dim (``w_v``, a Column over
-    ``deg``) so the corpus-shaped wedge stage only SUMS a ready column.
-    Everything the two keys' docstrings promise lives here once: basket-
-    capped edges (_copurchase_edges), the absolute hub-center cap
-    (hub_centers), size-aware degree/hub dims (runtime.size_aware_side),
-    the joinless array-pair wedge generation, the shuffle_hash anti-join,
-    and the measured struct-vs-packed pair encoding
-    (WEDGE_PAIR_ENCODING)."""
-    # Local import: see graph_jaccard_linkpred.
-    from zip_to_parquet_spark.runtime import size_aware_side
-
+    pre-computed once per CENTER (``w_v``, a Column over ``deg`` — r15:
+    evaluated in-row on the fused adjacency, deg == size(us)) so the
+    corpus-shaped wedge stage only SUMS a ready column. Everything the
+    two keys' docstrings promise lives here once: basket-capped edges
+    (_copurchase_edges), the absolute hub-center cap (the
+    ``size(us) <= HUB_DEG_CAP`` filter — the same set hub_centers
+    excludes, mirrored as the oracle's hub CTE), the joinless array-pair
+    wedge generation, the shuffle_hash anti-join, and the measured
+    struct-vs-packed pair encoding (WEDGE_PAIR_ENCODING)."""
     e = _copurchase_edges(spark, sf_dir)
     und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = und.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
-    ).localCheckpoint(eager=True)
-    hub = hub_centers(deg)
-    # Pre-divide in the node-sized dim: the wedge stage then SUMS a ready
-    # column instead of executing the division once per wedge row (Σdeg²
-    # times) — same values (deg is constant per center), less per-row
-    # work in the only corpus-shaped stage.
-    dv = deg.select(
-        F.col("node").alias("v"), w_v.cast("long").alias("w_v")
-    )
-    undg = und.join(
-        size_aware_side(hub, hub, DEG_BROADCAST_MAX), "v", "left_anti"
-    ).join(size_aware_side(dv, deg, DEG_BROADCAST_MAX), "v")
+    # Fused adjacency (r15, guide §2.4 — see graph_jaccard_linkpred for
+    # the full rationale): ONE wide exchange of und builds the neighbor
+    # lists; deg(v) == size(us) exactly, so the hub prune is a size
+    # filter and the per-center weight is computed IN-ROW from the
+    # collected list — the r14 shape's separate deg groupBy+checkpoint,
+    # hub anti-join, AND the node-sized pre-divided weight dim join all
+    # disappear (the weight stays pre-divided ONCE PER CENTER, exactly
+    # as the dim computed it — same values, zero joins on the und path).
+    #
     # Array-pairs wedge strategy (r11, shared with the Jaccard key — see
     # its docstring): the center's capped sorted neighbor list explodes
     # into C(deg,2) ordered pairs JVM-side, each carrying the center's
-    # pre-divided weight (constant per center, so min() == the value) —
-    # no self-join, no deg²-then-filter over-generation. r14: wide wedge
-    # stage + raw-pair exchange, shared rationale and A/B numbers at
-    # graph_jaccard_linkpred (the weight column adds 8 bytes per raw
-    # pair; the trade held in the interleaved heavy re-measurement).
+    # pre-divided weight — no self-join, no deg²-then-filter
+    # over-generation. r14: wide wedge stage + raw-pair exchange, shared
+    # rationale and A/B numbers at graph_jaccard_linkpred (the weight
+    # column adds 8 bytes per raw pair; the trade held in the
+    # interleaved heavy re-measurement).
     W = _wedge_width(spark)
-    undg = undg.repartition(W, "v")
-    adj = undg.groupBy("v").agg(
-        F.sort_array(F.collect_list("u")).alias("us"),
-        F.min("w_v").alias("w"),
+    adjf = (
+        und.repartition(W, "v")
+        .groupBy("v")
+        .agg(F.sort_array(F.collect_list("u")).alias("us"))
+        .localCheckpoint(eager=True)
+    )
+    deg = adjf.select(
+        F.col("v").alias("node"), F.size("us").cast("long").alias("deg")
+    )
+    adj = (
+        adjf.filter(F.size("us") <= HUB_DEG_CAP)
+        .withColumn("deg", F.size("us").cast("long"))
+        .select("us", w_v.cast("long").alias("w"))
     )
     if WEDGE_PAIR_ENCODING == "packed" and _max_node(deg) < PACK_MAX_NODE:
         cn = (
@@ -2546,23 +2569,24 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the Jaccard key — basket-capped edge
     generation (operators.graph.BASKET_CAP via _copurchase_edges, r13:
     VERDICT r12 finding #1), then the wedge stage's Σdeg² bound under
-    the SAME absolute per-center degree cap (``deg > HUB_DEG_CAP`` via
-    hub_centers, mirrored in the oracle; a hub-only pair is missed, and
-    under RA such a pair scores ≈ 0 by construction — Σ 1/deg(hub) —
-    so the cap and the score agree about what matters; planted-hub test
-    in tests/test_graph_hub_guard.py, planted-jumbo-basket test in
-    tests/test_basket_cap_guard.py). The center's weight rides the wedge
-    rows (one join onto the node-sized pre-divided weight dim before the
-    wedge generation — no post-aggregation re-join); existing edges
-    drop via one anti-join; top-20 is TakeOrdered, never a global sort.
-    The weight dim and the hub set are node-cardinality, so they
-    broadcast only under runtime.size_aware_side's bounded probe and
-    otherwise shuffle-join on the center key the adjacency aggregation
-    already exchanges on (VERDICT r11 finding #1); the wedge pair keeps
-    the struct encoding by measurement — see WEDGE_PAIR_ENCODING for
-    the packed-long A/B result and the cluster-side revisit condition.
-    The whole pipeline is _weighted_linkpred, shared verbatim with
-    Adamic-Adar."""
+    the SAME absolute per-center degree cap (r15: the
+    ``size(us) <= HUB_DEG_CAP`` filter on the fused adjacency — the set
+    hub_centers excludes, mirrored as the oracle's hub CTE; a hub-only
+    pair is missed, and under RA such a pair scores ≈ 0 by
+    construction — Σ 1/deg(hub) — so the cap and the score agree about
+    what matters; planted-hub test in tests/test_graph_hub_guard.py,
+    planted-jumbo-basket test in tests/test_basket_cap_guard.py). The
+    center's weight rides the wedge rows, computed IN-ROW from
+    deg == size(us) on the fused adjacency (r15 — the former node-sized
+    pre-divided weight-dim join and the hub anti-join are gone; no
+    post-aggregation re-join either); existing edges drop via one
+    anti-join; top-20 is TakeOrdered, never a global sort.
+    The wedge pair ships
+    packed (the r14 default — branch-free ``shiftleft(cu,32)|cv``) with
+    the struct encoding the automatic fallback at node ids ≥ 2³¹ — see
+    WEDGE_PAIR_ENCODING for the full A/B history and the cluster-side
+    revisit condition. The whole pipeline is _weighted_linkpred, shared
+    verbatim with Adamic-Adar."""
     return _weighted_linkpred(
         spark, sf_dir, F.expr("1000000 div deg"), "ra_micro"
     )
@@ -2603,15 +2627,16 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-platform deployment should pin the 1023 micro-nat values as a
     literal table shared by engine and oracle instead of re-deriving
     them per engine. The
-    nullif guard covers deg-1 nodes in the weight DIM (ln(1) = 0 would
-    be an ANSI division by zero): such nodes emit zero wedge pairs
-    (C(1,2) = 0), so the NULL weight never reaches a sum — the oracle
-    divides per wedge row, where deg ≥ 2 always holds.
+    nullif guard covers deg-1 centers (ln(1) = 0 would be an ANSI
+    division by zero): such centers emit zero wedge pairs (C(1,2) = 0),
+    so the NULL weight never reaches a sum — the oracle divides per
+    wedge row, where deg ≥ 2 always holds.
 
     Scale shape: _weighted_linkpred, shared verbatim with
-    graph_resource_allocation — basket-capped edges, absolute hub cap,
-    size-aware node dims, joinless array-pair wedges, shuffle_hash
-    anti-join, TakeOrdered top-20."""
+    graph_resource_allocation — basket-capped edges, absolute hub cap
+    as a size filter on the fused adjacency, in-row per-center weights,
+    joinless array-pair wedges, shuffle_hash anti-join, TakeOrdered
+    top-20."""
     return _weighted_linkpred(
         spark,
         sf_dir,
@@ -2697,14 +2722,12 @@ def linkpred_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to graph_jaccard_linkpred — the same
     basket-capped edge generation (_copurchase_edges, reused verbatim),
-    hub-capped joinless array-pair wedge stage, size-aware hub dim, and
-    shuffle_hash anti-join; the evaluation tail (rank ≤ 100 rows, one
-    broadcast k-grid join) is constant-size at any corpus. Precision is
-    measured at the top-100 TakeOrdered — never a global sort. The
-    denominator is k itself even when fewer than k predictions exist
-    (n_preds makes that visible), mirrored in the oracle."""
-    from zip_to_parquet_spark.runtime import size_aware_side
-
+    hub-capped joinless array-pair wedge stage on the r15 fused
+    adjacency, and shuffle_hash anti-join; the evaluation tail (rank ≤
+    100 rows, one broadcast k-grid join) is constant-size at any corpus.
+    Precision is measured at the top-100 TakeOrdered — never a global
+    sort. The denominator is k itself even when fewer than k predictions
+    exist (n_preds makes that visible), mirrored in the oracle."""
     e = _copurchase_edges(spark, sf_dir)
     is_test = (F.col("u") + F.col("v")) % _LINKPRED_HOLDOUT_MOD == 0
     train = e.filter(~is_test).localCheckpoint(eager=True)
@@ -2712,21 +2735,24 @@ def linkpred_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = train.unionAll(
         train.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    deg = (
-        und.groupBy(F.col("u").alias("node"))
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .localCheckpoint(eager=True)
-    )
-    hub = hub_centers(deg)
-    undg = und.join(
-        size_aware_side(hub, hub, DEG_BROADCAST_MAX), "v", "left_anti"
-    )
+    # r15 fused adjacency over the TRAINING graph (guide §2.4 — full
+    # rationale at graph_jaccard_linkpred): one wide exchange builds the
+    # neighbor lists; deg == size(us), the hub prune is a size filter,
+    # and the separate deg groupBy+checkpoint and hub anti-join are gone.
     # r14: wide wedge stage + packed raw-pair exchange, shared rationale
     # and A/B numbers at graph_jaccard_linkpred; anti-join runs against
     # the TRAINING edges here, packed the same way.
     W = _wedge_width(spark)
-    undg = undg.repartition(W, "v")
-    adj = undg.groupBy("v").agg(F.sort_array(F.collect_list("u")).alias("us"))
+    adjf = (
+        und.repartition(W, "v")
+        .groupBy("v")
+        .agg(F.sort_array(F.collect_list("u")).alias("us"))
+        .localCheckpoint(eager=True)
+    )
+    deg = adjf.select(
+        F.col("v").alias("node"), F.size("us").cast("long").alias("deg")
+    )
+    adj = adjf.filter(F.size("us") <= HUB_DEG_CAP)
     if WEDGE_PAIR_ENCODING == "packed" and _max_node(deg) < PACK_MAX_NODE:
         cn = (
             adj.select(F.explode(F.expr(_WEDGE_PAIRS_PACKED)).alias("pk"))
